@@ -1,0 +1,63 @@
+package graft.analysis
+
+/** A term occurrence after the full analysis chain.
+  * `position` is the Lucene token position (starts at 0; gaps where
+  * stopwords / too-long tokens were dropped).
+  */
+final case class TermPos(term: String, position: Int)
+
+/** StandardAnalyzer-equivalent chain: StandardTokenizer -> per-codepoint
+  * lowercase -> stopword filter with position-gap accumulation.
+  *
+  * Reference semantics:
+  *  - chain: lucene/analysis/common/src/java/org/apache/lucene/analysis/standard/StandardAnalyzer.java:87-113
+  *  - lowercase is per-codepoint Character.toLowerCase (NOT locale String
+  *    lowercase): lucene/analysis/common/src/java/org/apache/lucene/analysis/core/LowerCaseFilter.java:43-49
+  *  - dropped tokens add their positionIncrement to the next emitted token:
+  *    lucene/analysis/common/src/java/org/apache/lucene/analysis/util/FilteringTokenFilter.java:49-63
+  */
+object Analyzer {
+
+  /** Codepoint-wise lowercase, as CharacterUtils.toLowerCase does. */
+  def lowerCase(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      sb.appendCodePoint(Character.toLowerCase(cp))
+      i += Character.charCount(cp)
+    }
+    sb.toString
+  }
+
+  /** Full chain; returns (term, position) pairs in reading order.
+    * Stopword matching happens AFTER lowercasing (StandardAnalyzer order).
+    */
+  def analyze(text: String, stopSet: Set[String],
+              maxTokenLength: Int = StandardTokenizer.DefaultMaxTokenLength)
+      : Vector[TermPos] = {
+    val out = Vector.newBuilder[TermPos]
+    var pos = -1
+    val toks = StandardTokenizer.tokenize(text, maxTokenLength)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      pos += t.posInc
+      val term = lowerCase(t.term)
+      if (!stopSet.contains(term)) out += TermPos(term, pos)
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Per-`lang` analysis (north star: lowercase + stopword per lang). */
+  def analyzeLang(text: String, lang: String): Vector[TermPos] =
+    analyze(text, StopSets.forLang(lang))
+
+  /** Field length for norms = number of tokens emitted by the chain
+    * (overlaps/posInc==0 tokens never occur in this chain, so
+    * numOverlap = 0; reference: BM25Similarity.computeNorm,
+    * search/similarities/BM25Similarity.java:138-141).
+    */
+  def fieldLength(terms: Vector[TermPos]): Int = terms.length
+}

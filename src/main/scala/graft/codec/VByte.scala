@@ -1,0 +1,60 @@
+package graft.codec
+
+/** Variable-byte ints, format-equal to the reference's DataOutput VInt/VLong
+  * (low 7 bits first, 0x80 continuation flag on all but the last byte;
+  * reference: lucene/core/src/java/org/apache/lucene/store/DataOutput.java:186-192).
+  */
+object VByte {
+
+  final class Writer(initial: Int = 64) {
+    private var buf = new Array[Byte](initial)
+    private var len = 0
+    private def ensure(n: Int): Unit =
+      if (len + n > buf.length) {
+        val nb = new Array[Byte](math.max(buf.length * 2, len + n))
+        System.arraycopy(buf, 0, nb, 0, len); buf = nb
+      }
+    def writeByte(b: Byte): Unit = { ensure(1); buf(len) = b; len += 1 }
+    def writeVInt(v0: Int): Unit = {
+      var i = v0; ensure(5)
+      while ((i & ~0x7F) != 0) { buf(len) = ((i & 0x7F) | 0x80).toByte; len += 1; i >>>= 7 }
+      buf(len) = i.toByte; len += 1
+    }
+    def writeVLong(v0: Long): Unit = {
+      var i = v0; ensure(10)
+      while ((i & ~0x7FL) != 0L) { buf(len) = ((i & 0x7F) | 0x80).toByte; len += 1; i >>>= 7 }
+      buf(len) = i.toByte; len += 1
+    }
+    def size: Int = len
+    def toBytes: Array[Byte] = java.util.Arrays.copyOf(buf, len)
+  }
+
+  final class Reader(bytes: Array[Byte]) {
+    private var p = 0
+    def pos: Int = p
+    def hasMore: Boolean = p < bytes.length
+    def readByte(): Byte = { val b = bytes(p); p += 1; b }
+    def readVInt(): Int = {
+      var b = bytes(p); p += 1
+      var i = b & 0x7F
+      var shift = 7
+      while ((b & 0x80) != 0) {
+        b = bytes(p); p += 1
+        i |= (b & 0x7F) << shift
+        shift += 7
+      }
+      i
+    }
+    def readVLong(): Long = {
+      var b = bytes(p); p += 1
+      var i = (b & 0x7FL)
+      var shift = 7
+      while ((b & 0x80) != 0) {
+        b = bytes(p); p += 1
+        i |= (b & 0x7FL) << shift
+        shift += 7
+      }
+      i
+    }
+  }
+}

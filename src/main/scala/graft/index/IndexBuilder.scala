@@ -1,0 +1,249 @@
+package graft.index
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.security.MessageDigest
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analysis.{Analyzer, StopSets}
+import graft.codec.{PostingsCodec, Posting, SmallFloat}
+import graft.search.BM25
+
+/** Batch inverted-index build: input table -> per-partition segments ->
+  * docmeta/stats -> global term-partitioned compressed postings.
+  *
+  * Spark-first design (SURVEY.md §7): the per-doc invert is a single
+  * `mapPartitions` pass (the DefaultIndexingChain analog); the global merge
+  * is ONE sort-merge shuffle `repartition(hash(bucket, salt)) +
+  * sortWithinPartitions(term, docId)` (the SegmentMerger k-way merge analog,
+  * lucene/core/src/java/org/apache/lucene/index/SegmentMerger.java:74-140);
+  * hot terms (df >= hotDfThreshold) are salted by docId-range chunk so one
+  * Zipfian term ("import", "return") cannot pin a single task — chunks are
+  * disjoint docId ranges, so concatenating their self-contained blocks in
+  * firstDoc order IS the merged posting list (the docBase-concatenation
+  * trick of codecs/FieldsConsumer.java:90-100).
+  *
+  * The build is resumable: every stage (and every postings wave) writes a
+  * lineage JSON marker after its data commits; a re-run skips completed
+  * stages. docIds derive from a fixed hash-partitioning + canonical sort,
+  * never from runtime state, so resumed builds are byte-identical.
+  */
+object IndexBuilder {
+
+  def sha256Hex(s: String): String = {
+    val d = MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+    val sb = new StringBuilder(64)
+    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
+
+  /** Analyze one document into a SegmentDoc (terms grouped in-memory per
+    * row — within-doc grouping needs no shuffle). */
+  def invertDoc(docId: Long, docPart: Int, repo: String, path: String,
+                commit: String, lang: String, content: String,
+                maxTokenLength: Int): SegmentDoc = {
+    val terms = Analyzer.analyze(content, StopSets.forLang(lang), maxTokenLength)
+    val dl = terms.length
+    val m = new java.util.TreeMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
+    terms.foreach { tp =>
+      val buf = m.get(tp.term)
+      if (buf == null) {
+        val nb = new scala.collection.mutable.ArrayBuffer[Int](4)
+        nb += tp.position
+        m.put(tp.term, nb)
+      } else buf += tp.position
+    }
+    val postings = new Array[SegPosting](m.size)
+    var i = 0
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      postings(i) = SegPosting(e.getKey, e.getValue.length, e.getValue.toArray)
+      i += 1
+    }
+    SegmentDoc(docId, docPart, repo, path, commit, lang, dl,
+      SmallFloat.normByte(dl), sha256Hex(content), postings)
+  }
+
+  // ---- stage markers / lineage ----
+
+  def markerPath(dir: String, stage: String): java.nio.file.Path =
+    Paths.get(dir, "_lineage", s"$stage.json")
+
+  def stageDone(dir: String, stage: String): Boolean =
+    Files.exists(markerPath(dir, stage))
+
+  def writeMarker(dir: String, stage: String, metrics: Map[String, Long]): Unit = {
+    val p = markerPath(dir, stage)
+    Files.createDirectories(p.getParent)
+    val body = metrics.map { case (k, v) => s""""$k": $v""" }
+      .mkString("{", ", ", s""", "stage": "$stage", "schemaVersion": 1}""")
+    Files.writeString(p, body)
+  }
+
+  /** Full build. `input` must have columns repo, path, commit, lang,
+    * content (extra columns ignored). Returns the index directory. */
+  def build(spark: SparkSession, input: DataFrame, dir: String,
+            cfg: IndexConfig = IndexConfig()): String = {
+    import spark.implicits._
+
+    // ---- stage 1: segments (invert; doc-partitioned forward index) ----
+    val segPath = s"$dir/segments"
+    if (!stageDone(dir, "segments")) {
+      val maxTok = cfg.maxTokenLength
+      val segs = input
+        .select($"repo", $"path", $"commit", $"lang", $"content")
+        .repartition(cfg.numDocParts, $"repo", $"path", $"commit")
+        .sortWithinPartitions($"repo", $"path", $"commit")
+        .as[DocInput]
+        .mapPartitions { it =>
+          val part = TaskContext.getPartitionId()
+          var idx = 0L
+          it.map { d =>
+            val sd = invertDoc(Ids.docId(part, idx), part, d.repo, d.path,
+              d.commit, d.lang, d.content, maxTok)
+            idx += 1
+            sd
+          }
+        }
+      val docsAcc = spark.sparkContext.longAccumulator("graft.docs")
+      val tokAcc = spark.sparkContext.longAccumulator("graft.tokens")
+      segs.map { s => docsAcc.add(1); tokAcc.add(s.dl); s }
+        .write.mode("overwrite").parquet(segPath)
+      writeMarker(dir, "segments",
+        Map("docs" -> docsAcc.value, "tokens" -> tokAcc.value))
+    }
+    lazy val segments = spark.read.parquet(segPath).as[SegmentDoc]
+
+    // ---- stage 2: docmeta (norms + stored-field keys) ----
+    if (!stageDone(dir, "docmeta")) {
+      segments.drop("postings").write.mode("overwrite").parquet(s"$dir/docmeta")
+      writeMarker(dir, "docmeta", Map())
+    }
+
+    // ---- stage 3: collection + term stats ----
+    if (!stageDone(dir, "collstats")) {
+      val row = segments.agg(count(lit(1)), coalesce(sum($"dl"), lit(0L))).head()
+      val cs = CollStats(row.getLong(0), row.getLong(1))
+      Seq(cs).toDS().write.mode("overwrite").parquet(s"$dir/collstats")
+      writeMarker(dir, "collstats",
+        Map("maxDoc" -> cs.maxDoc, "sumTotalTermFreq" -> cs.sumTotalTermFreq))
+    }
+    val collStats = spark.read.parquet(s"$dir/collstats").as[CollStats].head()
+
+    if (!stageDone(dir, "termstats")) {
+      val nb = cfg.numBuckets
+      val ts = segments
+        .select(explode($"postings").as("p"))
+        .select($"p.term".as("term"), $"p.tf".as("tf"))
+        .groupBy($"term")
+        .agg(count(lit(1)).as("df"), sum($"tf").as("ttf"),
+          max($"tf").as("maxTf"))
+        .withColumn("bucket", pmod(hash_term($"term"), lit(nb)))
+        .select($"term", $"bucket", $"df", $"ttf", $"maxTf".cast("int"))
+        .as[TermStats]
+      ts.write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/termstats")
+      writeMarker(dir, "termstats", Map())
+    }
+
+    // hot terms for salting (collected: by construction a tiny set)
+    val hotTerms: Set[String] = spark.read.parquet(s"$dir/termstats")
+      .where($"df" >= cfg.hotDfThreshold).select("term").as[String]
+      .collect().toSet
+    if (!stageDone(dir, "hotterms"))
+      writeMarker(dir, "hotterms", Map("count" -> hotTerms.size.toLong))
+
+    // ---- stage 4: global merge -> compressed blocks, per wave ----
+    val avgdl = BM25.avgFieldLength(collStats.sumTotalTermFreq, collStats.maxDoc)
+    val normCache = BM25.cache(avgdl)
+    val hotB = spark.sparkContext.broadcast(hotTerms)
+    val cacheB = spark.sparkContext.broadcast(normCache)
+    var w = 0
+    while (w < cfg.waves) {
+      val stage = s"postings_wave_$w"
+      if (!stageDone(dir, stage)) {
+        val nb = cfg.numBuckets
+        val shift = cfg.saltShift
+        val waves = cfg.waves
+        val postAcc = spark.sparkContext.longAccumulator("graft.postings")
+        val blockAcc = spark.sparkContext.longAccumulator("graft.blocks")
+        // waves own CONTIGUOUS docPart ranges: block docId-spans must stay
+        // disjoint across waves (same invariant as salt chunks)
+        val partsPerWave = (cfg.numDocParts + waves - 1) / waves
+        val rows = segments
+          .where($"docPart" >= w * partsPerWave &&
+            $"docPart" < (w + 1) * partsPerWave)
+          .select($"docId", explode($"postings").as("p"), $"norm")
+          .select($"p.term".as("term"), $"docId", $"p.tf".as("tf"),
+            $"p.positions".as("positions"), $"norm")
+          .as[PostingRow]
+          .map { r =>
+            val salt = if (hotB.value.contains(r.term)) (r.docId >> shift) else 0L
+            (Buckets.of(r.term, nb), salt, r)
+          }
+        val blocks = rows.toDF("bucket", "salt", "r")
+          .repartition(cfg.shufflePartitions, $"bucket", $"salt")
+          .sortWithinPartitions($"r.term", $"r.docId")
+          .select($"bucket", $"salt", $"r.*")
+          .as[(Int, Long, String, Long, Int, Array[Int], Byte)]
+          .mapPartitions { it =>
+            // Group consecutive same-(term, salt) runs, encode 128-posting
+            // blocks. A run must break at salt boundaries: salt chunks of a
+            // hot term land in different shuffle partitions, and block
+            // docId-spans must stay DISJOINT across partitions for the
+            // firstDoc-order concatenation (and the WAND cursor's skip
+            // logic) to be valid — the docBase-concat invariant of
+            // codecs/FieldsConsumer.java:90-100. salt is monotone in docId
+            // for one term, so sorting by (term, docId) already groups it.
+            val cache = cacheB.value
+            new Iterator[BlockRow] {
+              private val buf = it.buffered
+              private var pending: Iterator[BlockRow] = Iterator.empty
+              private def refill(): Unit = {
+                while (!pending.hasNext && buf.hasNext) {
+                  val bucket = buf.head._1
+                  val salt = buf.head._2
+                  val term = buf.head._3
+                  val run = new scala.collection.mutable.ArrayBuffer[Posting]()
+                  while (buf.hasNext && buf.head._3 == term &&
+                      buf.head._1 == bucket && buf.head._2 == salt) {
+                    val (_, _, _, docId, tf, positions, norm) = buf.next()
+                    run += Posting(docId, tf, positions, norm)
+                  }
+                  postAcc.add(run.length)
+                  pending = PostingsCodec.encode(term, run.iterator, cache)
+                    .map { b =>
+                      blockAcc.add(1)
+                      BlockRow(bucket, b.term, b.firstDoc, b.lastDoc, b.count,
+                        b.maxTf, b.maxPartial, b.docBytes, b.nrmBytes, b.posBytes)
+                    }
+                }
+              }
+              def hasNext: Boolean = { refill(); pending.hasNext }
+              def next(): BlockRow = { refill(); pending.next() }
+            }
+          }
+        blocks.write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$dir/postings/wave=$w")
+        writeMarker(dir, stage,
+          Map("postings" -> postAcc.value, "blocks" -> blockAcc.value))
+      }
+      w += 1
+    }
+    if (!stageDone(dir, "done")) writeMarker(dir, "done", Map())
+    dir
+  }
+
+  /** Catalyst-stable term hash = Java String.hashCode (computable on the
+    * driver for pruning). Implemented as a column expression (codegen'd
+    * path would be a custom Expression; hash parity matters more here). */
+  private def hash_term(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.udf
+    val f = udf((s: String) => s.hashCode)
+    f(c)
+  }
+}

@@ -1,0 +1,78 @@
+package graft.index
+
+/** Input row shape (BASELINE.json input_hint): an Iceberg/parquet table of
+  * source-code files. */
+final case class DocInput(repo: String, path: String, commit: String,
+                          lang: String, content: String)
+
+/** One term's occurrences inside one doc (forward/segment layout). */
+final case class SegPosting(term: String, tf: Int, positions: Array[Int])
+
+/** A fully inverted document: the per-partition "segment" row (reference
+  * analog: one doc's contribution to a DocumentsWriterPerThread segment,
+  * lucene/core/src/java/org/apache/lucene/index/DefaultIndexingChain.java:277-697).
+  * docPart is the deterministic doc-side partition (docId >> DocIdShift).
+  */
+final case class SegmentDoc(docId: Long, docPart: Int, repo: String,
+                            path: String, commit: String, lang: String,
+                            dl: Int, norm: Byte, sha256: String,
+                            postings: Array[SegPosting])
+
+/** Columnar doc metadata (norms + stored-field keys; reference analogs:
+  * norms lucene50/Lucene50NormsFormat.java, stored fields via join back to
+  * the source table per SURVEY.md §2.1). */
+final case class DocMeta(docId: Long, docPart: Int, repo: String,
+                         path: String, commit: String, lang: String,
+                         dl: Int, norm: Byte, sha256: String)
+
+/** Per-term dictionary entry (BlockTree term-dict analog, SURVEY.md §2.3):
+  * df/ttf drive idf; maxPartial is the term-level WAND upper-bound factor. */
+final case class TermStats(term: String, bucket: Int, df: Long, ttf: Long,
+                           maxTf: Int)
+
+/** Collection-level stats (IndexSearcher.collectionStatistics analog,
+  * search/IndexSearcher.java:836-847). maxDoc is the DOC COUNT (Lucene
+  * maxDoc), not the max docId — our docIds are deterministic but sparse. */
+final case class CollStats(maxDoc: Long, sumTotalTermFreq: Long)
+
+/** One posting exploded from a segment (intermediate shuffle row). */
+final case class PostingRow(term: String, docId: Long, tf: Int,
+                            positions: Array[Int], norm: Byte)
+
+/** On-disk block row = codec.PostingBlock + physical bucket. */
+final case class BlockRow(bucket: Int, term: String, firstDoc: Long,
+                          lastDoc: Long, count: Int, maxTf: Int,
+                          maxPartial: Float, docBytes: Array[Byte],
+                          nrmBytes: Array[Byte], posBytes: Array[Byte])
+
+object Ids {
+  /** docId = (docPart << DocIdShift) | indexWithinPartition — deterministic
+    * for a fixed numDocParts regardless of runtime parallelism (docIds are
+    * a fixed total order used for tie-breaks, reference
+    * search/HitQueue.java:76-81; density is not required). */
+  final val DocIdShift = 40
+  def docId(part: Int, idx: Long): Long = (part.toLong << DocIdShift) | idx
+  def docPart(docId: Long): Int = (docId >> DocIdShift).toInt
+}
+
+/** Build configuration. Defaults sized for local[32] testing; at cluster
+  * scale raise numDocParts/numBuckets/shufflePartitions proportionally. */
+final case class IndexConfig(
+    numDocParts: Int = 64,
+    numBuckets: Int = 64,
+    waves: Int = 1,
+    hotDfThreshold: Long = 50000L,
+    saltShift: Int = 16,
+    maxTokenLength: Int = 255,
+    shufflePartitions: Int = 32) {
+  require(numDocParts > 0 && numBuckets > 0 && waves > 0)
+}
+
+object Buckets {
+  /** Stable term -> bucket (computable driver-side for partition pruning;
+    * plays the reference's FST term-dict seek role, SURVEY.md §2.1). */
+  def of(term: String, numBuckets: Int): Int = {
+    val h = term.hashCode % numBuckets
+    if (h < 0) h + numBuckets else h
+  }
+}

@@ -1,0 +1,243 @@
+package graft.search
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.codec.PostingsCodec
+import graft.index.{BlockRow, IndexReader, TermStats}
+
+/** A clause match for one doc: `score` is the clause's float BM25
+  * contribution (NaN for non-scoring Filter/MustNot presence rows). */
+final case class ClauseHit(docId: Long, clause: Int, kind: Int, score: Float)
+
+object ClauseKind {
+  final val Must = 0; final val Should = 1
+  final val Filter = 2; final val MustNot = 3
+}
+
+/** The Dataset "join path" scorer — the semantic spec the WAND path must
+  * equal (SURVEY.md §7.1 step 7). Each clause produces a (docId, score)
+  * frame from bucket-pruned block scans; boolean combination is ONE
+  * hash-aggregate shuffle (groupByKey(docId)); top-k is Catalyst's
+  * TakeOrderedAndProject, whose bounded per-partition heap + driver merge
+  * reproduces the reference collector exactly, ties to lower docId
+  * (search/TopScoreDocCollector.java:63-79, HitQueue.java:68-81).
+  */
+final class JoinScorer(reader: IndexReader) {
+  import reader.spark.implicits._
+  private val spark = reader.spark
+
+  /** Rewrite multi-term queries against the term dictionary
+    * (MultiTermQuery -> constant-score set, the 5.2 default rewrite,
+    * queryparser/.../QueryParserBase.java:67). */
+  def rewrite(q: BoolQ): Seq[(Occur, Query, RewrittenClause)] = {
+    val termQs = q.clauses.collect { case (_, TermQ(t)) => t } ++
+      q.clauses.collect { case (_, PhraseQ(ts, _)) => ts }.flatten
+    val stats = reader.termStats(termQs.distinct)
+    q.clauses.map {
+      case (o, tq @ TermQ(t)) =>
+        (o, tq, ScoredTerm(t, stats.get(t)))
+      case (o, pq @ PhraseQ(ts, rel)) =>
+        (o, pq, ScoredPhrase(ts, rel, ts.map(stats.get)))
+      case (o, pq @ PrefixQ(p)) =>
+        (o, pq, ConstSet(reader.expandTerms($"term".startsWith(p)).map(_.term)))
+      case (o, wq @ WildcardQ(pat)) =>
+        val rx = "(?s)" + pat.flatMap {
+          case '*' => ".*"
+          case '?' => "."
+          case c if "\\.[]{}()<>+-=!?^$|".contains(c) => "\\" + c
+          case c => c.toString
+        }
+        (o, wq, ConstSet(reader.expandTerms($"term".rlike("^" + rx + "$")).map(_.term)))
+      case (o, fq @ FuzzyQ(t, e)) =>
+        (o, fq, ConstSet(reader.expandTerms(levenshtein($"term", lit(t)) <= e).map(_.term)))
+      case (o, MatchAllQ) => (o, MatchAllQ, MatchAll)
+    }
+  }
+
+  sealed trait RewrittenClause
+  final case class ScoredTerm(term: String, stats: Option[TermStats]) extends RewrittenClause
+  final case class ScoredPhrase(terms: Seq[String], rel: Seq[Int],
+                                stats: Seq[Option[TermStats]]) extends RewrittenClause
+  final case class ConstSet(terms: Seq[String]) extends RewrittenClause
+  case object MatchAll extends RewrittenClause
+
+  private def kindOf(o: Occur): Int = o match {
+    case Occur.Must => ClauseKind.Must
+    case Occur.Should => ClauseKind.Should
+    case Occur.Filter => ClauseKind.Filter
+    case Occur.MustNot => ClauseKind.MustNot
+  }
+
+  /** Per-term scored hits: decode blocks, score with exact float ops. */
+  private def termHits(term: String, clause: Int, kind: Int,
+                       stats: Option[TermStats]): Dataset[ClauseHit] = {
+    if (stats.isEmpty) return spark.emptyDataset[ClauseHit]
+    val wv = BM25.weightValue(BM25.idf(stats.get.df, reader.collStats.maxDoc))
+    val cacheB = spark.sparkContext.broadcast(reader.normCache)
+    reader.blocks(Seq(term)).flatMap { b =>
+      val (docs, tfs, nrms) = PostingsCodec.decodeDocs(
+        graft.codec.PostingBlock(b.term, b.firstDoc, b.lastDoc, b.count,
+          b.maxTf, b.maxPartial, b.docBytes, b.nrmBytes, b.posBytes))
+      val cache = cacheB.value
+      (0 until docs.length).iterator.map { i =>
+        ClauseHit(docs(i), clause, kind,
+          BM25.score(wv, tfs(i).toFloat, cache, nrms(i)))
+      }
+    }
+  }
+
+  /** Constant-score set (multi-term rewrite): score 1.0 per matching doc. */
+  private def constHits(terms: Seq[String], clause: Int,
+                        kind: Int): Dataset[ClauseHit] = {
+    if (terms.isEmpty) return spark.emptyDataset[ClauseHit]
+    reader.blocks(terms).flatMap { b =>
+      val (docs, _, _) = PostingsCodec.decodeDocs(
+        graft.codec.PostingBlock(b.term, b.firstDoc, b.lastDoc, b.count,
+          b.maxTf, b.maxPartial, b.docBytes, b.nrmBytes, b.posBytes))
+      docs.iterator.map(d => ClauseHit(d, clause, kind, 1f))
+    }.dropDuplicates("docId").as[ClauseHit]
+  }
+
+  /** Exact-phrase hits: two-phase — conjunction on docIds, then position
+    * alignment (reference search/ExactPhraseScorer.java:27-84; the
+    * approximate-then-verify split of TwoPhaseIterator.java:24-35).
+    * Score = (sum of term idfs) * (k1+1) * pf/(pf+norm). */
+  private def phraseHits(terms: Seq[String], rel: Seq[Int],
+                         stats: Seq[Option[TermStats]], clause: Int,
+                         kind: Int): Dataset[ClauseHit] = {
+    if (stats.exists(_.isEmpty) || terms.isEmpty) return spark.emptyDataset[ClauseHit]
+    var idfSum = 0f
+    stats.flatten.foreach(ts => idfSum += BM25.idf(ts.df, reader.collStats.maxDoc))
+    val wv = BM25.weightValue(idfSum)
+    val relArr = rel.toArray
+    val nTerms = terms.length
+    // a term can occur at several phrase slots ("a b a")
+    val termIdx: Map[String, Seq[Int]] =
+      terms.zipWithIndex.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2) }
+    val cacheB = spark.sparkContext.broadcast(reader.normCache)
+    val tIdxB = spark.sparkContext.broadcast(termIdx)
+    val rows: Dataset[(Long, Int, Array[Int], Byte)] =
+      reader.blocks(terms.distinct).flatMap { b =>
+        val idxs = tIdxB.value(b.term)
+        PostingsCodec.decode(graft.codec.PostingBlock(b.term, b.firstDoc,
+          b.lastDoc, b.count, b.maxTf, b.maxPartial, b.docBytes, b.nrmBytes,
+          b.posBytes)).iterator.flatMap(p =>
+          idxs.map(idx => (p.docId, idx, p.positions, p.norm)))
+      }
+    rows.groupByKey(_._1).mapGroups { (docId, it) =>
+      val byTerm = new Array[Array[Int]](nTerms)
+      var norm: Byte = 0
+      it.foreach { case (_, i, pos, n) => byTerm(i) = pos; norm = n }
+      if (byTerm.exists(_ == null)) ClauseHit(docId, clause, kind, Float.NaN)
+      else {
+        // count first-term positions where every term aligns at rel offset
+        var pf = 0
+        val base = byTerm(0)
+        var i = 0
+        while (i < base.length) {
+          val p0 = base(i) - relArr(0)
+          var ok = true
+          var j = 1
+          while (ok && j < nTerms) {
+            ok = java.util.Arrays.binarySearch(byTerm(j), p0 + relArr(j)) >= 0
+            j += 1
+          }
+          if (ok) pf += 1
+          i += 1
+        }
+        if (pf == 0) ClauseHit(docId, clause, kind, Float.NaN)
+        else ClauseHit(docId, clause, kind,
+          BM25.score(wv, pf.toFloat, cacheB.value, norm))
+      }
+    }.filter(h => !java.lang.Float.isNaN(h.score))
+  }
+
+  private def matchAllHits(clause: Int, kind: Int): Dataset[ClauseHit] =
+    reader.docmeta.map(d => ClauseHit(d.docId, clause, kind, 1f))
+
+  /** Score a boolean query -> (docId, score) with exact reference
+    * semantics (score = left-to-right float sum of scoring clauses). */
+  def scores(q: BoolQ): Dataset[(Long, Float)] = {
+    val rewritten = rewrite(q)
+    val frames = rewritten.zipWithIndex.map { case ((o, _, rc), i) =>
+      val kind = kindOf(o)
+      rc match {
+        case ScoredTerm(t, st) => termHits(t, i, kind, st)
+        case ScoredPhrase(ts, rel, st) => phraseHits(ts, rel, st, i, kind)
+        case ConstSet(ts) => constHits(ts, i, kind)
+        case MatchAll => matchAllHits(i, kind)
+      }
+    }
+    if (frames.isEmpty) return spark.emptyDataset[(Long, Float)]
+    val all = frames.reduce(_ union _)
+    val nMust = rewritten.count(c => c._1 == Occur.Must) +
+      rewritten.count(c => c._1 == Occur.Filter)
+    val nShould = rewritten.count(c => c._1 == Occur.Should)
+    val effMsm =
+      if (q.minShouldMatch > 0) q.minShouldMatch
+      else if (nMust == 0 && nShould > 0) 1
+      else 0
+    val nClauses = rewritten.length
+    all.groupByKey(_.docId).mapGroups { (docId, it) =>
+      val scoresByClause = new Array[Float](nClauses)
+      java.util.Arrays.fill(scoresByClause, Float.NaN)
+      val kinds = new Array[Int](nClauses)
+      var mustSeen = 0; var shouldSeen = 0; var vetoed = false
+      it.foreach { h =>
+        kinds(h.clause) = h.kind
+        h.kind match {
+          case ClauseKind.Must | ClauseKind.Filter =>
+            mustSeen += 1; scoresByClause(h.clause) = h.score
+          case ClauseKind.Should =>
+            shouldSeen += 1; scoresByClause(h.clause) = h.score
+          case ClauseKind.MustNot => vetoed = true
+        }
+      }
+      if (vetoed || mustSeen < nMust || shouldSeen < effMsm)
+        (docId, Float.NaN)
+      else {
+        // sum scoring clauses (Must + Should) left-to-right in clause order
+        var s = 0f
+        var i = 0
+        while (i < nClauses) {
+          val v = scoresByClause(i)
+          if (!java.lang.Float.isNaN(v) && kinds(i) != ClauseKind.Filter)
+            s += v
+          i += 1
+        }
+        (docId, s)
+      }
+    }.filter(t => !java.lang.Float.isNaN(t._2))
+  }
+
+  /** Top-k (score desc, docId asc) — TakeOrderedAndProject. */
+  def topK(q: BoolQ, k: Int): DataFrame =
+    scores(q).toDF("docId", "score")
+      .orderBy($"score".desc, $"docId".asc).limit(k)
+
+  /** Deep paging (reference searchAfter, search/IndexSearcher.java:324):
+    * keep docs strictly after (afterScore, afterDoc) in rank order. */
+  def searchAfter(q: BoolQ, k: Int, afterScore: Float, afterDoc: Long): DataFrame =
+    scores(q).toDF("docId", "score")
+      .where($"score" < afterScore ||
+        ($"score" === afterScore && $"docId" > afterDoc))
+      .orderBy($"score".desc, $"docId".asc).limit(k)
+
+  /** Disjunction-max (reference search/DisjunctionMaxQuery.java): max of
+    * clause scores instead of sum (tiebreak 0). */
+  def topKDisMax(terms: Seq[String], k: Int): DataFrame = {
+    val stats = reader.termStats(terms)
+    val frames = terms.zipWithIndex.map { case (t, i) =>
+      termHits(t, i, ClauseKind.Should, stats.get(t))
+    }
+    frames.reduce(_ union _)
+      .groupByKey(_.docId).mapGroups { (docId, it) =>
+        var m = Float.NegativeInfinity
+        it.foreach(h => if (h.score > m) m = h.score)
+        (docId, m)
+      }
+      .toDF("docId", "score")
+      .orderBy($"score".desc, $"docId".asc).limit(k)
+  }
+}

@@ -1,0 +1,119 @@
+package graft.search
+
+import graft.analysis.{Analyzer, StopSets}
+
+/** Clause occurrence (reference: lucene/core/src/java/org/apache/lucene/search/BooleanClause.java).
+  * Filter matches without scoring (the FILTER occur / fq analog). */
+sealed trait Occur
+object Occur {
+  case object Must extends Occur
+  case object Should extends Occur
+  case object MustNot extends Occur
+  case object Filter extends Occur
+}
+
+/** Query AST (the primitive-query subset of SURVEY.md §2.4). Multi-term
+  * queries (prefix/wildcard/fuzzy) rewrite against the term dictionary into
+  * disjunctions before scoring (reference search/MultiTermQuery.java). */
+sealed trait Query
+final case class TermQ(term: String) extends Query
+/** Exact phrase; `rel` holds each term's relative position (gaps where
+  * stopwords were removed at parse time, reference PhraseQuery analyzed
+  * positions). */
+final case class PhraseQ(terms: Seq[String], rel: Seq[Int]) extends Query
+final case class PrefixQ(prefix: String) extends Query
+final case class WildcardQ(pattern: String) extends Query
+final case class FuzzyQ(term: String, maxEdits: Int = 2) extends Query
+case object MatchAllQ extends Query
+final case class BoolQ(clauses: Seq[(Occur, Query)],
+                       minShouldMatch: Int = 0) extends Query
+
+object QueryParser {
+
+  /** Classic-QueryParser subset (reference grammar
+    * lucene/queryparser/src/java/org/apache/lucene/queryparser/classic/QueryParser.jj:64-169):
+    * whitespace-separated clauses; `+t` MUST, `-t` MUST_NOT, `"a b"` phrase,
+    * `pre*` prefix, `a?b*` wildcard, `t~` / `t~1` fuzzy, `AND`/`OR`/`NOT`
+    * connectives; default operator OR (SHOULD). Terms are analyzed with the
+    * same chain as indexing (lowercase + stopwords for `lang`).
+    */
+  def parse(q: String, lang: String = "en"): BoolQ = {
+    val stop = StopSets.forLang(lang)
+    val raw = tokenizeQuery(q)
+    val clauses = scala.collection.mutable.ArrayBuffer[(Occur, Query)]()
+    var pendingOccur: Option[Occur] = None
+    var mustNext = false // after AND
+    var i = 0
+    while (i < raw.length) {
+      val tok = raw(i)
+      tok match {
+        case "AND" | "&&" =>
+          // promote previous clause to MUST, next too
+          if (clauses.nonEmpty && clauses.last._1 == Occur.Should)
+            clauses(clauses.length - 1) = (Occur.Must, clauses.last._2)
+          mustNext = true
+        case "OR" | "||" => mustNext = false
+        case "NOT" | "!" => pendingOccur = Some(Occur.MustNot)
+        case t =>
+          val (occur0, body0) =
+            if (t.startsWith("+")) (Occur.Must, t.substring(1))
+            else if (t.startsWith("-")) (Occur.MustNot, t.substring(1))
+            else (if (mustNext) Occur.Must else Occur.Should, t)
+          val occur = pendingOccur.getOrElse(occur0)
+          pendingOccur = None
+          mustNext = false
+          parseClause(body0, stop).foreach(qq => clauses += ((occur, qq)))
+      }
+      i += 1
+    }
+    BoolQ(clauses.toSeq)
+  }
+
+  private def tokenizeQuery(q: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    val n = q.length
+    while (i < n) {
+      while (i < n && q(i).isWhitespace) i += 1
+      if (i < n) {
+        val start = i
+        if (q(i) == '"' || (i + 1 < n && (q(i) == '+' || q(i) == '-') && q(i + 1) == '"')) {
+          val qi = q.indexOf('"', if (q(i) == '"') i + 1 else i + 2)
+          i = if (qi < 0) n else qi + 1
+        } else {
+          while (i < n && !q(i).isWhitespace) i += 1
+        }
+        out += q.substring(start, i)
+      }
+    }
+    out.result()
+  }
+
+  private def parseClause(body: String, stop: Set[String]): Option[Query] = {
+    if (body.isEmpty) return None
+    if (body == "*:*") return Some(MatchAllQ)
+    if (body.startsWith("\"")) {
+      val inner = body.stripPrefix("\"").stripSuffix("\"")
+      val terms = Analyzer.analyze(inner, stop)
+      if (terms.isEmpty) return None
+      val base = terms.head.position
+      return Some(PhraseQ(terms.map(_.term), terms.map(_.position - base)))
+    }
+    val fuzzyAt = body.lastIndexOf('~')
+    if (fuzzyAt > 0) {
+      val term = Analyzer.lowerCase(body.substring(0, fuzzyAt))
+      val edits = body.substring(fuzzyAt + 1) match {
+        case "" => 2
+        case s => s.toIntOption.getOrElse(2).min(2)
+      }
+      return Some(FuzzyQ(term, edits))
+    }
+    if (body.endsWith("*") && !body.dropRight(1).exists(c => c == '*' || c == '?'))
+      return Some(PrefixQ(Analyzer.lowerCase(body.dropRight(1))))
+    if (body.exists(c => c == '*' || c == '?'))
+      return Some(WildcardQ(Analyzer.lowerCase(body)))
+    // plain term: run through analysis; stopword-only -> no clause
+    val terms = Analyzer.analyze(body, stop)
+    terms.headOption.map(tp => TermQ(tp.term))
+  }
+}

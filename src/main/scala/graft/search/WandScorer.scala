@@ -1,0 +1,210 @@
+package graft.search
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.codec.{PostingBlock, PostingsCodec}
+import graft.index.{BlockRow, Ids, IndexReader}
+
+/** Block-max WAND top-k over the compressed term-partitioned postings
+  * (SURVEY.md §4.3; Ding & Suel 2011 — the reference 5.2 tree has only the
+  * precursors: skip lists for advance [codecs/MultiLevelSkipListWriter.java:31-62]
+  * and the collector threshold [search/TopScoreDocCollector.java:71-79]).
+  *
+  * Distribution model: block rows are replicated to the doc-partition
+  * chunks they overlap (chunk = docId >> Ids.DocIdShift — chunks partition
+  * the doc space, mirroring per-segment search in
+  * search/IndexSearcher.java:648-673); each chunk task runs a WAND loop
+  * with a local k-heap, decoding a block only when the cursor enters it
+  * (skipping via (firstDoc, lastDoc) metadata) and skipping pivots whose
+  * summed upper bounds cannot beat the local threshold. Upper bounds are
+  * wv * maxPartial where maxPartial was computed at build time with the
+  * exact query-time float ops, so pruning is rank-safe (see PostingsCodec).
+  * Per-chunk top-k then a TakeOrderedAndProject merge == global top-k.
+  */
+final class WandScorer(reader: IndexReader) {
+  import reader.spark.implicits._
+
+  /** Disjunctive (OR) or conjunctive (AND) term query. Scores and ranks
+    * are float-identical to JoinScorer (tested property). */
+  def topK(terms: Seq[String], k: Int, conjunctive: Boolean = false,
+           minShouldMatch: Int = 0): DataFrame = {
+    val stats = reader.termStats(terms.distinct)
+    val present = terms.filter(stats.contains)
+    if (present.isEmpty || (conjunctive && present.length < terms.length))
+      return reader.spark.emptyDataset[(Long, Float)].toDF("docId", "score")
+    val maxDoc = reader.collStats.maxDoc
+    // weights in clause order (clause order = position in `terms`)
+    val wvs: Array[Float] = present.map(t =>
+      BM25.weightValue(BM25.idf(stats(t).df, maxDoc))).toArray
+    val termIdx: Map[String, Int] = present.zipWithIndex.toMap
+    val cacheB = reader.spark.sparkContext.broadcast(reader.normCache)
+    val wvsB = reader.spark.sparkContext.broadcast(wvs)
+    val tIdxB = reader.spark.sparkContext.broadcast(termIdx)
+    val msm = if (conjunctive) present.length else math.max(minShouldMatch, 1)
+    val kk = k
+
+    val chunked = reader.blocks(present).flatMap { b =>
+      val lo = Ids.docPart(b.firstDoc)
+      val hi = Ids.docPart(b.lastDoc)
+      (lo to hi).iterator.map(c => (c, b))
+    }
+
+    chunked.groupByKey(_._1).flatMapGroups { (chunk, it) =>
+      val cache = cacheB.value
+      val wv = wvsB.value
+      val tIdx = tIdxB.value
+      val byTerm = Array.fill(wv.length)(
+        scala.collection.mutable.ArrayBuffer[BlockRow]())
+      it.foreach { case (_, b) => byTerm(tIdx(b.term)) += b }
+      val loDoc = chunk.toLong << Ids.DocIdShift
+      val hiDoc = (chunk + 1).toLong << Ids.DocIdShift
+      val cursors = (0 until wv.length).flatMap { i =>
+        val blocks = byTerm(i).sortBy(_.firstDoc).toArray
+        if (blocks.isEmpty) None
+        else Some(new WandScorer.Cursor(i, wv(i), blocks, loDoc, hiDoc, cache))
+      }.toArray
+      if (cursors.length < msm) Iterator.empty
+      else WandScorer.wand(cursors, wv.length, msm, kk, cache).iterator
+    }.toDF("docId", "score")
+      .orderBy($"score".desc, $"docId".asc).limit(k)
+  }
+}
+
+object WandScorer {
+  /** One term's postings iterator over (chunk-restricted) blocks with
+    * metadata-level skipping. */
+  private[search] final class Cursor(val clause: Int, val wv: Float,
+                             blocks: Array[BlockRow], loDoc: Long,
+                             hiDoc: Long, cache: Array[Float]) {
+    private var bi = -1 // current block index
+    private var docs: Array[Long] = _
+    private var tfs: Array[Int] = _
+    private var nrms: Array[Byte] = _
+    private var pi = 0
+    var curDoc: Long = -1L
+    // chunk-local upper bound factor (max over this chunk's blocks)
+    val maxPartial: Float = {
+      var m = Float.NegativeInfinity
+      blocks.foreach(b => if (b.maxPartial > m) m = b.maxPartial)
+      m
+    }
+    def termUb: Float = wv * maxPartial
+    def blockUb: Float =
+      if (bi >= 0 && bi < blocks.length) wv * blocks(bi).maxPartial else 0f
+    advanceTo(loDoc)
+
+    private def decodeBlock(i: Int): Unit = {
+      val b = blocks(i)
+      val t = PostingsCodec.decodeDocs(PostingBlock(b.term, b.firstDoc,
+        b.lastDoc, b.count, b.maxTf, b.maxPartial, b.docBytes, b.nrmBytes,
+        b.posBytes))
+      docs = t._1; tfs = t._2; nrms = t._3
+    }
+
+    /** Move to first doc >= target (and >= loDoc, < hiDoc). */
+    def advanceTo(target0: Long): Unit = {
+      val target = math.max(target0, loDoc)
+      if (curDoc == Long.MaxValue) return
+      // skip blocks entirely below target via metadata (no decode)
+      while (bi < blocks.length && (bi < 0 || blocks(bi).lastDoc < target)) {
+        bi += 1
+        if (bi < blocks.length && blocks(bi).lastDoc >= target) decodeBlock(bi)
+        pi = 0
+      }
+      var done = false
+      while (!done) {
+        if (bi >= blocks.length) { curDoc = Long.MaxValue; done = true }
+        else {
+          while (pi < docs.length && docs(pi) < target) pi += 1
+          if (pi >= docs.length) {
+            bi += 1; pi = 0
+            if (bi < blocks.length) decodeBlock(bi)
+          } else {
+            curDoc = docs(pi)
+            if (curDoc >= hiDoc) { curDoc = Long.MaxValue }
+            done = true
+          }
+        }
+      }
+    }
+
+    def next(): Unit = if (curDoc != Long.MaxValue) advanceTo(curDoc + 1)
+    def score: Float = BM25.score(wv, tfs(pi).toFloat, cache, nrms(pi))
+  }
+
+  /** WAND main loop with the reference collector's threshold semantics
+    * (reject when score <= heap-min; docs arrive in docId order so earlier
+    * docIds win ties, as in TopScoreDocCollector.java:63-79). */
+  private[search] def wand(cursors: Array[Cursor], nClauses: Int, msm: Int, k: Int,
+                   cache: Array[Float]): Array[(Long, Float)] = {
+    // heap.head must be the WORST kept hit (lowest score, then highest
+    // docId) — HitQueue.lessThan semantics (search/HitQueue.java:68-81).
+    // PriorityQueue dequeues its max, so rank "worse" as "greater".
+    val worstAsMax: Ordering[(Long, Float)] =
+      Ordering.by[(Long, Float), (Float, Long)](t => (t._2, -t._1)).reverse
+    val heap =
+      scala.collection.mutable.PriorityQueue.empty[(Long, Float)](worstAsMax)
+    def theta: Float =
+      if (heap.size >= k) heap.head._2 else Float.NegativeInfinity
+
+    var live = cursors.toList
+    val scoresBuf = new Array[Float](nClauses)
+    var continue = true
+    while (continue) {
+      live = live.filter(_.curDoc != Long.MaxValue)
+      if (live.length < msm) continue = false
+      else {
+        val sorted = live.sortBy(_.curDoc).toArray
+        // pivot: first index where cumulative ub can beat theta AND at
+        // least msm cursors are aligned (conjunctive: last cursor)
+        var acc = 0f
+        var p = -1
+        val th = theta
+        var i = 0
+        while (p < 0 && i < sorted.length) {
+          acc += sorted(i).termUb
+          if (i + 1 >= msm && (acc > th || th == Float.NegativeInfinity)) p = i
+          i += 1
+        }
+        if (p < 0) continue = false // no pivot can beat threshold
+        else {
+          val pivotDoc = sorted(p).curDoc
+          if (sorted(0).curDoc == pivotDoc) {
+            // all [0..p] aligned: block-max refinement then full eval
+            var blockAcc = 0f
+            var j = 0
+            while (j < sorted.length && sorted(j).curDoc == pivotDoc) {
+              blockAcc += sorted(j).blockUb; j += 1
+            }
+            val aligned = j
+            if (heap.size >= k && blockAcc <= th) {
+              // block-level bound cannot beat threshold: skip this doc
+              var j2 = 0
+              while (j2 < aligned) { sorted(j2).next(); j2 += 1 }
+            } else if (aligned < msm) {
+              var j2 = 0
+              while (j2 < aligned) { sorted(j2).next(); j2 += 1 }
+            } else {
+              java.util.Arrays.fill(scoresBuf, Float.NaN)
+              var j2 = 0
+              while (j2 < aligned) {
+                scoresBuf(sorted(j2).clause) = sorted(j2).score
+                j2 += 1
+              }
+              val s = BM25.sumScores(scoresBuf)
+              if (heap.size < k) heap.enqueue((pivotDoc, s))
+              else if (s > theta) { heap.dequeue(); heap.enqueue((pivotDoc, s)) }
+              j2 = 0
+              while (j2 < aligned) { sorted(j2).next(); j2 += 1 }
+            }
+          } else {
+            // advance the leading cursor up to the pivot
+            sorted(0).advanceTo(pivotDoc)
+          }
+        }
+      }
+    }
+    heap.dequeueAll.toArray.reverse // best first (not required, cosmetic)
+  }
+}

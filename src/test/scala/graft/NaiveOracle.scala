@@ -1,0 +1,126 @@
+package graft
+
+import graft.analysis.{Analyzer, StopSets}
+import graft.codec.SmallFloat
+import graft.search._
+
+/** Independent single-node oracle implementing the reference's exact search
+  * semantics with plain loops (no Spark, no shared control flow with the
+  * engine) — stands in for IndexSearcher.search(topK)
+  * (reference search/IndexSearcher.java:380, TopScoreDocCollector.java:63-79)
+  * since Lucene jars are unavailable offline (SURVEY.md §5).
+  * Shares only the float *formulas* (BM25, SmallFloat) with the engine —
+  * those ARE the spec.
+  */
+object NaiveOracle {
+
+  final case class Doc(docId: Long, lang: String, content: String)
+
+  final class Index(docs: Seq[Doc]) {
+    val analyzed: Map[Long, Vector[graft.analysis.TermPos]] =
+      docs.map(d => d.docId -> Analyzer.analyze(d.content, StopSets.forLang(d.lang))).toMap
+    val dl: Map[Long, Int] = analyzed.map { case (id, ts) => id -> ts.length }
+    val norm: Map[Long, Byte] = dl.map { case (id, l) => id -> SmallFloat.normByte(l) }
+    val maxDoc: Long = docs.length.toLong
+    val sttf: Long = dl.values.map(_.toLong).sum
+    val avgdl: Float = BM25.avgFieldLength(sttf, maxDoc)
+    val cache: Array[Float] = BM25.cache(avgdl)
+    // term -> docId -> positions
+    val postings: Map[String, Map[Long, Vector[Int]]] =
+      analyzed.toSeq
+        .flatMap { case (id, ts) => ts.map(t => (t.term, id, t.position)) }
+        .groupBy(_._1)
+        .map { case (t, xs) =>
+          t -> xs.groupBy(_._2).map { case (id, ps) => id -> ps.map(_._3).sorted.toVector }
+        }
+    val allTerms: Seq[String] = postings.keys.toSeq.sorted
+    def df(term: String): Long = postings.get(term).map(_.size.toLong).getOrElse(0L)
+
+    private def clauseScores(q: Query): Map[Long, Float] = q match {
+      case TermQ(t) =>
+        val wv = BM25.weightValue(BM25.idf(df(t), maxDoc))
+        postings.getOrElse(t, Map.empty).map { case (id, ps) =>
+          id -> BM25.score(wv, ps.length.toFloat, cache, norm(id))
+        }
+      case PhraseQ(terms, rel) =>
+        if (terms.exists(df(_) == 0L)) return Map.empty
+        var idfSum = 0f
+        terms.foreach(t => idfSum += BM25.idf(df(t), maxDoc))
+        val wv = BM25.weightValue(idfSum)
+        val docsWithAll = terms.map(t => postings(t).keySet).reduce(_ intersect _)
+        docsWithAll.iterator.flatMap { id =>
+          val posSets = terms.map(t => postings(t)(id).toSet)
+          val pf = postings(terms.head)(id)
+            .count(p0 => terms.indices.forall(j => posSets(j).contains(p0 - rel.head + rel(j))))
+          if (pf == 0) None
+          else Some(id -> BM25.score(wv, pf.toFloat, cache, norm(id)))
+        }.toMap
+      case PrefixQ(p) => constSet(allTerms.filter(_.startsWith(p)))
+      case WildcardQ(pat) =>
+        val rx = ("^" + pat.flatMap {
+          case '*' => ".*"; case '?' => "."
+          case c if "\\.[]{}()<>+-=!?^$|".contains(c) => "\\" + c
+          case c => c.toString
+        } + "$").r
+        constSet(allTerms.filter(t => rx.findFirstIn(t).isDefined))
+      case FuzzyQ(t, e) => constSet(allTerms.filter(c => lev(c, t) <= e))
+      case MatchAllQ => dl.keys.map(_ -> 1f).toMap
+      case b: BoolQ => sys.error("nested bool not supported")
+    }
+
+    private def constSet(terms: Seq[String]): Map[Long, Float] =
+      terms.flatMap(t => postings.getOrElse(t, Map.empty).keys).distinct
+        .map(_ -> 1f).toMap
+
+    private def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+
+    /** All matching (docId, score), unranked. */
+    def scores(q: BoolQ): Map[Long, Float] = {
+      val per = q.clauses.map { case (o, c) => (o, clauseScores(c)) }
+      val musts = per.collect { case (Occur.Must, m) => m }
+      val filters = per.collect { case (Occur.Filter, m) => m }
+      val shoulds = per.collect { case (Occur.Should, m) => m }
+      val nots = per.collect { case (Occur.MustNot, m) => m }
+      val effMsm =
+        if (q.minShouldMatch > 0) q.minShouldMatch
+        else if (musts.isEmpty && filters.isEmpty && shoulds.nonEmpty) 1
+        else 0
+      val candidates: Set[Long] =
+        if (musts.nonEmpty || filters.nonEmpty)
+          (musts ++ filters).map(_.keySet).reduce(_ intersect _)
+        else shoulds.map(_.keySet).foldLeft(Set.empty[Long])(_ union _)
+      candidates.iterator.flatMap { id =>
+        val shouldCount = shoulds.count(_.contains(id))
+        val vetoed = nots.exists(_.contains(id))
+        if (vetoed || shouldCount < effMsm) None
+        else {
+          // sum scoring clauses (Must + Should) left-to-right
+          var s = 0f
+          per.foreach {
+            case (Occur.Must, m) => m.get(id).foreach(v => s += v)
+            case (Occur.Should, m) => m.get(id).foreach(v => s += v)
+            case _ =>
+          }
+          Some(id -> s)
+        }
+      }.toMap
+    }
+
+    /** (score desc, docId asc) top-k — HitQueue.java:68-81 semantics. */
+    def topK(q: BoolQ, k: Int): Seq[(Long, Float)] =
+      scores(q).toSeq.sortBy { case (id, s) => (-s, id) }.take(k)
+
+    def searchAfter(q: BoolQ, k: Int, s0: Float, d0: Long): Seq[(Long, Float)] =
+      scores(q).toSeq
+        .filter { case (id, s) => s < s0 || (s == s0 && id > d0) }
+        .sortBy { case (id, s) => (-s, id) }.take(k)
+  }
+}

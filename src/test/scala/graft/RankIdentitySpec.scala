@@ -1,0 +1,161 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.index._
+import graft.search._
+
+/** End-to-end rank-identity: engine (join path AND WAND path) vs the naive
+  * oracle on the FIXTURES.md §5 reference query set — exact (docId, float
+  * score bits) sequence equality, the sandbox stand-in for comparing
+  * against IndexSearcher.search(topK). */
+class RankIdentitySpec extends AnyFunSuite {
+  import SparkSuite.spark
+  import spark.implicits._
+
+  private val cfg = IndexConfig(numDocParts = 8, numBuckets = 8, waves = 2,
+    hotDfThreshold = 300, saltShift = 6, shufflePartitions = 8)
+
+  private lazy val dir: String = {
+    val d = SparkSuite.tmpDir("graft-index")
+    val corpus = CorpusGen.generate(spark, 800, seed = 42L, parts = 8)
+    IndexBuilder.build(spark, corpus.toDF(), d, cfg)
+    d
+  }
+  private lazy val reader = IndexReader(spark, dir, cfg)
+  private lazy val joiner = new JoinScorer(reader)
+  private lazy val wand = new WandScorer(reader)
+
+  /** Oracle over the same docs with the engine's docIds. */
+  private lazy val oracle: NaiveOracle.Index = {
+    val docs = reader.docmeta
+      .join(CorpusGen.generate(spark, 800, seed = 42L, parts = 8).toDF()
+        .withColumnRenamed("lang", "lang2"),
+        Seq("repo", "path", "commit"))
+      .select($"docId", $"lang", $"content")
+      .as[(Long, String, String)].collect()
+      .map(t => NaiveOracle.Doc(t._1, t._2, t._3))
+    assert(docs.length == 800)
+    new NaiveOracle.Index(docs.toSeq)
+  }
+
+  private def engineTopK(q: BoolQ, k: Int = 10): Seq[(Long, Float)] =
+    joiner.topK(q, k).as[(Long, Float)].collect().toSeq
+
+  private def checkQuery(q: BoolQ, k: Int = 10): Unit = {
+    val exp = oracle.topK(q, k)
+    val got = engineTopK(q, k)
+    assert(got == exp, s"\nquery: $q\nexpected: $exp\ngot: $got")
+  }
+
+  test("index builds with salted hot terms") {
+    val hot = reader.termStatsDf.where($"df" >= cfg.hotDfThreshold)
+      .select("term").as[String].collect().toSet
+    assert(hot.contains("import") && hot.contains("return"))
+  }
+
+  test("q1: single hot term (salted path)") {
+    checkQuery(BoolQ(Seq(Occur.Should -> TermQ("import"))))
+  }
+
+  test("q2: single rare term") {
+    val rare = oracle.allTerms.find(t => oracle.df(t) == 1).get
+    checkQuery(BoolQ(Seq(Occur.Should -> TermQ(rare))))
+  }
+
+  test("q3: OR of two mixed-frequency terms (float sum, clause order)") {
+    checkQuery(BoolQ(Seq(Occur.Should -> TermQ("import"),
+      Occur.Should -> TermQ("spark"))))
+  }
+
+  test("q4: AND of two terms (conjunction)") {
+    checkQuery(BoolQ(Seq(Occur.Must -> TermQ("import"),
+      Occur.Must -> TermQ("println"))))
+  }
+
+  test("q5: AND + NOT (required + prohibited)") {
+    checkQuery(BoolQ(Seq(Occur.Must -> TermQ("import"),
+      Occur.MustNot -> TermQ("void"))))
+  }
+
+  test("q6: OR with minShouldMatch=2 of 3") {
+    checkQuery(BoolQ(Seq(Occur.Should -> TermQ("spark"),
+      Occur.Should -> TermQ("println"), Occur.Should -> TermQ("merge")),
+      minShouldMatch = 2))
+  }
+
+  test("q7: exact phrase (positions)") {
+    val q = QueryParser.parse("\"import spark\"")
+    assert(q.clauses.head._2.isInstanceOf[PhraseQ])
+    checkQuery(q)
+  }
+
+  test("q8: absent term -> empty") {
+    assert(engineTopK(BoolQ(Seq(Occur.Should -> TermQ("zzzznotthere")))).isEmpty)
+  }
+
+  test("q9: 100% stopword query -> empty after analysis") {
+    val q = QueryParser.parse("the a an of")
+    assert(q.clauses.isEmpty)
+    assert(engineTopK(q).isEmpty)
+  }
+
+  test("q10: near-tie docs break toward lower docId (HitQueue.java:76-81)") {
+    // identical-content pairs exist by CorpusGen design; a broad query must
+    // produce equal scores broken by docId asc
+    val got = engineTopK(BoolQ(Seq(Occur.Should -> TermQ("import"))), 50)
+    got.sliding(2).foreach {
+      case Seq((d1, s1), (d2, s2)) =>
+        assert(s1 > s2 || (s1 == s2 && d1 < d2))
+      case _ =>
+    }
+    val ties = got.groupBy(_._2).filter(_._2.length > 1)
+    assert(ties.nonEmpty, "corpus should contain score ties")
+  }
+
+  test("prefix / wildcard / fuzzy rewrite to constant-score sets") {
+    checkQuery(BoolQ(Seq(Occur.Should -> PrefixQ("id1"))), 20)
+    checkQuery(BoolQ(Seq(Occur.Should -> WildcardQ("id?7*"))), 20)
+    checkQuery(BoolQ(Seq(Occur.Should -> FuzzyQ("sprk", 2))), 20)
+  }
+
+  test("searchAfter paging == oracle") {
+    val q = BoolQ(Seq(Occur.Should -> TermQ("import")))
+    val page1 = engineTopK(q, 10)
+    val (d0, s0) = page1.last
+    val exp = oracle.searchAfter(q, 10, s0, d0)
+    val got = joiner.searchAfter(q, 10, s0, d0).as[(Long, Float)].collect().toSeq
+    assert(got == exp)
+    // no overlap between pages
+    assert(page1.map(_._1).toSet.intersect(got.map(_._1).toSet).isEmpty)
+  }
+
+  test("WAND path == join path == oracle (OR)") {
+    for (terms <- Seq(Seq("import"), Seq("import", "spark"),
+      Seq("spark", "println", "merge"), Seq("id001", "import", "dataset"))) {
+      val exp = oracle.topK(BoolQ(terms.map(t => (Occur.Should, TermQ(t)))), 10)
+      val got = wand.topK(terms, 10).as[(Long, Float)].collect().toSeq
+      assert(got == exp, s"\nWAND OR $terms\nexpected: $exp\ngot: $got")
+    }
+  }
+
+  test("WAND path == oracle (AND)") {
+    for (terms <- Seq(Seq("import", "println"), Seq("import", "return", "spark"))) {
+      val exp = oracle.topK(BoolQ(terms.map(t => (Occur.Must, TermQ(t)))), 10)
+      val got = wand.topK(terms, 10, conjunctive = true)
+        .as[(Long, Float)].collect().toSeq
+      assert(got == exp, s"\nWAND AND $terms\nexpected: $exp\ngot: $got")
+    }
+  }
+
+  test("query parser: classic subset") {
+    val q = QueryParser.parse("+import -void \"data set\" spark print*")
+    val occurs = q.clauses.map(_._1)
+    assert(occurs.head == Occur.Must && occurs(1) == Occur.MustNot)
+    assert(q.clauses(2)._2.isInstanceOf[PhraseQ])
+    assert(q.clauses(3)._2 == TermQ("spark"))
+    assert(q.clauses(4)._2 == PrefixQ("print"))
+    val and = QueryParser.parse("import AND spark")
+    assert(and.clauses.forall(_._1 == Occur.Must))
+  }
+}
