@@ -1,0 +1,442 @@
+package graft
+
+import scala.collection.immutable.ListMap
+
+import OracleSql._
+
+/** DuckDB oracle SQL for every SparkEntry.queries key. Column names/types
+  * and row order match the Spark outputs exactly (the driver compares
+  * values after sorting columns by name). */
+object OracleQueries {
+
+  private def boolDoc(term: String): String =
+    s"EXISTS(SELECT 1 FROM tokens t WHERE t.doc_id = d.doc_id AND t.term = '$term')"
+
+  /** (rank, doc_id) top-k of an aggregated score relation a(doc_id, score). */
+  private def rankSel(k: Int): String =
+    s"""SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank, doc_id
+       |FROM agg ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+
+  val bm25OrWith: String = bm25With("('spark'),('vector'),('window')")
+
+  lazy val all: Map[String, String] = ListMap(
+
+    "ft_term_postings" ->
+      s"""WITH $tokensCte
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM tokens
+         |WHERE term = 'spark' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "ft_bool_and_not" ->
+      s"""WITH $tokensCte
+         |SELECT d.doc_id FROM documents d
+         |WHERE ${boolDoc("spark")} AND ${boolDoc("vector")}
+         |  AND NOT ${boolDoc("dup")}
+         |ORDER BY doc_id""".stripMargin,
+
+    "ft_bool_or_msm2" ->
+      s"""WITH $tokensCte
+         |SELECT doc_id FROM (
+         |  SELECT doc_id, count(DISTINCT term) AS c FROM tokens
+         |  WHERE term IN ('merge','window','stream') GROUP BY doc_id)
+         |WHERE c >= 2 ORDER BY doc_id""".stripMargin,
+
+    "ft_phrase" ->
+      s"""WITH $tokensCte
+         |SELECT DISTINCT a.doc_id FROM tokens a
+         |JOIN tokens b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.term = 'order'
+         |JOIN tokens c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2 AND c.term = 'sort'
+         |WHERE a.term = 'key' ORDER BY 1""".stripMargin,
+
+    "ft_prefix" ->
+      s"""WITH $tokensCte
+         |SELECT DISTINCT doc_id FROM tokens WHERE term LIKE 's%' ORDER BY doc_id""".stripMargin,
+
+    "ft_wildcard" ->
+      s"""WITH $tokensCte
+         |SELECT DISTINCT doc_id FROM tokens
+         |WHERE regexp_matches(term, '^s.a.*$$') ORDER BY doc_id""".stripMargin,
+
+    "ft_fuzzy" ->
+      s"""WITH $tokensCte
+         |SELECT DISTINCT doc_id FROM tokens
+         |WHERE levenshtein(term, 'merg') <= 1 ORDER BY doc_id""".stripMargin,
+
+    "ft_range_term" ->
+      s"""WITH $tokensCte
+         |SELECT DISTINCT doc_id FROM tokens
+         |WHERE term >= 'query' AND term < 'sort' ORDER BY doc_id""".stripMargin,
+
+    "ft_termstats" ->
+      s"""WITH $tokensCte
+         |SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+         |       CAST(count(*) AS BIGINT) AS ttf
+         |FROM tokens GROUP BY term ORDER BY df DESC, term LIMIT 15""".stripMargin,
+
+    "ft_collstats" ->
+      s"""WITH $tokensCte
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS max_doc,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM tokens) AS sum_ttf,
+         |       (SELECT CAST(count(DISTINCT term) AS BIGINT) FROM tokens) AS n_terms""".stripMargin,
+
+    "ft_doclen_norms" ->
+      s"""WITH $tokensCte,
+         |$dlCsCte,
+         |$normCte
+         |SELECT dl.doc_id, dl.dl, round(nrm.qdl, 4) AS qdl
+         |FROM dl JOIN nrm ON dl.dl BETWEEN nrm.lo AND nrm.hi
+         |ORDER BY doc_id""".stripMargin,
+
+    "ft_bm25_top20" ->
+      s"""$bm25OrWith,
+         |agg AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id)
+         |${rankSel(20)}""".stripMargin,
+
+    "ft_bm25_conj" ->
+      s"""${bm25With("('small'),('value')")},
+         |agg AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id
+         |        HAVING count(*) = 2)
+         |${rankSel(10)}""".stripMargin,
+
+    "ft_bm25_filter" ->
+      s"""${bm25With("('spark')")},
+         |filt AS (SELECT DISTINCT doc_id FROM tokens WHERE term = 'vector'),
+         |agg AS (SELECT sc.doc_id, sum(s) AS score FROM sc
+         |        JOIN filt ON filt.doc_id = sc.doc_id GROUP BY sc.doc_id)
+         |${rankSel(10)}""".stripMargin,
+
+    "ft_page2" ->
+      s"""$bm25OrWith,
+         |agg AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id)
+         |SELECT CAST(rn - 10 AS BIGINT) AS page_rank, doc_id FROM (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+         |  FROM agg)
+         |WHERE rn BETWEEN 11 AND 20 ORDER BY page_rank""".stripMargin,
+
+    "ft_dismax" ->
+      s"""$bm25OrWith,
+         |agg AS (SELECT doc_id, max(s) AS score FROM sc GROUP BY doc_id)
+         |${rankSel(10)}""".stripMargin,
+
+    "ft_wand_top20" ->
+      s"""$bm25OrWith,
+         |agg AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id)
+         |${rankSel(20)}""".stripMargin,
+
+    "ft_count_or" ->
+      s"""WITH $tokensCte
+         |SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tokens
+         |WHERE term IN ('merge','window','stream')""".stripMargin,
+
+    "ft_matchall_count" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n FROM documents",
+
+    "ft_sha256" ->
+      s"""SELECT doc_id, sha256(text) AS sha FROM documents
+         |WHERE doc_id < 40 ORDER BY doc_id""".stripMargin,
+
+    // ---------- facets / stats / grouping ----------
+    "facet_field" ->
+      s"""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt FROM lineitem
+         |WHERE l_quantity > 45 GROUP BY l_returnflag
+         |ORDER BY cnt DESC, l_returnflag""".stripMargin,
+
+    "facet_range" ->
+      s"""SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+         |       CAST(count(*) AS BIGINT) AS cnt
+         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "facet_pivot" ->
+      s"""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt
+         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "stats_numeric" ->
+      s"""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt,
+         |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+         |  round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+         |        / 100.0 / count(*), 4) AS avg_r4
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "stats_percentile" ->
+      s"""SELECT l_returnflag,
+         |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+         |  round(quantile_cont(l_quantity, 0.95), 4) AS p95
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "group_topn" ->
+      s"""SELECT o_orderpriority, CAST(rn AS BIGINT) AS rn, o_orderkey FROM (
+         |  SELECT o_orderpriority, o_orderkey,
+         |    row_number() OVER (PARTITION BY o_orderpriority
+         |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         |  FROM orders)
+         |WHERE rn <= 2 ORDER BY o_orderpriority, rn""".stripMargin,
+
+    "collapse_best" ->
+      s"""SELECT o_custkey, o_orderkey FROM (
+         |  SELECT o_custkey, o_orderkey, o_totalprice,
+         |    row_number() OVER (PARTITION BY o_custkey
+         |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         |  FROM orders)
+         |WHERE rn = 1 ORDER BY o_totalprice DESC, o_custkey LIMIT 20""".stripMargin,
+
+    "distinct_count" ->
+      s"""SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS nparts
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // ---------- joins ----------
+    "join_semi" ->
+      s"""SELECT c_custkey FROM customer c
+         |WHERE c_mktsegment = 'AUTOMOBILE'
+         |  AND EXISTS(SELECT 1 FROM orders o
+         |             WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+         |ORDER BY c_custkey""".stripMargin,
+
+    "join_score_max" ->
+      s"""SELECT CAST(row_number() OVER (ORDER BY score DESC, c_custkey) AS BIGINT) AS rank,
+         |       c_custkey, score FROM (
+         |  SELECT c_custkey, max(o_totalprice) AS score
+         |  FROM customer JOIN orders ON o_custkey = c_custkey GROUP BY 1)
+         |ORDER BY score DESC, c_custkey LIMIT 10""".stripMargin,
+
+    "block_join_parent" ->
+      s"""SELECT DISTINCT o_orderkey FROM orders o
+         |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         |WHERE l.l_quantity >= 50 AND l.l_returnflag = 'R'
+         |ORDER BY o_orderkey""".stripMargin,
+
+    "block_join_child" ->
+      s"""SELECT l_orderkey, l_linenumber FROM lineitem
+         |WHERE EXISTS(SELECT 1 FROM orders o
+         |             WHERE o.o_orderkey = l_orderkey AND o.o_totalprice > 400000)
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // ---------- set operations ----------
+    "setop_intersect" ->
+      s"""SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+         |INTERSECT
+         |SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+         |ORDER BY c_custkey""".stripMargin,
+
+    "setop_except" ->
+      s"""SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         |EXCEPT
+         |SELECT c_custkey FROM customer WHERE c_acctbal > 3000
+         |ORDER BY c_custkey""".stripMargin,
+
+    "setop_union" ->
+      s"""SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+         |UNION
+         |SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+         |ORDER BY c_custkey""".stripMargin,
+
+    // ---------- scalar function queries ----------
+    "func_query" ->
+      s"""WITH mm AS (SELECT min(p_retailprice) AS mn, max(p_retailprice) AS mx FROM part)
+         |SELECT p_partkey, CAST(p_size * 2 + 3 AS BIGINT) AS linear,
+         |  round(1.0 / (1.0 + 0.1 * p_size), 6) AS recip,
+         |  round((p_retailprice - mn) / (mx - mn), 6) AS scaled,
+         |  CASE WHEN p_size < 10 THEN 'S' WHEN p_size < 25 THEN 'M' ELSE 'L' END AS mapped,
+         |  CAST(CASE WHEN p_type = 'PROMO' THEN p_size ELSE -1 END AS BIGINT) AS if_fn
+         |FROM part, mm ORDER BY p_partkey LIMIT 200""".stripMargin,
+
+    "sort_fields" ->
+      s"""SELECT l_orderkey, l_linenumber, epoch(l_shipdate) AS ship_epoch
+         |FROM lineitem
+         |ORDER BY l_shipdate DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin,
+
+    // ---------- streaming-expression analogs ----------
+    "stream_reduce" ->
+      s"""SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    "stream_rank" ->
+      s"""SELECT CAST(row_number() OVER (ORDER BY value DESC, event_id) AS BIGINT) AS rank,
+         |       event_id, value
+         |FROM events ORDER BY value DESC, event_id LIMIT 5""".stripMargin,
+
+    "stream_merge" ->
+      s"""SELECT event_id, event_type FROM events
+         |WHERE event_type IN ('purchase','error')
+         |ORDER BY ts, event_id LIMIT 50""".stripMargin,
+
+    "dedup_first" ->
+      s"""SELECT user_id, event_type, first_event FROM (
+         |  SELECT user_id, event_type, event_id AS first_event,
+         |    row_number() OVER (PARTITION BY user_id, event_type
+         |                       ORDER BY ts, event_id) AS rn
+         |  FROM events)
+         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "window_tumbling" ->
+      s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start,
+         |  event_type, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+
+    // ---------- training-data ops ----------
+    "dedup_exact" ->
+      s"""SELECT min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS group_size
+         |FROM documents GROUP BY text ORDER BY keeper""".stripMargin,
+
+    "dedup_jaccard" ->
+      s"""WITH $shinglesCte,
+         |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+         |inter AS (SELECT p.id AS a, q.id AS b, count(*) AS i
+         |          FROM sh p JOIN sh q ON q.shingle = p.shingle AND p.id < q.id
+         |          GROUP BY 1, 2)
+         |SELECT i2.a, i2.b,
+         |  round(CAST(i2.i AS DOUBLE) / (sa.n + sb.n - i2.i), 6) AS jaccard
+         |FROM inter i2
+         |JOIN sizes sa ON sa.id = i2.a JOIN sizes sb ON sb.id = i2.b
+         |WHERE CAST(i2.i AS DOUBLE) / (sa.n + sb.n - i2.i) >= 0.2
+         |ORDER BY a, b""".stripMargin,
+
+    "dedup_minhash" ->
+      s"""WITH $shinglesCte,
+         |perm(pi, pa, pb) AS (VALUES $minhashPermValues),
+         |hh AS (SELECT id, shingle,
+         |         ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS h
+         |       FROM sh),
+         |mh AS (SELECT id, pi, min((pa * h + pb) % 2147483647) AS mh
+         |       FROM hh, perm GROUP BY id, pi),
+         |bands AS (SELECT id, pi // 4 AS band,
+         |            string_agg(mh::VARCHAR, ',' ORDER BY pi) AS sig
+         |          FROM mh GROUP BY id, band),
+         |cand AS (SELECT DISTINCT x.id AS a, y.id AS b FROM bands x
+         |         JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.id < y.id),
+         |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+         |inter AS (SELECT c.a, c.b, count(*) AS i FROM cand c
+         |          JOIN sh p ON p.id = c.a
+         |          JOIN sh q ON q.id = c.b AND q.shingle = p.shingle
+         |          GROUP BY c.a, c.b)
+         |SELECT i2.a, i2.b,
+         |  round(CAST(i2.i AS DOUBLE) / (sa.n + sb.n - i2.i), 6) AS jaccard
+         |FROM inter i2
+         |JOIN sizes sa ON sa.id = i2.a JOIN sizes sb ON sb.id = i2.b
+         |WHERE CAST(i2.i AS DOUBLE) / (sa.n + sb.n - i2.i) >= 0.2
+         |ORDER BY a, b""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH $tokAllCte,
+         |tf AS (SELECT doc_id AS id, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tokall GROUP BY 1, 2),
+         |th AS (SELECT id, tf, ('0x' || substr(md5(term), 1, 12))::BIGINT AS h FROM tf),
+         |bits AS (SELECT id, j,
+         |           sum(CASE WHEN (h >> j) & 1 = 1 THEN tf ELSE -tf END) AS s
+         |         FROM th, (SELECT unnest(range(48)) AS j) bj GROUP BY id, j),
+         |sims AS (SELECT id,
+         |           CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+         |         FROM bits GROUP BY id),
+         |bands AS (SELECT id, simhash, band,
+         |            (simhash >> (band * 12)) & 4095 AS bv
+         |          FROM sims, (SELECT unnest(range(4)) AS band) bb),
+         |cand AS (SELECT DISTINCT x.id AS a, x.simhash AS ha, y.id AS b, y.simhash AS hb
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND x.bv = y.bv AND x.id < y.id)
+         |SELECT a, b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(ha, hb)) <= 3 ORDER BY a, b""".stripMargin,
+
+    // ---------- similarity search ----------
+    "ann_cosine" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |scp AS (SELECT vec_id AS id,
+         |          list_dot_product(v, qv) /
+         |            (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS sim
+         |        FROM e, q WHERE vec_id <> 0)
+         |SELECT CAST(row_number() OVER (ORDER BY sim DESC, id) AS BIGINT) AS rank,
+         |       id, round(sim, 6) AS sim
+         |FROM scp ORDER BY sim DESC, id LIMIT 10""".stripMargin,
+
+    "ann_knn" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
+         |scp AS (SELECT q.qid, e.vec_id AS id,
+         |          list_dot_product(v, qv) /
+         |            (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS sim
+         |        FROM e, q WHERE e.vec_id <> q.qid)
+         |SELECT qid, CAST(rank AS BIGINT) AS rank, id FROM (
+         |  SELECT qid, id, row_number() OVER (PARTITION BY qid
+         |    ORDER BY sim DESC, id) AS rank FROM scp)
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |asg AS (SELECT id, cid FROM (
+         |  SELECT id, cid, row_number() OVER (PARTITION BY id
+         |    ORDER BY csim DESC, cid) AS rn FROM (
+         |    SELECT e.vec_id AS id, c.cid,
+         |      list_dot_product(e.v, c.cv) /
+         |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS csim
+         |    FROM e, cents c))
+         |  WHERE rn = 1),
+         |qc AS (SELECT cid AS qcid FROM asg WHERE id = 42),
+         |bucket AS (SELECT a.id FROM asg a, qc WHERE a.cid = qc.qcid AND a.id <> 42),
+         |qv AS (SELECT v AS qv FROM e WHERE vec_id = 42),
+         |scp AS (SELECT b.id,
+         |          list_dot_product(e.v, qv) /
+         |            (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qv, qv))) AS sim
+         |        FROM bucket b JOIN e ON e.vec_id = b.id, qv)
+         |SELECT CAST(row_number() OVER (ORDER BY sim DESC, id) AS BIGINT) AS rank, id
+         |FROM scp ORDER BY sim DESC, id LIMIT 5""".stripMargin,
+
+    // ---------- text analysis ----------
+    "lang_id" ->
+      s"""WITH $tokAllCte,
+         |stop(slang, sterm) AS (VALUES $stopValues),
+         |hits AS (SELECT t.doc_id AS id, s.slang, CAST(count(*) AS BIGINT) AS hits
+         |         FROM tokall t JOIN stop s ON s.sterm = t.term GROUP BY 1, 2),
+         |best AS (SELECT id, slang, hits FROM (
+         |  SELECT id, slang, hits,
+         |    row_number() OVER (PARTITION BY id ORDER BY hits DESC, slang) AS rn
+         |  FROM hits) WHERE rn = 1)
+         |SELECT d.doc_id AS id, coalesce(b.slang, 'und') AS pred_lang,
+         |       CAST(coalesce(b.hits, 0) AS BIGINT) AS hits
+         |FROM documents d LEFT JOIN best b ON b.id = d.doc_id
+         |ORDER BY id""".stripMargin,
+
+    "quality_score" ->
+      s"""WITH $tokAllCte,
+         |stop(slang, sterm) AS (VALUES $stopValues),
+         |agg AS (SELECT t.doc_id AS id, count(*) AS n_tok,
+         |          count(DISTINCT t.term) AS n_distinct,
+         |          sum(CASE WHEN s.sterm IS NOT NULL THEN 1 ELSE 0 END) AS n_stop,
+         |          sum(length(t.term)) AS sum_chars
+         |        FROM tokall t
+         |        LEFT JOIN stop s ON s.slang = t.lang AND s.sterm = t.term
+         |        GROUP BY 1)
+         |SELECT id, round(
+         |    0.3 * least(n_tok / 100.0, 1.0)
+         |  + 0.3 * (CAST(n_distinct AS DOUBLE) / n_tok)
+         |  + 0.2 * (1.0 - CAST(n_stop AS DOUBLE) / n_tok)
+         |  + 0.2 * least(CAST(sum_chars AS DOUBLE) / n_tok / 8.0, 1.0), 6) AS quality
+         |FROM agg ORDER BY id""".stripMargin,
+
+    "token_counts" ->
+      s"""SELECT doc_id AS id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '$TokRe')) AS BIGINT) AS analyzer_tokens,
+         |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est
+         |FROM documents ORDER BY id""".stripMargin,
+
+    "fingerprint" ->
+      s"""WITH $tokAllCte,
+         |d AS (SELECT DISTINCT doc_id AS id, term FROM tokall)
+         |SELECT id, md5(string_agg(term, ' ' ORDER BY term)) AS fp
+         |FROM d GROUP BY id ORDER BY id""".stripMargin,
+
+    "multimodal_meta" ->
+      s"""SELECT doc_id AS id,
+         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+         |  CAST(length(text) AS BIGINT) AS byte_len,
+         |  CAST(64 + length(text) % 577 AS BIGINT) AS width,
+         |  CAST(64 + ascii(substr(text, 1, 1)) AS BIGINT) AS height,
+         |  CAST(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 3 END AS BIGINT) AS channels,
+         |  CAST(CASE WHEN doc_id % 3 = 2 THEN length(text) // 100 + 1 ELSE 1 END AS BIGINT) AS n_frames,
+         |  CAST(((64 + length(text) % 577) * (64 + ascii(substr(text, 1, 1))) + 255) // 256
+         |       * (CASE WHEN doc_id % 3 = 2 THEN length(text) // 100 + 1 ELSE 1 END) AS BIGINT) AS n_patches
+         |FROM documents ORDER BY id""".stripMargin
+  )
+}

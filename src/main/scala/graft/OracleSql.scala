@@ -1,0 +1,114 @@
+package graft
+
+import graft.codec.SmallFloat
+import graft.operators.Dedup
+import graft.operators.TextAnalysis
+
+/** ANSI-SQL (DuckDB-dialect) oracle fragments for SparkEntry.oracleSql.
+  *
+  * The oracle re-derives every engine output from the raw parquet tables:
+  * tokenization is `regexp_extract_all('[a-z0-9]+')` — equivalent to our
+  * UAX#29 chain on this corpus (plain ASCII words; the tokenizer's own
+  * golden-vector tests cover the general contract) — and all
+  * engine-specific constants (stop sets, SmallFloat norm quantization
+  * ranges, MinHash permutation params) are generated HERE from the same
+  * Scala constants the engine uses, so the two sides cannot drift.
+  */
+object OracleSql {
+
+  final val TokRe = "[a-z0-9]+"
+
+  /** (lang, stopword) VALUES rows for the 5 corpus languages, from the
+    * exact sets the engine analyzer uses. */
+  lazy val stopValues: String =
+    TextAnalysis.Candidates.flatMap { case (l, s) =>
+      s.toSeq.sorted.map(w => s"('$l','${w.replace("'", "''")}')")
+    }.mkString(", ")
+
+  /** Raw (pre-stop-filter) tokens with Lucene positions; pos = raw token
+    * index (dropped stopwords still advance the position counter —
+    * FilteringTokenFilter semantics). */
+  val tokAllCte: String =
+    s"""tokall AS (
+       |  SELECT doc_id, lang,
+       |         unnest(regexp_extract_all(text, '$TokRe')) AS term,
+       |         unnest(range(len(regexp_extract_all(text, '$TokRe')))) AS pos
+       |  FROM documents)""".stripMargin
+
+  /** Analyzed tokens: raw tokens minus the doc's own language stop set. */
+  lazy val tokensCte: String =
+    s"""$tokAllCte,
+       |stop(slang, sterm) AS (VALUES $stopValues),
+       |tokens AS (
+       |  SELECT t.doc_id, t.lang, t.term, t.pos FROM tokall t
+       |  LEFT JOIN stop s ON s.slang = t.lang AND s.sterm = t.term
+       |  WHERE s.sterm IS NULL)""".stripMargin
+
+  /** SmallFloat-quantized decoded field length: VALUES (lo, hi, qdl) with
+    * qdl = NORM_TABLE[floatToByte315(1/sqrt(dl))] for dl in [lo, hi].
+    * Derived by scanning the engine's own quantizer. */
+  lazy val normRangesValues: String = {
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    val maxDl = 3000000L // far above any test doc; open-ended last range
+    var lo = 0L
+    var curQ = SmallFloat.Bm25NormTable(SmallFloat.normByte(0) & 0xFF).toDouble
+    var dl = 1L
+    while (dl <= maxDl) {
+      val q = SmallFloat.Bm25NormTable(SmallFloat.normByte(dl.toInt) & 0xFF).toDouble
+      if (q != curQ) { rows += ((lo, dl - 1, curQ)); lo = dl; curQ = q }
+      dl += 1
+    }
+    rows += ((lo, 1000000000L, curQ))
+    rows.map { case (l, h, q) => s"($l, $h, $q)" }.mkString(", ")
+  }
+
+  lazy val normCte: String = s"nrm(lo, hi, qdl) AS (VALUES $normRangesValues)"
+
+  /** Per-doc analyzed field length + collection stats. maxDoc counts ALL
+    * docs (even all-stopword ones), as the engine's segment count does. */
+  lazy val dlCsCte: String =
+    s"""dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+       |      FROM tokens GROUP BY doc_id),
+       |cs AS (SELECT (SELECT count(*) FROM documents) AS n,
+       |              (SELECT count(*) FROM tokens) AS sumdl)""".stripMargin
+
+  /** BM25 per-(doc, clause-term) score CTE over query terms given as
+    * `q(qterm) AS (VALUES ('a'),('b'))`; emits sc(doc_id, qterm, s).
+    * Formula mirrors BM25Similarity.java:64-97,207-238 in double
+    * precision (used for RANK comparison only; float-exactness is proven
+    * in the ScalaTest rank-identity suite). */
+  lazy val bm25ClauseCte: String =
+    s"""tf AS (SELECT t.doc_id, q.qterm, CAST(count(*) AS BIGINT) AS tf
+       |      FROM tokens t JOIN q ON q.qterm = t.term GROUP BY 1, 2),
+       |dfq AS (SELECT qterm, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT tf.doc_id, tf.qterm,
+       |         ln(1 + (cs.n - dfq.df + 0.5) / (dfq.df + 0.5)) * 2.2 * tf.tf /
+       |         (tf.tf + 1.2 * (0.25 + 0.75 * nrm.qdl /
+       |            (CAST(cs.sumdl AS DOUBLE) / cs.n))) AS s
+       |       FROM tf, dfq, dl, nrm, cs
+       |       WHERE dfq.qterm = tf.qterm AND dl.doc_id = tf.doc_id
+       |         AND dl.dl BETWEEN nrm.lo AND nrm.hi)""".stripMargin
+
+  /** All the CTEs a BM25 ranking oracle needs, given the query VALUES. */
+  def bm25With(qValues: String): String =
+    s"""WITH $tokensCte,
+       |$dlCsCte,
+       |$normCte,
+       |q(qterm) AS (VALUES $qValues),
+       |$bm25ClauseCte""".stripMargin
+
+  /** MinHash permutation params as VALUES — the engine's own constants. */
+  lazy val minhashPermValues: String =
+    Dedup.MinHashParams.map { case (i, a, b) => s"($i, $a, $b)" }.mkString(", ")
+
+  /** 3-word shingles per doc (distinct), language-neutral (no stop filter):
+    * sh(id, shingle). */
+  lazy val shinglesCte: String =
+    s"""$tokAllCte,
+       |sh AS (
+       |  SELECT DISTINCT a.doc_id AS id,
+       |         a.term || ' ' || b.term || ' ' || c.term AS shingle
+       |  FROM tokall a
+       |  JOIN tokall b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       |  JOIN tokall c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2)""".stripMargin
+}

@@ -1,13 +1,480 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.codec.SmallFloat
+import graft.index._
+import graft.operators.{Ann, Dedup, Multimodal, TextAnalysis}
+import graft.search._
+
+/** Driver contract (see SURVEY.md §7 + the builder prompt): `queries` maps
+  * operator names to DataFrame builders over the driver's parquet tables;
+  * `oracleSql` gives the DuckDB-checkable equivalent of each.
+  *
+  * Full-text queries run against an inverted index built once per sfDir
+  * (cached) over the `documents` table with a MONOTONE docPart
+  * (doc_id / 64), so internal docIds are order-isomorphic to doc_id and
+  * every tie-break is reproducible by `ORDER BY score DESC, doc_id` in the
+  * SQL oracle (reference tie semantics: search/HitQueue.java:76-81).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // ================= fulltext index (built once per sfDir) =================
+
+  /** Docs per docPart: small enough to exercise multi-part merge at test
+    * scale; at cluster scale this would be sized to ~segment RAM. */
+  final val DocsPerPart = 64
+
+  private val readers = new scala.collection.concurrent.TrieMap[String, IndexReader]
+
+  def ftConfig(nParts: Int): IndexConfig = IndexConfig(
+    numDocParts = nParts, numBuckets = 16, waves = 1,
+    hotDfThreshold = 300L, saltShift = 16, shufflePartitions = 32)
+
+  /** documents -> input_hint shape, with the monotone docPart column. */
+  def docsAsInput(docs: DataFrame): DataFrame =
+    docs.select(
+      (col("doc_id") / DocsPerPart).cast("int").as("docPart"),
+      col("source").as("repo"),
+      lpad(col("doc_id").cast("string"), 9, "0").as("path"),
+      md5(col("text")).as("commit"),
+      col("lang"),
+      col("text").as("content"))
+
+  def reader(spark: SparkSession, sfDir: String): IndexReader =
+    readers.getOrElseUpdate(sfDir, {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      val cfg = ftConfig((maxId / DocsPerPart + 1).toInt)
+      val dir = java.nio.file.Files.createTempDirectory("graft-ft").toString
+      IndexBuilder.build(spark, docsAsInput(docs), dir, cfg)
+      IndexReader(spark, dir, cfg)
+    })
+
+  /** internal docId -> source doc_id (path is the zero-padded doc_id). */
+  private def idMap(r: IndexReader): DataFrame =
+    r.docmeta.toDF().select(col("docId"), col("path").cast("long").as("doc_id"))
+
+  /**
+
+ Boolean-query doc set, as sorted doc_ids. */
+  private def matchedDocs(spark: SparkSession, sfDir: String, q: BoolQ): DataFrame = {
+    val r = reader(spark, sfDir)
+    new JoinScorer(r).scores(q).toDF("docId", "score")
+      .join(idMap(r), "docId").select("doc_id").orderBy("doc_id")
+  }
+
+  /** Top-k of a BoolQ as (rank, doc_id) — rank by (score desc, doc_id). */
+  private def rankedTopK(spark: SparkSession, sfDir: String, q: BoolQ,
+                         k: Int): DataFrame = {
+    val r = reader(spark, sfDir)
+    new JoinScorer(r).topK(q, k).join(idMap(r), "docId")
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .select("rank", "doc_id").orderBy("rank")
+  }
+
+  private def should(ts: String*): BoolQ =
+    BoolQ(ts.map(t => (Occur.Should: Occur, TermQ(t): Query)))
+  private def must(ts: String*): BoolQ =
+    BoolQ(ts.map(t => (Occur.Must: Occur, TermQ(t): Query)))
+
+  // ================= driver contract =================
+
+  /** Flagship: end-to-end index build + BM25 top-10 on sf0.001, hits joined
+    * back to the source table (the stored-fields join). */
+  def entry(spark: SparkSession): DataFrame = {
+    val sfDir = "/root/testdata/sf0.001"
+    val r = reader(spark, sfDir)
+    val hits = new JoinScorer(r).topK(should("spark", "merge", "window"), 10)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    hits.join(idMap(r), "docId")
+      .join(docs, "doc_id")
+      .select(col("doc_id"), col("score"), col("lang"), col("source"),
+        substring(col("text"), 1, 40).as("snippet"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+
+    // ---------- full-text: postings / boolean / positional ----------
+    "ft_term_postings" -> ((s, dir) => {
+      import s.implicits._
+      val r = reader(s, dir)
+      r.blocks(Seq("spark"))
+        .flatMap { b =>
+          val (docs, tfs, _) = graft.codec.PostingsCodec.decodeDocs(
+            graft.codec.PostingBlock(b.term, b.firstDoc, b.lastDoc, b.count,
+              b.maxTf, b.maxPartial, b.docBytes, b.nrmBytes, b.posBytes))
+          docs.indices.iterator.map(i => (docs(i), tfs(i).toLong))
+        }.toDF("docId", "tf")
+        .join(idMap(r), "docId").select("doc_id", "tf").orderBy("doc_id")
+    }),
+
+    "ft_bool_and_not" -> ((s, dir) => matchedDocs(s, dir, BoolQ(Seq(
+      (Occur.Must, TermQ("spark")), (Occur.Must, TermQ("vector")),
+      (Occur.MustNot, TermQ("dup")))))),
+
+    "ft_bool_or_msm2" -> ((s, dir) => matchedDocs(s, dir, BoolQ(Seq(
+      (Occur.Should, TermQ("merge")), (Occur.Should, TermQ("window")),
+      (Occur.Should, TermQ("stream"))), minShouldMatch = 2))),
+
+    "ft_phrase" -> ((s, dir) => matchedDocs(s, dir, BoolQ(Seq(
+      (Occur.Must, PhraseQ(Seq("key", "order", "sort"), Seq(0, 1, 2))))))),
+
+    "ft_prefix" -> ((s, dir) => matchedDocs(s, dir,
+      BoolQ(Seq((Occur.Should, PrefixQ("s")))))),
+
+    "ft_wildcard" -> ((s, dir) => matchedDocs(s, dir,
+      BoolQ(Seq((Occur.Should, WildcardQ("s?a*")))))),
+
+    "ft_fuzzy" -> ((s, dir) => matchedDocs(s, dir,
+      BoolQ(Seq((Occur.Should, FuzzyQ("merg", 1)))))),
+
+    "ft_range_term" -> ((s, dir) => matchedDocs(s, dir,
+      BoolQ(Seq((Occur.Should, RangeQ("query", "sort")))))),
+
+    // ---------- full-text: dictionary / stats / norms ----------
+    "ft_termstats" -> ((s, dir) => {
+      val r = reader(s, dir)
+      r.termStatsDf.toDF().select(col("term"), col("df"), col("ttf"))
+        .orderBy(col("df").desc, col("term")).limit(15)
+    }),
+
+    "ft_collstats" -> ((s, dir) => {
+      import s.implicits._
+      val r = reader(s, dir)
+      val nTerms = r.termStatsDf.count()
+      Seq((r.collStats.maxDoc, r.collStats.sumTotalTermFreq, nTerms))
+        .toDF("max_doc", "sum_ttf", "n_terms")
+    }),
+
+    "ft_doclen_norms" -> ((s, dir) => {
+      val r = reader(s, dir)
+      val qdlUdf = udf((n: Byte) => SmallFloat.Bm25NormTable(n & 0xFF).toDouble)
+      r.docmeta.toDF()
+        .select(col("path").cast("long").as("doc_id"),
+          col("dl").cast("long").as("dl"), round(qdlUdf(col("norm")), 4).as("qdl"))
+        .orderBy("doc_id")
+    }),
+
+    // ---------- full-text: BM25 ranking (join path + WAND path) ----------
+    "ft_bm25_top20" -> ((s, dir) =>
+      rankedTopK(s, dir, should("spark", "vector", "window"), 20)),
+
+    "ft_bm25_conj" -> ((s, dir) =>
+      rankedTopK(s, dir, must("small", "value"), 10)),
+
+    "ft_bm25_filter" -> ((s, dir) => rankedTopK(s, dir, BoolQ(Seq(
+      (Occur.Must, TermQ("spark")), (Occur.Filter, TermQ("vector")))), 10)),
+
+    "ft_page2" -> ((s, dir) => {
+      import s.implicits._
+      val r = reader(s, dir)
+      val js = new JoinScorer(r)
+      val q = should("spark", "vector", "window")
+      val page1 = js.topK(q, 10).as[(Long, Float)].collect()
+      val (lastDoc, lastScore) = (page1.last._1, page1.last._2)
+      js.searchAfter(q, 10, lastScore, lastDoc)
+        .join(idMap(r), "docId")
+        .withColumn("page_rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        .select("page_rank", "doc_id").orderBy("page_rank")
+    }),
+
+    "ft_dismax" -> ((s, dir) => {
+      val r = reader(s, dir)
+      new JoinScorer(r).topKDisMax(Seq("spark", "vector", "window"), 10)
+        .join(idMap(r), "docId")
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        .select("rank", "doc_id").orderBy("rank")
+    }),
+
+    "ft_wand_top20" -> ((s, dir) => {
+      val r = reader(s, dir)
+      new WandScorer(r).topK(Seq("spark", "vector", "window"), 20)
+        .join(idMap(r), "docId")
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        .select("rank", "doc_id").orderBy("rank")
+    }),
+
+    "ft_count_or" -> ((s, dir) => {
+      import s.implicits._
+      val r = reader(s, dir)
+      val n = new JoinScorer(r).scores(should("merge", "window", "stream")).count()
+      Seq(n).toDF("n")
+    }),
+
+    "ft_matchall_count" -> ((s, dir) => {
+      import s.implicits._
+      val r = reader(s, dir)
+      val n = new JoinScorer(r)
+        .scores(BoolQ(Seq((Occur.Should, MatchAllQ)))).count()
+      Seq(n).toDF("n")
+    }),
+
+    "ft_sha256" -> ((s, dir) => {
+      val r = reader(s, dir)
+      r.docmeta.toDF()
+        .select(col("path").cast("long").as("doc_id"), col("sha256").as("sha"))
+        .where(col("doc_id") < 40).orderBy("doc_id")
+    }),
+
+    // ---------- facets / stats / grouping (Solr component analogs) ----------
+    "facet_field" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_quantity") > 45)
+        .groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("l_returnflag"))),
+
+    "facet_range" -> ((s, dir) =>
+      s.read.parquet(s"$dir/orders.parquet")
+        .groupBy(floor(col("o_totalprice") / 50000).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("cnt")).orderBy("bucket")),
+
+    "facet_pivot" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy("l_returnflag", "l_linestatus").agg(count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "stats_numeric" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"),
+          min("l_extendedprice").as("min_price"),
+          max("l_extendedprice").as("max_price"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_cents"))
+        .withColumn("avg_r4",
+          round(col("sum_cents").cast("double") / 100.0 / col("cnt"), 4))
+        .orderBy("l_returnflag")),
+
+    "stats_percentile" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_quantity, 0.95)"), 4).as("p95"))
+        .orderBy("l_returnflag")),
+
+    "group_topn" -> ((s, dir) =>
+      s.read.parquet(s"$dir/orders.parquet")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("o_orderpriority")
+            .orderBy(col("o_totalprice").desc, col("o_orderkey"))).cast("long"))
+        .where(col("rn") <= 2)
+        .select("o_orderpriority", "rn", "o_orderkey")
+        .orderBy("o_orderpriority", "rn")),
+
+    "collapse_best" -> ((s, dir) =>
+      s.read.parquet(s"$dir/orders.parquet")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("o_custkey")
+            .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+        .where(col("rn") === 1)
+        .orderBy(col("o_totalprice").desc, col("o_custkey")).limit(20)
+        .select("o_custkey", "o_orderkey")),
+
+    "distinct_count" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("nparts"))
+        .orderBy("l_returnflag")),
+
+    // ---------- joins (query-time join / block join analogs) ----------
+    "join_semi" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+        .where(col("c_mktsegment") === "AUTOMOBILE")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_totalprice") > 200000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey").orderBy("c_custkey")
+    }),
+
+    "join_score_max" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .groupBy("c_custkey").agg(max("o_totalprice").as("score"))
+        .orderBy(col("score").desc, col("c_custkey")).limit(10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("c_custkey"))).cast("long"))
+        .select("rank", "c_custkey", "score")
+    }),
+
+    "block_join_parent" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val l = s.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_quantity") >= 50 && col("l_returnflag") === "R")
+      o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+        .select("o_orderkey").orderBy("o_orderkey")
+    }),
+
+    "block_join_child" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_totalprice") > 400000)
+      val l = s.read.parquet(s"$dir/lineitem.parquet")
+      l.join(o, l("l_orderkey") === o("o_orderkey"), "left_semi")
+        .select("l_orderkey", "l_linenumber").orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ---------- set operations ----------
+    "setop_intersect" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      c.where(col("c_mktsegment") === "AUTOMOBILE").select("c_custkey")
+        .intersect(c.where(col("c_acctbal") > 5000).select("c_custkey"))
+        .orderBy("c_custkey")
+    }),
+
+    "setop_except" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      c.where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        .except(c.where(col("c_acctbal") > 3000).select("c_custkey"))
+        .orderBy("c_custkey")
+    }),
+
+    "setop_union" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      c.where(col("c_mktsegment") === "AUTOMOBILE").select("c_custkey")
+        .union(c.where(col("c_mktsegment") === "MACHINERY").select("c_custkey"))
+        .distinct().orderBy("c_custkey")
+    }),
+
+    // ---------- scalar function queries (ValueSource analogs) ----------
+    "func_query" -> ((s, dir) => {
+      val p = s.read.parquet(s"$dir/part.parquet")
+      val mm = p.agg(min("p_retailprice").as("mn"), max("p_retailprice").as("mx"))
+      p.crossJoin(broadcast(mm))
+        .select(col("p_partkey"),
+          (col("p_size") * 2 + 3).cast("long").as("linear"),
+          round(lit(1.0) / (lit(1.0) + lit(0.1) * col("p_size")), 6).as("recip"),
+          round((col("p_retailprice") - col("mn")) / (col("mx") - col("mn")), 6)
+            .as("scaled"),
+          when(col("p_size") < 10, "S").when(col("p_size") < 25, "M")
+            .otherwise("L").as("mapped"),
+          when(col("p_type") === "PROMO", col("p_size")).otherwise(-1)
+            .cast("long").as("if_fn"))
+        .orderBy("p_partkey").limit(200)
+    }),
+
+    "sort_fields" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .orderBy(col("l_shipdate").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(20)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate").cast("timestamp").cast("double").as("ship_epoch"))),
+
+    // ---------- streaming-expression analogs (events) ----------
+    "stream_reduce" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+        .orderBy("user_id")),
+
+    "stream_rank" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .orderBy(col("value").desc, col("event_id")).limit(5)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("value").desc, col("event_id"))).cast("long"))
+        .select("rank", "event_id", "value")),
+
+    "stream_merge" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .where(col("event_type").isin("purchase", "error"))
+        .orderBy(col("ts"), col("event_id")).limit(50)
+        .select("event_id", "event_type")),
+
+    "dedup_first" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id", "event_type")
+            .orderBy(col("ts"), col("event_id"))))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("event_type"),
+          col("event_id").as("first_event"))
+        .orderBy("user_id", "event_type")),
+
+    "window_tumbling" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+        .select(col("w.start").cast("timestamp").cast("long").as("win_start"),
+          col("event_type"), col("n"), col("sum_cents"))
+        .orderBy("win_start", "event_type")),
+
+    // ---------- training-data ops: dedup ----------
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy("keeper")),
+
+    "dedup_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(s.read.parquet(s"$dir/documents.parquet"), 3, 0.2)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("a", "b")),
+
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLsh(s.read.parquet(s"$dir/documents.parquet"), 3, 0.2)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("a", "b")),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(s.read.parquet(s"$dir/documents.parquet"), 3)
+        .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
+        .orderBy("a", "b")),
+
+    // ---------- training-data ops: similarity search ----------
+    "ann_cosine" -> ((s, dir) =>
+      Ann.cosineTopK(s.read.parquet(s"$dir/embeddings.parquet"), 0L, 10)
+        .select(col("rank").cast("long"), col("id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy("rank")),
+
+    "ann_knn" -> ((s, dir) =>
+      Ann.knnJoin(s.read.parquet(s"$dir/embeddings.parquet"), 3, 3)
+        .select(col("qid"), col("rank").cast("long").as("rank"), col("id"))
+        .orderBy("qid", "rank")),
+
+    "ann_ivf" -> ((s, dir) =>
+      Ann.ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"), 8, 42L, 5)
+        .select(col("rank").cast("long").as("rank"), col("id"))
+        .orderBy("rank")),
+
+    // ---------- training-data ops: text analysis ----------
+    "lang_id" -> ((s, dir) =>
+      TextAnalysis.langId(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy("id")),
+
+    "quality_score" -> ((s, dir) =>
+      TextAnalysis.quality(s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("id"), round(col("quality"), 6).as("quality"))
+        .orderBy("id")),
+
+    "token_counts" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy("id")),
+
+    "fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy("id")),
+
+    // ---------- training-data ops: multimodal plumbing (stub decode) ----------
+    "multimodal_meta" -> ((s, dir) =>
+      Multimodal.decodeStub(
+        Multimodal.asMedia(s.read.parquet(s"$dir/documents.parquet")))
+        .toDF()
+        .select(col("id"), col("modality"), col("byte_len"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          col("n_frames").cast("long").as("n_frames"), col("n_patches"))
+        .orderBy("id"))
+  )
+
+  def oracleSql: Map[String, String] = OracleQueries.all
 }

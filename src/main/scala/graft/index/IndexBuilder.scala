@@ -4,7 +4,6 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 import java.security.MessageDigest
 
-import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -86,7 +85,16 @@ object IndexBuilder {
   }
 
   /** Full build. `input` must have columns repo, path, commit, lang,
-    * content (extra columns ignored). Returns the index directory. */
+    * content (extra columns ignored). If it also has an int `docPart`
+    * column (values in [0, cfg.numDocParts)), that fixes the doc-side
+    * partition; docId = (docPart << 40) | rank-within-docPart where rank
+    * follows the canonical (repo, path, commit) sort — so a docPart that is
+    * monotone in the caller's ordering yields internal docIds
+    * order-isomorphic to it. Without the column, docPart =
+    * pmod(hash(repo,path,commit), numDocParts) (Solr's murmur3 doc routing,
+    * solr/solrj/.../CompositeIdRouter.java:55). Either way the assignment
+    * is a pure function of the data — independent of runtime partitioning,
+    * so a resumed build is byte-identical. Returns the index directory. */
   def build(spark: SparkSession, input: DataFrame, dir: String,
             cfg: IndexConfig = IndexConfig()): String = {
     import spark.implicits._
@@ -95,16 +103,30 @@ object IndexBuilder {
     val segPath = s"$dir/segments"
     if (!stageDone(dir, "segments")) {
       val maxTok = cfg.maxTokenLength
-      val segs = input
-        .select($"repo", $"path", $"commit", $"lang", $"content")
-        .repartition(cfg.numDocParts, $"repo", $"path", $"commit")
-        .sortWithinPartitions($"repo", $"path", $"commit")
-        .as[DocInput]
+      val nParts = cfg.numDocParts
+      val parted = (
+        if (input.columns.contains("docPart"))
+          input.select($"docPart".cast("int"), $"repo", $"path", $"commit",
+            $"lang", $"content")
+        else input.select(
+          pmod(hash($"repo", $"path", $"commit"), lit(nParts)).as("docPart"),
+          $"repo", $"path", $"commit", $"lang", $"content"))
+        .as[PartedDocInput]
+      val segs = parted
+        .repartition(cfg.numDocParts, $"docPart")
+        .sortWithinPartitions($"docPart", $"repo", $"path", $"commit")
         .mapPartitions { it =>
-          val part = TaskContext.getPartitionId()
+          // one physical partition may hold several docPart groups (hash
+          // collisions); the sort above groups them, so a group change
+          // resets the within-group rank — no TaskContext dependence.
+          var cur = Int.MinValue
           var idx = 0L
           it.map { d =>
-            val sd = invertDoc(Ids.docId(part, idx), part, d.repo, d.path,
+            if (d.docPart < 0 || d.docPart >= nParts)
+              throw new IllegalArgumentException(
+                s"docPart ${d.docPart} outside [0, $nParts)")
+            if (d.docPart != cur) { cur = d.docPart; idx = 0L }
+            val sd = invertDoc(Ids.docId(cur, idx), cur, d.repo, d.path,
               d.commit, d.lang, d.content, maxTok)
             idx += 1
             sd

@@ -5,6 +5,13 @@ package graft.index
 final case class DocInput(repo: String, path: String, commit: String,
                           lang: String, content: String)
 
+/** Input row with an explicit doc-side partition (see IndexBuilder.build:
+  * callers may provide `docPart` to fix the global docId order; a monotone
+  * docPart over a monotone sort key makes internal docIds order-isomorphic
+  * to the caller's canonical order — SURVEY.md §1.4). */
+final case class PartedDocInput(docPart: Int, repo: String, path: String,
+                                commit: String, lang: String, content: String)
+
 /** One term's occurrences inside one doc (forward/segment layout). */
 final case class SegPosting(term: String, tf: Int, positions: Array[Int])
 

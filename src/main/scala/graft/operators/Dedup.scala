@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Document deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash and exact n-gram Jaccard. All are pure
+  * DataFrame-API compositions (joins + window + hash aggregations) — each
+  * stage is one well-understood shuffle, so the plans scale by partition
+  * count alone: shingle explode is map-side, candidate generation is a
+  * self-equi-join on (band, signature) — never an all-pairs product.
+  *
+  * Hashing is md5-derived (TextFns.md5Bits60/48) so an external ANSI-SQL
+  * oracle can reproduce every value exactly; the LSH permutation constants
+  * live in [[Dedup.MinHashParams]] and are embedded verbatim into the
+  * oracle SQL by SparkEntry.
+  */
+object Dedup {
+
+  /** Mersenne prime 2^31-1: universal-hash modulus. a*(h%P)+b stays
+    * below 2^62 — exact in 64-bit on both Spark and the SQL oracle. */
+  final val P: Long = 2147483647L
+
+  /** Deterministic LCG-generated permutation params (a_i, b_i), i<k.
+    * Same constants are embedded in the SQL oracle. */
+  def minhashParams(k: Int, seed: Long = 0x5DEECE66DL): Seq[(Int, Long, Long)] = {
+    var s = seed
+    def next(bound: Long): Long = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      val v = (s >>> 17) % bound
+      v
+    }
+    (0 until k).map(i => (i, 1L + next(P - 1), next(P)))
+  }
+
+  final val NumPerms = 16
+  final val NumBands = 4 // 4 rows per band
+  final val MinHashParams: Seq[(Int, Long, Long)] = minhashParams(NumPerms)
+
+  /** Exact duplicate groups by full-text equality: one row per distinct
+    * text, keeper = min doc id (the canonical representative). */
+  def exact(docs: DataFrame, id: String = "doc_id",
+            text: String = "text"): DataFrame =
+    docs.groupBy(col(text))
+      .agg(min(col(id)).as("keeper"), count(lit(1)).as("group_size"))
+      .select(col("keeper"), col("group_size"))
+
+  /** (id, shingle) distinct pairs: word k-shingles of the lowercased
+    * token stream (stopwords kept — dedup is language-neutral). */
+  def docShingles(docs: DataFrame, k: Int, id: String = "doc_id",
+                  text: String = "text"): DataFrame =
+    docs.select(col(id).as("id"),
+        explode(TextFns.shingles(TextFns.tokensAll(col(text)), k)).as("shingle"))
+      .distinct()
+
+  /** Exact Jaccard over shingle sets for every pair sharing >=1 shingle
+    * (the LSH-free baseline): (a, b, jaccard) with jaccard >= threshold,
+    * a < b. */
+  def ngramJaccard(docs: DataFrame, k: Int, threshold: Double,
+                   id: String = "doc_id", text: String = "text"): DataFrame = {
+    val sh = docShingles(docs, k, id, text).cache()
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n", "na"), "a")
+      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n", "nb"), "b")
+      .select(col("a"), col("b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Per-doc minhash signatures: (id, perm, mh). */
+  def minhashes(sh: DataFrame): DataFrame = {
+    val spark = sh.sparkSession
+    import spark.implicits._
+    val perms = MinHashParams.toDF("perm", "pa", "pb")
+    sh.withColumn("h", TextFns.md5Bits60(col("shingle")) % P)
+      .crossJoin(broadcast(perms))
+      .groupBy(col("id"), col("perm"))
+      .agg(min((col("pa") * col("h") + col("pb")) % P).as("mh"))
+  }
+
+  /** MinHash + banded LSH near-dup pairs, exact-Jaccard verified:
+    * candidates = pairs agreeing on >=1 of NumBands band signatures;
+    * output = candidates with true shingle-Jaccard >= threshold.
+    * This is the scale path: work is proportional to matching bucket
+    * sizes, never to |docs|^2. */
+  def minhashLsh(docs: DataFrame, k: Int, threshold: Double,
+                 id: String = "doc_id", text: String = "text"): DataFrame = {
+    val rowsPerBand = NumPerms / NumBands
+    val sh = docShingles(docs, k, id, text).cache()
+    val mh = minhashes(sh)
+    val bands = mh
+      .withColumn("band", (col("perm") / rowsPerBand).cast("int"))
+      .groupBy(col("id"), col("band"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("perm"), col("mh")))),
+        s => s.getField("mh").cast("string")), ",").as("sig"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("p"), col("a") === col("p.id"))
+      .join(sh.as("q"), col("b") === col("q.id") &&
+        col("p.shingle") === col("q.shingle"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n", "na"), "a")
+      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n", "nb"), "b")
+      .select(col("a"), col("b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  final val SimHashBits = 48 // md5-derived; <2^48 keeps all sums exact
+  final val SimHashBandBits = 12
+  final val SimHashBands = SimHashBits / SimHashBandBits
+
+  /** Per-doc 48-bit SimHash over tf-weighted token hashes:
+    * bit j = [ sum_t tf(t) * (2*bit_j(md5_48(t)) - 1) >= 0 ]. */
+  def simhashes(docs: DataFrame, id: String = "doc_id",
+                text: String = "text"): DataFrame = {
+    val tf = docs
+      .select(col(id).as("id"),
+        explode(TextFns.tokensAll(col(text))).as("term"))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+      .withColumn("h", TextFns.md5Bits48(col("term")))
+    tf.select(col("id"), col("tf"), col("h"),
+        explode(sequence(lit(0), lit(SimHashBits - 1))).as("j"))
+      .withColumn("w",
+        when(expr("shiftright(h, j) & 1") === 1, col("tf")).otherwise(-col("tf")))
+      .groupBy(col("id"), col("j")).agg(sum(col("w")).as("s"))
+      .groupBy(col("id"))
+      .agg(sum(when(col("s") >= 0, expr("shiftleft(cast(1 as bigint), j)")).otherwise(0L))
+        .as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxDist (< SimHashBands):
+    * banding is EXACT here — by pigeonhole any pair within maxDist < bands
+    * agrees on some full band, so candidates are a superset and the final
+    * bit_count filter makes the result identical to the all-pairs scan. */
+  def simhashPairs(docs: DataFrame, maxDist: Int, id: String = "doc_id",
+                   text: String = "text"): DataFrame = {
+    require(maxDist < SimHashBands, "pigeonhole needs maxDist < bands")
+    val sims = simhashes(docs, id, text).cache()
+    val bands = sims.select(col("id"), col("simhash"),
+        explode(sequence(lit(0), lit(SimHashBands - 1))).as("band"))
+      .withColumn("bv", expr(s"shiftright(simhash, band * $SimHashBandBits) & ${(1 << SimHashBandBits) - 1}"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("x.simhash").as("ha"),
+        col("y.id").as("b"), col("y.simhash").as("hb"))
+      .distinct()
+    cand.withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .where(col("hamming") <= maxDist)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+}

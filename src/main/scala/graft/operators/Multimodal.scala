@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media payloads ride through the pipeline as
+  * opaque `binary` columns plus typed metadata; decode / feature-extract
+  * runs batch-wise inside `mapPartitions` (the Scala analog of a pandas
+  * `mapInPandas` batch UDF — same schema/batching/partitioning shape).
+  *
+  * STUB: this container has no image/audio codecs, so [[decodeStub]] is a
+  * clearly-marked deterministic fake decoder — a pure function of the raw
+  * bytes — while everything Spark-side (schema, batch iteration,
+  * partition-preserving map, metadata struct) is real and tested. Swap
+  * `fakeDecode` for a real codec call to productionize.
+  */
+object Multimodal {
+
+  /** One media row: payload + modality tag. */
+  final case class MediaRow(id: Long, modality: String, blob: Array[Byte])
+
+  /** Extracted features (the decode output schema). */
+  final case class MediaMeta(id: Long, modality: String, byte_len: Long,
+                             width: Int, height: Int, channels: Int,
+                             n_frames: Int, n_patches: Long)
+
+  /** Wrap a text table as a media table: bytes = UTF-8 payload (the opaque
+    * stand-in), modality assigned deterministically by id. */
+  def asMedia(docs: DataFrame, id: String = "doc_id",
+              text: String = "text"): DataFrame =
+    docs.select(col(id).cast("long").as("id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col(id), lit(3)) + 1).cast("int")).as("modality"),
+      encode(col(text), "UTF-8").as("blob"))
+
+  /** ======== STUB DECODER ======== deterministic fake: derives "media
+    * dimensions" from the raw bytes only. Real implementation would call
+    * an image/audio codec here, one batch at a time. */
+  private[operators] def fakeDecode(id: Long, modality: String,
+                                    blob: Array[Byte]): MediaMeta = {
+    val len = blob.length.toLong
+    val first = if (blob.nonEmpty) blob(0) & 0xff else 0
+    val width = 64 + (len % 577L).toInt
+    val height = 64 + first
+    val channels = if (modality == "audio") 1 else 3
+    val nFrames = if (modality == "video") (len / 100L).toInt + 1 else 1
+    val nPatches = ((width.toLong * height + 255L) / 256L) * nFrames
+    MediaMeta(id, modality, len, width, height, channels, nFrames, nPatches)
+  }
+
+  /** Batch-wise "decode": partition-preserving mapPartitions consuming
+    * fixed-size batches (the pandas-UDF batch shape). */
+  def decodeStub(media: DataFrame, batchSize: Int = 256): Dataset[MediaMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("id"), col("modality"), col("blob"))
+      .as[MediaRow]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // real codecs want contiguous batches (GPU/SIMD); the stub keeps
+          // the shape: decode the whole batch, emit the whole batch.
+          batch.iterator.map(r => fakeDecode(r.id, r.modality, r.blob))
+        }
+      }
+  }
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.analysis.StopSets
+import graft.functions.TextFns
+
+/** Text-analysis operators for training-data curation: language ID,
+  * quality scoring, token counting, document fingerprinting. All outputs
+  * are deterministic pure functions of the row (SQL-oracle checkable);
+  * every op is a narrow map + one hash aggregation — no all-pairs work.
+  */
+object TextAnalysis {
+
+  /** The candidate languages and their stop sets (from the reference's
+    * per-language analyzer resources — see graft.analysis.StopSets). */
+  val Candidates: Seq[(String, Set[String])] = Seq(
+    "de" -> StopSets.german, "en" -> StopSets.english,
+    "es" -> StopSets.spanish, "fr" -> StopSets.french,
+    "zh" -> StopSets.cjk)
+
+  /** (lang, stopword) rows for joins; also the base of the SQL oracle. */
+  def stopTable(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Candidates.flatMap { case (l, s) => s.toSeq.sorted.map(w => (l, w)) }
+      .toDF("slang", "sterm")
+  }
+
+  /** Stopword-profile language ID: predicted lang = argmax over candidate
+    * languages of (#tokens in that language's stop set), ties toward the
+    * alphabetically first lang, no hits -> 'und'. A deliberately simple,
+    * fully deterministic n-gram-free heuristic (the point is the Spark
+    * shape: explode + broadcast join + two aggregations). */
+  def langId(docs: DataFrame, id: String = "doc_id",
+             text: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val toks = docs.select(col(id).as("id"),
+      explode(TextFns.tokensAll(col(text))).as("term"))
+    val hits = toks.join(broadcast(stopTable(spark)), col("term") === col("sterm"))
+      .groupBy(col("id"), col("slang")).agg(count(lit(1)).as("hits"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id"))
+          .orderBy(col("hits").desc, col("slang").asc)))
+      .where(col("rn") === 1)
+      .select(col("id"), col("slang").as("pred_lang"), col("hits"))
+    docs.select(col(id).as("id")).join(hits, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+  }
+
+  /** Heuristic quality score in [0,1]:
+    * 0.3*min(tokens/100,1) + 0.3*type_token_ratio
+    * + 0.2*(1 - stop_ratio) + 0.2*min(avg_token_chars/8,1),
+    * where stop_ratio uses the doc's own `lang` stop set. All terms are
+    * exact integer ratios widened to double -> oracle-exact. */
+  def quality(docs: DataFrame, id: String = "doc_id", text: String = "text",
+              lang: String = "lang"): DataFrame = {
+    val spark = docs.sparkSession
+    val toks = docs.select(col(id).as("id"), col(lang).as("lang"),
+        explode(TextFns.tokensAll(col(text))).as("term"))
+    val st = stopTable(spark)
+    val perDoc = toks
+      .join(broadcast(st), col("lang") === col("slang") &&
+        col("term") === col("sterm"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tok"),
+        countDistinct(col("term")).as("n_distinct"),
+        sum(when(col("sterm").isNotNull, 1L).otherwise(0L)).as("n_stop"),
+        sum(length(col("term"))).as("sum_chars"))
+    perDoc.select(col("id"),
+      (lit(0.3) * least(col("n_tok") / 100.0, lit(1.0)) +
+        lit(0.3) * (col("n_distinct").cast("double") / col("n_tok")) +
+        lit(0.2) * (lit(1.0) - col("n_stop").cast("double") / col("n_tok")) +
+        lit(0.2) * least(col("sum_chars").cast("double") / col("n_tok") / 8.0,
+          lit(1.0))).as("quality"))
+  }
+
+  /** Token counting three ways: whitespace split, analyzer (regex-class)
+    * tokens, and a bytes/4 BPE-cost estimate. */
+  def tokenCounts(docs: DataFrame, id: String = "doc_id",
+                  text: String = "text"): DataFrame =
+    docs.select(col(id).as("id"),
+      size(split(col(text), " ")).cast("long").as("ws_tokens"),
+      size(TextFns.tokensAll(col(text))).cast("long").as("analyzer_tokens"),
+      ceil(length(col(text)) / 4.0).cast("long").as("bpe_est"))
+
+  /** Canonical content fingerprint: md5 of the sorted distinct lowercase
+    * token set (word-order / duplication insensitive — the classic
+    * "fingerprint" clustering key). */
+  def fingerprint(docs: DataFrame, id: String = "doc_id",
+                  text: String = "text"): DataFrame =
+    docs.select(col(id).as("id"),
+      md5(array_join(array_sort(array_distinct(TextFns.tokensAll(col(text)))),
+        " ")).as("fp"))
+}

@@ -51,6 +51,8 @@ final class JoinScorer(reader: IndexReader) {
         (o, wq, ConstSet(reader.expandTerms($"term".rlike("^" + rx + "$")).map(_.term)))
       case (o, fq @ FuzzyQ(t, e)) =>
         (o, fq, ConstSet(reader.expandTerms(levenshtein($"term", lit(t)) <= e).map(_.term)))
+      case (o, rq @ RangeQ(lo, hi)) =>
+        (o, rq, ConstSet(reader.expandTerms($"term" >= lo && $"term" < hi).map(_.term)))
       case (o, MatchAllQ) => (o, MatchAllQ, MatchAll)
     }
   }

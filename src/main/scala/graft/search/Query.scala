@@ -24,6 +24,10 @@ final case class PhraseQ(terms: Seq[String], rel: Seq[Int]) extends Query
 final case class PrefixQ(prefix: String) extends Query
 final case class WildcardQ(pattern: String) extends Query
 final case class FuzzyQ(term: String, maxEdits: Int = 2) extends Query
+/** Term range [lo, hi) over the term dictionary (reference
+  * search/TermRangeQuery.java; rewrites to a constant-score set like the
+  * other multi-term queries). */
+final case class RangeQ(lo: String, hi: String) extends Query
 case object MatchAllQ extends Query
 final case class BoolQ(clauses: Seq[(Occur, Query)],
                        minShouldMatch: Int = 0) extends Query
