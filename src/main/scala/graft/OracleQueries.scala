@@ -43,9 +43,21 @@ object OracleQueries {
     "ft_phrase" ->
       s"""WITH $tokensCte
          |SELECT DISTINCT a.doc_id FROM tokens a
-         |JOIN tokens b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.term = 'order'
-         |JOIN tokens c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2 AND c.term = 'sort'
-         |WHERE a.term = 'key' ORDER BY 1""".stripMargin,
+         |JOIN tokens b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.term = 'table'
+         |JOIN tokens c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2 AND c.term = 'hash'
+         |WHERE a.term = 'stream' ORDER BY 1""".stripMargin,
+
+    "ft_phrase_sloppy" ->
+      s"""WITH $tokensCte
+         |SELECT DISTINCT a.doc_id FROM tokens a
+         |JOIN tokens b ON b.doc_id = a.doc_id AND b.term = 'vector'
+         |  AND abs(b.pos - a.pos - 1) <= 1
+         |WHERE a.term = 'spark' ORDER BY 1""".stripMargin,
+
+    "ft_regexp" ->
+      s"""WITH $tokensCte
+         |SELECT DISTINCT doc_id FROM tokens
+         |WHERE regexp_matches(term, '^s[pt][a-z]*m$$') ORDER BY doc_id""".stripMargin,
 
     "ft_prefix" ->
       s"""WITH $tokensCte
@@ -104,6 +116,51 @@ object OracleQueries {
          |        JOIN filt ON filt.doc_id = sc.doc_id GROUP BY sc.doc_id)
          |${rankSel(10)}""".stripMargin,
 
+    "ft_boost" ->
+      s"""${bm25With("('spark'),('vector')")},
+         |agg AS (SELECT doc_id,
+         |          sum(s * CASE WHEN qterm = 'spark' THEN 2.0 ELSE 1.0 END) AS score
+         |        FROM sc GROUP BY doc_id)
+         |${rankSel(15)}""".stripMargin,
+
+    "ft_reqopt" ->
+      s"""${bm25With("('spark'),('window')")},
+         |agg AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id
+         |        HAVING sum(CASE WHEN qterm = 'spark' THEN 1 ELSE 0 END) > 0)
+         |${rankSel(15)}""".stripMargin,
+
+    "ft_rescore" ->
+      s"""${bm25With("('spark'),('vector'),('window'),('merge')")},
+         |base AS (SELECT doc_id, sum(s) AS score FROM sc
+         |         WHERE qterm <> 'merge' GROUP BY doc_id),
+         |cand AS (SELECT doc_id, score FROM (
+         |  SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+         |  FROM base) WHERE rn <= 40),
+         |sec AS (SELECT doc_id, sum(s) AS s2 FROM sc
+         |        WHERE qterm = 'merge' GROUP BY doc_id),
+         |agg AS (SELECT c.doc_id, c.score + 2.0 * coalesce(sec.s2, 0) AS score
+         |        FROM cand c LEFT JOIN sec ON sec.doc_id = c.doc_id)
+         |${rankSel(10)}""".stripMargin,
+
+    "ft_mlt" ->
+      s"""WITH $tokensCte,
+         |$dlCsCte,
+         |$normCte,
+         |d0 AS (SELECT term, count(*) AS tf FROM tokens WHERE doc_id = 0 GROUP BY term),
+         |alldf AS (SELECT term, count(DISTINCT doc_id) AS df FROM tokens GROUP BY term),
+         |q AS (SELECT d0.term AS qterm FROM d0 JOIN alldf USING (term)
+         |      WHERE alldf.df >= 2
+         |      ORDER BY d0.tf DESC, alldf.df ASC, d0.term LIMIT 5),
+         |$bm25ClauseCte,
+         |agg AS (SELECT doc_id, sum(s) AS score FROM sc
+         |        WHERE doc_id <> 0 GROUP BY doc_id)
+         |${rankSel(10)}""".stripMargin,
+
+    "ft_numeric_range" ->
+      s"""WITH $tokensCte,
+         |$dlCsCte
+         |SELECT doc_id FROM dl WHERE dl >= 30 AND dl < 60 ORDER BY doc_id""".stripMargin,
+
     "ft_page2" ->
       s"""$bm25OrWith,
          |agg AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id)
@@ -148,6 +205,33 @@ object OracleQueries {
     "facet_pivot" ->
       s"""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt
          |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "facet_rollup" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS flag,
+         |       coalesce(l_linestatus, 'ALL') AS status,
+         |       CAST(count(*) AS BIGINT) AS cnt
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY flag, status""".stripMargin,
+
+    "drill_sideways" ->
+      s"""SELECT dim, value, CAST(cnt AS BIGINT) AS cnt FROM (
+         |  SELECT 'l_returnflag' AS dim, l_returnflag AS value, count(*) AS cnt
+         |  FROM lineitem WHERE l_quantity > 45 AND l_linestatus = 'F' GROUP BY 2
+         |  UNION ALL
+         |  SELECT 'l_linestatus', l_linestatus, count(*)
+         |  FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R' GROUP BY 2)
+         |ORDER BY dim, value""".stripMargin,
+
+    "group_twopass" ->
+      s"""WITH g AS (SELECT o_orderpriority, count(*) AS gcnt FROM orders
+         |           GROUP BY 1 ORDER BY gcnt DESC, o_orderpriority LIMIT 2)
+         |SELECT o_orderpriority, CAST(gcnt AS BIGINT) AS gcnt,
+         |       CAST(rn AS BIGINT) AS rn, o_orderkey FROM (
+         |  SELECT o.o_orderpriority, g.gcnt, o.o_orderkey,
+         |    row_number() OVER (PARTITION BY o.o_orderpriority
+         |                       ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+         |  FROM orders o JOIN g USING (o_orderpriority))
+         |WHERE rn <= 2 ORDER BY o_orderpriority, rn""".stripMargin,
 
     "stats_numeric" ->
       s"""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt,
@@ -336,6 +420,23 @@ object OracleQueries {
          |           ON x.band = y.band AND x.bv = y.bv AND x.id < y.id)
          |SELECT a, b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(ha, hb)) <= 3 ORDER BY a, b""".stripMargin,
+
+    "dedup_embcos" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |asg AS (SELECT id, cid FROM (
+         |  SELECT e.vec_id AS id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY list_dot_product(e.v, c.cv) /
+         |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+         |      c.cid) AS rn
+         |  FROM e, cents c) WHERE rn = 1),
+         |pairs AS (SELECT x.id AS a, y.id AS b,
+         |    list_dot_product(ex.v, ey.v) /
+         |      (sqrt(list_dot_product(ex.v, ex.v)) * sqrt(list_dot_product(ey.v, ey.v))) AS sim
+         |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.id < y.id
+         |  JOIN e ex ON ex.vec_id = x.id JOIN e ey ON ey.vec_id = y.id)
+         |SELECT a, b, round(sim, 6) AS sim FROM pairs
+         |WHERE sim >= 0.35 ORDER BY a, b""".stripMargin,
 
     // ---------- similarity search ----------
     "ann_cosine" ->

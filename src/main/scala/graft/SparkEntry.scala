@@ -35,11 +35,15 @@ object SparkEntry {
     numDocParts = nParts, numBuckets = 16, waves = 1,
     hotDfThreshold = 300L, saltShift = 16, shufflePartitions = 32)
 
-  /** documents -> input_hint shape, with the monotone docPart column. */
+  /** documents -> input_hint shape, with the monotone docPart column.
+    * repo must be CONSTANT here: the engine's canonical doc order is
+    * (repo, path, commit) within a docPart, so doc_id-order-isomorphic
+    * internal ids (which the SQL oracle's tie-breaks rely on) need the
+    * sort to reduce to the zero-padded-doc_id path. */
   def docsAsInput(docs: DataFrame): DataFrame =
     docs.select(
       (col("doc_id") / DocsPerPart).cast("int").as("docPart"),
-      col("source").as("repo"),
+      lit("corpus").as("repo"),
       lpad(col("doc_id").cast("string"), 9, "0").as("path"),
       md5(col("text")).as("commit"),
       col("lang"),
@@ -124,7 +128,13 @@ object SparkEntry {
       (Occur.Should, TermQ("stream"))), minShouldMatch = 2))),
 
     "ft_phrase" -> ((s, dir) => matchedDocs(s, dir, BoolQ(Seq(
-      (Occur.Must, PhraseQ(Seq("key", "order", "sort"), Seq(0, 1, 2))))))),
+      (Occur.Must, PhraseQ(Seq("stream", "table", "hash"), Seq(0, 1, 2))))))),
+
+    "ft_phrase_sloppy" -> ((s, dir) => matchedDocs(s, dir, BoolQ(Seq(
+      (Occur.Must, SloppyPhraseQ(Seq("spark", "vector"), Seq(0, 1), 1)))))),
+
+    "ft_regexp" -> ((s, dir) => matchedDocs(s, dir,
+      BoolQ(Seq((Occur.Should, RegexpQ("s[pt][a-z]*m")))))),
 
     "ft_prefix" -> ((s, dir) => matchedDocs(s, dir,
       BoolQ(Seq((Occur.Should, PrefixQ("s")))))),
@@ -171,6 +181,60 @@ object SparkEntry {
 
     "ft_bm25_filter" -> ((s, dir) => rankedTopK(s, dir, BoolQ(Seq(
       (Occur.Must, TermQ("spark")), (Occur.Filter, TermQ("vector")))), 10)),
+
+    "ft_boost" -> ((s, dir) => rankedTopK(s, dir, BoolQ(Seq(
+      (Occur.Should, BoostQ(TermQ("spark"), 2f)),
+      (Occur.Should, TermQ("vector")))), 15)),
+
+    "ft_reqopt" -> ((s, dir) => rankedTopK(s, dir, BoolQ(Seq(
+      (Occur.Must, TermQ("spark")), (Occur.Should, TermQ("window")))), 15)),
+
+    "ft_rescore" -> ((s, dir) => {
+      val r = reader(s, dir)
+      new JoinScorer(r)
+        .rescore(should("spark", "vector", "window"), should("merge"),
+          40, 1f, 2f, 10)
+        .join(idMap(r), "docId")
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        .select("rank", "doc_id").orderBy("rank")
+    }),
+
+    /** MoreLikeThis (reference lucene/queries/.../mlt/MoreLikeThis.java):
+      * representative terms of doc 0 — by (tf desc, df asc, term asc),
+      * df >= 2, top 5; integer-only ordering so the SQL oracle reproduces
+      * the exact term set — expanded into a BM25 disjunction, source doc
+      * excluded. */
+    "ft_mlt" -> ((s, dir) => {
+      val r = reader(s, dir)
+      val d0 = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") === 0L).select("text", "lang").head()
+      val toks = graft.analysis.Analyzer.analyze(d0.getString(0),
+        graft.analysis.StopSets.forLang(d0.getString(1)))
+      val tf = toks.groupBy(_.term).map { case (t, xs) => t -> xs.length }
+      val stats = r.termStats(tf.keys.toSeq)
+      val picked = tf.toSeq
+        .flatMap { case (t, f) => stats.get(t).map(st => (t, f, st.df)) }
+        .filter(_._3 >= 2L)
+        .sortBy { case (t, f, df) => (-f, df, t) }
+        .take(5).map(_._1)
+      val js = new JoinScorer(r)
+      js.topK(BoolQ(picked.map(t => (Occur.Should: Occur, TermQ(t): Query))), 11)
+        .join(idMap(r), "docId").where(col("doc_id") =!= 0L)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        .where(col("rank") <= 10)
+        .select("rank", "doc_id").orderBy("rank")
+    }),
+
+    /** NumericRangeQuery analog: typed-column range over the doc-values
+      * column (here: analyzed field length dl) — trie encoding is obsolete
+      * under Spark (SURVEY.md §2.4). */
+    "ft_numeric_range" -> ((s, dir) => {
+      val r = reader(s, dir)
+      r.docmeta.toDF().where(col("dl") >= 30 && col("dl") < 60)
+        .select(col("path").cast("long").as("doc_id")).orderBy("doc_id")
+    }),
 
     "ft_page2" -> ((s, dir) => {
       import s.implicits._
@@ -242,6 +306,52 @@ object SparkEntry {
       s.read.parquet(s"$dir/lineitem.parquet")
         .groupBy("l_returnflag", "l_linestatus").agg(count(lit(1)).as("cnt"))
         .orderBy("l_returnflag", "l_linestatus")),
+
+    /** Pivot facet with subtotals (JSON facet / PivotFacetProcessor with
+      * rollup semantics): grouping-set NULLs rendered as 'ALL'. */
+    "facet_rollup" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"), col("cnt"))
+        .orderBy("flag", "status")),
+
+    /** Drill-sideways (lucene/facet/.../DrillSideways.java): per dimension,
+      * facet counts computed with every drill-down filter EXCEPT the
+      * dimension's own. Dims: l_returnflag (drill 'R'), l_linestatus
+      * (drill 'F'); base filter l_quantity > 45. */
+    "drill_sideways" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_quantity") > 45)
+      val flagSide = li.where(col("l_linestatus") === "F")
+        .groupBy(col("l_returnflag").as("value"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("dim", lit("l_returnflag"))
+      val statusSide = li.where(col("l_returnflag") === "R")
+        .groupBy(col("l_linestatus").as("value"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("dim", lit("l_linestatus"))
+      flagSide.union(statusSide).select("dim", "value", "cnt")
+        .orderBy("dim", "value")
+    }),
+
+    /** Two-pass grouping (lucene/grouping TermFirst/SecondPassGrouping
+      * Collector): pass 1 = top-2 groups by doc count; pass 2 = top-2 docs
+      * within those groups. The group set is broadcast into pass 2. */
+    "group_twopass" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val topGroups = o.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("gcnt"))
+        .orderBy(col("gcnt").desc, col("o_orderpriority")).limit(2)
+      o.join(broadcast(topGroups), "o_orderpriority")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("o_orderpriority")
+            .orderBy(col("o_totalprice").desc, col("o_orderkey"))).cast("long"))
+        .where(col("rn") <= 2)
+        .select("o_orderpriority", "gcnt", "rn", "o_orderkey")
+        .orderBy("o_orderpriority", "rn")
+    }),
 
     "stats_numeric" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -426,6 +536,11 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(s.read.parquet(s"$dir/documents.parquet"), 3)
         .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
+        .orderBy("a", "b")),
+
+    "dedup_embcos" -> ((s, dir) =>
+      Dedup.embCosinePairs(s.read.parquet(s"$dir/embeddings.parquet"), 8, 0.35)
+        .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
         .orderBy("a", "b")),
 
     // ---------- training-data ops: similarity search ----------

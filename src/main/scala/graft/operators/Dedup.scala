@@ -164,4 +164,23 @@ object Dedup {
       .where(col("hamming") <= maxDist)
       .select(col("a"), col("b"), col("hamming"))
   }
+
+  /** Embedding-cosine near-dup pairs, IVF-cluster-bucketed: vectors are
+    * first assigned to their nearest centroid ([[Ann.ivfAssign]]); pair
+    * generation is a self-equi-join on the cluster id, so the quadratic
+    * blow-up is bounded per cluster (choose nCentroids ~ sqrt(N) at scale)
+    * instead of |corpus|^2. Output: (a, b, sim) with a < b in the same
+    * cluster and cosine >= threshold. */
+  def embCosinePairs(emb: DataFrame, nCentroids: Int, threshold: Double,
+                     id: String = "vec_id",
+                     vec: String = "embedding"): DataFrame = {
+    val assign = Ann.ivfAssign(emb, nCentroids, id, vec)
+    val withC = emb.join(assign, emb(id) === assign("id"))
+      .select(assign("id"), col("cid"), col(vec).as("v"))
+    withC.as("x").join(withC.as("y"),
+        col("x.cid") === col("y.cid") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        TextFns.cosine(col("x.v"), col("y.v")).as("sim"))
+      .where(col("sim") >= threshold)
+  }
 }

@@ -31,17 +31,31 @@ final class JoinScorer(reader: IndexReader) {
     * (MultiTermQuery -> constant-score set, the 5.2 default rewrite,
     * queryparser/.../QueryParserBase.java:67). */
   def rewrite(q: BoolQ): Seq[(Occur, Query, RewrittenClause)] = {
-    val termQs = q.clauses.collect { case (_, TermQ(t)) => t } ++
-      q.clauses.collect { case (_, PhraseQ(ts, _)) => ts }.flatten
+    // fold BoostQ wrappers into a (query, boost) pair before rewriting
+    def unwrap(qq: Query, b: Float = 1f): (Query, Float) = qq match {
+      case BoostQ(inner, bb) => unwrap(inner, b * bb)
+      case other => (other, b)
+    }
+    val flat = q.clauses.map { case (o, qq) =>
+      val (inner, b) = unwrap(qq); (o, inner, b)
+    }
+    val termQs = flat.collect { case (_, TermQ(t), _) => Seq(t)
+      case (_, PhraseQ(ts, _), _) => ts
+      case (_, SloppyPhraseQ(ts, _, _), _) => ts }.flatten
     val stats = reader.termStats(termQs.distinct)
-    q.clauses.map {
-      case (o, tq @ TermQ(t)) =>
-        (o, tq, ScoredTerm(t, stats.get(t)))
-      case (o, pq @ PhraseQ(ts, rel)) =>
-        (o, pq, ScoredPhrase(ts, rel, ts.map(stats.get)))
-      case (o, pq @ PrefixQ(p)) =>
+    flat.map {
+      case (o, tq @ TermQ(t), b) =>
+        (o, tq, ScoredTerm(t, stats.get(t), b))
+      case (o, pq @ PhraseQ(ts, rel), b) =>
+        (o, pq, ScoredPhrase(ts, rel, ts.map(stats.get), 0, b))
+      case (o, pq @ SloppyPhraseQ(ts, rel, slop), b) =>
+        (o, pq, ScoredPhrase(ts, rel, ts.map(stats.get), slop, b))
+      case (o, rq @ RegexpQ(pat), _) =>
+        (o, rq, ConstSet(
+          reader.expandTerms($"term".rlike("^" + pat + "$")).map(_.term)))
+      case (o, pq @ PrefixQ(p), _) =>
         (o, pq, ConstSet(reader.expandTerms($"term".startsWith(p)).map(_.term)))
-      case (o, wq @ WildcardQ(pat)) =>
+      case (o, wq @ WildcardQ(pat), _) =>
         val rx = "(?s)" + pat.flatMap {
           case '*' => ".*"
           case '?' => "."
@@ -49,18 +63,23 @@ final class JoinScorer(reader: IndexReader) {
           case c => c.toString
         }
         (o, wq, ConstSet(reader.expandTerms($"term".rlike("^" + rx + "$")).map(_.term)))
-      case (o, fq @ FuzzyQ(t, e)) =>
+      case (o, fq @ FuzzyQ(t, e), _) =>
         (o, fq, ConstSet(reader.expandTerms(levenshtein($"term", lit(t)) <= e).map(_.term)))
-      case (o, rq @ RangeQ(lo, hi)) =>
+      case (o, rq @ RangeQ(lo, hi), _) =>
         (o, rq, ConstSet(reader.expandTerms($"term" >= lo && $"term" < hi).map(_.term)))
-      case (o, MatchAllQ) => (o, MatchAllQ, MatchAll)
+      case (o, MatchAllQ, _) => (o, MatchAllQ, MatchAll)
+      case (_, other, _) =>
+        throw new IllegalArgumentException(s"cannot rewrite $other")
     }
   }
 
   sealed trait RewrittenClause
-  final case class ScoredTerm(term: String, stats: Option[TermStats]) extends RewrittenClause
+  final case class ScoredTerm(term: String, stats: Option[TermStats],
+                              boost: Float = 1f) extends RewrittenClause
   final case class ScoredPhrase(terms: Seq[String], rel: Seq[Int],
-                                stats: Seq[Option[TermStats]]) extends RewrittenClause
+                                stats: Seq[Option[TermStats]],
+                                slop: Int = 0,
+                                boost: Float = 1f) extends RewrittenClause
   final case class ConstSet(terms: Seq[String]) extends RewrittenClause
   case object MatchAll extends RewrittenClause
 
@@ -73,9 +92,11 @@ final class JoinScorer(reader: IndexReader) {
 
   /** Per-term scored hits: decode blocks, score with exact float ops. */
   private def termHits(term: String, clause: Int, kind: Int,
-                       stats: Option[TermStats]): Dataset[ClauseHit] = {
+                       stats: Option[TermStats],
+                       boost: Float = 1f): Dataset[ClauseHit] = {
     if (stats.isEmpty) return spark.emptyDataset[ClauseHit]
-    val wv = BM25.weightValue(BM25.idf(stats.get.df, reader.collStats.maxDoc))
+    val wv = BM25.weightValue(
+      BM25.idf(stats.get.df, reader.collStats.maxDoc), boost)
     val cacheB = spark.sparkContext.broadcast(reader.normCache)
     reader.blocks(Seq(term)).flatMap { b =>
       val (docs, tfs, nrms) = PostingsCodec.decodeDocs(
@@ -107,11 +128,12 @@ final class JoinScorer(reader: IndexReader) {
     * Score = (sum of term idfs) * (k1+1) * pf/(pf+norm). */
   private def phraseHits(terms: Seq[String], rel: Seq[Int],
                          stats: Seq[Option[TermStats]], clause: Int,
-                         kind: Int): Dataset[ClauseHit] = {
+                         kind: Int, slop: Int = 0,
+                         boost: Float = 1f): Dataset[ClauseHit] = {
     if (stats.exists(_.isEmpty) || terms.isEmpty) return spark.emptyDataset[ClauseHit]
     var idfSum = 0f
     stats.flatten.foreach(ts => idfSum += BM25.idf(ts.df, reader.collStats.maxDoc))
-    val wv = BM25.weightValue(idfSum)
+    val wv = BM25.weightValue(idfSum, boost)
     val relArr = rel.toArray
     val nTerms = terms.length
     // a term can occur at several phrase slots ("a b a")
@@ -134,16 +156,40 @@ final class JoinScorer(reader: IndexReader) {
       if (byTerm.exists(_ == null)) ClauseHit(docId, clause, kind, Float.NaN)
       else {
         // count first-term positions where every term aligns at rel offset
+        // (slop > 0: total displacement sum_j min_p |p - rel_j - o| <= slop,
+        // Lucene's movement cost for 2-term phrases,
+        // search/SloppyPhraseScorer.java)
         var pf = 0
         val base = byTerm(0)
         var i = 0
         while (i < base.length) {
           val p0 = base(i) - relArr(0)
           var ok = true
-          var j = 1
-          while (ok && j < nTerms) {
-            ok = java.util.Arrays.binarySearch(byTerm(j), p0 + relArr(j)) >= 0
-            j += 1
+          if (slop == 0) {
+            var j = 1
+            while (ok && j < nTerms) {
+              ok = java.util.Arrays.binarySearch(byTerm(j), p0 + relArr(j)) >= 0
+              j += 1
+            }
+          } else {
+            var cost = 0
+            var j = 1
+            while (ok && j < nTerms) {
+              val want = p0 + relArr(j)
+              val arr = byTerm(j)
+              val at = java.util.Arrays.binarySearch(arr, want)
+              val d =
+                if (at >= 0) 0
+                else {
+                  val ins = -at - 1
+                  val dLeft = if (ins > 0) want - arr(ins - 1) else Int.MaxValue
+                  val dRight = if (ins < arr.length) arr(ins) - want else Int.MaxValue
+                  math.min(dLeft, dRight)
+                }
+              cost += d
+              ok = cost <= slop
+              j += 1
+            }
           }
           if (ok) pf += 1
           i += 1
@@ -165,8 +211,9 @@ final class JoinScorer(reader: IndexReader) {
     val frames = rewritten.zipWithIndex.map { case ((o, _, rc), i) =>
       val kind = kindOf(o)
       rc match {
-        case ScoredTerm(t, st) => termHits(t, i, kind, st)
-        case ScoredPhrase(ts, rel, st) => phraseHits(ts, rel, st, i, kind)
+        case ScoredTerm(t, st, b) => termHits(t, i, kind, st, b)
+        case ScoredPhrase(ts, rel, st, slop, b) =>
+          phraseHits(ts, rel, st, i, kind, slop, b)
         case ConstSet(ts) => constHits(ts, i, kind)
         case MatchAll => matchAllHits(i, kind)
       }
@@ -225,6 +272,22 @@ final class JoinScorer(reader: IndexReader) {
       .where($"score" < afterScore ||
         ($"score" === afterScore && $"docId" > afterDoc))
       .orderBy($"score".desc, $"docId".asc).limit(k)
+
+  /** Two-stage rescoring (reference search/QueryRescorer.java): take the
+    * top `n` of `base`, recombine with `second`'s scores as
+    * wFirst*base + wSecond*second (0 when second misses), return top `k`.
+    * The second query scores ONLY the n-row candidate set — at cluster
+    * scale the expensive second pass never touches the full corpus. */
+  def rescore(base: BoolQ, second: BoolQ, n: Int,
+              wFirst: Float, wSecond: Float, k: Int): DataFrame = {
+    val baseTop = topK(base, n)
+    val sec = scores(second).toDF("docId", "s2")
+    baseTop.join(sec, Seq("docId"), "left")
+      .select($"docId",
+        ($"score" * wFirst +
+          coalesce($"s2", lit(0f)) * wSecond).as("score"))
+      .orderBy($"score".desc, $"docId".asc).limit(k)
+  }
 
   /** Disjunction-max (reference search/DisjunctionMaxQuery.java): max of
     * clause scores instead of sum (tiebreak 0). */

@@ -28,6 +28,19 @@ final case class FuzzyQ(term: String, maxEdits: Int = 2) extends Query
   * search/TermRangeQuery.java; rewrites to a constant-score set like the
   * other multi-term queries). */
 final case class RangeQ(lo: String, hi: String) extends Query
+/** Regexp over the term dictionary (reference search/RegexpQuery.java;
+  * rewrites to a constant-score term set like the other multi-term
+  * queries). Pattern is anchored (must match the whole term). */
+final case class RegexpQ(pattern: String) extends Query
+/** Sloppy phrase (reference search/SloppyPhraseScorer.java): matches when
+  * the terms can be aligned with total positional displacement <= slop
+  * (sum over terms of the distance each must move from its expected slot;
+  * exactly Lucene's movement cost for two-term phrases). */
+final case class SloppyPhraseQ(terms: Seq[String], rel: Seq[Int],
+                               slop: Int) extends Query
+/** Query-time boost (reference Query.setBoost; BM25 folds it into the
+  * weight: weightValue = idf * boost * (k1+1), BM25Similarity.java:289-293). */
+final case class BoostQ(q: Query, boost: Float) extends Query
 case object MatchAllQ extends Query
 final case class BoolQ(clauses: Seq[(Occur, Query)],
                        minShouldMatch: Int = 0) extends Query
@@ -84,6 +97,8 @@ object QueryParser {
         if (q(i) == '"' || (i + 1 < n && (q(i) == '+' || q(i) == '-') && q(i + 1) == '"')) {
           val qi = q.indexOf('"', if (q(i) == '"') i + 1 else i + 2)
           i = if (qi < 0) n else qi + 1
+          // trailing ~slop / ^boost stays part of the phrase token
+          while (i < n && !q(i).isWhitespace) i += 1
         } else {
           while (i < n && !q(i).isWhitespace) i += 1
         }
@@ -93,16 +108,32 @@ object QueryParser {
     out.result()
   }
 
-  private def parseClause(body: String, stop: Set[String]): Option[Query] = {
-    if (body.isEmpty) return None
-    if (body == "*:*") return Some(MatchAllQ)
+  private def parseClause(body0: String, stop: Set[String]): Option[Query] = {
+    if (body0.isEmpty) return None
+    if (body0 == "*:*") return Some(MatchAllQ)
+    // ^boost suffix applies to any clause kind (classic grammar Clause^f)
+    val caretAt = body0.lastIndexOf('^')
+    val boost: Option[Float] =
+      if (caretAt > 0) body0.substring(caretAt + 1).toFloatOption else None
+    val body = if (boost.isDefined) body0.substring(0, caretAt) else body0
+    def boosted(q: Query): Query =
+      boost.filter(_ != 1f).map(BoostQ(q, _)).getOrElse(q)
     if (body.startsWith("\"")) {
-      val inner = body.stripPrefix("\"").stripSuffix("\"")
+      val close = body.lastIndexOf('"')
+      val inner = body.substring(1, if (close > 0) close else body.length)
+      val slop = if (close > 0 && close + 1 < body.length &&
+          body(close + 1) == '~')
+        body.substring(close + 2).toIntOption.getOrElse(0)
+      else 0
       val terms = Analyzer.analyze(inner, stop)
       if (terms.isEmpty) return None
       val base = terms.head.position
-      return Some(PhraseQ(terms.map(_.term), terms.map(_.position - base)))
+      val (ts, rel) = (terms.map(_.term), terms.map(_.position - base))
+      return Some(boosted(
+        if (slop > 0) SloppyPhraseQ(ts, rel, slop) else PhraseQ(ts, rel)))
     }
+    if (body.length > 2 && body.startsWith("/") && body.endsWith("/"))
+      return Some(boosted(RegexpQ(body.substring(1, body.length - 1))))
     val fuzzyAt = body.lastIndexOf('~')
     if (fuzzyAt > 0) {
       val term = Analyzer.lowerCase(body.substring(0, fuzzyAt))
@@ -110,14 +141,14 @@ object QueryParser {
         case "" => 2
         case s => s.toIntOption.getOrElse(2).min(2)
       }
-      return Some(FuzzyQ(term, edits))
+      return Some(boosted(FuzzyQ(term, edits)))
     }
     if (body.endsWith("*") && !body.dropRight(1).exists(c => c == '*' || c == '?'))
-      return Some(PrefixQ(Analyzer.lowerCase(body.dropRight(1))))
+      return Some(boosted(PrefixQ(Analyzer.lowerCase(body.dropRight(1)))))
     if (body.exists(c => c == '*' || c == '?'))
-      return Some(WildcardQ(Analyzer.lowerCase(body)))
+      return Some(boosted(WildcardQ(Analyzer.lowerCase(body))))
     // plain term: run through analysis; stopword-only -> no clause
     val terms = Analyzer.analyze(body, stop)
-    terms.headOption.map(tp => TermQ(tp.term))
+    terms.headOption.map(tp => boosted(TermQ(tp.term)))
   }
 }
