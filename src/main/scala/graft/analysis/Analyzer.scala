@@ -18,16 +18,28 @@ final case class TermPos(term: String, position: Int)
   */
 object Analyzer {
 
-  /** Codepoint-wise lowercase, as CharacterUtils.toLowerCase does. */
+  /** Codepoint-wise lowercase, as CharacterUtils.toLowerCase does.
+    * Fast path: if no codepoint changes (the common case for source-code
+    * and already-lowercase corpora), the input string is returned as-is —
+    * no allocation. */
   def lowerCase(s: String): String = {
-    val sb = new java.lang.StringBuilder(s.length)
     var i = 0
-    while (i < s.length) {
+    while (i < s.length) { // scan for the first char that would change
       val cp = s.codePointAt(i)
-      sb.appendCodePoint(Character.toLowerCase(cp))
+      if (Character.toLowerCase(cp) != cp) {
+        val sb = new java.lang.StringBuilder(s.length)
+        sb.append(s, 0, i)
+        var j = i
+        while (j < s.length) {
+          val c = s.codePointAt(j)
+          sb.appendCodePoint(Character.toLowerCase(c))
+          j += Character.charCount(c)
+        }
+        return sb.toString
+      }
       i += Character.charCount(cp)
     }
-    sb.toString
+    s
   }
 
   /** Full chain; returns (term, position) pairs in reading order.

@@ -99,14 +99,33 @@ object StandardTokenizer {
   @inline private def joinable(c: Int): Boolean =
     c == ALETTER || c == NUMERIC || c == KATAKANA || c == EXTENDNUMLET
 
+  /** Per-thread scratch for the three pass-1 arrays: executor threads
+    * tokenize millions of docs, and per-doc allocation of 3 text-length
+    * arrays is pure GC/DRAM traffic (measured: it caps multi-core build
+    * scaling before CPU does). Grown geometrically, never shrunk. */
+  private final class Scratch {
+    var cls: Array[Byte] = new Array[Byte](1024)
+    var starts: Array[Int] = new Array[Int](1024)
+    var ends: Array[Int] = new Array[Int](1024)
+    def ensure(n: Int): Unit = if (cls.length < n) {
+      val cap = Integer.highestOneBit(n - 1) << 1
+      cls = new Array[Byte](cap)
+      starts = new Array[Int](cap)
+      ends = new Array[Int](cap)
+    }
+  }
+  private val scratch = ThreadLocal.withInitial[Scratch](() => new Scratch)
+
   /** Tokenize `text`; returns tokens with offsets, posIncs and types. */
   def tokenize(text: String,
                maxTokenLength: Int = DefaultMaxTokenLength): Vector[Token] = {
     val n = text.length
     // pass 1: base codepoints with WB4 (Extend|Format attach to previous base)
-    val cls = new Array[Byte](n)   // per base index
-    val starts = new Array[Int](n) // char offset of base cp
-    val ends = new Array[Int](n)   // char offset AFTER base cp + its extends
+    val sc = scratch.get()
+    sc.ensure(n)
+    val cls = sc.cls       // per base index
+    val starts = sc.starts // char offset of base cp
+    val ends = sc.ends     // char offset AFTER base cp + its extends
     var nb = 0
     var i = 0
     while (i < n) {

@@ -32,9 +32,11 @@ import graft.search.BM25
   */
 object IndexBuilder {
 
+  private val sha = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("SHA-256"))
+
   def sha256Hex(s: String): String = {
-    val d = MessageDigest.getInstance("SHA-256")
-      .digest(s.getBytes(StandardCharsets.UTF_8))
+    val d = sha.get().digest(s.getBytes(StandardCharsets.UTF_8))
     val sb = new StringBuilder(64)
     d.foreach(b => sb.append(f"${b & 0xff}%02x"))
     sb.toString
@@ -76,6 +78,15 @@ object IndexBuilder {
   def stageDone(dir: String, stage: String): Boolean =
     Files.exists(markerPath(dir, stage))
 
+  /** Wall-time a build stage; one line per stage on stderr (the
+    * stage-level metrics the north rule's lineage markers carry). */
+  private def timed[T](stage: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    val r = body
+    System.err.println(f"[build] $stage%-16s ${(System.nanoTime() - t0) / 1e9}%6.2fs")
+    r
+  }
+
   def writeMarker(dir: String, stage: String, metrics: Map[String, Long]): Unit = {
     val p = markerPath(dir, stage)
     Files.createDirectories(p.getParent)
@@ -101,7 +112,7 @@ object IndexBuilder {
 
     // ---- stage 1: segments (invert; doc-partitioned forward index) ----
     val segPath = s"$dir/segments"
-    if (!stageDone(dir, "segments")) {
+    if (!stageDone(dir, "segments")) timed("segments") {
       val maxTok = cfg.maxTokenLength
       val nParts = cfg.numDocParts
       val parted = (
@@ -142,13 +153,13 @@ object IndexBuilder {
     lazy val segments = spark.read.parquet(segPath).as[SegmentDoc]
 
     // ---- stage 2: docmeta (norms + stored-field keys) ----
-    if (!stageDone(dir, "docmeta")) {
+    if (!stageDone(dir, "docmeta")) timed("docmeta") {
       segments.drop("postings").write.mode("overwrite").parquet(s"$dir/docmeta")
       writeMarker(dir, "docmeta", Map())
     }
 
     // ---- stage 3: collection + term stats ----
-    if (!stageDone(dir, "collstats")) {
+    if (!stageDone(dir, "collstats")) timed("collstats") {
       val row = segments.agg(count(lit(1)), coalesce(sum($"dl"), lit(0L))).head()
       val cs = CollStats(row.getLong(0), row.getLong(1))
       Seq(cs).toDS().write.mode("overwrite").parquet(s"$dir/collstats")
@@ -157,7 +168,7 @@ object IndexBuilder {
     }
     val collStats = spark.read.parquet(s"$dir/collstats").as[CollStats].head()
 
-    if (!stageDone(dir, "termstats")) {
+    if (!stageDone(dir, "termstats")) timed("termstats") {
       val nb = cfg.numBuckets
       val ts = segments
         .select(explode($"postings").as("p"))
@@ -187,7 +198,7 @@ object IndexBuilder {
     var w = 0
     while (w < cfg.waves) {
       val stage = s"postings_wave_$w"
-      if (!stageDone(dir, stage)) {
+      if (!stageDone(dir, stage)) timed(stage) {
         val nb = cfg.numBuckets
         val shift = cfg.saltShift
         val waves = cfg.waves
@@ -207,8 +218,15 @@ object IndexBuilder {
             val salt = if (hotB.value.contains(r.term)) (r.docId >> shift) else 0L
             (Buckets.of(r.term, nb), salt, r)
           }
+        // Shuffle key = (term, salt), NOT bucket: hashing raw terms spreads
+        // the merge over ALL shuffle partitions at any parallelism (bucket
+        // count would cap it), and salt still splits hot terms into
+        // disjoint docId-range chunks. Term locality for reads comes from
+        // the within-partition (term, docId) sort: every file is
+        // term-sorted, so parquet row-group min/max stats prune term
+        // lookups (the BlockTree-seek analog) without bucket directories.
         val blocks = rows.toDF("bucket", "salt", "r")
-          .repartition(cfg.shufflePartitions, $"bucket", $"salt")
+          .repartition(cfg.shufflePartitions, $"r.term", $"salt")
           .sortWithinPartitions($"r.term", $"r.docId")
           .select($"bucket", $"salt", $"r.*")
           .as[(Int, Long, String, Long, Int, Array[Int], Byte)]
@@ -249,8 +267,7 @@ object IndexBuilder {
               def next(): BlockRow = { refill(); pending.next() }
             }
           }
-        blocks.write.mode("overwrite").partitionBy("bucket")
-          .parquet(s"$dir/postings/wave=$w")
+        blocks.write.mode("overwrite").parquet(s"$dir/postings/wave=$w")
         writeMarker(dir, stage,
           Map("postings" -> postAcc.value, "blocks" -> blockAcc.value))
       }
