@@ -187,6 +187,17 @@ object OracleQueries {
     "ft_matchall_count" ->
       "SELECT CAST(count(*) AS BIGINT) AS n FROM documents",
 
+    "ft_checkindex" ->
+      s"""SELECT * FROM (VALUES
+         |  ('block_invariants', CAST(0 AS BIGINT)),
+         |  ('block_ranges_disjoint', CAST(0 AS BIGINT)),
+         |  ('collstats_consistent', CAST(0 AS BIGINT)),
+         |  ('docid_unique', CAST(0 AS BIGINT)),
+         |  ('norm_matches_dl', CAST(0 AS BIGINT)),
+         |  ('sha256_matches_source', CAST(0 AS BIGINT)),
+         |  ('termdict_vs_postings', CAST(0 AS BIGINT))
+         |) AS t("check", violations) ORDER BY 1""".stripMargin,
+
     "ft_sha256" ->
       s"""SELECT doc_id, sha256(text) AS sha FROM documents
          |WHERE doc_id < 40 ORDER BY doc_id""".stripMargin,

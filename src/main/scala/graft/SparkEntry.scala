@@ -283,6 +283,16 @@ object SparkEntry {
       Seq(n).toDF("n")
     }),
 
+    /** CheckIndex validation job (index/CheckIndex.java analog + north
+      * rule sha256 cross-check): every invariant scan must report zero
+      * violations — the oracle pins the exact expected table. */
+    "ft_checkindex" -> ((s, dir) => {
+      val r = reader(s, dir)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.index.CheckIndex.run(r, Some(docsAsInput(docs))).toDF()
+        .select(col("check"), col("violations")).orderBy("check")
+    }),
+
     "ft_sha256" -> ((s, dir) => {
       val r = reader(s, dir)
       r.docmeta.toDF()

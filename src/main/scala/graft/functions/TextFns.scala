@@ -52,10 +52,11 @@ object TextFns {
   /** Cosine similarity in double precision, formula-identical to DuckDB's
     * list_cosine_similarity: dot / (sqrt(dot_aa) * sqrt(dot_bb)), all sums
     * left-to-right. Inputs are float arrays; each element widens exactly. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+  /** Left-to-right double dot product (DuckDB list_dot_product mirror). */
+  def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
 }

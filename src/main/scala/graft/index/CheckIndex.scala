@@ -1,0 +1,115 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.codec.{PostingBlock, PostingsCodec, SmallFloat}
+
+/** Index validation job (reference:
+  * lucene/core/src/java/org/apache/lucene/index/CheckIndex.java:704,1688-1696
+  * — postings sorted, stats consistent, term dict vs postings cross-check)
+  * plus the north rule's per-row content sha256 check against the source
+  * table. Every check is a distributed scan returning a violation count;
+  * a healthy index returns all zeros.
+  */
+object CheckIndex {
+
+  final case class CheckResult(check: String, violations: Long)
+
+  /** Decode-level per-block stats used by several checks (public:
+    * Catalyst codegen needs accessor visibility on Encoder classes). */
+  final case class BlockFacts(term: String, firstDoc: Long,
+                                      lastDoc: Long, count: Int,
+                                      nDecoded: Int, sumTf: Long, maxTf: Int,
+                                      declaredMaxTf: Int, sorted: Boolean,
+                                      inRange: Boolean, boundSafe: Boolean)
+
+  def run(reader: IndexReader, source: Option[DataFrame] = None): Dataset[CheckResult] = {
+    val spark = reader.spark
+    import spark.implicits._
+
+    val cache = reader.normCache
+    val cacheB = spark.sparkContext.broadcast(cache)
+    val facts = spark.read.parquet(s"${reader.dir}/postings").drop("wave")
+      .select($"term", $"firstDoc", $"lastDoc", $"count", $"maxTf",
+        $"maxPartial", $"docBytes", $"nrmBytes", $"posBytes")
+      .as[(String, Long, Long, Int, Int, Float, Array[Byte], Array[Byte], Array[Byte])]
+      .map { case (term, fd, ld, cnt, mtf, mp, db, nb, pb) =>
+        val (docs, tfs, nrms) = PostingsCodec.decodeDocs(
+          PostingBlock(term, fd, ld, cnt, mtf, mp, db, nb, pb))
+        var sorted = true
+        var maxTf = 0
+        var sumTf = 0L
+        var boundSafe = true
+        val c = cacheB.value
+        var i = 0
+        while (i < docs.length) {
+          if (i > 0 && docs(i) <= docs(i - 1)) sorted = false
+          if (tfs(i) > maxTf) maxTf = tfs(i)
+          sumTf += tfs(i)
+          // WAND safety: declared upper-bound factor must dominate the
+          // true per-posting partial tf/(tf+norm) in the same float ops
+          val partial = tfs(i).toFloat / (tfs(i).toFloat + c(nrms(i) & 0xFF))
+          if (partial > mp) boundSafe = false
+          i += 1
+        }
+        val inRange = docs.isEmpty ||
+          (docs.head == fd && docs.last == ld && docs.head >= fd && docs.last <= ld)
+        BlockFacts(term, fd, ld, cnt, docs.length, sumTf, maxTf, mtf,
+          sorted, inRange, boundSafe)
+      }.cache()
+
+    val blockBad = facts.filter(f =>
+      !f.sorted || !f.inRange || !f.boundSafe ||
+        f.nDecoded != f.count || f.maxTf > f.declaredMaxTf).count()
+
+    // blocks of one term must cover disjoint, ascending docId ranges
+    // (the docBase-concatenation invariant, codecs/FieldsConsumer.java:90-100)
+    val w = Window.partitionBy("term").orderBy("firstDoc")
+    val overlap = facts.toDF()
+      .withColumn("prevLast", lag($"lastDoc", 1).over(w))
+      .where($"prevLast".isNotNull && $"firstDoc" <= $"prevLast")
+      .count()
+
+    // term dict vs postings cross-check (CheckIndex.java:1688-1696)
+    val perTerm = facts.groupBy("term")
+      .agg(sum($"nDecoded").as("df2"), sum($"sumTf").as("ttf2"),
+        max($"maxTf").as("maxTf2"))
+    val statsBad = reader.termStatsDf.toDF()
+      .join(perTerm, Seq("term"), "full_outer")
+      .where($"df".isNull || $"df2".isNull ||
+        $"df" =!= $"df2" || $"ttf" =!= $"ttf2" || $"maxTf" =!= $"maxTf2")
+      .count()
+
+    val dm = reader.docmeta.toDF().cache()
+    val docidDup = dm.count() - dm.select("docId").distinct().count()
+    val normUdf = udf((dl: Int) => SmallFloat.normByte(dl))
+    val normBad = dm.where($"norm" =!= normUdf($"dl")).count()
+
+    val cs = reader.collStats
+    val agg = dm.agg(count(lit(1)), coalesce(sum($"dl"), lit(0L))).head()
+    val collBad = (if (cs.maxDoc == agg.getLong(0)) 0L else 1L) +
+      (if (cs.sumTotalTermFreq == agg.getLong(1)) 0L else 1L)
+
+    // north rule: per-row content sha256 equality vs the source table
+    val shaBad = source.map { src =>
+      val srcSha = src.select($"repo", $"path", $"commit",
+        sha2($"content", 256).as("srcSha"))
+      dm.join(srcSha, Seq("repo", "path", "commit"), "full_outer")
+        .where($"sha256".isNull || $"srcSha".isNull || $"sha256" =!= $"srcSha")
+        .count()
+    }
+
+    val rows = Seq(
+      CheckResult("block_invariants", blockBad),
+      CheckResult("block_ranges_disjoint", overlap),
+      CheckResult("termdict_vs_postings", statsBad),
+      CheckResult("docid_unique", docidDup),
+      CheckResult("norm_matches_dl", normBad),
+      CheckResult("collstats_consistent", collBad)) ++
+      shaBad.map(n => CheckResult("sha256_matches_source", n))
+    facts.unpersist(); dm.unpersist()
+    spark.createDataset(rows)
+  }
+}

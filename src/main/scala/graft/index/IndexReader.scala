@@ -2,21 +2,32 @@ package graft.index
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.search.BM25
 
 /** Point-in-time view over a built index directory (DirectoryReader analog,
   * lucene/core/src/java/org/apache/lucene/index/DirectoryReader.java:62).
-  * Term lookups prune by the `bucket` partition directory (our stand-in for
-  * the BlockTree/FST term-dict seek) and push the `term` predicate into the
-  * parquet scan.
+  *
+  * Caching mirrors the reference's serving posture: Lucene keeps the term
+  * dictionary hot (FST in heap) and postings in the OS page cache. Here:
+  * term-stats lookups are memoized driver-side (the TermsEnum.seekExact
+  * cache), and the postings / docmeta Datasets are Spark-cached
+  * (MEMORY_AND_DISK) so repeated queries hit executor-resident columnar
+  * batches instead of re-reading parquet. `cacheData = false` restores
+  * scan-per-query (the posture for a 100TB index where only the hot
+  * working set should live in executor storage — Spark evicts LRU).
   */
 final class IndexReader(val spark: SparkSession, val dir: String,
-                        val numBuckets: Int) {
+                        val numBuckets: Int, val cacheData: Boolean = true) {
   import spark.implicits._
 
-  lazy val docmeta: Dataset[DocMeta] =
-    spark.read.parquet(s"$dir/docmeta").as[DocMeta]
+  private lazy val docmetaDf: Dataset[DocMeta] = {
+    val d = spark.read.parquet(s"$dir/docmeta").as[DocMeta]
+    if (cacheData) d.persist(StorageLevel.MEMORY_AND_DISK) else d
+  }
+
+  def docmeta: Dataset[DocMeta] = docmetaDf
 
   lazy val collStats: CollStats =
     spark.read.parquet(s"$dir/collstats").as[CollStats].head()
@@ -26,32 +37,50 @@ final class IndexReader(val spark: SparkSession, val dir: String,
 
   lazy val normCache: Array[Float] = BM25.cache(avgdl)
 
-  def termStatsDf: Dataset[TermStats] =
-    spark.read.parquet(s"$dir/termstats").as[TermStats]
+  private lazy val termStatsCached: Dataset[TermStats] = {
+    val ts = spark.read.parquet(s"$dir/termstats").as[TermStats]
+    if (cacheData) ts.persist(StorageLevel.MEMORY_AND_DISK) else ts
+  }
 
-  /** Stats for an explicit term set (bucket-pruned scan; small collect —
-    * this is the TermsEnum.seekExact + stats read of the reference,
-    * search/IndexSearcher.java:836-847). */
+  def termStatsDf: Dataset[TermStats] = termStatsCached
+
+  /** Driver-side memo of per-term stats (the TermsEnum.seekExact + stats
+    * read of the reference, search/IndexSearcher.java:836-847). Negative
+    * lookups are cached too (absent term -> None). */
+  private val statsMemo =
+    new scala.collection.concurrent.TrieMap[String, Option[TermStats]]
+
   def termStats(terms: Seq[String]): Map[String, TermStats] = {
     if (terms.isEmpty) return Map.empty
-    val buckets = terms.map(t => Buckets.of(t, numBuckets)).distinct
-    termStatsDf
-      .where($"bucket".isin(buckets: _*) && $"term".isin(terms: _*))
-      .collect().map(ts => ts.term -> ts).toMap
+    val missing = terms.distinct.filterNot(statsMemo.contains)
+    if (missing.nonEmpty) {
+      val buckets = missing.map(t => Buckets.of(t, numBuckets)).distinct
+      val found = termStatsCached
+        .where($"bucket".isin(buckets: _*) && $"term".isin(missing: _*))
+        .collect().map(ts => ts.term -> ts).toMap
+      missing.foreach(t => statsMemo.put(t, found.get(t)))
+    }
+    terms.distinct.flatMap(t => statsMemo(t).map(t -> _)).toMap
   }
 
   /** Term-dictionary expansion for multi-term queries (prefix/wildcard/
     * fuzzy/range rewrite, reference search/MultiTermQuery.java). The
     * predicate runs over the term dictionary, NOT the postings. */
   def expandTerms(pred: org.apache.spark.sql.Column, limit: Int = 1024): Seq[TermStats] =
-    termStatsDf.where(pred).orderBy($"term").limit(limit).collect().toSeq
+    termStatsCached.where(pred).orderBy($"term").limit(limit).collect().toSeq
 
-  /** Compressed block rows for the given terms, bucket-pruned. */
+  private lazy val postingsDf: DataFrame = {
+    val p = spark.read.parquet(s"$dir/postings").drop("wave")
+    if (cacheData) p.persist(StorageLevel.MEMORY_AND_DISK) else p
+  }
+
+  /** Compressed block rows for the given terms. Uncached: parquet
+    * row-group pruning via the files' (term, docId) sort order; cached:
+    * in-memory columnar batch filter. */
   def blocks(terms: Seq[String]): Dataset[BlockRow] = {
     val buckets = terms.map(t => Buckets.of(t, numBuckets)).distinct
-    spark.read.parquet(s"$dir/postings")
+    postingsDf
       .where($"bucket".isin(buckets: _*) && $"term".isin(terms: _*))
-      .drop("wave")
       .select($"bucket", $"term", $"firstDoc", $"lastDoc", $"count",
         $"maxTf", $"maxPartial", $"docBytes", $"nrmBytes", $"posBytes")
       .as[BlockRow]

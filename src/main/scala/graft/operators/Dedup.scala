@@ -175,12 +175,18 @@ object Dedup {
                      id: String = "vec_id",
                      vec: String = "embedding"): DataFrame = {
     val assign = Ann.ivfAssign(emb, nCentroids, id, vec)
+    // precompute each vector's norm ONCE: cosine(a,b) = dot/(nrmA*nrmB)
+    // is value-identical to dot/(sqrt(aa)*sqrt(bb)) in double, and cuts
+    // per-pair work from 3 dot products to 1 — the dominant cost when a
+    // cluster yields O(m^2) pairs.
     val withC = emb.join(assign, emb(id) === assign("id"))
-      .select(assign("id"), col("cid"), col(vec).as("v"))
+      .select(assign("id"), col("cid"), col(vec).as("v"),
+        sqrt(TextFns.dot(col(vec), col(vec))).as("nrm"))
     withC.as("x").join(withC.as("y"),
         col("x.cid") === col("y.cid") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
-        TextFns.cosine(col("x.v"), col("y.v")).as("sim"))
+        (TextFns.dot(col("x.v"), col("y.v")) /
+          (col("x.nrm") * col("y.nrm"))).as("sim"))
       .where(col("sim") >= threshold)
   }
 }

@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.index._
+import graft.search._
+
+/** CheckIndex invariants + resumable-build semantics (north rule:
+  * resumable from per-partition checkpoints, byte-identical results). */
+class IndexMaintenanceSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+  import spark.implicits._
+
+  private val cfg = IndexConfig(numDocParts = 8, numBuckets = 8, waves = 2,
+    hotDfThreshold = 400L, saltShift = 6, shufflePartitions = 8)
+
+  private lazy val input = CorpusGen.generate(spark, 800).toDF()
+
+  private def build(dir: String): IndexReader = {
+    IndexBuilder.build(spark, input, dir, cfg)
+    new IndexReader(spark, dir, cfg.numBuckets, cacheData = false)
+  }
+
+  private def topDocs(r: IndexReader): Seq[(Long, Float)] =
+    new JoinScorer(r).topK(BoolQ(Seq(
+      (Occur.Should, TermQ("import")), (Occur.Should, TermQ("spark")))), 20)
+      .as[(Long, Float)].collect().toSeq
+
+  test("CheckIndex: fresh build has zero violations on every invariant") {
+    val dir = SparkSuite.tmpDir("graft-check")
+    val r = build(dir)
+    val res = CheckIndex.run(r, Some(input)).collect()
+    assert(res.length == 7)
+    res.foreach(c => assert(c.violations == 0L, s"check ${c.check}"))
+  }
+
+  test("resume: killed-after-stage build resumes and is result-identical") {
+    val full = SparkSuite.tmpDir("graft-full")
+    val rFull = build(full)
+    val expect = topDocs(rFull)
+
+    // simulate a crash after termstats: wave-0 postings committed, wave-1
+    // not (its marker is missing) — resume must redo ONLY wave 1
+    val part = SparkSuite.tmpDir("graft-part")
+    IndexBuilder.build(spark, input, part, cfg)
+    deleteRec(Paths.get(s"$part/postings/wave=1"))
+    Files.deleteIfExists(IndexBuilder.markerPath(part, "postings_wave_1"))
+    Files.deleteIfExists(IndexBuilder.markerPath(part, "done"))
+    val segMtime = Files.getLastModifiedTime(
+      Paths.get(s"$part/_lineage/segments.json"))
+
+    val rResumed = build(part) // resume
+    assert(Files.getLastModifiedTime(Paths.get(s"$part/_lineage/segments.json"))
+      == segMtime, "resume must not redo completed stages")
+    assert(topDocs(rResumed) == expect,
+      "resumed build must be result-identical to an uninterrupted one")
+    CheckIndex.run(rResumed, Some(input)).collect()
+      .foreach(c => assert(c.violations == 0L, s"check ${c.check}"))
+  }
+
+  private def deleteRec(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f =>
+        Files.deleteIfExists(f))
+}
