@@ -26,6 +26,12 @@ object OracleQueries {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM tokens
          |WHERE term = 'spark' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "ft_positions" ->
+      s"""WITH $tokensCte
+         |SELECT doc_id, string_agg(pos, ',' ORDER BY pos) AS pos_list
+         |FROM tokens WHERE term = 'window'
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "ft_bool_and_not" ->
       s"""WITH $tokensCte
          |SELECT d.doc_id FROM documents d
@@ -178,6 +184,12 @@ object OracleQueries {
       s"""$bm25OrWith,
          |agg AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id)
          |${rankSel(20)}""".stripMargin,
+
+    "ft_wand_conj" ->
+      s"""${bm25With("('small'),('value')")},
+         |agg AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id
+         |        HAVING count(*) = 2)
+         |${rankSel(10)}""".stripMargin,
 
     "ft_count_or" ->
       s"""WITH $tokensCte

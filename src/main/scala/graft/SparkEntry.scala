@@ -119,6 +119,22 @@ object SparkEntry {
         .join(idMap(r), "docId").select("doc_id", "tf").orderBy("doc_id")
     }),
 
+    /** Positions codec exposed directly: decoded per-doc position lists
+      * for one term (the .pos file analog; stopword gaps visible). */
+    "ft_positions" -> ((s, dir) => {
+      import s.implicits._
+      val r = reader(s, dir)
+      r.blocks(Seq("window"))
+        .flatMap { b =>
+          graft.codec.PostingsCodec.decode(graft.codec.PostingBlock(
+            b.term, b.firstDoc, b.lastDoc, b.count, b.maxTf, b.maxPartial,
+            b.docBytes, b.nrmBytes, b.posBytes)).iterator
+            .map(p => (p.docId, p.positions.mkString(",")))
+        }.toDF("docId", "pos_list")
+        .join(idMap(r), "docId").select("doc_id", "pos_list")
+        .orderBy("doc_id")
+    }),
+
     "ft_bool_and_not" -> ((s, dir) => matchedDocs(s, dir, BoolQ(Seq(
       (Occur.Must, TermQ("spark")), (Occur.Must, TermQ("vector")),
       (Occur.MustNot, TermQ("dup")))))),
@@ -262,6 +278,15 @@ object SparkEntry {
     "ft_wand_top20" -> ((s, dir) => {
       val r = reader(s, dir)
       new WandScorer(r).topK(Seq("spark", "vector", "window"), 20)
+        .join(idMap(r), "docId")
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        .select("rank", "doc_id").orderBy("rank")
+    }),
+
+    "ft_wand_conj" -> ((s, dir) => {
+      val r = reader(s, dir)
+      new WandScorer(r).topK(Seq("small", "value"), 10, conjunctive = true)
         .join(idMap(r), "docId")
         .withColumn("rank", row_number().over(
           Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
