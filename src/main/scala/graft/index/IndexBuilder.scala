@@ -277,6 +277,34 @@ object IndexBuilder {
     dir
   }
 
+  /** Append a delta batch as its own SUB-INDEX directory (the NRT
+    * soft-commit analog: each micro-batch becomes a new immutable segment
+    * set, made visible by re-opening a [[MultiIndexReader]] — reference
+    * DirectoryReader.open(IndexWriter), index/DirectoryReader.java:85).
+    *
+    * `input` must carry a `docPart` column DISJOINT from the base index's
+    * and every earlier delta's (callers offset by partsSoFar); that keeps
+    * docIds globally unique so the union reader needs no remapping —
+    * docBase concatenation again (codecs/FieldsConsumer.java:90-100).
+    * Stage markers inside the delta dir make re-delivery of the same
+    * batch idempotent (exactly-once sink semantics under foreachBatch
+    * retries). */
+  def append(spark: SparkSession, input: DataFrame, baseDir: String,
+             batchId: Long, cfg: IndexConfig): String = {
+    val dir = s"$baseDir/delta_$batchId"
+    build(spark, input, dir, cfg)
+    dir
+  }
+
+  /** Sub-index directories of `baseDir` in append order. */
+  def subIndexDirs(baseDir: String): Seq[String] = {
+    val deltas = Option(new java.io.File(baseDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("delta_"))
+      .sortBy(f => f.getName.stripPrefix("delta_").toLong)
+      .map(_.getAbsolutePath)
+    baseDir +: deltas
+  }
+
   /** Catalyst-stable term hash = Java String.hashCode (computable on the
     * driver for pruning). Implemented as a column expression (codegen'd
     * path would be a custom Expression; hash parity matters more here). */

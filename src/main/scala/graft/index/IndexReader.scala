@@ -19,7 +19,8 @@ import graft.search.BM25
   * working set should live in executor storage — Spark evicts LRU).
   */
 final class IndexReader(val spark: SparkSession, val dir: String,
-                        val numBuckets: Int, val cacheData: Boolean = true) {
+                        val numBuckets: Int, val cacheData: Boolean = true)
+    extends SearchReader {
   import spark.implicits._
 
   private lazy val docmetaDf: Dataset[DocMeta] = {

@@ -1,0 +1,81 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, Dataset, SparkSession}
+
+/** Reader abstraction the scorers run against (IndexReader for one built
+  * index; MultiIndexReader for a base index + appended delta sub-indexes —
+  * the composite DirectoryReader-over-segments analog,
+  * lucene/core/src/java/org/apache/lucene/index/DirectoryReader.java:62). */
+trait SearchReader {
+  def spark: SparkSession
+  def collStats: CollStats
+  def avgdl: Float
+  def normCache: Array[Float]
+  def termStats(terms: Seq[String]): Map[String, TermStats]
+  def termStatsDf: Dataset[TermStats]
+  def expandTerms(pred: Column, limit: Int = 1024): Seq[TermStats]
+  def blocks(terms: Seq[String]): Dataset[BlockRow]
+  def docmeta: Dataset[DocMeta]
+}
+
+/** Point-in-time union view over several sub-indexes with GLOBAL
+  * statistics: df/ttf/maxDoc/sumTotalTermFreq sum across sub-indexes, so
+  * BM25 weights (and therefore scores and ranks) are identical to a
+  * from-scratch build over the union — the distributed-idf correctness the
+  * reference's per-shard stats lack (SURVEY.md §3.3). Sub-indexes must
+  * have disjoint docPart ranges (the append API guarantees it). */
+final class MultiIndexReader(val readers: Seq[IndexReader]) extends SearchReader {
+  require(readers.nonEmpty)
+  val spark: SparkSession = readers.head.spark
+
+  lazy val collStats: CollStats = CollStats(
+    readers.map(_.collStats.maxDoc).sum,
+    readers.map(_.collStats.sumTotalTermFreq).sum)
+
+  lazy val avgdl: Float =
+    graft.search.BM25.avgFieldLength(collStats.sumTotalTermFreq, collStats.maxDoc)
+
+  lazy val normCache: Array[Float] = graft.search.BM25.cache(avgdl)
+
+  def termStats(terms: Seq[String]): Map[String, TermStats] = {
+    val per = readers.map(_.termStats(terms))
+    terms.distinct.flatMap { t =>
+      val hits = per.flatMap(_.get(t))
+      if (hits.isEmpty) None
+      else Some(t -> TermStats(t, hits.head.bucket,
+        hits.map(_.df).sum, hits.map(_.ttf).sum, hits.map(_.maxTf).max))
+    }.toMap
+  }
+
+  def termStatsDf: Dataset[TermStats] = {
+    import spark.implicits._
+    readers.map(_.termStatsDf).reduce(_ union _)
+      .groupByKey(_.term)
+      .mapGroups { (t, it) =>
+        val xs = it.toSeq
+        TermStats(t, xs.head.bucket, xs.map(_.df).sum, xs.map(_.ttf).sum,
+          xs.map(_.maxTf).max)
+      }
+  }
+
+  def expandTerms(pred: Column, limit: Int = 1024): Seq[TermStats] = {
+    import org.apache.spark.sql.functions.col
+    termStatsDf.where(pred).orderBy(col("term")).limit(limit).collect().toSeq
+  }
+
+  def blocks(terms: Seq[String]): Dataset[BlockRow] =
+    readers.map(_.blocks(terms)).reduce(_ union _)
+
+  def docmeta: Dataset[DocMeta] =
+    readers.map(_.docmeta).reduce(_ union _)
+}
+
+object MultiIndexReader {
+  /** Re-open a point-in-time view over a base index plus every committed
+    * delta sub-index (the SearcherManager.maybeRefresh analog). */
+  def open(spark: SparkSession, baseDir: String, numBuckets: Int,
+           cacheData: Boolean = true): MultiIndexReader =
+    new MultiIndexReader(IndexBuilder.subIndexDirs(baseDir)
+      .filter(d => IndexBuilder.stageDone(d, "done"))
+      .map(d => new IndexReader(spark, d, numBuckets, cacheData)))
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.codec.PostingsCodec
-import graft.index.{BlockRow, IndexReader, TermStats}
+import graft.index.{BlockRow, SearchReader, TermStats}
 
 /** A clause match for one doc: `score` is the clause's float BM25
   * contribution (NaN for non-scoring Filter/MustNot presence rows). */
@@ -23,9 +23,9 @@ object ClauseKind {
   * reproduces the reference collector exactly, ties to lower docId
   * (search/TopScoreDocCollector.java:63-79, HitQueue.java:68-81).
   */
-final class JoinScorer(reader: IndexReader) {
-  import reader.spark.implicits._
+final class JoinScorer(reader: SearchReader) {
   private val spark = reader.spark
+  import spark.implicits._
 
   /** Rewrite multi-term queries against the term dictionary
     * (MultiTermQuery -> constant-score set, the 5.2 default rewrite,

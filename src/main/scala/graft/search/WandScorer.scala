@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.codec.{PostingBlock, PostingsCodec}
-import graft.index.{BlockRow, Ids, IndexReader}
+import graft.index.{BlockRow, Ids, SearchReader}
 
 /** Block-max WAND top-k over the compressed term-partitioned postings
   * (SURVEY.md §4.3; Ding & Suel 2011 — the reference 5.2 tree has only the
@@ -22,8 +22,9 @@ import graft.index.{BlockRow, Ids, IndexReader}
   * exact query-time float ops, so pruning is rank-safe (see PostingsCodec).
   * Per-chunk top-k then a TakeOrderedAndProject merge == global top-k.
   */
-final class WandScorer(reader: IndexReader) {
-  import reader.spark.implicits._
+final class WandScorer(reader: SearchReader) {
+  private val sparkS = reader.spark
+  import sparkS.implicits._
 
   /** Disjunctive (OR) or conjunctive (AND) term query. Scores and ranks
     * are float-identical to JoinScorer (tested property). */

@@ -75,6 +75,32 @@ object StreamOps {
       }
   }
 
+  /** Streaming index ingestion (NRT analog): each micro-batch of documents
+    * (input_hint shape: repo, path, commit, lang, content) is appended as
+    * an immutable delta sub-index; readers refresh via
+    * [[graft.index.MultiIndexReader.open]] and see GLOBAL statistics over
+    * base + deltas, so scores equal a from-scratch build. Batch docParts
+    * are offset by basePartOffset + batchId * partsPerBatch, keeping docId
+    * spaces disjoint; delta stage markers make foreachBatch retries
+    * idempotent. Caller starts/stops the returned query. */
+  def indexAppendSink(docs: DataFrame, baseDir: String,
+                      cfg: graft.index.IndexConfig, partsPerBatch: Int,
+                      basePartOffset: Int): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val offset = basePartOffset + batchId.toInt * partsPerBatch
+          val withPart = batch.withColumn("docPart",
+            lit(offset) + pmod(hash(col("repo"), col("path"), col("commit")),
+              lit(partsPerBatch)))
+          graft.index.IndexBuilder.append(batch.sparkSession, withPart,
+            baseDir, batchId,
+            cfg.copy(numDocParts = offset + partsPerBatch))
+          ()
+        }
+      }
+
   /** Flush state at end-of-replay: closed sessions from [[sessionize]]
     * plus every still-open session (what a timeout would eventually
     * emit). Batch-equivalent result for a finite input. */
