@@ -12,10 +12,15 @@ object OracleQueries {
   private def boolDoc(term: String): String =
     s"EXISTS(SELECT 1 FROM tokens t WHERE t.doc_id = d.doc_id AND t.term = '$term')"
 
-  /** (rank, doc_id) top-k of an aggregated score relation a(doc_id, score). */
+  /** (rank, doc_id) top-k of an aggregated score relation a(doc_id, score).
+    * Ranks on round(score, 9): DuckDB's parallel sum() adds clause scores
+    * in a nondeterministic order, so two docs with IDENTICAL per-clause
+    * values can differ by one ulp run-to-run; rounding collapses those
+    * true ties (engine ties break the same way, docId asc) while real
+    * score gaps in this corpus are far above 1e-9. */
   private def rankSel(k: Int): String =
-    s"""SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank, doc_id
-       |FROM agg ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+    s"""SELECT CAST(row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS BIGINT) AS rank, doc_id
+       |FROM agg ORDER BY round(score, 9) DESC, doc_id LIMIT $k""".stripMargin
 
   val bm25OrWith: String = bm25With("('spark'),('vector'),('window')")
 
@@ -140,7 +145,7 @@ object OracleQueries {
          |base AS (SELECT doc_id, sum(s) AS score FROM sc
          |         WHERE qterm <> 'merge' GROUP BY doc_id),
          |cand AS (SELECT doc_id, score FROM (
-         |  SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+         |  SELECT doc_id, score, row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rn
          |  FROM base) WHERE rn <= 40),
          |sec AS (SELECT doc_id, sum(s) AS s2 FROM sc
          |        WHERE qterm = 'merge' GROUP BY doc_id),
@@ -171,7 +176,7 @@ object OracleQueries {
       s"""$bm25OrWith,
          |agg AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id)
          |SELECT CAST(rn - 10 AS BIGINT) AS page_rank, doc_id FROM (
-         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+         |  SELECT doc_id, row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rn
          |  FROM agg)
          |WHERE rn BETWEEN 11 AND 20 ORDER BY page_rank""".stripMargin,
 
@@ -190,6 +195,17 @@ object OracleQueries {
          |agg AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id
          |        HAVING count(*) = 2)
          |${rankSel(10)}""".stripMargin,
+
+    "ft_wand_msm2" ->
+      s"""${bm25With("('merge'),('window'),('stream')")},
+         |agg AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id
+         |        HAVING count(*) >= 2)
+         |${rankSel(15)}""".stripMargin,
+
+    "ft_nrt_union" ->
+      s"""${bm25With("('stream'),('batch')")},
+         |agg AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id)
+         |${rankSel(15)}""".stripMargin,
 
     "ft_count_or" ->
       s"""WITH $tokensCte

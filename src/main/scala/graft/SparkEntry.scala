@@ -59,6 +59,32 @@ object SparkEntry {
       IndexReader(spark, dir, cfg)
     })
 
+  private val nrtReaders = new scala.collection.concurrent.TrieMap[String, MultiIndexReader]
+
+  /** Same corpus as [[reader]] but ingested as base + 2 appended deltas
+    * (split at doc_id thirds, rounded to DocsPerPart): the docPart ranges
+    * stay disjoint AND monotone in doc_id, so the union's internal docIds
+    * remain order-isomorphic to doc_id and the SQL oracle's tie-breaks
+    * hold. */
+  def nrtReader(spark: SparkSession, sfDir: String): MultiIndexReader =
+    nrtReaders.getOrElseUpdate(sfDir, {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      val cut1 = ((maxId + 1) / 3 / DocsPerPart).max(1) * DocsPerPart
+      val cut2 = 2 * cut1
+      val nParts = (maxId / DocsPerPart + 1).toInt
+      val cfg = ftConfig(nParts)
+      val dir = java.nio.file.Files.createTempDirectory("graft-nrt").toString
+      IndexBuilder.build(spark,
+        docsAsInput(docs.where(col("doc_id") < cut1)), dir, cfg)
+      IndexBuilder.append(spark,
+        docsAsInput(docs.where(col("doc_id") >= cut1 && col("doc_id") < cut2)),
+        dir, 0L, cfg)
+      IndexBuilder.append(spark,
+        docsAsInput(docs.where(col("doc_id") >= cut2)), dir, 1L, cfg)
+      MultiIndexReader.open(spark, dir, cfg.numBuckets)
+    })
+
   /** internal docId -> source doc_id (path is the zero-padded doc_id). */
   private def idMap(r: IndexReader): DataFrame =
     r.docmeta.toDF().select(col("docId"), col("path").cast("long").as("doc_id"))
@@ -288,6 +314,29 @@ object SparkEntry {
       val r = reader(s, dir)
       new WandScorer(r).topK(Seq("small", "value"), 10, conjunctive = true)
         .join(idMap(r), "docId")
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        .select("rank", "doc_id").orderBy("rank")
+    }),
+
+    "ft_wand_msm2" -> ((s, dir) => {
+      val r = reader(s, dir)
+      new WandScorer(r).topK(Seq("merge", "window", "stream"), 15,
+          minShouldMatch = 2)
+        .join(idMap(r), "docId")
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        .select("rank", "doc_id").orderBy("rank")
+    }),
+
+    /** NRT union view (base + 2 appended deltas) must rank identically to
+      * the one-shot index — the oracle is the SAME BM25 SQL over the full
+      * corpus (global stats across sub-indexes). */
+    "ft_nrt_union" -> ((s, dir) => {
+      val r = nrtReader(s, dir)
+      val m = r.docmeta.toDF().select(col("docId"),
+        col("path").cast("long").as("doc_id"))
+      new JoinScorer(r).topK(should("stream", "batch"), 15).join(m, "docId")
         .withColumn("rank", row_number().over(
           Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
         .select("rank", "doc_id").orderBy("rank")
