@@ -196,6 +196,14 @@ object OracleQueries {
          |        HAVING count(*) = 2)
          |${rankSel(10)}""".stripMargin,
 
+    "ft_sort_dl" ->
+      s"""WITH $tokensCte,
+         |$dlCsCte
+         |SELECT DISTINCT t.doc_id, dl.dl FROM tokens t
+         |JOIN dl ON dl.doc_id = t.doc_id
+         |WHERE t.term = 'spark'
+         |ORDER BY dl.dl DESC, t.doc_id LIMIT 15""".stripMargin,
+
     "ft_wand_msm2" ->
       s"""${bm25With("('merge'),('window'),('stream')")},
          |agg AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id

@@ -342,6 +342,19 @@ object SparkEntry {
         .select("rank", "doc_id").orderBy("rank")
     }),
 
+    /** Sort-by-field over a matching doc set (TopFieldCollector analog,
+      * search/TopFieldCollector.java:35): docs containing 'spark' ordered
+      * by field length desc. */
+    "ft_sort_dl" -> ((s, dir) => {
+      val r = reader(s, dir)
+      val dls = r.docmeta.toDF().select(col("docId"),
+        col("path").cast("long").as("doc_id"), col("dl").cast("long").as("dl"))
+      new JoinScorer(r).scores(should("spark")).toDF("docId", "score")
+        .join(dls, "docId")
+        .orderBy(col("dl").desc, col("doc_id")).limit(15)
+        .select("doc_id", "dl")
+    }),
+
     "ft_count_or" -> ((s, dir) => {
       import s.implicits._
       val r = reader(s, dir)
