@@ -15,7 +15,11 @@ object Bench {
     val tb = System.nanoTime()
     try SparkEntry.reader(spark, sfDir) catch { case _: Throwable => }
     val buildSec = (System.nanoTime() - tb) / 1e9
-    val results = Map("ft_index_build" -> buildSec) ++
+    val tn = System.nanoTime()
+    try SparkEntry.nrtReader(spark, sfDir) catch { case _: Throwable => }
+    val nrtBuildSec = (System.nanoTime() - tn) / 1e9
+    val results = Map("ft_index_build" -> buildSec,
+      "ft_nrt_build" -> nrtBuildSec) ++
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -196,6 +196,17 @@ object OracleQueries {
          |        HAVING count(*) = 2)
          |${rankSel(10)}""".stripMargin,
 
+    "ft_explain" ->
+      s"""$bm25OrWith,
+         |agg AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id),
+         |top1 AS (SELECT doc_id FROM agg
+         |         ORDER BY round(score, 9) DESC, doc_id LIMIT 1)
+         |SELECT t.doc_id, sc.qterm AS term,
+         |  CAST(row_number() OVER (ORDER BY round(sc.s, 9) DESC, sc.qterm) AS BIGINT)
+         |    AS contrib_rank
+         |FROM sc JOIN top1 t ON t.doc_id = sc.doc_id
+         |ORDER BY contrib_rank""".stripMargin,
+
     "ft_sort_dl" ->
       s"""WITH $tokensCte,
          |$dlCsCte

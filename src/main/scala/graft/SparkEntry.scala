@@ -345,6 +345,28 @@ object SparkEntry {
     /** Sort-by-field over a matching doc set (TopFieldCollector analog,
       * search/TopFieldCollector.java:35): docs containing 'spark' ordered
       * by field length desc. */
+    /** Explanation analog (reference search/Explanation.java /
+      * Weight.explain): per-clause score contributions of the top-1 doc of
+      * an OR query, as contribution ranks (value-free: float-vs-double
+      * comparison stays exact). */
+    "ft_explain" -> ((s, dir) => {
+      import s.implicits._
+      val r = reader(s, dir)
+      val js = new JoinScorer(r)
+      val q = should("spark", "vector", "window")
+      val top = js.topK(q, 1).as[(Long, Float)].collect().head._1
+      val perTerm = Seq("spark", "vector", "window").flatMap { t =>
+        js.scores(should(t)).filter(_._1 == top).collect()
+          .map { case (_, sc) => (t, sc) }
+      }
+      val docIdCol = idMap(r).where(col("docId") === top)
+        .select("doc_id").head().getLong(0)
+      perTerm.sortBy { case (t, sc) => (-sc, t) }.zipWithIndex
+        .map { case ((t, _), i) => (docIdCol, t, (i + 1).toLong) }
+        .toDF("doc_id", "term", "contrib_rank")
+        .orderBy("contrib_rank")
+    }),
+
     "ft_sort_dl" -> ((s, dir) => {
       val r = reader(s, dir)
       val dls = r.docmeta.toDF().select(col("docId"),
