@@ -61,6 +61,28 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       .foreach(c => assert(c.violations == 0L, s"check ${c.check}"))
   }
 
+  test("salting invariance: everything-salted == nothing-salted build") {
+    // hotDfThreshold=1 salts EVERY term into docId-range chunks; a huge
+    // threshold salts none. Query results (and CheckIndex) must be
+    // identical — the firstDoc-order concatenation of chunks IS the
+    // posting list (SURVEY.md §4.4).
+    val salted = SparkSuite.tmpDir("graft-salt")
+    val unsalted = SparkSuite.tmpDir("graft-nosalt")
+    IndexBuilder.build(spark, input, salted, cfg.copy(hotDfThreshold = 1L))
+    IndexBuilder.build(spark, input, unsalted,
+      cfg.copy(hotDfThreshold = Long.MaxValue))
+    val rs = new IndexReader(spark, salted, cfg.numBuckets, cacheData = false)
+    val ru = new IndexReader(spark, unsalted, cfg.numBuckets, cacheData = false)
+    assert(topDocs(rs) == topDocs(ru))
+    val wandS = new WandScorer(rs).topK(Seq("import", "spark"), 20)
+      .as[(Long, Float)].collect().toSeq
+    val wandU = new WandScorer(ru).topK(Seq("import", "spark"), 20)
+      .as[(Long, Float)].collect().toSeq
+    assert(wandS == wandU && wandS == topDocs(rs))
+    CheckIndex.run(rs, Some(input)).collect()
+      .foreach(c => assert(c.violations == 0L, s"salted check ${c.check}"))
+  }
+
   private def deleteRec(p: Path): Unit =
     if (Files.exists(p))
       Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f =>
