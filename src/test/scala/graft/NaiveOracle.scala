@@ -36,9 +36,10 @@ object NaiveOracle {
     val allTerms: Seq[String] = postings.keys.toSeq.sorted
     def df(term: String): Long = postings.get(term).map(_.size.toLong).getOrElse(0L)
 
-    private def clauseScores(q: Query): Map[Long, Float] = q match {
+    private def clauseScores(q: Query, boost: Float = 1f): Map[Long, Float] = q match {
+      case BoostQ(inner, b) => clauseScores(inner, boost * b)
       case TermQ(t) =>
-        val wv = BM25.weightValue(BM25.idf(df(t), maxDoc))
+        val wv = BM25.weightValue(BM25.idf(df(t), maxDoc), boost)
         postings.getOrElse(t, Map.empty).map { case (id, ps) =>
           id -> BM25.score(wv, ps.length.toFloat, cache, norm(id))
         }
@@ -46,7 +47,7 @@ object NaiveOracle {
         if (terms.exists(df(_) == 0L)) return Map.empty
         var idfSum = 0f
         terms.foreach(t => idfSum += BM25.idf(df(t), maxDoc))
-        val wv = BM25.weightValue(idfSum)
+        val wv = BM25.weightValue(idfSum, boost)
         val docsWithAll = terms.map(t => postings(t).keySet).reduce(_ intersect _)
         docsWithAll.iterator.flatMap { id =>
           val posSets = terms.map(t => postings(t)(id).toSet)
@@ -55,6 +56,31 @@ object NaiveOracle {
           if (pf == 0) None
           else Some(id -> BM25.score(wv, pf.toFloat, cache, norm(id)))
         }.toMap
+      case SloppyPhraseQ(terms, rel, slop) =>
+        // independent brute force: an alignment at offset o costs, per
+        // term j, the distance from o+rel(j) to its NEAREST position;
+        // match iff total cost <= slop (engine-equal for 2 terms)
+        if (terms.exists(df(_) == 0L)) return Map.empty
+        var idfSum = 0f
+        terms.foreach(t => idfSum += BM25.idf(df(t), maxDoc))
+        val wv = BM25.weightValue(idfSum, boost)
+        val docsWithAll = terms.map(t => postings(t).keySet).reduce(_ intersect _)
+        docsWithAll.iterator.flatMap { id =>
+          val pf = postings(terms.head)(id).count { p0 =>
+            val o = p0 - rel.head
+            val cost = terms.indices.drop(1).map { j =>
+              postings(terms(j))(id).map(p => math.abs(p - (o + rel(j)))).min
+            }.sum
+            cost <= slop
+          }
+          if (pf == 0) None
+          else Some(id -> BM25.score(wv, pf.toFloat, cache, norm(id)))
+        }.toMap
+      case RegexpQ(pat) =>
+        val rx = ("^" + pat + "$").r
+        constSet(allTerms.filter(t => rx.findFirstIn(t).isDefined))
+      case RangeQ(lo, hi) =>
+        constSet(allTerms.filter(t => t >= lo && t < hi))
       case PrefixQ(p) => constSet(allTerms.filter(_.startsWith(p)))
       case WildcardQ(pat) =>
         val rx = ("^" + pat.flatMap {

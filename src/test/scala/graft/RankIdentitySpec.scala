@@ -90,6 +90,22 @@ class RankIdentitySpec extends AnyFunSuite {
     checkQuery(q)
   }
 
+  test("q7b: boosted OR (weight = idf*boost*(k1+1), float order)") {
+    checkQuery(BoolQ(Seq(Occur.Should -> BoostQ(TermQ("spark"), 2.5f),
+      Occur.Should -> TermQ("merge"))))
+  }
+
+  test("q7c: sloppy phrase (displacement-sum slop)") {
+    val q = QueryParser.parse("\"import spark\"~2")
+    assert(q.clauses.head._2.isInstanceOf[SloppyPhraseQ])
+    checkQuery(q)
+  }
+
+  test("q7d: regexp + range multi-term rewrites (const score)") {
+    checkQuery(BoolQ(Seq(Occur.Should -> RegexpQ("im.*t"),
+      Occur.Should -> RangeQ("print", "publir"))))
+  }
+
   test("q8: absent term -> empty") {
     assert(engineTopK(BoolQ(Seq(Occur.Should -> TermQ("zzzznotthere")))).isEmpty)
   }
