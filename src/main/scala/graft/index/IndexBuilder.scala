@@ -193,7 +193,6 @@ object IndexBuilder {
     // ---- stage 4: global merge -> compressed blocks, per wave ----
     val avgdl = BM25.avgFieldLength(collStats.sumTotalTermFreq, collStats.maxDoc)
     val normCache = BM25.cache(avgdl)
-    val hotB = spark.sparkContext.broadcast(hotTerms)
     val cacheB = spark.sparkContext.broadcast(normCache)
     var w = 0
     while (w < cfg.waves) {
@@ -207,17 +206,6 @@ object IndexBuilder {
         // waves own CONTIGUOUS docPart ranges: block docId-spans must stay
         // disjoint across waves (same invariant as salt chunks)
         val partsPerWave = (cfg.numDocParts + waves - 1) / waves
-        val rows = segments
-          .where($"docPart" >= w * partsPerWave &&
-            $"docPart" < (w + 1) * partsPerWave)
-          .select($"docId", explode($"postings").as("p"), $"norm")
-          .select($"p.term".as("term"), $"docId", $"p.tf".as("tf"),
-            $"p.positions".as("positions"), $"norm")
-          .as[PostingRow]
-          .map { r =>
-            val salt = if (hotB.value.contains(r.term)) (r.docId >> shift) else 0L
-            (Buckets.of(r.term, nb), salt, r)
-          }
         // Shuffle key = (term, salt), NOT bucket: hashing raw terms spreads
         // the merge over ALL shuffle partitions at any parallelism (bucket
         // count would cap it), and salt still splits hot terms into
@@ -225,12 +213,26 @@ object IndexBuilder {
         // the within-partition (term, docId) sort: every file is
         // term-sorted, so parquet row-group min/max stats prune term
         // lookups (the BlockTree-seek analog) without bucket directories.
-        val blocks = rows.toDF("bucket", "salt", "r")
-          .repartition(cfg.shufflePartitions, $"r.term", $"salt")
-          .sortWithinPartitions($"r.term", $"r.docId")
-          .select($"bucket", $"salt", $"r.*")
-          .as[(Int, Long, String, Long, Int, Array[Int], Byte)]
-          .mapPartitions { it =>
+        // salt is a pure column expression (hot set is tiny by
+        // construction: |hot| <= sumTtf/hotDfThreshold) — no typed
+        // map/enc-dec pass over the posting rows; bucket is computed
+        // inside the encoder, it never rides the shuffle.
+        val hotSeq = hotTerms.toSeq
+        val saltCol =
+          if (hotSeq.isEmpty) lit(0L)
+          else when($"term".isin(hotSeq: _*), shiftright($"docId", shift))
+            .otherwise(0L)
+        val blocks = segments
+          .where($"docPart" >= w * partsPerWave &&
+            $"docPart" < (w + 1) * partsPerWave)
+          .select($"docId", explode($"postings").as("p"), $"norm")
+          .select($"p.term".as("term"), $"docId", $"p.tf".as("tf"),
+            $"p.positions".as("positions"), $"norm", saltCol.as("salt"))
+          .repartition(cfg.shufflePartitions, $"term", $"salt")
+          .sortWithinPartitions($"term", $"docId")
+          .select($"salt", $"term", $"docId", $"tf", $"positions", $"norm")
+          .as[(Long, String, Long, Int, Array[Int], Byte)]
+          .mapPartitions { it0 =>
             // Group consecutive same-(term, salt) runs, encode 128-posting
             // blocks. A run must break at salt boundaries: salt chunks of a
             // hot term land in different shuffle partitions, and block
@@ -239,6 +241,9 @@ object IndexBuilder {
             // logic) to be valid — the docBase-concat invariant of
             // codecs/FieldsConsumer.java:90-100. salt is monotone in docId
             // for one term, so sorting by (term, docId) already groups it.
+            val it = it0.map { case (salt, term, docId, tf, positions, norm) =>
+              (Buckets.of(term, nb), salt, term, docId, tf, positions, norm)
+            }
             val cache = cacheB.value
             new Iterator[BlockRow] {
               private val buf = it.buffered
