@@ -62,6 +62,33 @@ object Analyzer {
     out.result()
   }
 
+  /** Flat-array variant of [[analyze]] for the indexing hot path: same
+    * chain, but the result is (terms, positions) parallel arrays — no
+    * per-token TermPos boxing (2M docs x ~115 tokens makes that churn
+    * matter). Kept behaviorally identical by the shared-chain test. */
+  def analyzeFlat(text: String, stopSet: Set[String],
+                  maxTokenLength: Int = StandardTokenizer.DefaultMaxTokenLength)
+      : (Array[String], Array[Int]) = {
+    val toks = StandardTokenizer.tokenize(text, maxTokenLength)
+    val terms = new Array[String](toks.length)
+    val positions = new Array[Int](toks.length)
+    var n = 0
+    var pos = -1
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      pos += t.posInc
+      val term = lowerCase(t.term)
+      if (!stopSet.contains(term)) {
+        terms(n) = term; positions(n) = pos; n += 1
+      }
+      i += 1
+    }
+    if (n == toks.length) (terms, positions)
+    else (java.util.Arrays.copyOf(terms, n),
+      java.util.Arrays.copyOf(positions, n))
+  }
+
   /** Per-`lang` analysis (north star: lowercase + stopword per lang). */
   def analyzeLang(text: String, lang: String): Vector[TermPos] =
     analyze(text, StopSets.forLang(lang))

@@ -47,27 +47,33 @@ object IndexBuilder {
   def invertDoc(docId: Long, docPart: Int, repo: String, path: String,
                 commit: String, lang: String, content: String,
                 maxTokenLength: Int): SegmentDoc = {
-    val terms = Analyzer.analyze(content, StopSets.forLang(lang), maxTokenLength)
+    val (terms, positions) =
+      Analyzer.analyzeFlat(content, StopSets.forLang(lang), maxTokenLength)
     val dl = terms.length
-    val m = new java.util.TreeMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
-    terms.foreach { tp =>
-      val buf = m.get(tp.term)
-      if (buf == null) {
-        val nb = new scala.collection.mutable.ArrayBuffer[Int](4)
-        nb += tp.position
-        m.put(tp.term, nb)
-      } else buf += tp.position
-    }
-    val postings = new Array[SegPosting](m.size)
+    // group by term via a stable index sort (positions ascend in reading
+    // order, so each run's positions stay sorted) — no per-term map nodes
+    val idx = new Array[Integer](dl)
     var i = 0
-    val it = m.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      postings(i) = SegPosting(e.getKey, e.getValue.length, e.getValue.toArray)
-      i += 1
+    while (i < dl) { idx(i) = Integer.valueOf(i); i += 1 }
+    java.util.Arrays.sort(idx, (a: Integer, b: Integer) => {
+      val c = terms(a.intValue).compareTo(terms(b.intValue))
+      if (c != 0) c else Integer.compare(a.intValue, b.intValue)
+    })
+    val postings = new scala.collection.mutable.ArrayBuffer[SegPosting](
+      math.min(dl, 64))
+    i = 0
+    while (i < dl) {
+      val t = terms(idx(i).intValue)
+      var j = i + 1
+      while (j < dl && terms(idx(j).intValue) == t) j += 1
+      val ps = new Array[Int](j - i)
+      var k = i
+      while (k < j) { ps(k - i) = positions(idx(k).intValue); k += 1 }
+      postings += SegPosting(t, ps.length, ps)
+      i = j
     }
     SegmentDoc(docId, docPart, repo, path, commit, lang, dl,
-      SmallFloat.normByte(dl), sha256Hex(content), postings)
+      SmallFloat.normByte(dl), sha256Hex(content), postings.toArray)
   }
 
   // ---- stage markers / lineage ----

@@ -130,6 +130,16 @@ class AnalysisSpec extends AnyFunSuite {
     assert(!StopSets.english.contains("i"))
   }
 
+  test("analyzeFlat == analyze on mixed input (shared-chain contract)") {
+    for (text <- Seq("The quick brown fox", "import org.apache.spark x " +
+        ("y" * 300) + " Z1 the 21.35 O'Reilly", "", "the a an")) {
+      val v = Analyzer.analyze(text, StopSets.english)
+      val (ts, ps) = Analyzer.analyzeFlat(text, StopSets.english)
+      assert(ts.toSeq == v.map(_.term))
+      assert(ps.toSeq == v.map(_.position))
+    }
+  }
+
   test("analyze emits (term, position) with stop gaps end-to-end") {
     val out = Analyzer.analyze("The quick brown fox jumps over the lazy dog",
       StopSets.english)
