@@ -586,6 +586,27 @@ object OracleQueries {
          |SELECT id, md5(string_agg(term, ' ' ORDER BY term)) AS fp
          |FROM d GROUP BY id ORDER BY id""".stripMargin,
 
+    "fingerprint_winnow" ->
+      s"""WITH $tokAllCte,
+         |kg AS (SELECT a.doc_id AS id, a.pos AS pos,
+         |         ('0x' || substr(md5(a.term || ' ' || b.term || ' ' || c.term), 1, 15))::BIGINT AS h
+         |       FROM tokall a
+         |       JOIN tokall b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |       JOIN tokall c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+         |nsh AS (SELECT id, count(*) AS nsh FROM kg GROUP BY id),
+         |wm AS (SELECT id, pos, min(h) OVER (PARTITION BY id ORDER BY pos
+         |         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+         |       FROM kg),
+         |sel AS (SELECT DISTINCT wm.id, wm.wmin FROM wm
+         |        JOIN nsh ON nsh.id = wm.id WHERE wm.pos <= nsh.nsh - 4)
+         |SELECT d.doc_id AS id, CAST(coalesce(s.cnt, 0) AS BIGINT) AS n_fp,
+         |       coalesce(s.fp, '') AS fp
+         |FROM documents d LEFT JOIN (
+         |  SELECT id, count(*) AS cnt,
+         |         md5(string_agg(wmin::VARCHAR, ',' ORDER BY wmin)) AS fp
+         |  FROM sel GROUP BY id) s ON s.id = d.doc_id
+         |ORDER BY id""".stripMargin,
+
     "multimodal_meta" ->
       s"""SELECT doc_id AS id,
          |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,

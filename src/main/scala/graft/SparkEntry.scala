@@ -697,6 +697,10 @@ object SparkEntry {
       TextAnalysis.fingerprint(s.read.parquet(s"$dir/documents.parquet"))
         .orderBy("id")),
 
+    "fingerprint_winnow" -> ((s, dir) =>
+      TextAnalysis.winnow(s.read.parquet(s"$dir/documents.parquet"), 3, 4)
+        .orderBy("id")),
+
     // ---------- training-data ops: multimodal plumbing (stub decode) ----------
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.decodeStub(

@@ -95,4 +95,37 @@ object TextAnalysis {
     docs.select(col(id).as("id"),
       md5(array_join(array_sort(array_distinct(TextFns.tokensAll(col(text)))),
         " ")).as("fp"))
+
+  /** Winnowing fingerprint (Schleimer, Wilkerson, Aiken — "Winnowing:
+    * Local Algorithms for Document Fingerprinting", SIGMOD 2003): hash
+    * every k-gram (rolling window of k tokens), slide a window of w
+    * consecutive k-gram hashes, keep each window's minimum; the distinct
+    * selected hashes are the document's fingerprint. Guarantees any
+    * shared run of >= w+k-1 tokens yields a shared selected hash.
+    * Output: (id, n_fp, fp) with fp = md5 over the sorted selected
+    * hashes — entirely codegen'd column ops + one window function, so the
+    * SQL oracle reproduces it exactly. */
+  def winnow(docs: DataFrame, k: Int = 3, w: Int = 4,
+             id: String = "doc_id", text: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs.select(col(id).as("id"),
+        posexplode(TextFns.shingles(TextFns.tokensAll(col(text)), k))
+          .as(Seq("pos", "shingle")))
+      .select(col("id"), col("pos"), TextFns.md5Bits60(col("shingle")).as("h"))
+    val nsh = sh.groupBy("id").agg(count(lit(1)).as("nsh"))
+    val wins = sh
+      .withColumn("wmin", min(col("h")).over(
+        Window.partitionBy("id").orderBy("pos")
+          .rowsBetween(Window.currentRow, w - 1)))
+      .join(nsh, "id")
+      .where(col("pos") <= col("nsh") - w) // complete windows only
+      .select(col("id"), col("wmin")).distinct()
+    docs.select(col(id).as("id"))
+      .join(wins.groupBy("id")
+        .agg(count(lit(1)).as("n_fp"),
+          md5(array_join(array_sort(collect_list(col("wmin"))), ","))
+            .as("fp")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+        coalesce(col("fp"), lit("")).as("fp"))
+  }
 }
