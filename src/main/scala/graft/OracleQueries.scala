@@ -617,6 +617,16 @@ object OracleQueries {
          |  CAST(CASE WHEN doc_id % 3 = 2 THEN length(text) // 100 + 1 ELSE 1 END AS BIGINT) AS n_frames,
          |  CAST(((64 + length(text) % 577) * (64 + ascii(substr(text, 1, 1))) + 255) // 256
          |       * (CASE WHEN doc_id % 3 = 2 THEN length(text) // 100 + 1 ELSE 1 END) AS BIGINT) AS n_patches
-         |FROM documents ORDER BY id""".stripMargin
+         |FROM documents ORDER BY id""".stripMargin,
+
+    "multimodal_frames" ->
+      s"""WITH m AS (
+         |  SELECT doc_id AS id,
+         |    CASE WHEN doc_id % 3 = 2 THEN length(text) // 100 + 1 ELSE 1 END AS n_frames
+         |  FROM documents)
+         |SELECT id, CAST(n_frames AS BIGINT) AS n_frames,
+         |  CAST(len(range(0, n_frames, 10)) AS BIGINT) AS n_sampled,
+         |  array_to_string(range(0, n_frames, 10), ',') AS frame_idx_csv
+         |FROM m ORDER BY id""".stripMargin
   )
 }

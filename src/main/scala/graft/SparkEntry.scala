@@ -711,6 +711,12 @@ object SparkEntry {
           col("height").cast("long").as("height"),
           col("channels").cast("long").as("channels"),
           col("n_frames").cast("long").as("n_frames"), col("n_patches"))
+        .orderBy("id")),
+
+    "multimodal_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.decodeStub(
+          Multimodal.asMedia(s.read.parquet(s"$dir/documents.parquet"))), 10)
         .orderBy("id"))
   )
 

@@ -48,6 +48,19 @@ object Multimodal {
     MediaMeta(id, modality, len, width, height, channels, nFrames, nPatches)
   }
 
+  /** Frame sampling over decoded video metadata: every `step`-th frame
+    * index (the mapInPandas frame-sample stage's planning half — the
+    * actual pixel decode is the stub). Non-video rows sample their single
+    * frame 0. Output: (id, n_frames, n_sampled, frame_idx_csv). */
+  def sampleFrames(meta: Dataset[MediaMeta], step: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    meta.toDF().select(col("id"), col("n_frames").cast("long").as("n_frames"),
+      sequence(lit(0), col("n_frames") - 1, lit(step)).as("idx"))
+      .select(col("id"), col("n_frames"),
+        size(col("idx")).cast("long").as("n_sampled"),
+        array_join(col("idx"), ",").as("frame_idx_csv"))
+  }
+
   /** Batch-wise "decode": partition-preserving mapPartitions consuming
     * fixed-size batches (the pandas-UDF batch shape). */
   def decodeStub(media: DataFrame, batchSize: Int = 256): Dataset[MediaMeta] = {
