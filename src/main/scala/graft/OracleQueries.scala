@@ -127,6 +127,13 @@ object OracleQueries {
          |        JOIN filt ON filt.doc_id = sc.doc_id GROUP BY sc.doc_id)
          |${rankSel(10)}""".stripMargin,
 
+    "ft_span_near" ->
+      s"""WITH $tokensCte
+         |SELECT DISTINCT a.doc_id FROM tokens a
+         |JOIN tokens b ON b.doc_id = a.doc_id AND b.pos > a.pos
+         |  AND (b.pos - a.pos + 1) - 2 <= 2
+         |WHERE a.term = 'table' AND b.term = 'scan' ORDER BY 1""".stripMargin,
+
     "ft_boost" ->
       s"""${bm25With("('spark'),('vector')")},
          |agg AS (SELECT doc_id,

@@ -178,6 +178,9 @@ object SparkEntry {
     "ft_regexp" -> ((s, dir) => matchedDocs(s, dir,
       BoolQ(Seq((Occur.Should, RegexpQ("s[pt][a-z]*m")))))),
 
+    "ft_span_near" -> ((s, dir) => matchedDocs(s, dir, BoolQ(Seq(
+      (Occur.Must, SpanNearQ(Seq("table", "scan"), 2)))))),
+
     "ft_prefix" -> ((s, dir) => matchedDocs(s, dir,
       BoolQ(Seq((Occur.Should, PrefixQ("s")))))),
 

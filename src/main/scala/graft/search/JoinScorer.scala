@@ -41,11 +41,14 @@ final class JoinScorer(reader: SearchReader) {
     }
     val termQs = flat.collect { case (_, TermQ(t), _) => Seq(t)
       case (_, PhraseQ(ts, _), _) => ts
-      case (_, SloppyPhraseQ(ts, _, _), _) => ts }.flatten
+      case (_, SloppyPhraseQ(ts, _, _), _) => ts
+      case (_, SpanNearQ(ts, _), _) => ts }.flatten
     val stats = reader.termStats(termQs.distinct)
     flat.map {
       case (o, tq @ TermQ(t), b) =>
         (o, tq, ScoredTerm(t, stats.get(t), b))
+      case (o, sq @ SpanNearQ(ts, slop), b) =>
+        (o, sq, ScoredSpan(ts, slop, ts.map(stats.get), b))
       case (o, pq @ PhraseQ(ts, rel), b) =>
         (o, pq, ScoredPhrase(ts, rel, ts.map(stats.get), 0, b))
       case (o, pq @ SloppyPhraseQ(ts, rel, slop), b) =>
@@ -80,6 +83,9 @@ final class JoinScorer(reader: SearchReader) {
                                 stats: Seq[Option[TermStats]],
                                 slop: Int = 0,
                                 boost: Float = 1f) extends RewrittenClause
+  final case class ScoredSpan(terms: Seq[String], slop: Int,
+                              stats: Seq[Option[TermStats]],
+                              boost: Float = 1f) extends RewrittenClause
   final case class ConstSet(terms: Seq[String]) extends RewrittenClause
   case object MatchAll extends RewrittenClause
 
@@ -201,6 +207,59 @@ final class JoinScorer(reader: SearchReader) {
     }.filter(h => !java.lang.Float.isNaN(h.score))
   }
 
+  /** Ordered span-near hits (reference spans/SpanNearQuery.java,
+    * inOrder=true): for each start occurrence of the first term, greedily
+    * chain each next term to its smallest position after the previous;
+    * match when spanWidth - nTerms <= slop (greedy minimizes the end, so
+    * membership is exact). freq = number of matching start positions. */
+  private def spanHits(terms: Seq[String], slop: Int,
+                       stats: Seq[Option[TermStats]], clause: Int,
+                       kind: Int, boost: Float): Dataset[ClauseHit] = {
+    if (stats.exists(_.isEmpty) || terms.isEmpty) return spark.emptyDataset[ClauseHit]
+    var idfSum = 0f
+    stats.flatten.foreach(ts => idfSum += BM25.idf(ts.df, reader.collStats.maxDoc))
+    val wv = BM25.weightValue(idfSum, boost)
+    val nTerms = terms.length
+    val termIdx: Map[String, Seq[Int]] =
+      terms.zipWithIndex.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2) }
+    val cacheB = spark.sparkContext.broadcast(reader.normCache)
+    val tIdxB = spark.sparkContext.broadcast(termIdx)
+    reader.blocks(terms.distinct).flatMap { b =>
+      val idxs = tIdxB.value(b.term)
+      PostingsCodec.decode(graft.codec.PostingBlock(b.term, b.firstDoc,
+        b.lastDoc, b.count, b.maxTf, b.maxPartial, b.docBytes, b.nrmBytes,
+        b.posBytes)).iterator.flatMap(p =>
+        idxs.map(idx => (p.docId, idx, p.positions, p.norm)))
+    }.groupByKey(_._1).mapGroups { (docId, it) =>
+      val byTerm = new Array[Array[Int]](nTerms)
+      var norm: Byte = 0
+      it.foreach { case (_, i, pos, n) => byTerm(i) = pos; norm = n }
+      if (byTerm.exists(_ == null)) ClauseHit(docId, clause, kind, Float.NaN)
+      else {
+        var sf = 0
+        val starts = byTerm(0)
+        var i = 0
+        while (i < starts.length) {
+          var prev = starts(i)
+          var ok = true
+          var j = 1
+          while (ok && j < nTerms) {
+            val arr = byTerm(j)
+            val at = java.util.Arrays.binarySearch(arr, prev + 1)
+            val ins = if (at >= 0) at else -at - 1
+            if (ins >= arr.length) ok = false else prev = arr(ins)
+            j += 1
+          }
+          if (ok && (prev - starts(i) + 1) - nTerms <= slop) sf += 1
+          i += 1
+        }
+        if (sf == 0) ClauseHit(docId, clause, kind, Float.NaN)
+        else ClauseHit(docId, clause, kind,
+          BM25.score(wv, sf.toFloat, cacheB.value, norm))
+      }
+    }.filter(h => !java.lang.Float.isNaN(h.score))
+  }
+
   private def matchAllHits(clause: Int, kind: Int): Dataset[ClauseHit] =
     reader.docmeta.map(d => ClauseHit(d.docId, clause, kind, 1f))
 
@@ -214,6 +273,7 @@ final class JoinScorer(reader: SearchReader) {
         case ScoredTerm(t, st, b) => termHits(t, i, kind, st, b)
         case ScoredPhrase(ts, rel, st, slop, b) =>
           phraseHits(ts, rel, st, i, kind, slop, b)
+        case ScoredSpan(ts, slop, st, b) => spanHits(ts, slop, st, i, kind, b)
         case ConstSet(ts) => constHits(ts, i, kind)
         case MatchAll => matchAllHits(i, kind)
       }

@@ -41,6 +41,10 @@ final case class SloppyPhraseQ(terms: Seq[String], rel: Seq[Int],
 /** Query-time boost (reference Query.setBoost; BM25 folds it into the
   * weight: weightValue = idf * boost * (k1+1), BM25Similarity.java:289-293). */
 final case class BoostQ(q: Query, boost: Float) extends Query
+/** Ordered span-near (reference lucene/core/.../search/spans/
+  * SpanNearQuery.java with inOrder=true): terms must appear in query
+  * order with total gap (span width minus term count) <= slop. */
+final case class SpanNearQ(terms: Seq[String], slop: Int) extends Query
 case object MatchAllQ extends Query
 final case class BoolQ(clauses: Seq[(Occur, Query)],
                        minShouldMatch: Int = 0) extends Query
