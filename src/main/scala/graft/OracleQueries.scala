@@ -256,6 +256,25 @@ object OracleQueries {
       s"""SELECT doc_id, sha256(text) AS sha FROM documents
          |WHERE doc_id < 40 ORDER BY doc_id""".stripMargin,
 
+    "ft_highlight" ->
+      s"""${bm25With("('vector')")},
+         |agg AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id),
+         |top3 AS (SELECT doc_id FROM agg
+         |         ORDER BY round(score, 9) DESC, doc_id LIMIT 3)
+         |SELECT d.doc_id,
+         |  CAST(strpos(lower(d.text), 'vector') AS INT) AS pos,
+         |  substr(d.text,
+         |    CAST(greatest(1, strpos(lower(d.text), 'vector') - 20) AS BIGINT),
+         |    60) AS snippet
+         |FROM documents d JOIN top3 t ON t.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "ft_suggest" ->
+      s"""WITH $tokensCte
+         |SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |FROM tokens WHERE term LIKE 's%'
+         |GROUP BY term ORDER BY df DESC, term LIMIT 8""".stripMargin,
+
     // ---------- facets / stats / grouping ----------
     "facet_field" ->
       s"""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt FROM lineitem

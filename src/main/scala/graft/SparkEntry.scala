@@ -412,6 +412,32 @@ object SparkEntry {
         .where(col("doc_id") < 40).orderBy("doc_id")
     }),
 
+    /** Highlighter analog (solr HighlightComponent; Lucene re-analysis
+      * highlighters): top-3 hits joined back to the stored text, snippet
+      * = fixed window around the first query-term occurrence. */
+    "ft_highlight" -> ((s, dir) => {
+      val r = reader(s, dir)
+      val top = new JoinScorer(r).topK(should("vector"), 3)
+        .join(idMap(r), "docId").select("doc_id")
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      top.join(docs, "doc_id")
+        .select(col("doc_id"),
+          locate("vector", lower(col("text"))).as("pos"),
+          substring(col("text"),
+            greatest(lit(1), locate("vector", lower(col("text"))) - 20),
+            lit(60)).as("snippet"))
+        .orderBy("doc_id")
+    }),
+
+    /** Suggester analog (solr/suggest): prefix completion by document
+      * frequency over the term dictionary. */
+    "ft_suggest" -> ((s, dir) => {
+      val r = reader(s, dir)
+      r.termStatsDf.toDF().where(col("term").startsWith("s"))
+        .orderBy(col("df").desc, col("term")).limit(8)
+        .select(col("term"), col("df"))
+    }),
+
     // ---------- facets / stats / grouping (Solr component analogs) ----------
     "facet_field" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
