@@ -48,21 +48,30 @@ object OracleSql {
     * qdl = NORM_TABLE[floatToByte315(1/sqrt(dl))] for dl in [lo, hi].
     * Derived by scanning the engine's own quantizer. */
   lazy val normRangesValues: String = {
-    val rows = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    // (lo, hi, qdl, cnorm): qdl = BM25's decoded length (1/f^2), cnorm =
+    // the raw byte315 decode f (ClassicSimilarity's norm factor), both
+    // exact float->double widenings of the engine's own tables.
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Double)]()
     val maxDl = 3000000L // far above any test doc; open-ended last range
+    def qOf(dl: Long): (Double, Double) = {
+      val b = SmallFloat.normByte(dl.toInt)
+      (SmallFloat.Bm25NormTable(b & 0xFF).toDouble,
+        SmallFloat.byte315ToFloat(b).toDouble)
+    }
     var lo = 0L
-    var curQ = SmallFloat.Bm25NormTable(SmallFloat.normByte(0) & 0xFF).toDouble
+    var cur = qOf(0)
     var dl = 1L
     while (dl <= maxDl) {
-      val q = SmallFloat.Bm25NormTable(SmallFloat.normByte(dl.toInt) & 0xFF).toDouble
-      if (q != curQ) { rows += ((lo, dl - 1, curQ)); lo = dl; curQ = q }
+      val q = qOf(dl)
+      if (q != cur) { rows += ((lo, dl - 1, cur._1, cur._2)); lo = dl; cur = q }
       dl += 1
     }
-    rows += ((lo, 1000000000L, curQ))
-    rows.map { case (l, h, q) => s"($l, $h, $q)" }.mkString(", ")
+    rows += ((lo, 1000000000L, cur._1, cur._2))
+    rows.map { case (l, h, q, c) => s"($l, $h, $q, $c)" }.mkString(", ")
   }
 
-  lazy val normCte: String = s"nrm(lo, hi, qdl) AS (VALUES $normRangesValues)"
+  lazy val normCte: String =
+    s"nrm(lo, hi, qdl, cnorm) AS (VALUES $normRangesValues)"
 
   /** Per-doc analyzed field length + collection stats. maxDoc counts ALL
     * docs (even all-stopword ones), as the engine's segment count does. */

@@ -304,6 +304,17 @@ object SparkEntry {
         .select("rank", "doc_id").orderBy("rank")
     }),
 
+    /** ClassicSimilarity (TF-IDF with coord + queryNorm — the reference
+      * 5.2 DEFAULT similarity) ranking. */
+    "ft_tfidf" -> ((s, dir) => {
+      val r = reader(s, dir)
+      new ClassicScorer(r).topK(Seq("spark", "merge", "window"), 15)
+        .join(idMap(r), "docId")
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        .select("rank", "doc_id").orderBy("rank")
+    }),
+
     "ft_wand_top20" -> ((s, dir) => {
       val r = reader(s, dir)
       new WandScorer(r).topK(Seq("spark", "vector", "window"), 20)
