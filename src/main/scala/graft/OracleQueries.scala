@@ -254,6 +254,12 @@ object OracleQueries {
          |agg AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id)
          |${rankSel(15)}""".stripMargin,
 
+    "ft_lang_stopword" ->
+      s"""WITH $tokensCte
+         |SELECT d.lang, CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n
+         |FROM tokens t JOIN documents d ON d.doc_id = t.doc_id
+         |WHERE t.term = 'the' GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
     "ft_count_or" ->
       s"""WITH $tokensCte
          |SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tokens
@@ -305,6 +311,13 @@ object OracleQueries {
     "facet_range" ->
       s"""SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
          |       CAST(count(*) AS BIGINT) AS cnt
+         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "facet_range_edges" ->
+      s"""SELECT CASE WHEN o_totalprice < 100000 THEN 'before'
+         |            WHEN o_totalprice >= 300000 THEN 'after'
+         |            ELSE 'b' || CAST(CAST(floor((o_totalprice - 100000) / 50000) AS BIGINT) AS VARCHAR)
+         |       END AS bucket, CAST(count(*) AS BIGINT) AS cnt
          |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "facet_pivot" ->

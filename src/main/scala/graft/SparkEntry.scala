@@ -391,6 +391,16 @@ object SparkEntry {
         .select("doc_id", "dl")
     }),
 
+    /** Per-language analysis visible through the index: 'the' is an
+      * English stopword, so docs matching TermQ("the") are exactly the
+      * NON-en docs containing it (per-lang stop sets at index time). */
+    "ft_lang_stopword" -> ((s, dir) => {
+      val r = reader(s, dir)
+      new JoinScorer(r).scores(should("the")).toDF("docId", "score")
+        .join(r.docmeta.toDF().select(col("docId"), col("lang")), "docId")
+        .groupBy("lang").agg(count(lit(1)).as("n")).orderBy("lang")
+    }),
+
     "ft_count_or" -> ((s, dir) => {
       import s.implicits._
       val r = reader(s, dir)
@@ -459,6 +469,17 @@ object SparkEntry {
     "facet_range" -> ((s, dir) =>
       s.read.parquet(s"$dir/orders.parquet")
         .groupBy(floor(col("o_totalprice") / 50000).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("cnt")).orderBy("bucket")),
+
+    /** Range facet with before/after edge buckets (SimpleFacets
+      * getFacetRangeCounts: include.before/after). */
+    "facet_range_edges" -> ((s, dir) =>
+      s.read.parquet(s"$dir/orders.parquet")
+        .groupBy(when(col("o_totalprice") < 100000, "before")
+          .when(col("o_totalprice") >= 300000, "after")
+          .otherwise(concat(lit("b"),
+            floor((col("o_totalprice") - 100000) / 50000).cast("string")))
+          .as("bucket"))
         .agg(count(lit(1)).as("cnt")).orderBy("bucket")),
 
     "facet_pivot" -> ((s, dir) =>
