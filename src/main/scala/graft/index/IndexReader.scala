@@ -38,6 +38,12 @@ final class IndexReader(val spark: SparkSession, val dir: String,
 
   lazy val normCache: Array[Float] = BM25.cache(avgdl)
 
+  /** max(docPart)+1 over this index (one tiny cached-scan agg, memoized). */
+  lazy val numDocPartsHint: Int = {
+    val r = docmetaDf.agg(coalesce(max($"docPart"), lit(-1))).head().getInt(0)
+    math.max(1, r + 1)
+  }
+
   private lazy val termStatsCached: Dataset[TermStats] = {
     val ts = spark.read.parquet(s"$dir/termstats").as[TermStats]
     if (cacheData) ts.persist(StorageLevel.MEMORY_AND_DISK) else ts

@@ -11,6 +11,9 @@ trait SearchReader {
   def collStats: CollStats
   def avgdl: Float
   def normCache: Array[Float]
+  /** Upper bound on docPart values present (max docPart + 1). Used by the
+    * WAND distributor to size its bounded query-time chunk grid. */
+  def numDocPartsHint: Int
   def termStats(terms: Seq[String]): Map[String, TermStats]
   def termStatsDf: Dataset[TermStats]
   def expandTerms(pred: Column, limit: Int = 1024): Seq[TermStats]
@@ -36,6 +39,8 @@ final class MultiIndexReader(val readers: Seq[IndexReader]) extends SearchReader
     graft.search.BM25.avgFieldLength(collStats.sumTotalTermFreq, collStats.maxDoc)
 
   lazy val normCache: Array[Float] = graft.search.BM25.cache(avgdl)
+
+  lazy val numDocPartsHint: Int = readers.map(_.numDocPartsHint).max
 
   def termStats(terms: Seq[String]): Map[String, TermStats] = {
     val per = readers.map(_.termStats(terms))

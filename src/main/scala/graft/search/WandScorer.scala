@@ -11,10 +11,15 @@ import graft.index.{BlockRow, Ids, SearchReader}
   * precursors: skip lists for advance [codecs/MultiLevelSkipListWriter.java:31-62]
   * and the collector threshold [search/TopScoreDocCollector.java:71-79]).
   *
-  * Distribution model: block rows are replicated to the doc-partition
-  * chunks they overlap (chunk = docId >> Ids.DocIdShift — chunks partition
-  * the doc space, mirroring per-segment search in
-  * search/IndexSearcher.java:648-673); each chunk task runs a WAND loop
+  * Distribution model: the doc space is split into a BOUNDED grid of
+  * query-time chunks — at most ~2x the runtime parallelism, each owning a
+  * contiguous range of docParts (mirroring per-segment search in
+  * search/IndexSearcher.java:648-673) — and block rows go only to the
+  * chunks their (firstDoc, lastDoc) span overlaps. Because the chunk count
+  * is capped by CORES (not by numDocParts), a sparse term whose one block
+  * spans the whole doc space replicates to at most targetChunks rows: total
+  * shuffled rows are O(#blocks + #terms x #chunks), independent of
+  * numDocParts (which is ~2e5 at 100 TB). Each chunk task runs a WAND loop
   * with a local k-heap, decoding a block only when the cursor enters it
   * (skipping via (firstDoc, lastDoc) metadata) and skipping pivots whose
   * summed upper bounds cannot beat the local threshold. Upper bounds are
@@ -45,10 +50,10 @@ final class WandScorer(reader: SearchReader) {
     val msm = if (conjunctive) present.length else math.max(minShouldMatch, 1)
     val kk = k
 
+    val ppc = WandScorer.partsPerChunk(reader.numDocPartsHint,
+      sparkS.sparkContext.defaultParallelism)
     val chunked = reader.blocks(present).flatMap { b =>
-      val lo = Ids.docPart(b.firstDoc)
-      val hi = Ids.docPart(b.lastDoc)
-      (lo to hi).iterator.map(c => (c, b))
+      WandScorer.chunksOf(b.firstDoc, b.lastDoc, ppc).map(c => (c, b))
     }
 
     chunked.groupByKey(_._1).flatMapGroups { (chunk, it) =>
@@ -58,8 +63,8 @@ final class WandScorer(reader: SearchReader) {
       val byTerm = Array.fill(wv.length)(
         scala.collection.mutable.ArrayBuffer[BlockRow]())
       it.foreach { case (_, b) => byTerm(tIdx(b.term)) += b }
-      val loDoc = chunk.toLong << Ids.DocIdShift
-      val hiDoc = (chunk + 1).toLong << Ids.DocIdShift
+      val loDoc = (chunk.toLong * ppc) << Ids.DocIdShift
+      val hiDoc = ((chunk + 1).toLong * ppc) << Ids.DocIdShift
       val cursors = (0 until wv.length).flatMap { i =>
         val blocks = byTerm(i).sortBy(_.firstDoc).toArray
         if (blocks.isEmpty) None
@@ -73,6 +78,20 @@ final class WandScorer(reader: SearchReader) {
 }
 
 object WandScorer {
+  /** Chunk grid: contiguous docPart ranges of this width. The chunk COUNT
+    * is capped at ~2x parallelism so block fan-out never scales with
+    * numDocParts (the round-1 scale-killer: (lo to hi) per docPart). */
+  def partsPerChunk(numDocParts: Int, parallelism: Int): Int = {
+    val nParts = math.max(1, numDocParts)
+    val targetChunks = math.max(1, math.min(nParts, math.max(1, parallelism) * 2))
+    (nParts + targetChunks - 1) / targetChunks
+  }
+
+  /** Chunks a block's (firstDoc, lastDoc) span overlaps — O(span/width)+1,
+    * bounded by the chunk-count cap. */
+  def chunksOf(firstDoc: Long, lastDoc: Long, ppc: Int): Iterator[Int] =
+    (Ids.docPart(firstDoc) / ppc to Ids.docPart(lastDoc) / ppc).iterator
+
   /** One term's postings iterator over (chunk-restricted) blocks with
     * metadata-level skipping. */
   private[search] final class Cursor(val clause: Int, val wv: Float,
