@@ -108,7 +108,9 @@ object StandardTokenizer {
     var starts: Array[Int] = new Array[Int](1024)
     var ends: Array[Int] = new Array[Int](1024)
     def ensure(n: Int): Unit = if (cls.length < n) {
-      val cap = Integer.highestOneBit(n - 1) << 1
+      // next pow2 >= n, clamped: highestOneBit<<1 overflows past 2^30
+      val pow2 = Integer.highestOneBit(n - 1) << 1
+      val cap = if (pow2 < n) Int.MaxValue - 8 else pow2
       cls = new Array[Byte](cap)
       starts = new Array[Int](cap)
       ends = new Array[Int](cap)

@@ -72,9 +72,14 @@ final class IndexReader(val spark: SparkSession, val dir: String,
 
   /** Term-dictionary expansion for multi-term queries (prefix/wildcard/
     * fuzzy/range rewrite, reference search/MultiTermQuery.java). The
-    * predicate runs over the term dictionary, NOT the postings. */
-  def expandTerms(pred: org.apache.spark.sql.Column, limit: Int = 1024): Seq[TermStats] =
-    termStatsCached.where(pred).orderBy($"term").limit(limit).collect().toSeq
+    * predicate runs over the term dictionary, NOT the postings; matching
+    * more than `limit` terms RAISES TooManyClauses (reference semantics,
+    * search/BooleanQuery.java:47-66) instead of silently truncating. */
+  def expandTerms(pred: org.apache.spark.sql.Column,
+                  limit: Int = SearchReader.MaxClauseCount): Seq[TermStats] =
+    SearchReader.checkClauses(
+      termStatsCached.where(pred).orderBy($"term").limit(limit + 1)
+        .collect().toSeq, limit)
 
   private lazy val postingsDf: DataFrame = {
     val p = spark.read.parquet(s"$dir/postings").drop("wave")

@@ -16,9 +16,40 @@ trait SearchReader {
   def numDocPartsHint: Int
   def termStats(terms: Seq[String]): Map[String, TermStats]
   def termStatsDf: Dataset[TermStats]
-  def expandTerms(pred: Column, limit: Int = 1024): Seq[TermStats]
+  def expandTerms(pred: Column, limit: Int = SearchReader.MaxClauseCount): Seq[TermStats]
   def blocks(terms: Seq[String]): Dataset[BlockRow]
   def docmeta: Dataset[DocMeta]
+
+  /** Fuzzy term expansion with dictionary pruning: a cheap |len(term) -
+    * len(query)| <= maxEdits band runs BEFORE the Levenshtein evaluation,
+    * so the full-vocabulary edit-distance scan of round 1 becomes a
+    * length-banded one (the pragmatic stand-in for the reference's
+    * Levenshtein-automaton intersection, search/FuzzyTermsEnum.java). */
+  def fuzzyTerms(term: String, maxEdits: Int,
+                 limit: Int = SearchReader.MaxClauseCount): Seq[TermStats] = {
+    import org.apache.spark.sql.functions._
+    val len = term.length
+    expandTerms(
+      length(col("term")).between(len - maxEdits, len + maxEdits) &&
+        levenshtein(col("term"), lit(term)) <= maxEdits, limit)
+  }
+}
+
+object SearchReader {
+  /** Reference BooleanQuery.maxClauseCount default
+    * (search/BooleanQuery.java:47-66). */
+  final val MaxClauseCount = 1024
+
+  /** Raised when a multi-term rewrite matches more than `limit` dictionary
+    * terms — the reference THROWS here rather than silently truncating
+    * (BooleanQuery.TooManyClauses, search/BooleanQuery.java:47-66). */
+  final class TooManyClauses(matched: Long, limit: Int) extends RuntimeException(
+    s"multi-term query expands to > $limit dictionary terms " +
+      s"(maxClauseCount, reference BooleanQuery.java:47-66)")
+
+  private[index] def checkClauses(ts: Seq[TermStats], limit: Int): Seq[TermStats] =
+    if (ts.length > limit) throw new TooManyClauses(ts.length, limit)
+    else ts
 }
 
 /** Point-in-time union view over several sub-indexes with GLOBAL
@@ -63,9 +94,11 @@ final class MultiIndexReader(val readers: Seq[IndexReader]) extends SearchReader
       }
   }
 
-  def expandTerms(pred: Column, limit: Int = 1024): Seq[TermStats] = {
+  def expandTerms(pred: Column, limit: Int = SearchReader.MaxClauseCount): Seq[TermStats] = {
     import org.apache.spark.sql.functions.col
-    termStatsDf.where(pred).orderBy(col("term")).limit(limit).collect().toSeq
+    SearchReader.checkClauses(
+      termStatsDf.where(pred).orderBy(col("term")).limit(limit + 1)
+        .collect().toSeq, limit)
   }
 
   def blocks(terms: Seq[String]): Dataset[BlockRow] =

@@ -53,24 +53,24 @@ final class JoinScorer(reader: SearchReader) {
         (o, pq, ScoredPhrase(ts, rel, ts.map(stats.get), 0, b))
       case (o, pq @ SloppyPhraseQ(ts, rel, slop), b) =>
         (o, pq, ScoredPhrase(ts, rel, ts.map(stats.get), slop, b))
-      case (o, rq @ RegexpQ(pat), _) =>
+      case (o, rq @ RegexpQ(pat), b) =>
         (o, rq, ConstSet(
-          reader.expandTerms($"term".rlike("^" + pat + "$")).map(_.term)))
-      case (o, pq @ PrefixQ(p), _) =>
-        (o, pq, ConstSet(reader.expandTerms($"term".startsWith(p)).map(_.term)))
-      case (o, wq @ WildcardQ(pat), _) =>
+          reader.expandTerms($"term".rlike("^" + pat + "$")).map(_.term), b))
+      case (o, pq @ PrefixQ(p), b) =>
+        (o, pq, ConstSet(reader.expandTerms($"term".startsWith(p)).map(_.term), b))
+      case (o, wq @ WildcardQ(pat), b) =>
         val rx = "(?s)" + pat.flatMap {
           case '*' => ".*"
           case '?' => "."
           case c if "\\.[]{}()<>+-=!?^$|".contains(c) => "\\" + c
           case c => c.toString
         }
-        (o, wq, ConstSet(reader.expandTerms($"term".rlike("^" + rx + "$")).map(_.term)))
-      case (o, fq @ FuzzyQ(t, e), _) =>
-        (o, fq, ConstSet(reader.expandTerms(levenshtein($"term", lit(t)) <= e).map(_.term)))
-      case (o, rq @ RangeQ(lo, hi), _) =>
-        (o, rq, ConstSet(reader.expandTerms($"term" >= lo && $"term" < hi).map(_.term)))
-      case (o, MatchAllQ, _) => (o, MatchAllQ, MatchAll)
+        (o, wq, ConstSet(reader.expandTerms($"term".rlike("^" + rx + "$")).map(_.term), b))
+      case (o, fq @ FuzzyQ(t, e), b) =>
+        (o, fq, ConstSet(reader.fuzzyTerms(t, e).map(_.term), b))
+      case (o, rq @ RangeQ(lo, hi), b) =>
+        (o, rq, ConstSet(reader.expandTerms($"term" >= lo && $"term" < hi).map(_.term), b))
+      case (o, MatchAllQ, b) => (o, MatchAllQ, MatchAll(b))
       case (_, other, _) =>
         throw new IllegalArgumentException(s"cannot rewrite $other")
     }
@@ -86,8 +86,12 @@ final class JoinScorer(reader: SearchReader) {
   final case class ScoredSpan(terms: Seq[String], slop: Int,
                               stats: Seq[Option[TermStats]],
                               boost: Float = 1f) extends RewrittenClause
-  final case class ConstSet(terms: Seq[String]) extends RewrittenClause
-  case object MatchAll extends RewrittenClause
+  /** Constant-score set: every matching doc scores `boost` (reference
+    * ConstantScoreQuery multiplies 1.0 by the query boost,
+    * search/ConstantScoreQuery.java). */
+  final case class ConstSet(terms: Seq[String],
+                            boost: Float = 1f) extends RewrittenClause
+  final case class MatchAll(boost: Float = 1f) extends RewrittenClause
 
   private def kindOf(o: Occur): Int = o match {
     case Occur.Must => ClauseKind.Must
@@ -116,15 +120,15 @@ final class JoinScorer(reader: SearchReader) {
     }
   }
 
-  /** Constant-score set (multi-term rewrite): score 1.0 per matching doc. */
-  private def constHits(terms: Seq[String], clause: Int,
-                        kind: Int): Dataset[ClauseHit] = {
+  /** Constant-score set (multi-term rewrite): score = boost per match. */
+  private def constHits(terms: Seq[String], clause: Int, kind: Int,
+                        boost: Float = 1f): Dataset[ClauseHit] = {
     if (terms.isEmpty) return spark.emptyDataset[ClauseHit]
     reader.blocks(terms).flatMap { b =>
       val (docs, _, _) = PostingsCodec.decodeDocs(
         graft.codec.PostingBlock(b.term, b.firstDoc, b.lastDoc, b.count,
           b.maxTf, b.maxPartial, b.docBytes, b.nrmBytes, b.posBytes))
-      docs.iterator.map(d => ClauseHit(d, clause, kind, 1f))
+      docs.iterator.map(d => ClauseHit(d, clause, kind, boost))
     }.dropDuplicates("docId").as[ClauseHit]
   }
 
@@ -260,8 +264,9 @@ final class JoinScorer(reader: SearchReader) {
     }.filter(h => !java.lang.Float.isNaN(h.score))
   }
 
-  private def matchAllHits(clause: Int, kind: Int): Dataset[ClauseHit] =
-    reader.docmeta.map(d => ClauseHit(d.docId, clause, kind, 1f))
+  private def matchAllHits(clause: Int, kind: Int,
+                           boost: Float = 1f): Dataset[ClauseHit] =
+    reader.docmeta.map(d => ClauseHit(d.docId, clause, kind, boost))
 
   /** Score a boolean query -> (docId, score) with exact reference
     * semantics (score = left-to-right float sum of scoring clauses). */
@@ -274,8 +279,8 @@ final class JoinScorer(reader: SearchReader) {
         case ScoredPhrase(ts, rel, st, slop, b) =>
           phraseHits(ts, rel, st, i, kind, slop, b)
         case ScoredSpan(ts, slop, st, b) => spanHits(ts, slop, st, i, kind, b)
-        case ConstSet(ts) => constHits(ts, i, kind)
-        case MatchAll => matchAllHits(i, kind)
+        case ConstSet(ts, b) => constHits(ts, i, kind, b)
+        case MatchAll(b) => matchAllHits(i, kind, b)
       }
     }
     if (frames.isEmpty) return spark.emptyDataset[(Long, Float)]

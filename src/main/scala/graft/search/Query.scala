@@ -37,7 +37,14 @@ final case class RegexpQ(pattern: String) extends Query
   * (sum over terms of the distance each must move from its expected slot;
   * exactly Lucene's movement cost for two-term phrases). */
 final case class SloppyPhraseQ(terms: Seq[String], rel: Seq[Int],
-                               slop: Int) extends Query
+                               slop: Int) extends Query {
+  // our displacement-sum equals Lucene's movement cost ONLY for 2-term
+  // phrases (terms may not share one occurrence position in Lucene's
+  // alignment); refuse the >2-term case rather than ship divergent ranks
+  require(terms.length <= 2,
+    s"sloppy phrases support at most 2 terms (got ${terms.length}); " +
+      "use SpanNearQ for longer proximity queries")
+}
 /** Query-time boost (reference Query.setBoost; BM25 folds it into the
   * weight: weightValue = idf * boost * (k1+1), BM25Similarity.java:289-293). */
 final case class BoostQ(q: Query, boost: Float) extends Query

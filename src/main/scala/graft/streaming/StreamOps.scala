@@ -114,7 +114,7 @@ object StreamOps {
       .withColumn("prev_ts", lag(col("ts"), 1).over(w))
       .withColumn("brk",
         when(col("prev_ts").isNull ||
-          col("ts").cast("long") - col("prev_ts").cast("long") > gapMs / 1000,
+          unix_millis(col("ts")) - unix_millis(col("prev_ts")) > gapMs,
           1L).otherwise(0L))
       .withColumn("session_id", sum("brk").over(
         w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))

@@ -16,6 +16,16 @@ object NaiveOracle {
 
   final case class Doc(docId: Long, lang: String, content: String)
 
+  def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
   final class Index(docs: Seq[Doc]) {
     val analyzed: Map[Long, Vector[graft.analysis.TermPos]] =
       docs.map(d => d.docId -> Analyzer.analyze(d.content, StopSets.forLang(d.lang))).toMap
@@ -78,35 +88,26 @@ object NaiveOracle {
         }.toMap
       case RegexpQ(pat) =>
         val rx = ("^" + pat + "$").r
-        constSet(allTerms.filter(t => rx.findFirstIn(t).isDefined))
+        constSet(allTerms.filter(t => rx.findFirstIn(t).isDefined), boost)
       case RangeQ(lo, hi) =>
-        constSet(allTerms.filter(t => t >= lo && t < hi))
-      case PrefixQ(p) => constSet(allTerms.filter(_.startsWith(p)))
+        constSet(allTerms.filter(t => t >= lo && t < hi), boost)
+      case PrefixQ(p) => constSet(allTerms.filter(_.startsWith(p)), boost)
       case WildcardQ(pat) =>
         val rx = ("^" + pat.flatMap {
           case '*' => ".*"; case '?' => "."
           case c if "\\.[]{}()<>+-=!?^$|".contains(c) => "\\" + c
           case c => c.toString
         } + "$").r
-        constSet(allTerms.filter(t => rx.findFirstIn(t).isDefined))
-      case FuzzyQ(t, e) => constSet(allTerms.filter(c => lev(c, t) <= e))
-      case MatchAllQ => dl.keys.map(_ -> 1f).toMap
+        constSet(allTerms.filter(t => rx.findFirstIn(t).isDefined), boost)
+      case FuzzyQ(t, e) => constSet(allTerms.filter(c => lev(c, t) <= e), boost)
+      case MatchAllQ => dl.keys.map(_ -> boost).toMap
       case b: BoolQ => sys.error("nested bool not supported")
     }
 
-    private def constSet(terms: Seq[String]): Map[Long, Float] =
+    /** ConstantScoreQuery semantics: each matching doc scores the boost. */
+    private def constSet(terms: Seq[String], boost: Float): Map[Long, Float] =
       terms.flatMap(t => postings.getOrElse(t, Map.empty).keys).distinct
-        .map(_ -> 1f).toMap
-
-    private def lev(a: String, b: String): Int = {
-      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
-        if (i == 0) j else if (j == 0) i else 0
-      }
-      for (i <- 1 to a.length; j <- 1 to b.length)
-        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
-          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
-      d(a.length)(b.length)
-    }
+        .map(_ -> boost).toMap
 
     /** All matching (docId, score), unranked. */
     def scores(q: BoolQ): Map[Long, Float] = {

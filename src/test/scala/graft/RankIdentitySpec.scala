@@ -106,6 +106,36 @@ class RankIdentitySpec extends AnyFunSuite {
       Occur.Should -> RangeQ("print", "publir"))))
   }
 
+  test("q7e: boosted const-score rewrite scores boost, not 1") {
+    // boost changes the rank ORDER vs the scored term clause — a dropped
+    // boost (round-1 bug) collapses back to 1f and reorders
+    checkQuery(BoolQ(Seq(Occur.Should -> BoostQ(PrefixQ("id1"), 3f),
+      Occur.Should -> TermQ("spark"))), 20)
+    checkQuery(BoolQ(Seq(Occur.Should -> BoostQ(MatchAllQ, 0.5f),
+      Occur.Should -> TermQ("merge"))), 20)
+  }
+
+  test("3-term sloppy phrase is refused (2-term movement cost only)") {
+    intercept[IllegalArgumentException] {
+      SloppyPhraseQ(Seq("a", "b", "c"), Seq(0, 1, 2), 2)
+    }
+  }
+
+  test("multi-term rewrite beyond maxClauseCount raises TooManyClauses") {
+    // the corpus has ~1000 idNNN terms + numbers; a tiny limit must throw
+    intercept[graft.index.SearchReader.TooManyClauses] {
+      reader.expandTerms($"term".startsWith("id"), limit = 5)
+    }
+    // and the default path still expands small sets fine
+    assert(reader.expandTerms($"term".startsWith("id17")).nonEmpty)
+  }
+
+  test("fuzzy expansion: length-banded pre-filter matches plain levenshtein") {
+    val banded = reader.fuzzyTerms("sprk", 2).map(_.term).toSet
+    val brute = oracle.allTerms.filter(t => NaiveOracle.lev(t, "sprk") <= 2).toSet
+    assert(banded == brute)
+  }
+
   test("q8: absent term -> empty") {
     assert(engineTopK(BoolQ(Seq(Occur.Should -> TermQ("zzzznotthere")))).isEmpty)
   }
