@@ -139,7 +139,7 @@ object SparkEntry {
         .flatMap { b =>
           val (docs, tfs, _) = graft.codec.PostingsCodec.decodeDocs(
             graft.codec.PostingBlock(b.term, b.firstDoc, b.lastDoc, b.count,
-              b.maxTf, b.maxPartial, b.docBytes, b.nrmBytes, b.posBytes))
+              b.maxTf, b.sumTf, b.maxPartial, b.docBytes, b.nrmBytes, b.posBytes))
           docs.indices.iterator.map(i => (docs(i), tfs(i).toLong))
         }.toDF("docId", "tf")
         .join(idMap(r), "docId").select("doc_id", "tf").orderBy("doc_id")
@@ -153,8 +153,8 @@ object SparkEntry {
       r.blocks(Seq("window"))
         .flatMap { b =>
           graft.codec.PostingsCodec.decode(graft.codec.PostingBlock(
-            b.term, b.firstDoc, b.lastDoc, b.count, b.maxTf, b.maxPartial,
-            b.docBytes, b.nrmBytes, b.posBytes)).iterator
+            b.term, b.firstDoc, b.lastDoc, b.count, b.maxTf, b.sumTf,
+            b.maxPartial, b.docBytes, b.nrmBytes, b.posBytes)).iterator
             .map(p => (p.docId, p.positions.mkString(",")))
         }.toDF("docId", "pos_list")
         .join(idMap(r), "docId").select("doc_id", "pos_list")

@@ -29,6 +29,7 @@ final case class PostingBlock(
     lastDoc: Long,
     count: Int,
     maxTf: Int,
+    sumTf: Long,
     maxPartial: Float,
     docBytes: Array[Byte],
     nrmBytes: Array[Byte],
@@ -58,6 +59,7 @@ object PostingsCodec {
       var prev = chunk.head.docId
       val firstDoc = chunk.head.docId
       var maxTf = 0
+      var sumTf = 0L
       var maxPartial = Float.NegativeInfinity
       var i = 0
       while (i < chunk.size) {
@@ -73,6 +75,7 @@ object PostingsCodec {
           posW.writeVInt(p.positions(j) - prevPos); prevPos = p.positions(j); j += 1
         }
         if (p.tf > maxTf) maxTf = p.tf
+        sumTf += p.tf
         if (cache != null) {
           val f = p.tf.toFloat
           val partial = f / (f + cache(p.norm & 0xFF))
@@ -80,7 +83,7 @@ object PostingsCodec {
         }
         i += 1
       }
-      PostingBlock(term, firstDoc, prev, chunk.size, maxTf,
+      PostingBlock(term, firstDoc, prev, chunk.size, maxTf, sumTf,
         if (cache == null) Float.NaN else maxPartial,
         docW.toBytes, nrm, posW.toBytes)
     }

@@ -22,7 +22,8 @@ object CheckIndex {
   final case class BlockFacts(term: String, firstDoc: Long,
                                       lastDoc: Long, count: Int,
                                       nDecoded: Int, sumTf: Long, maxTf: Int,
-                                      declaredMaxTf: Int, sorted: Boolean,
+                                      declaredMaxTf: Int, declaredSumTf: Long,
+                                      sorted: Boolean,
                                       inRange: Boolean, boundSafe: Boolean)
 
   def run(reader: IndexReader, source: Option[DataFrame] = None): Dataset[CheckResult] = {
@@ -33,11 +34,11 @@ object CheckIndex {
     val cacheB = spark.sparkContext.broadcast(cache)
     val facts = spark.read.parquet(s"${reader.dir}/postings").drop("wave")
       .select($"term", $"firstDoc", $"lastDoc", $"count", $"maxTf",
-        $"maxPartial", $"docBytes", $"nrmBytes", $"posBytes")
-      .as[(String, Long, Long, Int, Int, Float, Array[Byte], Array[Byte], Array[Byte])]
-      .map { case (term, fd, ld, cnt, mtf, mp, db, nb, pb) =>
+        $"sumTf", $"maxPartial", $"docBytes", $"nrmBytes", $"posBytes")
+      .as[(String, Long, Long, Int, Int, Long, Float, Array[Byte], Array[Byte], Array[Byte])]
+      .map { case (term, fd, ld, cnt, mtf, stf, mp, db, nb, pb) =>
         val (docs, tfs, nrms) = PostingsCodec.decodeDocs(
-          PostingBlock(term, fd, ld, cnt, mtf, mp, db, nb, pb))
+          PostingBlock(term, fd, ld, cnt, mtf, stf, mp, db, nb, pb))
         var sorted = true
         var maxTf = 0
         var sumTf = 0L
@@ -56,13 +57,16 @@ object CheckIndex {
         }
         val inRange = docs.isEmpty ||
           (docs.head == fd && docs.last == ld && docs.head >= fd && docs.last <= ld)
-        BlockFacts(term, fd, ld, cnt, docs.length, sumTf, maxTf, mtf,
+        BlockFacts(term, fd, ld, cnt, docs.length, sumTf, maxTf, mtf, stf,
           sorted, inRange, boundSafe)
       }.cache()
 
+    // stored block metadata must equal the decoded truth — the term dict
+    // is re-aggregated from these fields, so drift here would poison idf
     val blockBad = facts.filter(f =>
       !f.sorted || !f.inRange || !f.boundSafe ||
-        f.nDecoded != f.count || f.maxTf > f.declaredMaxTf).count()
+        f.nDecoded != f.count || f.maxTf > f.declaredMaxTf ||
+        f.sumTf != f.declaredSumTf).count()
 
     // blocks of one term must cover disjoint, ascending docId ranges
     // (the docBase-concatenation invariant, codecs/FieldsConsumer.java:90-100)

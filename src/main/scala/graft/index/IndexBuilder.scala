@@ -157,14 +157,14 @@ object IndexBuilder {
         Map("docs" -> docsAcc.value, "tokens" -> tokAcc.value))
     }
     lazy val segments = spark.read.parquet(segPath).as[SegmentDoc]
+    // No separate docmeta stage: readers get docmeta by column-pruned
+    // parquet scans of segments/ (the postings column chunks are never
+    // read), so the build skips a full rewrite of every stored field.
 
-    // ---- stage 2: docmeta (norms + stored-field keys) ----
-    if (!stageDone(dir, "docmeta")) timed("docmeta") {
-      segments.drop("postings").write.mode("overwrite").parquet(s"$dir/docmeta")
-      writeMarker(dir, "docmeta", Map())
-    }
-
-    // ---- stage 3: collection + term stats ----
+    // ---- stage 2: collection stats (one pruned int-column scan) ----
+    // NOT taken from the segments accumulators: accumulator values can
+    // double-count under task retries/speculation, and avgdl must be
+    // EXACT for rank identity.
     if (!stageDone(dir, "collstats")) timed("collstats") {
       val row = segments.agg(count(lit(1)), coalesce(sum($"dl"), lit(0L))).head()
       val cs = CollStats(row.getLong(0), row.getLong(1))
@@ -174,25 +174,25 @@ object IndexBuilder {
     }
     val collStats = spark.read.parquet(s"$dir/collstats").as[CollStats].head()
 
-    if (!stageDone(dir, "termstats")) timed("termstats") {
-      val nb = cfg.numBuckets
-      val ts = segments
-        .select(explode($"postings").as("p"))
-        .select($"p.term".as("term"), $"p.tf".as("tf"))
-        .groupBy($"term")
-        .agg(count(lit(1)).as("df"), sum($"tf").as("ttf"),
-          max($"tf").as("maxTf"))
-        .withColumn("bucket", pmod(hash_term($"term"), lit(nb)))
-        .select($"term", $"bucket", $"df", $"ttf", $"maxTf".cast("int"))
-        .as[TermStats]
-      ts.write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/termstats")
-      writeMarker(dir, "termstats", Map())
+    // ---- hot terms for salting: sampled df estimate ----
+    // A term is hot when df >= hotDfThreshold; a deterministic doc sample
+    // sized so a threshold-df term is expected >= 500 times finds the hot
+    // set without exploding every posting (hot/not-hot affects only block
+    // layout and skew, never results — IndexMaintenanceSpec proves both
+    // extremes identical). Sample seed is fixed, the sampled frame is the
+    // committed segments parquet, so resumes see the same hot set.
+    val hotTerms: Set[String] = timed("hotterms") {
+      if (cfg.hotDfThreshold > collStats.maxDoc) Set.empty
+      else {
+        val f = math.min(1.0, 500.0 / cfg.hotDfThreshold)
+        val sampled = if (f >= 1.0) segments else segments.sample(f, 42L)
+        val minC = math.max(1L, math.ceil(cfg.hotDfThreshold * f).toLong)
+        sampled.select(explode($"postings.term").as("term"))
+          .groupBy($"term").agg(count(lit(1)).as("c"))
+          .where($"c" >= minC)
+          .select("term").as[String].collect().toSet
+      }
     }
-
-    // hot terms for salting (collected: by construction a tiny set)
-    val hotTerms: Set[String] = spark.read.parquet(s"$dir/termstats")
-      .where($"df" >= cfg.hotDfThreshold).select("term").as[String]
-      .collect().toSet
     if (!stageDone(dir, "hotterms"))
       writeMarker(dir, "hotterms", Map("count" -> hotTerms.size.toLong))
 
@@ -270,7 +270,8 @@ object IndexBuilder {
                     .map { b =>
                       blockAcc.add(1)
                       BlockRow(bucket, b.term, b.firstDoc, b.lastDoc, b.count,
-                        b.maxTf, b.maxPartial, b.docBytes, b.nrmBytes, b.posBytes)
+                        b.maxTf, b.sumTf, b.maxPartial, b.docBytes, b.nrmBytes,
+                        b.posBytes)
                     }
                 }
               }
@@ -284,6 +285,24 @@ object IndexBuilder {
       }
       w += 1
     }
+
+    // ---- stage 5: term dictionary, re-aggregated from block metadata ----
+    // df = sum(count), ttf = sum(sumTf), maxTf = max(maxTf) over a term's
+    // blocks: ~postings/128 input rows, so this replaces round 1's second
+    // full explode+shuffle of every posting. (CheckIndex cross-checks the
+    // result against fully DECODED postings, so stored block metadata
+    // can't drift unnoticed.)
+    if (!stageDone(dir, "termstats")) timed("termstats") {
+      spark.read.parquet(s"$dir/postings")
+        .groupBy($"term")
+        .agg(first($"bucket").as("bucket"), sum($"count").as("df"),
+          sum($"sumTf").as("ttf"), max($"maxTf").as("maxTf"))
+        .select($"term", $"bucket", $"df", $"ttf", $"maxTf")
+        .as[TermStats]
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/termstats")
+      writeMarker(dir, "termstats", Map())
+    }
+
     if (!stageDone(dir, "done")) writeMarker(dir, "done", Map())
     dir
   }
@@ -316,12 +335,4 @@ object IndexBuilder {
     baseDir +: deltas
   }
 
-  /** Catalyst-stable term hash = Java String.hashCode (computable on the
-    * driver for pruning). Implemented as a column expression (codegen'd
-    * path would be a custom Expression; hash parity matters more here). */
-  private def hash_term(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.udf
-    val f = udf((s: String) => s.hashCode)
-    f(c)
-  }
 }

@@ -23,8 +23,15 @@ final class IndexReader(val spark: SparkSession, val dir: String,
     extends SearchReader {
   import spark.implicits._
 
+  /** Doc metadata = a column-pruned view over the segments parquet (the
+    * postings column chunks are never read; parquet is columnar, so this
+    * costs the same as a dedicated docmeta file without the build paying
+    * a full second write of every stored field). */
   private lazy val docmetaDf: Dataset[DocMeta] = {
-    val d = spark.read.parquet(s"$dir/docmeta").as[DocMeta]
+    val d = spark.read.parquet(s"$dir/segments")
+      .select("docId", "docPart", "repo", "path", "commit", "lang",
+        "dl", "norm", "sha256")
+      .as[DocMeta]
     if (cacheData) d.persist(StorageLevel.MEMORY_AND_DISK) else d
   }
 
@@ -94,7 +101,8 @@ final class IndexReader(val spark: SparkSession, val dir: String,
     postingsDf
       .where($"bucket".isin(buckets: _*) && $"term".isin(terms: _*))
       .select($"bucket", $"term", $"firstDoc", $"lastDoc", $"count",
-        $"maxTf", $"maxPartial", $"docBytes", $"nrmBytes", $"posBytes")
+        $"maxTf", $"sumTf", $"maxPartial", $"docBytes", $"nrmBytes",
+        $"posBytes")
       .as[BlockRow]
   }
 }

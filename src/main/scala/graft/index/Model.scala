@@ -46,11 +46,15 @@ final case class CollStats(maxDoc: Long, sumTotalTermFreq: Long)
 final case class PostingRow(term: String, docId: Long, tf: Int,
                             positions: Array[Int], norm: Byte)
 
-/** On-disk block row = codec.PostingBlock + physical bucket. */
+/** On-disk block row = codec.PostingBlock + physical bucket. `count`
+  * (=df contribution) / `sumTf` / `maxTf` let the term dictionary be
+  * re-aggregated from block rows (~postings/128 of them) instead of a
+  * second full explode over the segments. */
 final case class BlockRow(bucket: Int, term: String, firstDoc: Long,
                           lastDoc: Long, count: Int, maxTf: Int,
-                          maxPartial: Float, docBytes: Array[Byte],
-                          nrmBytes: Array[Byte], posBytes: Array[Byte])
+                          sumTf: Long, maxPartial: Float,
+                          docBytes: Array[Byte], nrmBytes: Array[Byte],
+                          posBytes: Array[Byte])
 
 object Ids {
   /** docId = (docPart << DocIdShift) | indexWithinPartition — deterministic

@@ -42,7 +42,7 @@ final class ClassicScorer(reader: SearchReader) {
       val value = valuesB.value(i)
       val (docs, tfs, nrms) = PostingsCodec.decodeDocs(
         graft.codec.PostingBlock(b.term, b.firstDoc, b.lastDoc, b.count,
-          b.maxTf, b.maxPartial, b.docBytes, b.nrmBytes, b.posBytes))
+          b.maxTf, b.sumTf, b.maxPartial, b.docBytes, b.nrmBytes, b.posBytes))
       (0 until docs.length).iterator.map { j =>
         val raw = math.sqrt(tfs(j).toDouble).toFloat * value
         (docs(j), i, raw * SmallFloat.byte315ToFloat(nrms(j)))

@@ -111,7 +111,7 @@ final class JoinScorer(reader: SearchReader) {
     reader.blocks(Seq(term)).flatMap { b =>
       val (docs, tfs, nrms) = PostingsCodec.decodeDocs(
         graft.codec.PostingBlock(b.term, b.firstDoc, b.lastDoc, b.count,
-          b.maxTf, b.maxPartial, b.docBytes, b.nrmBytes, b.posBytes))
+          b.maxTf, b.sumTf, b.maxPartial, b.docBytes, b.nrmBytes, b.posBytes))
       val cache = cacheB.value
       (0 until docs.length).iterator.map { i =>
         ClauseHit(docs(i), clause, kind,
@@ -127,7 +127,7 @@ final class JoinScorer(reader: SearchReader) {
     reader.blocks(terms).flatMap { b =>
       val (docs, _, _) = PostingsCodec.decodeDocs(
         graft.codec.PostingBlock(b.term, b.firstDoc, b.lastDoc, b.count,
-          b.maxTf, b.maxPartial, b.docBytes, b.nrmBytes, b.posBytes))
+          b.maxTf, b.sumTf, b.maxPartial, b.docBytes, b.nrmBytes, b.posBytes))
       docs.iterator.map(d => ClauseHit(d, clause, kind, boost))
     }.dropDuplicates("docId").as[ClauseHit]
   }
@@ -155,7 +155,7 @@ final class JoinScorer(reader: SearchReader) {
       reader.blocks(terms.distinct).flatMap { b =>
         val idxs = tIdxB.value(b.term)
         PostingsCodec.decode(graft.codec.PostingBlock(b.term, b.firstDoc,
-          b.lastDoc, b.count, b.maxTf, b.maxPartial, b.docBytes, b.nrmBytes,
+          b.lastDoc, b.count, b.maxTf, b.sumTf, b.maxPartial, b.docBytes, b.nrmBytes,
           b.posBytes)).iterator.flatMap(p =>
           idxs.map(idx => (p.docId, idx, p.positions, p.norm)))
       }
@@ -231,7 +231,7 @@ final class JoinScorer(reader: SearchReader) {
     reader.blocks(terms.distinct).flatMap { b =>
       val idxs = tIdxB.value(b.term)
       PostingsCodec.decode(graft.codec.PostingBlock(b.term, b.firstDoc,
-        b.lastDoc, b.count, b.maxTf, b.maxPartial, b.docBytes, b.nrmBytes,
+        b.lastDoc, b.count, b.maxTf, b.sumTf, b.maxPartial, b.docBytes, b.nrmBytes,
         b.posBytes)).iterator.flatMap(p =>
         idxs.map(idx => (p.docId, idx, p.positions, p.norm)))
     }.groupByKey(_._1).mapGroups { (docId, it) =>

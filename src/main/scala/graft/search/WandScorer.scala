@@ -117,8 +117,8 @@ object WandScorer {
     private def decodeBlock(i: Int): Unit = {
       val b = blocks(i)
       val t = PostingsCodec.decodeDocs(PostingBlock(b.term, b.firstDoc,
-        b.lastDoc, b.count, b.maxTf, b.maxPartial, b.docBytes, b.nrmBytes,
-        b.posBytes))
+        b.lastDoc, b.count, b.maxTf, b.sumTf, b.maxPartial, b.docBytes,
+        b.nrmBytes, b.posBytes))
       docs = t._1; tfs = t._2; nrms = t._3
     }
 
