@@ -89,6 +89,17 @@ object OracleQueries {
          |SELECT DISTINCT doc_id FROM tokens
          |WHERE term >= 'query' AND term < 'sort' ORDER BY doc_id""".stripMargin,
 
+    // Stemmed search: the corpus surface forms whose Porter stem is
+    // "custom" (the fixed 31-term vocabulary contains only "customer";
+    // "custom"/"customs" listed defensively). Independent re-derivation:
+    // the stem family is enumerated from English morphology, not from the
+    // engine; the stemmer itself is pinned by the 23,531-word golden test.
+    "ft_stemmed" ->
+      s"""WITH $tokAllCte
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM tokall
+         |WHERE term IN ('customer', 'custom', 'customs')
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "ft_termstats" ->
       s"""WITH $tokensCte
          |SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,

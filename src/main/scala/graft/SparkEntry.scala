@@ -59,6 +59,21 @@ object SparkEntry {
       IndexReader(spark, dir, cfg)
     })
 
+  private val stemmedReaders = new scala.collection.concurrent.TrieMap[String, IndexReader]
+
+  /** Same corpus indexed with the EnglishAnalyzer chain (possessive strip,
+    * English stop set, Porter stem) — the ft_stemmed surface. */
+  def stemmedReader(spark: SparkSession, sfDir: String): IndexReader =
+    stemmedReaders.getOrElseUpdate(sfDir, {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      val cfg = ftConfig((maxId / DocsPerPart + 1).toInt)
+        .copy(analyzer = "english")
+      val dir = java.nio.file.Files.createTempDirectory("graft-stem").toString
+      IndexBuilder.build(spark, docsAsInput(docs), dir, cfg)
+      IndexReader(spark, dir, cfg)
+    })
+
   private val nrtReaders = new scala.collection.concurrent.TrieMap[String, MultiIndexReader]
 
   /** Same corpus as [[reader]] but ingested as base + 2 appended deltas
@@ -192,6 +207,23 @@ object SparkEntry {
 
     "ft_range_term" -> ((s, dir) => matchedDocs(s, dir,
       BoolQ(Seq((Occur.Should, RangeQ("query", "sort")))))),
+
+    /** Stemmed search on an EnglishAnalyzer-chain index: the postings for
+      * stem "custom" carry every doc containing "customer" (the only
+      * corpus surface form in the family; Porter: m("custom")=2>1 so -er
+      * drops). tf flows through the stemmed chain. */
+    "ft_stemmed" -> ((s, dir) => {
+      import s.implicits._
+      val r = stemmedReader(s, dir)
+      r.blocks(Seq("custom"))
+        .flatMap { b =>
+          val (docs, tfs, _) = graft.codec.PostingsCodec.decodeDocs(
+            graft.codec.PostingBlock(b.term, b.firstDoc, b.lastDoc, b.count,
+              b.maxTf, b.sumTf, b.maxPartial, b.docBytes, b.nrmBytes, b.posBytes))
+          docs.indices.iterator.map(i => (docs(i), tfs(i).toLong))
+        }.toDF("docId", "tf")
+        .join(idMap(r), "docId").select("doc_id", "tf").orderBy("doc_id")
+    }),
 
     // ---------- full-text: dictionary / stats / norms ----------
     "ft_termstats" -> ((s, dir) => {

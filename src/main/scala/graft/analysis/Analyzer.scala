@@ -93,6 +93,64 @@ object Analyzer {
   def analyzeLang(text: String, lang: String): Vector[TermPos] =
     analyze(text, StopSets.forLang(lang))
 
+  /** Strip a trailing possessive ('s, ’s, ＇s — any case) — reference
+    * en/EnglishPossessiveFilter.java:37-54. */
+  def stripPossessive(s: String): String = {
+    val n = s.length
+    if (n >= 2 && (s(n - 1) == 's' || s(n - 1) == 'S') &&
+      (s(n - 2) == '\'' || s(n - 2) == '’' || s(n - 2) == '＇'))
+      s.substring(0, n - 2)
+    else s
+  }
+
+  /** EnglishAnalyzer-equivalent chain (reference
+    * en/EnglishAnalyzer.java:101-116): StandardTokenizer ->
+    * EnglishPossessiveFilter -> LowerCaseFilter -> StopFilter ->
+    * PorterStemFilter. Stopwords are removed BEFORE stemming (so e.g.
+    * "this" never survives as "thi") and dropped tokens still contribute
+    * position gaps. */
+  def analyzeEnglish(text: String, stopSet: Set[String],
+                     maxTokenLength: Int = StandardTokenizer.DefaultMaxTokenLength)
+      : Vector[TermPos] = {
+    val out = Vector.newBuilder[TermPos]
+    var pos = -1
+    val toks = StandardTokenizer.tokenize(text, maxTokenLength)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      pos += t.posInc
+      val term = lowerCase(stripPossessive(t.term))
+      if (!stopSet.contains(term)) out += TermPos(PorterStemmer.stem(term), pos)
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Flat-array variant of [[analyzeEnglish]] (indexing hot path, see
+    * [[analyzeFlat]]). */
+  def analyzeEnglishFlat(text: String, stopSet: Set[String],
+                         maxTokenLength: Int = StandardTokenizer.DefaultMaxTokenLength)
+      : (Array[String], Array[Int]) = {
+    val toks = StandardTokenizer.tokenize(text, maxTokenLength)
+    val terms = new Array[String](toks.length)
+    val positions = new Array[Int](toks.length)
+    var n = 0
+    var pos = -1
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      pos += t.posInc
+      val term = lowerCase(stripPossessive(t.term))
+      if (!stopSet.contains(term)) {
+        terms(n) = PorterStemmer.stem(term); positions(n) = pos; n += 1
+      }
+      i += 1
+    }
+    if (n == toks.length) (terms, positions)
+    else (java.util.Arrays.copyOf(terms, n),
+      java.util.Arrays.copyOf(positions, n))
+  }
+
   /** Field length for norms = number of tokens emitted by the chain
     * (overlaps/posInc==0 tokens never occur in this chain, so
     * numOverlap = 0; reference: BM25Similarity.computeNorm,

@@ -43,12 +43,17 @@ object IndexBuilder {
   }
 
   /** Analyze one document into a SegmentDoc (terms grouped in-memory per
-    * row — within-doc grouping needs no shuffle). */
+    * row — within-doc grouping needs no shuffle). `english = true` runs
+    * the EnglishAnalyzer chain (possessive strip + English stop set +
+    * Porter stem, reference en/EnglishAnalyzer.java:101-116) instead of
+    * the per-lang StandardAnalyzer chain. */
   def invertDoc(docId: Long, docPart: Int, repo: String, path: String,
                 commit: String, lang: String, content: String,
-                maxTokenLength: Int): SegmentDoc = {
+                maxTokenLength: Int, english: Boolean = false): SegmentDoc = {
     val (terms, positions) =
-      Analyzer.analyzeFlat(content, StopSets.forLang(lang), maxTokenLength)
+      if (english)
+        Analyzer.analyzeEnglishFlat(content, StopSets.forLang("en"), maxTokenLength)
+      else Analyzer.analyzeFlat(content, StopSets.forLang(lang), maxTokenLength)
     val dl = terms.length
     // group by term via a stable index sort (positions ascend in reading
     // order, so each run's positions stay sorted) — no per-term map nodes
@@ -120,6 +125,7 @@ object IndexBuilder {
     val segPath = s"$dir/segments"
     if (!stageDone(dir, "segments")) timed("segments") {
       val maxTok = cfg.maxTokenLength
+      val english = cfg.analyzer == "english"
       val nParts = cfg.numDocParts
       val parted = (
         if (input.columns.contains("docPart"))
@@ -144,7 +150,7 @@ object IndexBuilder {
                 s"docPart ${d.docPart} outside [0, $nParts)")
             if (d.docPart != cur) { cur = d.docPart; idx = 0L }
             val sd = invertDoc(Ids.docId(cur, idx), cur, d.repo, d.path,
-              d.commit, d.lang, d.content, maxTok)
+              d.commit, d.lang, d.content, maxTok, english)
             idx += 1
             sd
           }

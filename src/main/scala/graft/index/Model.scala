@@ -75,8 +75,11 @@ final case class IndexConfig(
     hotDfThreshold: Long = 50000L,
     saltShift: Int = 16,
     maxTokenLength: Int = 255,
-    shufflePartitions: Int = 32) {
+    shufflePartitions: Int = 32,
+    analyzer: String = "standard") {
   require(numDocParts > 0 && numBuckets > 0 && waves > 0)
+  require(analyzer == "standard" || analyzer == "english",
+    s"unknown analyzer '$analyzer' (standard | english)")
 }
 
 object Buckets {
