@@ -89,6 +89,24 @@ object OracleQueries {
          |SELECT DISTINCT doc_id FROM tokens
          |WHERE term >= 'query' AND term < 'sort' ORDER BY doc_id""".stripMargin,
 
+    // Fielded search: content clause 'spark' (BM25 over content stats) +
+    // path clause '000000123'. The path field is one token per doc (the
+    // zero-padded doc_id the engine indexes as `path`), so: df = 1,
+    // avgdl_path = 1.0, tf = 1, dl_path = 1 -> score = idf_path * 2.2 /
+    // (1 + 1.2*(0.25 + 0.75*qdl(1))) with qdl from the shared norm table.
+    "ft_fielded" ->
+      s"""${bm25With("('spark')")},
+         |scp AS (
+         |  SELECT doc_id,
+         |         ln(1 + ((SELECT n FROM cs) - 1 + 0.5) / (1 + 0.5)) * 2.2 /
+         |         (1 + 1.2 * (0.25 + 0.75 *
+         |            (SELECT qdl FROM nrm WHERE 1 BETWEEN lo AND hi))) AS s
+         |  FROM documents WHERE doc_id = 123),
+         |agg AS (SELECT doc_id, sum(s) AS score FROM
+         |        (SELECT doc_id, s FROM sc UNION ALL SELECT doc_id, s FROM scp)
+         |        GROUP BY doc_id)
+         |${rankSel(15)}""".stripMargin,
+
     // Stemmed search: the corpus surface forms whose Porter stem is
     // "custom" (the fixed 31-term vocabulary contains only "customer";
     // "custom"/"customs" listed defensively). Independent re-derivation:
@@ -144,6 +162,32 @@ object OracleQueries {
          |JOIN tokens b ON b.doc_id = a.doc_id AND b.pos > a.pos
          |  AND (b.pos - a.pos + 1) - 2 <= 2
          |WHERE a.term = 'table' AND b.term = 'scan' ORDER BY 1""".stripMargin,
+
+    // unordered: any-order window, width - 2 <= slop(2)  =>  |dpos| <= 3
+    "ft_span_unordered" ->
+      s"""WITH $tokensCte
+         |SELECT DISTINCT a.doc_id FROM tokens a
+         |JOIN tokens b ON b.doc_id = a.doc_id
+         |  AND abs(b.pos - a.pos) <= 3
+         |WHERE a.term = 'scan' AND b.term = 'table' ORDER BY 1""".stripMargin,
+
+    "ft_span_or" ->
+      s"""WITH $tokensCte
+         |SELECT DISTINCT doc_id FROM tokens
+         |WHERE term IN ('merge', 'stream') ORDER BY doc_id""".stripMargin,
+
+    // query-time synonym expansion: 'query' OR its synonym 'scan'
+    "ft_synonym" ->
+      s"""WITH $tokensCte
+         |SELECT DISTINCT doc_id FROM tokens
+         |WHERE term IN ('query', 'scan') ORDER BY doc_id""".stripMargin,
+
+    // ASCII folding happens on the ENGINE's query path; the folded terms
+    // are what must match
+    "ft_folded" ->
+      s"""WITH $tokensCte
+         |SELECT DISTINCT doc_id FROM tokens
+         |WHERE term IN ('merge', 'table') ORDER BY doc_id""".stripMargin,
 
     "ft_boost" ->
       s"""${bm25With("('spark'),('vector')")},
@@ -391,6 +435,20 @@ object OracleQueries {
          |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
          |  FROM orders)
          |WHERE rn = 1 ORDER BY o_totalprice DESC, o_custkey LIMIT 20""".stripMargin,
+
+    "expand_hits" ->
+      s"""WITH ranked AS (
+         |  SELECT o_custkey, o_orderkey, o_totalprice,
+         |    row_number() OVER (PARTITION BY o_custkey
+         |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         |  FROM orders),
+         |heads AS (
+         |  SELECT o_custkey FROM ranked WHERE rn = 1
+         |  ORDER BY o_totalprice DESC, o_custkey LIMIT 20)
+         |SELECT r.o_custkey, r.o_orderkey, CAST(r.rn AS BIGINT) AS rn
+         |FROM ranked r JOIN heads h ON h.o_custkey = r.o_custkey
+         |WHERE r.rn > 1 AND r.rn <= 3
+         |ORDER BY r.o_custkey, r.rn""".stripMargin,
 
     "distinct_count" ->
       s"""SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS nparts

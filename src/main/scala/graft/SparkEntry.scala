@@ -196,6 +196,25 @@ object SparkEntry {
     "ft_span_near" -> ((s, dir) => matchedDocs(s, dir, BoolQ(Seq(
       (Occur.Must, SpanNearQ(Seq("table", "scan"), 2)))))),
 
+    /** Unordered span-near (NearSpansUnordered): scan & table within a
+      * window of width <= 2 + slop, any order. */
+    "ft_span_unordered" -> ((s, dir) => matchedDocs(s, dir, BoolQ(Seq(
+      (Occur.Must, SpanNearQ(Seq("scan", "table"), 2, inOrder = false)))))),
+
+    /** Span disjunction (SpanOrQuery): any of the clause terms. */
+    "ft_span_or" -> ((s, dir) => matchedDocs(s, dir, BoolQ(Seq(
+      (Occur.Must, SpanOrQ(Seq("merge", "stream"))))))),
+
+    /** Query-time synonym expansion (SynonymFilter analog): 'query' with
+      * synonym 'scan' matches docs containing either. */
+    "ft_synonym" -> ((s, dir) => matchedDocs(s, dir,
+      QueryParser.parse("query", synonyms = Map("query" -> Seq("scan"))))),
+
+    /** ASCII folding on the query path (ASCIIFoldingFilter analog):
+      * accented query terms match the unaccented corpus. */
+    "ft_folded" -> ((s, dir) => matchedDocs(s, dir,
+      QueryParser.parse("mérge tāble", foldAscii = true))),
+
     "ft_prefix" -> ((s, dir) => matchedDocs(s, dir,
       BoolQ(Seq((Occur.Should, PrefixQ("s")))))),
 
@@ -235,9 +254,19 @@ object SparkEntry {
     "ft_collstats" -> ((s, dir) => {
       import s.implicits._
       val r = reader(s, dir)
-      val nTerms = r.termStatsDf.count()
+      val nTerms = r.termStatsDf
+        .where(!col("term").startsWith("path:")).count()
       Seq((r.collStats.maxDoc, r.collStats.sumTotalTermFreq, nTerms))
         .toDF("max_doc", "sum_ttf", "n_terms")
+    }),
+
+    /** Fielded search (classic `field:term` grammar): one content clause +
+      * one path-field clause whose score uses the PATH field's df/avgdl/
+      * norms (per-field stats — reference FieldInfos + per-field
+      * CollectionStatistics). The path clause lifts exactly doc 123. */
+    "ft_fielded" -> ((s, dir) => {
+      val q = QueryParser.parse("spark path:000000123")
+      rankedTopK(s, dir, q, 15)
     }),
 
     "ft_doclen_norms" -> ((s, dir) => {
@@ -600,6 +629,24 @@ object SparkEntry {
         .where(col("rn") === 1)
         .orderBy(col("o_totalprice").desc, col("o_custkey")).limit(20)
         .select("o_custkey", "o_orderkey")),
+
+    /** Expand component (reference solr ExpandComponent): for each
+      * collapsed group head (the collapse_best top-20), the next-best
+      * rows of that group. Heads are broadcast — the expensive side never
+      * reshuffles at scale. */
+    "expand_hits" -> ((s, dir) => {
+      val ranked = s.read.parquet(s"$dir/orders.parquet")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("o_custkey")
+            .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      val heads = ranked.where(col("rn") === 1)
+        .orderBy(col("o_totalprice").desc, col("o_custkey")).limit(20)
+        .select("o_custkey")
+      ranked.join(broadcast(heads), "o_custkey")
+        .where(col("rn") > 1 && col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn").cast("long"))
+        .orderBy("o_custkey", "rn")
+    }),
 
     "distinct_count" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")

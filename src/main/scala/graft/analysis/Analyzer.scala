@@ -93,6 +93,40 @@ object Analyzer {
   def analyzeLang(text: String, lang: String): Vector[TermPos] =
     analyze(text, StopSets.forLang(lang))
 
+  // non-decomposable Latin letters the NFKD pass cannot fold (reference
+  // miscellaneous/ASCIIFoldingFilter.java handles these in its big switch)
+  private val FoldMap: Map[Char, String] = Map(
+    'æ' -> "ae", 'Æ' -> "AE", 'œ' -> "oe", 'Œ' -> "OE", 'ø' -> "o",
+    'Ø' -> "O", 'ß' -> "ss", 'đ' -> "d", 'Đ' -> "D", 'ð' -> "d",
+    'Ð' -> "D", 'þ' -> "th", 'Þ' -> "TH", 'ł' -> "l", 'Ł' -> "L",
+    'ħ' -> "h", 'Ħ' -> "H", 'ŧ' -> "t", 'Ŧ' -> "T", 'ĸ' -> "q",
+    'ı' -> "i") // dotless i
+
+  /** ASCII folding (reference ASCIIFoldingFilter semantics for the Latin
+    * block): NFKD-decompose, drop combining marks, then map the
+    * non-decomposable Latin letters. ASCII input returns identically
+    * (fast path, no allocation). */
+  def foldToAscii(s: String): String = {
+    var i = 0
+    var ascii = true
+    while (ascii && i < s.length) { if (s(i) >= 0x80) ascii = false; i += 1 }
+    if (ascii) return s
+    val de = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKD)
+    val sb = new java.lang.StringBuilder(de.length)
+    i = 0
+    while (i < de.length) {
+      val c = de.charAt(i)
+      if (Character.getType(c) != Character.NON_SPACING_MARK) {
+        FoldMap.get(c) match {
+          case Some(r) => sb.append(r)
+          case None => sb.append(c)
+        }
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
   /** Strip a trailing possessive ('s, ’s, ＇s — any case) — reference
     * en/EnglishPossessiveFilter.java:37-54. */
   def stripPossessive(s: String): String = {

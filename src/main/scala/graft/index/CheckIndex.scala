@@ -30,8 +30,8 @@ object CheckIndex {
     val spark = reader.spark
     import spark.implicits._
 
-    val cache = reader.normCache
-    val cacheB = spark.sparkContext.broadcast(cache)
+    val cacheB = spark.sparkContext.broadcast(reader.normCache)
+    val pathCacheB = spark.sparkContext.broadcast(reader.normCacheFor("path"))
     val facts = spark.read.parquet(s"${reader.dir}/postings").drop("wave")
       .select($"term", $"firstDoc", $"lastDoc", $"count", $"maxTf",
         $"sumTf", $"maxPartial", $"docBytes", $"nrmBytes", $"posBytes")
@@ -43,7 +43,10 @@ object CheckIndex {
         var maxTf = 0
         var sumTf = 0L
         var boundSafe = true
-        val c = cacheB.value
+        // the bound must be checked with the block's FIELD cache (same
+        // avgdl the scorer will use)
+        val c = if (IndexBuilder.fieldOfTerm(term) == "path") pathCacheB.value
+                else cacheB.value
         var i = 0
         while (i < docs.length) {
           if (i > 0 && docs(i) <= docs(i - 1)) sorted = false

@@ -47,6 +47,20 @@ object IndexBuilder {
     * the EnglishAnalyzer chain (possessive strip + English stop set +
     * Porter stem, reference en/EnglishAnalyzer.java:101-116) instead of
     * the per-lang StandardAnalyzer chain. */
+  /** Path-field analysis: lowercase, split on any non-alphanumeric run
+    * (path separators, dots, dashes). A keyword-ish chain — code-search
+    * users match path SEGMENTS ("src", "scala", file stems). */
+  def pathTokens(path: String): Array[String] =
+    path.toLowerCase(java.util.Locale.ROOT)
+      .split("[^a-z0-9]+").filter(_.nonEmpty)
+
+  /** Indexed-term key of a path token (reference per-field term spaces,
+    * index/FieldInfos.java — here encoded by key prefix). */
+  def pathTerm(token: String): String = "path:" + token
+
+  def fieldOfTerm(term: String): String =
+    if (term.startsWith("path:")) "path" else "content"
+
   def invertDoc(docId: Long, docPart: Int, repo: String, path: String,
                 commit: String, lang: String, content: String,
                 maxTokenLength: Int, english: Boolean = false): SegmentDoc = {
@@ -77,8 +91,17 @@ object IndexBuilder {
       postings += SegPosting(t, ps.length, ps)
       i = j
     }
+    // path field: its own term space ("path:"-prefixed), positions and
+    // (pdl, pnorm) independent of the content field's
+    val ptoks = pathTokens(path)
+    val pdl = ptoks.length
+    ptoks.zipWithIndex.groupBy(_._1).toSeq.sortBy(_._1).foreach {
+      case (tok, occs) =>
+        postings += SegPosting(pathTerm(tok), occs.length, occs.map(_._2))
+    }
     SegmentDoc(docId, docPart, repo, path, commit, lang, dl,
-      SmallFloat.normByte(dl), sha256Hex(content), postings.toArray)
+      SmallFloat.normByte(dl), pdl, SmallFloat.normByte(pdl),
+      sha256Hex(content), postings.toArray)
   }
 
   // ---- stage markers / lineage ----
@@ -172,13 +195,20 @@ object IndexBuilder {
     // double-count under task retries/speculation, and avgdl must be
     // EXACT for rank identity.
     if (!stageDone(dir, "collstats")) timed("collstats") {
-      val row = segments.agg(count(lit(1)), coalesce(sum($"dl"), lit(0L))).head()
+      val row = segments.agg(count(lit(1)), coalesce(sum($"dl"), lit(0L)),
+        coalesce(sum($"pdl"), lit(0L))).head()
       val cs = CollStats(row.getLong(0), row.getLong(1))
       Seq(cs).toDS().write.mode("overwrite").parquet(s"$dir/collstats")
+      Seq(FieldStats("content", row.getLong(1)),
+        FieldStats("path", row.getLong(2))).toDS()
+        .write.mode("overwrite").parquet(s"$dir/fieldstats")
       writeMarker(dir, "collstats",
-        Map("maxDoc" -> cs.maxDoc, "sumTotalTermFreq" -> cs.sumTotalTermFreq))
+        Map("maxDoc" -> cs.maxDoc, "sumTotalTermFreq" -> cs.sumTotalTermFreq,
+          "pathSumTtf" -> row.getLong(2)))
     }
     val collStats = spark.read.parquet(s"$dir/collstats").as[CollStats].head()
+    val pathSumTtf = spark.read.parquet(s"$dir/fieldstats").as[FieldStats]
+      .collect().find(_.field == "path").map(_.sumTtf).getOrElse(0L)
 
     // ---- hot terms for salting: sampled df estimate ----
     // A term is hot when df >= hotDfThreshold; a deterministic doc sample
@@ -203,9 +233,12 @@ object IndexBuilder {
       writeMarker(dir, "hotterms", Map("count" -> hotTerms.size.toLong))
 
     // ---- stage 4: global merge -> compressed blocks, per wave ----
+    // per-field norm caches: the WAND bound (maxPartial) must be computed
+    // with the same float ops AND the same field avgdl the query path uses
     val avgdl = BM25.avgFieldLength(collStats.sumTotalTermFreq, collStats.maxDoc)
-    val normCache = BM25.cache(avgdl)
-    val cacheB = spark.sparkContext.broadcast(normCache)
+    val cacheB = spark.sparkContext.broadcast(BM25.cache(avgdl))
+    val pathCacheB = spark.sparkContext.broadcast(
+      BM25.cache(BM25.avgFieldLength(pathSumTtf, collStats.maxDoc)))
     var w = 0
     while (w < cfg.waves) {
       val stage = s"postings_wave_$w"
@@ -237,9 +270,13 @@ object IndexBuilder {
         val blocks = segments
           .where($"docPart" >= w * partsPerWave &&
             $"docPart" < (w + 1) * partsPerWave)
-          .select($"docId", explode($"postings").as("p"), $"norm")
+          .select($"docId", explode($"postings").as("p"), $"norm", $"pnorm")
           .select($"p.term".as("term"), $"docId", $"p.tf".as("tf"),
-            $"p.positions".as("positions"), $"norm", saltCol.as("salt"))
+            $"p.positions".as("positions"),
+            // each posting carries ITS field's norm byte
+            when($"p.term".startsWith("path:"), $"pnorm").otherwise($"norm")
+              .as("norm"),
+            saltCol.as("salt"))
           .repartition(cfg.shufflePartitions, $"term", $"salt")
           .sortWithinPartitions($"term", $"docId")
           .select($"salt", $"term", $"docId", $"tf", $"positions", $"norm")
@@ -257,6 +294,7 @@ object IndexBuilder {
               (Buckets.of(term, nb), salt, term, docId, tf, positions, norm)
             }
             val cache = cacheB.value
+            val pathCache = pathCacheB.value
             new Iterator[BlockRow] {
               private val buf = it.buffered
               private var pending: Iterator[BlockRow] = Iterator.empty
@@ -265,6 +303,8 @@ object IndexBuilder {
                   val bucket = buf.head._1
                   val salt = buf.head._2
                   val term = buf.head._3
+                  val fieldCache =
+                    if (fieldOfTerm(term) == "path") pathCache else cache
                   val run = new scala.collection.mutable.ArrayBuffer[Posting]()
                   while (buf.hasNext && buf.head._3 == term &&
                       buf.head._1 == bucket && buf.head._2 == salt) {
@@ -272,7 +312,7 @@ object IndexBuilder {
                     run += Posting(docId, tf, positions, norm)
                   }
                   postAcc.add(run.length)
-                  pending = PostingsCodec.encode(term, run.iterator, cache)
+                  pending = PostingsCodec.encode(term, run.iterator, fieldCache)
                     .map { b =>
                       blockAcc.add(1)
                       BlockRow(bucket, b.term, b.firstDoc, b.lastDoc, b.count,

@@ -45,6 +45,14 @@ final class IndexReader(val spark: SparkSession, val dir: String,
 
   lazy val normCache: Array[Float] = BM25.cache(avgdl)
 
+  private lazy val fieldStats: Map[String, Long] =
+    spark.read.parquet(s"$dir/fieldstats").as[FieldStats]
+      .collect().map(fs => fs.field -> fs.sumTtf).toMap
+
+  def fieldSumTtf(field: String): Long =
+    if (field == "content") collStats.sumTotalTermFreq
+    else fieldStats.getOrElse(field, 0L)
+
   /** max(docPart)+1 over this index (one tiny cached-scan agg, memoized). */
   lazy val numDocPartsHint: Int = {
     val r = docmetaDf.agg(coalesce(max($"docPart"), lit(-1))).head().getInt(0)

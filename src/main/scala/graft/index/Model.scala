@@ -19,11 +19,23 @@ final case class SegPosting(term: String, tf: Int, positions: Array[Int])
   * analog: one doc's contribution to a DocumentsWriterPerThread segment,
   * lucene/core/src/java/org/apache/lucene/index/DefaultIndexingChain.java:277-697).
   * docPart is the deterministic doc-side partition (docId >> DocIdShift).
-  */
+  *
+  * Two indexed fields, as in the reference's per-field model
+  * (index/FieldInfos.java): `content` terms are stored bare; `path` terms
+  * are stored as "path:<token>" (UAX#29 never emits ':' inside a token,
+  * so the key spaces cannot collide). (dl, norm) are the content field's
+  * length/norm; (pdl, pnorm) the path field's. */
 final case class SegmentDoc(docId: Long, docPart: Int, repo: String,
                             path: String, commit: String, lang: String,
-                            dl: Int, norm: Byte, sha256: String,
+                            dl: Int, norm: Byte, pdl: Int, pnorm: Byte,
+                            sha256: String,
                             postings: Array[SegPosting])
+
+/** Per-field collection stats (field -> total token count; avgdl(field) =
+  * sumTtf / maxDoc — reference CollectionStatistics per field,
+  * search/IndexSearcher.java:836-847). The default `content` field's row
+  * duplicates collstats for convenience. */
+final case class FieldStats(field: String, sumTtf: Long)
 
 /** Columnar doc metadata (norms + stored-field keys; reference analogs:
   * norms lucene50/Lucene50NormsFormat.java, stored fields via join back to

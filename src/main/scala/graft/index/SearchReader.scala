@@ -11,6 +11,23 @@ trait SearchReader {
   def collStats: CollStats
   def avgdl: Float
   def normCache: Array[Float]
+
+  /** Total token count of a field (fieldstats; "content" = collstats). */
+  def fieldSumTtf(field: String): Long
+
+  /** Per-field avgdl / norm cache (reference per-field
+    * CollectionStatistics, search/IndexSearcher.java:836-847). Scorers
+    * pick the cache by the term's field so path-field scores use the
+    * path field's length statistics. */
+  def avgdlFor(field: String): Float =
+    if (field == "content") avgdl
+    else graft.search.BM25.avgFieldLength(fieldSumTtf(field), collStats.maxDoc)
+
+  private val fieldCaches =
+    new scala.collection.concurrent.TrieMap[String, Array[Float]]
+  def normCacheFor(field: String): Array[Float] =
+    if (field == "content") normCache
+    else fieldCaches.getOrElseUpdate(field, graft.search.BM25.cache(avgdlFor(field)))
   /** Upper bound on docPart values present (max docPart + 1). Used by the
     * WAND distributor to size its bounded query-time chunk grid. */
   def numDocPartsHint: Int
@@ -29,9 +46,12 @@ trait SearchReader {
                  limit: Int = SearchReader.MaxClauseCount): Seq[TermStats] = {
     import org.apache.spark.sql.functions._
     val len = term.length
+    val sameField = // per-field rewrite (field named by the key prefix)
+      if (term.startsWith("path:")) lit(true)
+      else !col("term").startsWith("path:")
     expandTerms(
       length(col("term")).between(len - maxEdits, len + maxEdits) &&
-        levenshtein(col("term"), lit(term)) <= maxEdits, limit)
+        sameField && levenshtein(col("term"), lit(term)) <= maxEdits, limit)
   }
 }
 
@@ -70,6 +90,8 @@ final class MultiIndexReader(val readers: Seq[IndexReader]) extends SearchReader
     graft.search.BM25.avgFieldLength(collStats.sumTotalTermFreq, collStats.maxDoc)
 
   lazy val normCache: Array[Float] = graft.search.BM25.cache(avgdl)
+
+  def fieldSumTtf(field: String): Long = readers.map(_.fieldSumTtf(field)).sum
 
   lazy val numDocPartsHint: Int = readers.map(_.numDocPartsHint).max
 

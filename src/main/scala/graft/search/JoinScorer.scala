@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.codec.PostingsCodec
-import graft.index.{BlockRow, SearchReader, TermStats}
+import graft.index.{BlockRow, IndexBuilder, SearchReader, TermStats}
 
 /** A clause match for one doc: `score` is the clause's float BM25
   * contribution (NaN for non-scoring Filter/MustNot presence rows). */
@@ -42,22 +42,26 @@ final class JoinScorer(reader: SearchReader) {
     val termQs = flat.collect { case (_, TermQ(t), _) => Seq(t)
       case (_, PhraseQ(ts, _), _) => ts
       case (_, SloppyPhraseQ(ts, _, _), _) => ts
-      case (_, SpanNearQ(ts, _), _) => ts }.flatten
+      case (_, SpanNearQ(ts, _, _), _) => ts
+      case (_, SpanOrQ(ts), _) => ts }.flatten
     val stats = reader.termStats(termQs.distinct)
     flat.map {
       case (o, tq @ TermQ(t), b) =>
         (o, tq, ScoredTerm(t, stats.get(t), b))
-      case (o, sq @ SpanNearQ(ts, slop), b) =>
-        (o, sq, ScoredSpan(ts, slop, ts.map(stats.get), b))
+      case (o, sq @ SpanNearQ(ts, slop, inOrder), b) =>
+        (o, sq, ScoredSpan(ts, slop, ts.map(stats.get), b, inOrder))
+      case (o, sq @ SpanOrQ(ts), b) =>
+        (o, sq, ScoredSpanOr(ts, ts.map(stats.get), b))
       case (o, pq @ PhraseQ(ts, rel), b) =>
         (o, pq, ScoredPhrase(ts, rel, ts.map(stats.get), 0, b))
       case (o, pq @ SloppyPhraseQ(ts, rel, slop), b) =>
         (o, pq, ScoredPhrase(ts, rel, ts.map(stats.get), slop, b))
       case (o, rq @ RegexpQ(pat), b) =>
-        (o, rq, ConstSet(
-          reader.expandTerms($"term".rlike("^" + pat + "$")).map(_.term), b))
+        (o, rq, ConstSet(reader.expandTerms(
+          $"term".rlike("^" + pat + "$") && fieldGuard(pat)).map(_.term), b))
       case (o, pq @ PrefixQ(p), b) =>
-        (o, pq, ConstSet(reader.expandTerms($"term".startsWith(p)).map(_.term), b))
+        (o, pq, ConstSet(reader.expandTerms(
+          $"term".startsWith(p) && fieldGuard(p)).map(_.term), b))
       case (o, wq @ WildcardQ(pat), b) =>
         val rx = "(?s)" + pat.flatMap {
           case '*' => ".*"
@@ -65,16 +69,25 @@ final class JoinScorer(reader: SearchReader) {
           case c if "\\.[]{}()<>+-=!?^$|".contains(c) => "\\" + c
           case c => c.toString
         }
-        (o, wq, ConstSet(reader.expandTerms($"term".rlike("^" + rx + "$")).map(_.term), b))
+        (o, wq, ConstSet(reader.expandTerms(
+          $"term".rlike("^" + rx + "$") && fieldGuard(pat)).map(_.term), b))
       case (o, fq @ FuzzyQ(t, e), b) =>
         (o, fq, ConstSet(reader.fuzzyTerms(t, e).map(_.term), b))
       case (o, rq @ RangeQ(lo, hi), b) =>
-        (o, rq, ConstSet(reader.expandTerms($"term" >= lo && $"term" < hi).map(_.term), b))
+        (o, rq, ConstSet(reader.expandTerms(
+          $"term" >= lo && $"term" < hi && fieldGuard(lo)).map(_.term), b))
       case (o, MatchAllQ, b) => (o, MatchAllQ, MatchAll(b))
       case (_, other, _) =>
         throw new IllegalArgumentException(s"cannot rewrite $other")
     }
   }
+
+  /** Multi-term rewrites are per-field, as in the reference: a content
+    * query must not expand into path-field dictionary entries and vice
+    * versa (the pattern names its field via the "path:" key prefix). */
+  private def fieldGuard(pattern: String) =
+    if (pattern.startsWith("path:")) lit(true)
+    else !$"term".startsWith("path:")
 
   sealed trait RewrittenClause
   final case class ScoredTerm(term: String, stats: Option[TermStats],
@@ -85,7 +98,11 @@ final class JoinScorer(reader: SearchReader) {
                                 boost: Float = 1f) extends RewrittenClause
   final case class ScoredSpan(terms: Seq[String], slop: Int,
                               stats: Seq[Option[TermStats]],
-                              boost: Float = 1f) extends RewrittenClause
+                              boost: Float = 1f,
+                              inOrder: Boolean = true) extends RewrittenClause
+  final case class ScoredSpanOr(terms: Seq[String],
+                                stats: Seq[Option[TermStats]],
+                                boost: Float = 1f) extends RewrittenClause
   /** Constant-score set: every matching doc scores `boost` (reference
     * ConstantScoreQuery multiplies 1.0 by the query boost,
     * search/ConstantScoreQuery.java). */
@@ -107,7 +124,9 @@ final class JoinScorer(reader: SearchReader) {
     if (stats.isEmpty) return spark.emptyDataset[ClauseHit]
     val wv = BM25.weightValue(
       BM25.idf(stats.get.df, reader.collStats.maxDoc), boost)
-    val cacheB = spark.sparkContext.broadcast(reader.normCache)
+    // norm cache of the TERM's field (per-field avgdl; fielded search)
+    val cacheB = spark.sparkContext.broadcast(
+      reader.normCacheFor(IndexBuilder.fieldOfTerm(term)))
     reader.blocks(Seq(term)).flatMap { b =>
       val (docs, tfs, nrms) = PostingsCodec.decodeDocs(
         graft.codec.PostingBlock(b.term, b.firstDoc, b.lastDoc, b.count,
@@ -149,7 +168,8 @@ final class JoinScorer(reader: SearchReader) {
     // a term can occur at several phrase slots ("a b a")
     val termIdx: Map[String, Seq[Int]] =
       terms.zipWithIndex.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2) }
-    val cacheB = spark.sparkContext.broadcast(reader.normCache)
+    val cacheB = spark.sparkContext.broadcast(
+      reader.normCacheFor(IndexBuilder.fieldOfTerm(terms.head)))
     val tIdxB = spark.sparkContext.broadcast(termIdx)
     val rows: Dataset[(Long, Int, Array[Int], Byte)] =
       reader.blocks(terms.distinct).flatMap { b =>
@@ -218,7 +238,8 @@ final class JoinScorer(reader: SearchReader) {
     * membership is exact). freq = number of matching start positions. */
   private def spanHits(terms: Seq[String], slop: Int,
                        stats: Seq[Option[TermStats]], clause: Int,
-                       kind: Int, boost: Float): Dataset[ClauseHit] = {
+                       kind: Int, boost: Float,
+                       inOrder: Boolean = true): Dataset[ClauseHit] = {
     if (stats.exists(_.isEmpty) || terms.isEmpty) return spark.emptyDataset[ClauseHit]
     var idfSum = 0f
     stats.flatten.foreach(ts => idfSum += BM25.idf(ts.df, reader.collStats.maxDoc))
@@ -226,7 +247,8 @@ final class JoinScorer(reader: SearchReader) {
     val nTerms = terms.length
     val termIdx: Map[String, Seq[Int]] =
       terms.zipWithIndex.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2) }
-    val cacheB = spark.sparkContext.broadcast(reader.normCache)
+    val cacheB = spark.sparkContext.broadcast(
+      reader.normCacheFor(IndexBuilder.fieldOfTerm(terms.head)))
     val tIdxB = spark.sparkContext.broadcast(termIdx)
     reader.blocks(terms.distinct).flatMap { b =>
       val idxs = tIdxB.value(b.term)
@@ -240,28 +262,40 @@ final class JoinScorer(reader: SearchReader) {
       it.foreach { case (_, i, pos, n) => byTerm(i) = pos; norm = n }
       if (byTerm.exists(_ == null)) ClauseHit(docId, clause, kind, Float.NaN)
       else {
-        var sf = 0
-        val starts = byTerm(0)
-        var i = 0
-        while (i < starts.length) {
-          var prev = starts(i)
-          var ok = true
-          var j = 1
-          while (ok && j < nTerms) {
-            val arr = byTerm(j)
-            val at = java.util.Arrays.binarySearch(arr, prev + 1)
-            val ins = if (at >= 0) at else -at - 1
-            if (ins >= arr.length) ok = false else prev = arr(ins)
-            j += 1
-          }
-          if (ok && (prev - starts(i) + 1) - nTerms <= slop) sf += 1
-          i += 1
-        }
+        val sf =
+          if (inOrder) JoinScorer.orderedSpanFreq(byTerm, nTerms, slop)
+          else JoinScorer.unorderedSpanFreq(byTerm, nTerms, slop)
         if (sf == 0) ClauseHit(docId, clause, kind, Float.NaN)
         else ClauseHit(docId, clause, kind,
           BM25.score(wv, sf.toFloat, cacheB.value, norm))
       }
     }.filter(h => !java.lang.Float.isNaN(h.score))
+  }
+
+  /** Span disjunction over terms (SpanOrQuery analog): freq = total
+    * occurrences of any clause term, scored once with the summed idf. */
+  private def spanOrHits(terms: Seq[String], stats: Seq[Option[TermStats]],
+                         clause: Int, kind: Int,
+                         boost: Float): Dataset[ClauseHit] = {
+    val present = terms.zip(stats).collect { case (t, Some(_)) => t }
+    if (present.isEmpty) return spark.emptyDataset[ClauseHit]
+    var idfSum = 0f
+    stats.flatten.foreach(ts => idfSum += BM25.idf(ts.df, reader.collStats.maxDoc))
+    val wv = BM25.weightValue(idfSum, boost)
+    val cacheB = spark.sparkContext.broadcast(
+      reader.normCacheFor(IndexBuilder.fieldOfTerm(present.head)))
+    reader.blocks(present.distinct).flatMap { b =>
+      val (docs, tfs, nrms) = PostingsCodec.decodeDocs(
+        graft.codec.PostingBlock(b.term, b.firstDoc, b.lastDoc, b.count,
+          b.maxTf, b.sumTf, b.maxPartial, b.docBytes, b.nrmBytes, b.posBytes))
+      docs.indices.iterator.map(i => (docs(i), tfs(i), nrms(i)))
+    }.groupByKey(_._1).mapGroups { (docId, it) =>
+      var freq = 0
+      var norm: Byte = 0
+      it.foreach { case (_, tf, n) => freq += tf; norm = n }
+      ClauseHit(docId, clause, kind,
+        BM25.score(wv, freq.toFloat, cacheB.value, norm))
+    }
   }
 
   private def matchAllHits(clause: Int, kind: Int,
@@ -278,7 +312,9 @@ final class JoinScorer(reader: SearchReader) {
         case ScoredTerm(t, st, b) => termHits(t, i, kind, st, b)
         case ScoredPhrase(ts, rel, st, slop, b) =>
           phraseHits(ts, rel, st, i, kind, slop, b)
-        case ScoredSpan(ts, slop, st, b) => spanHits(ts, slop, st, i, kind, b)
+        case ScoredSpan(ts, slop, st, b, ord) =>
+          spanHits(ts, slop, st, i, kind, b, ord)
+        case ScoredSpanOr(ts, st, b) => spanOrHits(ts, st, i, kind, b)
         case ConstSet(ts, b) => constHits(ts, i, kind, b)
         case MatchAll(b) => matchAllHits(i, kind, b)
       }
@@ -369,5 +405,84 @@ final class JoinScorer(reader: SearchReader) {
       }
       .toDF("docId", "score")
       .orderBy($"score".desc, $"docId".asc).limit(k)
+  }
+}
+
+object JoinScorer {
+
+  /** Ordered span-near freq (NearSpansOrdered analog): for each start
+    * occurrence of the first term, greedily chain each next term to its
+    * smallest position after the previous; match when
+    * spanWidth - nTerms <= slop (greedy minimizes the end, so membership
+    * is exact). */
+  def orderedSpanFreq(byTerm: Array[Array[Int]],
+                                      nTerms: Int, slop: Int): Int = {
+    var sf = 0
+    val starts = byTerm(0)
+    var i = 0
+    while (i < starts.length) {
+      var prev = starts(i)
+      var ok = true
+      var j = 1
+      while (ok && j < nTerms) {
+        val arr = byTerm(j)
+        val at = java.util.Arrays.binarySearch(arr, prev + 1)
+        val ins = if (at >= 0) at else -at - 1
+        if (ins >= arr.length) ok = false else prev = arr(ins)
+        j += 1
+      }
+      if (ok && (prev - starts(i) + 1) - nTerms <= slop) sf += 1
+      i += 1
+    }
+    sf
+  }
+
+  /** Unordered span-near freq (NearSpansUnordered analog): merge every
+    * term's positions into one sorted event list and slide a two-pointer
+    * window; each time the window covers all terms, shrink from the left
+    * to the MINIMAL covering window and count it when
+    * width - nTerms <= slop. Counts distinct minimal windows (each left
+    * edge at most once), mirroring the queue-based minimal-interval
+    * matching of the reference. */
+  def unorderedSpanFreq(byTerm: Array[Array[Int]],
+                                        nTerms: Int, slop: Int): Int = {
+    var total = 0
+    byTerm.foreach(a => total += a.length)
+    val pos = new Array[Int](total)
+    val cls = new Array[Int](total)
+    // k-way merge by simple fill + sort (position lists are tiny per doc)
+    var o = 0
+    var t = 0
+    while (t < nTerms) {
+      val a = byTerm(t)
+      var i = 0
+      while (i < a.length) { pos(o) = a(i); cls(o) = t; o += 1; i += 1 }
+      t += 1
+    }
+    // sort events by position (insertion indices differ => stable enough;
+    // positions are unique within a doc, one token per position)
+    val idx = (0 until total).sortBy(pos(_))
+    val counts = new Array[Int](nTerms)
+    var covered = 0
+    var sf = 0
+    var l = 0
+    var r = 0
+    while (r < total) {
+      val cr = cls(idx(r))
+      if (counts(cr) == 0) covered += 1
+      counts(cr) += 1
+      while (covered == nTerms) {
+        val cl = cls(idx(l))
+        if (counts(cl) == 1) {
+          // minimal window [l, r]
+          if ((pos(idx(r)) - pos(idx(l)) + 1) - nTerms <= slop) sf += 1
+          covered -= 1
+        }
+        counts(cl) -= 1
+        l += 1
+      }
+      r += 1
+    }
+    sf
   }
 }

@@ -48,10 +48,17 @@ final case class SloppyPhraseQ(terms: Seq[String], rel: Seq[Int],
 /** Query-time boost (reference Query.setBoost; BM25 folds it into the
   * weight: weightValue = idf * boost * (k1+1), BM25Similarity.java:289-293). */
 final case class BoostQ(q: Query, boost: Float) extends Query
-/** Ordered span-near (reference lucene/core/.../search/spans/
-  * SpanNearQuery.java with inOrder=true): terms must appear in query
-  * order with total gap (span width minus term count) <= slop. */
-final case class SpanNearQ(terms: Seq[String], slop: Int) extends Query
+/** Span-near (reference lucene/core/.../search/spans/SpanNearQuery.java):
+  * terms within a window of width <= terms.length + slop; `inOrder = true`
+  * additionally requires query order (NearSpansOrdered), false allows any
+  * order (NearSpansUnordered). */
+final case class SpanNearQ(terms: Seq[String], slop: Int,
+                           inOrder: Boolean = true) extends Query
+/** Span disjunction (reference search/spans/SpanOrQuery.java over term
+  * spans): matches docs containing ANY clause term; freq = total
+  * occurrences across clauses, scored once with the summed idf (the
+  * blended-statistics synonym semantics). */
+final case class SpanOrQ(terms: Seq[String]) extends Query
 case object MatchAllQ extends Query
 final case class BoolQ(clauses: Seq[(Occur, Query)],
                        minShouldMatch: Int = 0) extends Query
@@ -65,7 +72,14 @@ object QueryParser {
     * connectives; default operator OR (SHOULD). Terms are analyzed with the
     * same chain as indexing (lowercase + stopwords for `lang`).
     */
-  def parse(q: String, lang: String = "en"): BoolQ = {
+  /** `synonyms`: query-time synonym expansion (reference
+    * synonym/SynonymFilter.java applied at query time — a term clause
+    * with synonyms becomes a span-OR scored with blended statistics).
+    * `foldAscii`: ASCII-fold query terms (reference
+    * miscellaneous/ASCIIFoldingFilter.java) so `café` matches `cafe`. */
+  def parse(q: String, lang: String = "en",
+            synonyms: Map[String, Seq[String]] = Map.empty,
+            foldAscii: Boolean = false): BoolQ = {
     val stop = StopSets.forLang(lang)
     val raw = tokenizeQuery(q)
     val clauses = scala.collection.mutable.ArrayBuffer[(Occur, Query)]()
@@ -90,7 +104,8 @@ object QueryParser {
           val occur = pendingOccur.getOrElse(occur0)
           pendingOccur = None
           mustNext = false
-          parseClause(body0, stop).foreach(qq => clauses += ((occur, qq)))
+          parseClause(body0, stop, synonyms, foldAscii)
+            .foreach(qq => clauses += ((occur, qq)))
       }
       i += 1
     }
@@ -119,9 +134,12 @@ object QueryParser {
     out.result()
   }
 
-  private def parseClause(body0: String, stop: Set[String]): Option[Query] = {
+  private def parseClause(body0: String, stop: Set[String],
+                          synonyms: Map[String, Seq[String]] = Map.empty,
+                          foldAscii: Boolean = false): Option[Query] = {
     if (body0.isEmpty) return None
     if (body0 == "*:*") return Some(MatchAllQ)
+    def fold(s: String): String = if (foldAscii) Analyzer.foldToAscii(s) else s
     // ^boost suffix applies to any clause kind (classic grammar Clause^f)
     val caretAt = body0.lastIndexOf('^')
     val boost: Option[Float] =
@@ -129,6 +147,25 @@ object QueryParser {
     val body = if (boost.isDefined) body0.substring(0, caretAt) else body0
     def boosted(q: Query): Query =
       boost.filter(_ != 1f).map(BoostQ(q, _)).getOrElse(q)
+    // fielded clause `field:rest` (classic grammar QueryParser.jj:107):
+    // `path` is the extra indexed keyword field; `content` is the default
+    if (body.startsWith("path:")) {
+      val rest = body.substring(5)
+      if (rest.isEmpty) return None
+      val lc = rest.toLowerCase(java.util.Locale.ROOT)
+      if (lc.endsWith("*") && !lc.dropRight(1).exists(c => c == '*' || c == '?'))
+        return Some(boosted(PrefixQ("path:" + lc.dropRight(1))))
+      if (lc.exists(c => c == '*' || c == '?'))
+        return Some(boosted(WildcardQ("path:" + lc)))
+      val toks = graft.index.IndexBuilder.pathTokens(rest)
+      if (toks.isEmpty) return None
+      return Some(boosted(
+        if (toks.length == 1) TermQ("path:" + toks.head)
+        // multi-segment path ("src/main") = exact phrase over segments
+        else PhraseQ(toks.map("path:" + _).toSeq, toks.indices.toSeq)))
+    }
+    if (body.startsWith("content:"))
+      return parseClause(body.substring(8), stop).map(boosted)
     if (body.startsWith("\"")) {
       val close = body.lastIndexOf('"')
       val inner = body.substring(1, if (close > 0) close else body.length)
@@ -136,7 +173,7 @@ object QueryParser {
           body(close + 1) == '~')
         body.substring(close + 2).toIntOption.getOrElse(0)
       else 0
-      val terms = Analyzer.analyze(inner, stop)
+      val terms = Analyzer.analyze(fold(inner), stop)
       if (terms.isEmpty) return None
       val base = terms.head.position
       val (ts, rel) = (terms.map(_.term), terms.map(_.position - base))
@@ -158,8 +195,15 @@ object QueryParser {
       return Some(boosted(PrefixQ(Analyzer.lowerCase(body.dropRight(1)))))
     if (body.exists(c => c == '*' || c == '?'))
       return Some(boosted(WildcardQ(Analyzer.lowerCase(body))))
-    // plain term: run through analysis; stopword-only -> no clause
-    val terms = Analyzer.analyze(body, stop)
-    terms.headOption.map(tp => boosted(TermQ(tp.term)))
+    // plain term: run through analysis; stopword-only -> no clause.
+    // Synonym expansion (query-time): term + synonyms as a span-OR
+    // scored with blended statistics.
+    val terms = Analyzer.analyze(fold(body), stop)
+    terms.headOption.map { tp =>
+      val syns = synonyms.getOrElse(tp.term, Nil)
+      boosted(
+        if (syns.isEmpty) TermQ(tp.term)
+        else SpanOrQ(tp.term +: syns.map(s => Analyzer.lowerCase(fold(s)))))
+    }
   }
 }

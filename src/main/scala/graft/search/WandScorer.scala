@@ -44,7 +44,10 @@ final class WandScorer(reader: SearchReader) {
     val wvs: Array[Float] = present.map(t =>
       BM25.weightValue(BM25.idf(stats(t).df, maxDoc))).toArray
     val termIdx: Map[String, Int] = present.zipWithIndex.toMap
-    val cacheB = reader.spark.sparkContext.broadcast(reader.normCache)
+    // per-clause norm cache (a clause's field decides its avgdl)
+    val caches: Array[Array[Float]] = present.map(t =>
+      reader.normCacheFor(graft.index.IndexBuilder.fieldOfTerm(t))).toArray
+    val cacheB = reader.spark.sparkContext.broadcast(caches)
     val wvsB = reader.spark.sparkContext.broadcast(wvs)
     val tIdxB = reader.spark.sparkContext.broadcast(termIdx)
     val msm = if (conjunctive) present.length else math.max(minShouldMatch, 1)
@@ -68,10 +71,10 @@ final class WandScorer(reader: SearchReader) {
       val cursors = (0 until wv.length).flatMap { i =>
         val blocks = byTerm(i).sortBy(_.firstDoc).toArray
         if (blocks.isEmpty) None
-        else Some(new WandScorer.Cursor(i, wv(i), blocks, loDoc, hiDoc, cache))
+        else Some(new WandScorer.Cursor(i, wv(i), blocks, loDoc, hiDoc, cache(i)))
       }.toArray
       if (cursors.length < msm) Iterator.empty
-      else WandScorer.wand(cursors, wv.length, msm, kk, cache).iterator
+      else WandScorer.wand(cursors, wv.length, msm, kk).iterator
     }.toDF("docId", "score")
       .orderBy($"score".desc, $"docId".asc).limit(k)
   }
@@ -156,8 +159,8 @@ object WandScorer {
   /** WAND main loop with the reference collector's threshold semantics
     * (reject when score <= heap-min; docs arrive in docId order so earlier
     * docIds win ties, as in TopScoreDocCollector.java:63-79). */
-  private[search] def wand(cursors: Array[Cursor], nClauses: Int, msm: Int, k: Int,
-                   cache: Array[Float]): Array[(Long, Float)] = {
+  private[search] def wand(cursors: Array[Cursor], nClauses: Int, msm: Int,
+                           k: Int): Array[(Long, Float)] = {
     // heap.head must be the WORST kept hit (lowest score, then highest
     // docId) — HitQueue.lessThan semantics (search/HitQueue.java:68-81).
     // PriorityQueue dequeues its max, so rank "worse" as "greater".
