@@ -609,14 +609,7 @@ object OracleQueries {
          |FROM cand WHERE bit_count(xor(ha, hb)) <= 3 ORDER BY a, b""".stripMargin,
 
     "dedup_embcos" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
-         |asg AS (SELECT id, cid FROM (
-         |  SELECT e.vec_id AS id, c.cid, row_number() OVER (PARTITION BY e.vec_id
-         |    ORDER BY list_dot_product(e.v, c.cv) /
-         |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
-         |      c.cid) AS rn
-         |  FROM e, cents c) WHERE rn = 1),
+      s"""WITH ${ivfKmeansCtes(8, 64)},
          |pairs AS (SELECT x.id AS a, y.id AS b,
          |    list_dot_product(ex.v, ey.v) /
          |      (sqrt(list_dot_product(ex.v, ex.v)) * sqrt(list_dot_product(ey.v, ey.v))) AS sim
@@ -649,17 +642,9 @@ object OracleQueries {
          |    ORDER BY sim DESC, id) AS rank FROM scp)
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
+    // nprobe=1: the probed bucket is the query's own assigned cluster
     "ann_ivf" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
-         |asg AS (SELECT id, cid FROM (
-         |  SELECT id, cid, row_number() OVER (PARTITION BY id
-         |    ORDER BY csim DESC, cid) AS rn FROM (
-         |    SELECT e.vec_id AS id, c.cid,
-         |      list_dot_product(e.v, c.cv) /
-         |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS csim
-         |    FROM e, cents c))
-         |  WHERE rn = 1),
+      s"""WITH ${ivfKmeansCtes(8, 64)},
          |qc AS (SELECT cid AS qcid FROM asg WHERE id = 42),
          |bucket AS (SELECT a.id FROM asg a, qc WHERE a.cid = qc.qcid AND a.id <> 42),
          |qv AS (SELECT v AS qv FROM e WHERE vec_id = 42),

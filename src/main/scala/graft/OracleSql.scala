@@ -106,6 +106,34 @@ object OracleSql {
        |q(qterm) AS (VALUES $qValues),
        |$bm25ClauseCte""".stripMargin
 
+  private def sqlCos(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  /** IVF k-means CTE chain mirroring Ann.kmeansCentroids (seeds = first
+    * `n` vectors, 2 Lloyd rounds of assign -> element-wise mean, double
+    * math, ties -> lower cid) ending in `asg(id, cid)` and
+    * `cents(cid, cv)`. `dim` = embedding dimensionality. */
+  def ivfKmeansCtes(n: Int, dim: Int): String = {
+    def asgCte(name: String, cents: String): String =
+      s"""$name AS (SELECT id, cid FROM (
+         |  SELECT e.vec_id AS id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${sqlCos("e.v", "c.cv")} DESC, c.cid) AS rn
+         |  FROM e, $cents c) WHERE rn = 1)""".stripMargin
+    def meanCte(prev: String, cm: String, cents: String): String =
+      s"""$cm AS (SELECT a.cid, t.i AS pos, avg(e2.v[t.i]) AS m
+         |  FROM $prev a JOIN e e2 ON e2.vec_id = a.id
+         |  CROSS JOIN UNNEST(generate_series(1, $dim)) AS t(i)
+         |  GROUP BY a.cid, t.i),
+         |$cents AS (SELECT cid, list(m ORDER BY pos) AS cv FROM $cm GROUP BY cid)""".stripMargin
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $n),
+       |${asgCte("asg0", "cent0")},
+       |${meanCte("asg0", "cm0", "cent1")},
+       |${asgCte("asg1", "cent1")},
+       |${meanCte("asg1", "cm1", "cents")},
+       |${asgCte("asg", "cents")}""".stripMargin
+  }
+
   /** MinHash permutation params as VALUES — the engine's own constants. */
   lazy val minhashPermValues: String =
     Dedup.MinHashParams.map { case (i, a, b) => s"($i, $a, $b)" }.mkString(", ")

@@ -59,6 +59,20 @@ object SparkEntry {
       IndexReader(spark, dir, cfg)
     })
 
+  private val ivfIndexes =
+    new scala.collection.concurrent.TrieMap[String, (DataFrame, DataFrame)]
+
+  /** Materialized IVF index per corpus: k-means centroids (2 Lloyd rounds,
+    * 8 clusters) + the cached vector->cluster assignment, shared by every
+    * ANN / near-dup query instead of recomputed per query. */
+  def ivfIndex(s: SparkSession, sfDir: String): (DataFrame, DataFrame) =
+    ivfIndexes.getOrElseUpdate(sfDir, {
+      val emb = s.read.parquet(s"$sfDir/embeddings.parquet")
+      val cents = Ann.kmeansCentroids(emb, 8, 2).cache()
+      val asg = Ann.ivfAssignTo(emb, cents).cache()
+      (cents, asg)
+    })
+
   private val stemmedReaders = new scala.collection.concurrent.TrieMap[String, IndexReader]
 
   /** Same corpus indexed with the EnglishAnalyzer chain (possessive strip,
@@ -798,7 +812,8 @@ object SparkEntry {
         .orderBy("a", "b")),
 
     "dedup_embcos" -> ((s, dir) =>
-      Dedup.embCosinePairs(s.read.parquet(s"$dir/embeddings.parquet"), 8, 0.35)
+      Dedup.embCosinePairs(s.read.parquet(s"$dir/embeddings.parquet"), 8, 0.35,
+          assign0 = Some(ivfIndex(s, dir)._2))
         .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
         .orderBy("a", "b")),
 
@@ -814,10 +829,13 @@ object SparkEntry {
         .select(col("qid"), col("rank").cast("long").as("rank"), col("id"))
         .orderBy("qid", "rank")),
 
-    "ann_ivf" -> ((s, dir) =>
-      Ann.ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"), 8, 42L, 5)
+    "ann_ivf" -> ((s, dir) => {
+      val (cents, asg) = ivfIndex(s, dir)
+      Ann.ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"), 8, 42L, 5,
+          nprobe = 1, assign0 = Some(asg), centroids0 = Some(cents))
         .select(col("rank").cast("long").as("rank"), col("id"))
-        .orderBy("rank")),
+        .orderBy("rank")
+    }),
 
     // ---------- training-data ops: text analysis ----------
     "lang_id" -> ((s, dir) =>

@@ -57,14 +57,11 @@ object Ann {
       .select(col("qid"), col("rank"), col("id"), col("sim"))
   }
 
-  /** IVF assignment: nearest (by cosine, ties -> lower centroid id) of the
-    * first `nCentroids` vectors, used as fixed deterministic centroids
-    * (stand-in for a k-means pass; the plumbing is identical). */
-  def ivfAssign(emb: DataFrame, nCentroids: Int,
-                id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    val cents = emb.where(col(id) < nCentroids)
-      .select(col(id).as("cid"), col(vec).as("cv"))
-    emb.crossJoin(broadcast(cents))
+  /** Assign every vector to its nearest centroid (cosine desc, ties ->
+    * lower cid). Centroids are broadcast; the corpus is never shuffled. */
+  def ivfAssignTo(emb: DataFrame, centroids: DataFrame,
+                  id: String = "vec_id", vec: String = "embedding"): DataFrame =
+    emb.crossJoin(broadcast(centroids))
       .select(col(id).as("id"), col("cid"),
         TextFns.cosine(col(vec), col("cv")).as("csim"))
       .withColumn("rn", row_number().over(
@@ -72,17 +69,57 @@ object Ann {
           .orderBy(col("csim").desc, col("cid").asc)))
       .where(col("rn") === 1)
       .select(col("id"), col("cid"))
+
+  /** Deterministic Lloyd k-means in double math: seeds = the first `k`
+    * vectors by id, then `iters` rounds of assign -> element-wise-mean.
+    * Returns (cid, cv: array<double>). Deterministic given the data (no
+    * RNG; ulp-level nondeterminism of parallel avg cannot flip an argmax
+    * except on exact ties, which break by cid). At 100 TB this runs on a
+    * sample; the full corpus only pays the final broadcast assignment. */
+  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int = 2,
+                      id: String = "vec_id",
+                      vec: String = "embedding"): DataFrame = {
+    val e = emb.select(col(id).as("id"),
+      col(vec).cast("array<double>").as("v"))
+    var cents = e.where(col("id") < k)
+      .select(col("id").as("cid"), col("v").as("cv"))
+    var it = 0
+    while (it < iters) {
+      val asg = ivfAssignTo(e, cents, "id", "v")
+      cents = e.join(asg, "id")
+        .select(col("cid"), posexplode(col("v")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
+          .as("cv"))
+      it += 1
+    }
+    cents
   }
 
-  /** IVF-bucketed top-k for one query (nprobe=1): search only the bucket
-    * of the query's own centroid. */
+  /** IVF assignment with k-means centroids (2 Lloyd rounds). */
+  def ivfAssign(emb: DataFrame, nCentroids: Int,
+                id: String = "vec_id", vec: String = "embedding"): DataFrame =
+    ivfAssignTo(emb, kmeansCentroids(emb, nCentroids, 2, id, vec), id, vec)
+
+  /** IVF-bucketed top-k for one query: search only the buckets of the
+    * query's `nprobe` nearest centroids. Pass a materialized `assign`
+    * (from [[ivfAssign]], persisted) to reuse one assignment across many
+    * queries — the serving posture; otherwise it is computed here. */
   def ivfTopK(emb: DataFrame, nCentroids: Int, queryId: Long, k: Int,
+              nprobe: Int = 1,
+              assign0: Option[DataFrame] = None,
+              centroids0: Option[DataFrame] = None,
               id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    val assign = ivfAssign(emb, nCentroids, id, vec)
-    val qcid = assign.where(col("id") === queryId).select(col("cid").as("qcid"))
-    val bucket = assign.join(broadcast(qcid), col("cid") === col("qcid"))
-      .where(col("id") =!= queryId).select(col("id"))
+    val cents = centroids0.getOrElse(kmeansCentroids(emb, nCentroids, 2, id, vec))
+    val assign = assign0.getOrElse(ivfAssignTo(emb, cents, id, vec))
     val q = emb.where(col(id) === queryId).select(col(vec).as("qv"))
+    val qcids = cents.crossJoin(broadcast(q))
+      .select(col("cid"), TextFns.cosine(col("cv"), col("qv")).as("csim"))
+      .orderBy(col("csim").desc, col("cid").asc).limit(nprobe)
+      .select(col("cid").as("qcid"))
+    val bucket = assign.join(broadcast(qcids), col("cid") === col("qcid"))
+      .where(col("id") =!= queryId).select(col("id"))
     val top = emb.join(bucket, emb(id) === bucket("id"))
       .crossJoin(broadcast(q))
       .select(bucket("id").as("nid"), TextFns.cosine(col(vec), col("qv")).as("sim"))

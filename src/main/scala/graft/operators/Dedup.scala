@@ -173,8 +173,9 @@ object Dedup {
     * cluster and cosine >= threshold. */
   def embCosinePairs(emb: DataFrame, nCentroids: Int, threshold: Double,
                      id: String = "vec_id",
-                     vec: String = "embedding"): DataFrame = {
-    val assign = Ann.ivfAssign(emb, nCentroids, id, vec)
+                     vec: String = "embedding",
+                     assign0: Option[DataFrame] = None): DataFrame = {
+    val assign = assign0.getOrElse(Ann.ivfAssign(emb, nCentroids, id, vec))
     // precompute each vector's norm ONCE: cosine(a,b) = dot/(nrmA*nrmB)
     // is value-identical to dot/(sqrt(aa)*sqrt(bb)) in double, and cuts
     // per-pair work from 3 dot products to 1 — the dominant cost when a
