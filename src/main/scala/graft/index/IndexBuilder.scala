@@ -35,11 +35,18 @@ object IndexBuilder {
   private val sha = ThreadLocal.withInitial[MessageDigest](() =>
     MessageDigest.getInstance("SHA-256"))
 
+  private val HexDigits = "0123456789abcdef".toCharArray
+
   def sha256Hex(s: String): String = {
     val d = sha.get().digest(s.getBytes(StandardCharsets.UTF_8))
-    val sb = new StringBuilder(64)
-    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    sb.toString
+    val out = new Array[Char](64)
+    var i = 0
+    while (i < 32) {
+      out(2 * i) = HexDigits((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexDigits(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   /** Analyze one document into a SegmentDoc (terms grouped in-memory per
@@ -69,25 +76,24 @@ object IndexBuilder {
         Analyzer.analyzeEnglishFlat(content, StopSets.forLang("en"), maxTokenLength)
       else Analyzer.analyzeFlat(content, StopSets.forLang(lang), maxTokenLength)
     val dl = terms.length
-    // group by term via a stable index sort (positions ascend in reading
-    // order, so each run's positions stay sorted) — no per-term map nodes
-    val idx = new Array[Integer](dl)
+    // group by term via an index sort ordered by (term, index) — the
+    // index tiebreak makes the order stable, so positions ascend within
+    // each term run. Primitive int sort: the previous Integer[] boxing
+    // allocated ~dl objects per doc, pure GC churn at 2M docs/build.
+    val idx = new Array[Int](dl)
     var i = 0
-    while (i < dl) { idx(i) = Integer.valueOf(i); i += 1 }
-    java.util.Arrays.sort(idx, (a: Integer, b: Integer) => {
-      val c = terms(a.intValue).compareTo(terms(b.intValue))
-      if (c != 0) c else Integer.compare(a.intValue, b.intValue)
-    })
+    while (i < dl) { idx(i) = i; i += 1 }
+    sortIdxByTerm(idx, terms, 0, dl - 1)
     val postings = new scala.collection.mutable.ArrayBuffer[SegPosting](
       math.min(dl, 64))
     i = 0
     while (i < dl) {
-      val t = terms(idx(i).intValue)
+      val t = terms(idx(i))
       var j = i + 1
-      while (j < dl && terms(idx(j).intValue) == t) j += 1
+      while (j < dl && terms(idx(j)) == t) j += 1
       val ps = new Array[Int](j - i)
       var k = i
-      while (k < j) { ps(k - i) = positions(idx(k).intValue); k += 1 }
+      while (k < j) { ps(k - i) = positions(idx(k)); k += 1 }
       postings += SegPosting(t, ps.length, ps)
       i = j
     }
@@ -104,6 +110,52 @@ object IndexBuilder {
       sha256Hex(content), postings.toArray)
   }
 
+  /** In-place quicksort of `idx[lo..hi]` ordered by (terms(i), i). The
+    * index tiebreak makes the comparator a total order, so the
+    * (unstable) quicksort yields exactly the order the boxed stable sort
+    * did. Insertion sort below 16 elements. */
+  private def sortIdxByTerm(idx: Array[Int], terms: Array[String],
+                            lo0: Int, hi0: Int): Unit = {
+    @inline def less(a: Int, b: Int): Boolean = {
+      val c = terms(a).compareTo(terms(b))
+      c < 0 || (c == 0 && a < b)
+    }
+    var stack = List((lo0, hi0))
+    while (stack.nonEmpty) {
+      val (lo, hi) = stack.head
+      stack = stack.tail
+      if (hi - lo < 16) {
+        var i = lo + 1
+        while (i <= hi) {
+          val v = idx(i)
+          var j = i - 1
+          while (j >= lo && less(v, idx(j))) { idx(j + 1) = idx(j); j -= 1 }
+          idx(j + 1) = v
+          i += 1
+        }
+      } else {
+        // median-of-three pivot
+        val mid = (lo + hi) >>> 1
+        if (less(idx(mid), idx(lo))) { val t = idx(lo); idx(lo) = idx(mid); idx(mid) = t }
+        if (less(idx(hi), idx(lo))) { val t = idx(lo); idx(lo) = idx(hi); idx(hi) = t }
+        if (less(idx(hi), idx(mid))) { val t = idx(mid); idx(mid) = idx(hi); idx(hi) = t }
+        val pivot = idx(mid)
+        var i = lo
+        var j = hi
+        while (i <= j) {
+          while (less(idx(i), pivot)) i += 1
+          while (less(pivot, idx(j))) j -= 1
+          if (i <= j) {
+            val t = idx(i); idx(i) = idx(j); idx(j) = t
+            i += 1; j -= 1
+          }
+        }
+        if (lo < j) stack = (lo, j) :: stack
+        if (i < hi) stack = (i, hi) :: stack
+      }
+    }
+  }
+
   // ---- stage markers / lineage ----
 
   def markerPath(dir: String, stage: String): java.nio.file.Path =
@@ -112,12 +164,22 @@ object IndexBuilder {
   def stageDone(dir: String, stage: String): Boolean =
     Files.exists(markerPath(dir, stage))
 
+  /** Per-stage wall times of the most recent build in this JVM (driver
+    * side; for scaling evidence — the per-stage 8-vs-32 ratios show
+    * WHERE the machine ceiling bites). */
+  private val stageTimes =
+    new scala.collection.concurrent.TrieMap[String, Double]
+  def lastStageTimes: Map[String, Double] = stageTimes.toMap
+  def resetStageTimes(): Unit = stageTimes.clear()
+
   /** Wall-time a build stage; one line per stage on stderr (the
     * stage-level metrics the north rule's lineage markers carry). */
   private def timed[T](stage: String)(body: => T): T = {
     val t0 = System.nanoTime()
     val r = body
-    System.err.println(f"[build] $stage%-16s ${(System.nanoTime() - t0) / 1e9}%6.2fs")
+    val sec = (System.nanoTime() - t0) / 1e9
+    stageTimes.put(stage, sec)
+    System.err.println(f"[build] $stage%-16s $sec%6.2fs")
     r
   }
 
