@@ -107,6 +107,18 @@ object OracleQueries {
          |        GROUP BY doc_id)
          |${rankSel(15)}""".stripMargin,
 
+    // spell-check: dictionary candidates within edit distance 2 of the
+    // misspelling, by (distance, popularity desc, term). len(term) 3..7
+    // mirrors the engine's length band (query len 5 +- 2).
+    "spellcheck" ->
+      s"""WITH $tokensCte,
+         |dict AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |         FROM tokens GROUP BY term)
+         |SELECT term, CAST(levenshtein(term, 'mrege') AS BIGINT) AS dist, df
+         |FROM dict
+         |WHERE len(term) BETWEEN 3 AND 7 AND levenshtein(term, 'mrege') <= 2
+         |ORDER BY dist, df DESC, term LIMIT 5""".stripMargin,
+
     // Stemmed search: the corpus surface forms whose Porter stem is
     // "custom" (the fixed 31-term vocabulary contains only "customer";
     // "custom"/"customs" listed defensively). Independent re-derivation:
@@ -246,6 +258,22 @@ object OracleQueries {
       s"""$bm25OrWith,
          |agg AS (SELECT doc_id, max(s) AS score FROM sc GROUP BY doc_id)
          |${rankSel(10)}""".stripMargin,
+
+    // max + 0.3 * (sum of the non-max clauses)
+    "ft_dismax_tie" ->
+      s"""$bm25OrWith,
+         |agg AS (SELECT doc_id, max(s) + 0.3 * (sum(s) - max(s)) AS score
+         |        FROM sc GROUP BY doc_id)
+         |${rankSel(10)}""".stripMargin,
+
+    // 'scan' occurrence with no 'table' at distance <= 1
+    "ft_span_not" ->
+      s"""WITH $tokensCte
+         |SELECT DISTINCT a.doc_id FROM tokens a
+         |WHERE a.term = 'scan' AND NOT EXISTS (
+         |  SELECT 1 FROM tokens b WHERE b.doc_id = a.doc_id
+         |    AND b.term = 'table' AND abs(b.pos - a.pos) <= 1)
+         |ORDER BY 1""".stripMargin,
 
     "ft_tfidf" ->
       s"""WITH $tokensCte,

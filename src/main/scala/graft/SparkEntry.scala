@@ -241,6 +241,23 @@ object SparkEntry {
     "ft_range_term" -> ((s, dir) => matchedDocs(s, dir,
       BoolQ(Seq((Occur.Should, RangeQ("query", "sort")))))),
 
+    /** Spell-check (reference DirectSpellChecker / SpellCheckComponent):
+      * candidate corrections for a misspelled term from the term
+      * dictionary within maxEdits=2, ranked by edit distance, then df
+      * desc (more popular corrections first), then term. */
+    "spellcheck" -> ((s, dir) => {
+      val r = reader(s, dir)
+      r.termStatsDf.toDF()
+        .where(!col("term").startsWith("path:") &&
+          length(col("term")).between(lit(3), lit(7)) &&
+          levenshtein(col("term"), lit("mrege")) <= 2)
+        .select(col("term"),
+          levenshtein(col("term"), lit("mrege")).cast("long").as("dist"),
+          col("df"))
+        .orderBy(col("dist"), col("df").desc, col("term"))
+        .limit(5)
+    }),
+
     /** Stemmed search on an EnglishAnalyzer-chain index: the postings for
       * stem "custom" carry every doc containing "customer" (the only
       * corpus surface form in the family; Porter: m("custom")=2>1 so -er
@@ -378,6 +395,21 @@ object SparkEntry {
           Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
         .select("rank", "doc_id").orderBy("rank")
     }),
+
+    /** DisMax with tieBreakerMultiplier: max + 0.3 x (sum of others). */
+    "ft_dismax_tie" -> ((s, dir) => {
+      val r = reader(s, dir)
+      new JoinScorer(r).topKDisMax(Seq("spark", "vector", "window"), 10, 0.3f)
+        .join(idMap(r), "docId")
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        .select("rank", "doc_id").orderBy("rank")
+    }),
+
+    /** Span difference (SpanNotQuery): 'scan' occurrences with no 'table'
+      * within one position either side. */
+    "ft_span_not" -> ((s, dir) => matchedDocs(s, dir, BoolQ(Seq(
+      (Occur.Must, SpanNotQ("scan", "table", 1, 1)))))),
 
     /** ClassicSimilarity (TF-IDF with coord + queryNorm — the reference
       * 5.2 DEFAULT similarity) ranking. */

@@ -43,7 +43,8 @@ final class JoinScorer(reader: SearchReader) {
       case (_, PhraseQ(ts, _), _) => ts
       case (_, SloppyPhraseQ(ts, _, _), _) => ts
       case (_, SpanNearQ(ts, _, _), _) => ts
-      case (_, SpanOrQ(ts), _) => ts }.flatten
+      case (_, SpanOrQ(ts), _) => ts
+      case (_, SpanNotQ(inc, exc, _, _), _) => Seq(inc, exc) }.flatten
     val stats = reader.termStats(termQs.distinct)
     flat.map {
       case (o, tq @ TermQ(t), b) =>
@@ -52,6 +53,9 @@ final class JoinScorer(reader: SearchReader) {
         (o, sq, ScoredSpan(ts, slop, ts.map(stats.get), b, inOrder))
       case (o, sq @ SpanOrQ(ts), b) =>
         (o, sq, ScoredSpanOr(ts, ts.map(stats.get), b))
+      case (o, sq @ SpanNotQ(inc, exc, pre, post), b) =>
+        (o, sq, ScoredSpanNot(inc, exc, pre, post, stats.get(inc),
+          stats.contains(exc), b))
       case (o, pq @ PhraseQ(ts, rel), b) =>
         (o, pq, ScoredPhrase(ts, rel, ts.map(stats.get), 0, b))
       case (o, pq @ SloppyPhraseQ(ts, rel, slop), b) =>
@@ -103,6 +107,11 @@ final class JoinScorer(reader: SearchReader) {
   final case class ScoredSpanOr(terms: Seq[String],
                                 stats: Seq[Option[TermStats]],
                                 boost: Float = 1f) extends RewrittenClause
+  final case class ScoredSpanNot(include: String, exclude: String,
+                                 pre: Int, post: Int,
+                                 incStats: Option[TermStats],
+                                 excPresent: Boolean,
+                                 boost: Float = 1f) extends RewrittenClause
   /** Constant-score set: every matching doc scores `boost` (reference
     * ConstantScoreQuery multiplies 1.0 by the query boost,
     * search/ConstantScoreQuery.java). */
@@ -298,6 +307,56 @@ final class JoinScorer(reader: SearchReader) {
     }
   }
 
+  /** Span difference (SpanNotQuery analog): include occurrences survive
+    * unless an exclude occurrence lies within [p-pre, p+post]; freq =
+    * surviving count, weight from the include term only. */
+  private def spanNotHits(include: String, exclude: String, pre: Int,
+                          post: Int, incStats: Option[TermStats],
+                          excPresent: Boolean, clause: Int, kind: Int,
+                          boost: Float): Dataset[ClauseHit] = {
+    if (incStats.isEmpty) return spark.emptyDataset[ClauseHit]
+    val wv = BM25.weightValue(
+      BM25.idf(incStats.get.df, reader.collStats.maxDoc), boost)
+    val cacheB = spark.sparkContext.broadcast(
+      reader.normCacheFor(IndexBuilder.fieldOfTerm(include)))
+    val inc = include
+    val terms = if (excPresent) Seq(include, exclude) else Seq(include)
+    reader.blocks(terms.distinct).flatMap { b =>
+      val isInc = b.term == inc
+      PostingsCodec.decode(graft.codec.PostingBlock(b.term, b.firstDoc,
+        b.lastDoc, b.count, b.maxTf, b.sumTf, b.maxPartial, b.docBytes,
+        b.nrmBytes, b.posBytes)).iterator
+        .map(p => (p.docId, isInc, p.positions, p.norm))
+    }.groupByKey(_._1).mapGroups { (docId, it) =>
+      var incPos: Array[Int] = null
+      var excPos: Array[Int] = null
+      var norm: Byte = 0
+      it.foreach { case (_, isInc, pos, n) =>
+        if (isInc) { incPos = pos; norm = n } else excPos = pos
+      }
+      if (incPos == null) ClauseHit(docId, clause, kind, Float.NaN)
+      else {
+        var sf = 0
+        var i = 0
+        while (i < incPos.length) {
+          val p = incPos(i)
+          var blocked = false
+          if (excPos != null) {
+            // first exclude >= p - pre; blocked when it is <= p + post
+            val at = java.util.Arrays.binarySearch(excPos, p - pre)
+            val ins = if (at >= 0) at else -at - 1
+            blocked = ins < excPos.length && excPos(ins) <= p + post
+          }
+          if (!blocked) sf += 1
+          i += 1
+        }
+        if (sf == 0) ClauseHit(docId, clause, kind, Float.NaN)
+        else ClauseHit(docId, clause, kind,
+          BM25.score(wv, sf.toFloat, cacheB.value, norm))
+      }
+    }.filter(h => !java.lang.Float.isNaN(h.score))
+  }
+
   private def matchAllHits(clause: Int, kind: Int,
                            boost: Float = 1f): Dataset[ClauseHit] =
     reader.docmeta.map(d => ClauseHit(d.docId, clause, kind, boost))
@@ -315,6 +374,8 @@ final class JoinScorer(reader: SearchReader) {
         case ScoredSpan(ts, slop, st, b, ord) =>
           spanHits(ts, slop, st, i, kind, b, ord)
         case ScoredSpanOr(ts, st, b) => spanOrHits(ts, st, i, kind, b)
+        case ScoredSpanNot(inc, exc, pre, post, st, ep, b) =>
+          spanNotHits(inc, exc, pre, post, st, ep, i, kind, b)
         case ConstSet(ts, b) => constHits(ts, i, kind, b)
         case MatchAll(b) => matchAllHits(i, kind, b)
       }
@@ -391,17 +452,19 @@ final class JoinScorer(reader: SearchReader) {
   }
 
   /** Disjunction-max (reference search/DisjunctionMaxQuery.java): max of
-    * clause scores instead of sum (tiebreak 0). */
-  def topKDisMax(terms: Seq[String], k: Int): DataFrame = {
+    * clause scores + tieBreakerMultiplier x (sum of the others). */
+  def topKDisMax(terms: Seq[String], k: Int, tiebreak: Float = 0f): DataFrame = {
     val stats = reader.termStats(terms)
     val frames = terms.zipWithIndex.map { case (t, i) =>
       termHits(t, i, ClauseKind.Should, stats.get(t))
     }
+    val tie = tiebreak
     frames.reduce(_ union _)
       .groupByKey(_.docId).mapGroups { (docId, it) =>
         var m = Float.NegativeInfinity
-        it.foreach(h => if (h.score > m) m = h.score)
-        (docId, m)
+        var sum = 0f
+        it.foreach { h => sum += h.score; if (h.score > m) m = h.score }
+        (docId, m + tie * (sum - m))
       }
       .toDF("docId", "score")
       .orderBy($"score".desc, $"docId".asc).limit(k)

@@ -59,6 +59,12 @@ final case class SpanNearQ(terms: Seq[String], slop: Int,
   * occurrences across clauses, scored once with the summed idf (the
   * blended-statistics synonym semantics). */
 final case class SpanOrQ(terms: Seq[String]) extends Query
+/** Span difference (reference search/spans/SpanNotQuery.java with
+  * pre/post windows): occurrences of `include` survive unless an
+  * occurrence of `exclude` lies within [pos-pre, pos+post]; freq = count
+  * of surviving occurrences, scored with include's idf. */
+final case class SpanNotQ(include: String, exclude: String,
+                          pre: Int = 0, post: Int = 0) extends Query
 case object MatchAllQ extends Query
 final case class BoolQ(clauses: Seq[(Occur, Query)],
                        minShouldMatch: Int = 0) extends Query
