@@ -49,11 +49,6 @@ object IndexBuilder {
     new String(out)
   }
 
-  /** Analyze one document into a SegmentDoc (terms grouped in-memory per
-    * row — within-doc grouping needs no shuffle). `english = true` runs
-    * the EnglishAnalyzer chain (possessive strip + English stop set +
-    * Porter stem, reference en/EnglishAnalyzer.java:101-116) instead of
-    * the per-lang StandardAnalyzer chain. */
   /** Path-field analysis: lowercase, split on any non-alphanumeric run
     * (path separators, dots, dashes). A keyword-ish chain — code-search
     * users match path SEGMENTS ("src", "scala", file stems). */
@@ -68,6 +63,11 @@ object IndexBuilder {
   def fieldOfTerm(term: String): String =
     if (term.startsWith("path:")) "path" else "content"
 
+  /** Analyze one document into a SegmentDoc (terms grouped in-memory per
+    * row — within-doc grouping needs no shuffle). `english = true` runs
+    * the EnglishAnalyzer chain (possessive strip + English stop set +
+    * Porter stem, reference en/EnglishAnalyzer.java:101-116) instead of
+    * the per-lang StandardAnalyzer chain. */
   def invertDoc(docId: Long, docPart: Int, repo: String, path: String,
                 commit: String, lang: String, content: String,
                 maxTokenLength: Int, english: Boolean = false): SegmentDoc = {
@@ -243,7 +243,8 @@ object IndexBuilder {
       val docsAcc = spark.sparkContext.longAccumulator("graft.docs")
       val tokAcc = spark.sparkContext.longAccumulator("graft.tokens")
       segs.map { s => docsAcc.add(1); tokAcc.add(s.dl); s }
-        .write.mode("overwrite").parquet(segPath)
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(segPath)
       writeMarker(dir, "segments",
         Map("docs" -> docsAcc.value, "tokens" -> tokAcc.value))
     }
@@ -387,7 +388,11 @@ object IndexBuilder {
               def next(): BlockRow = { refill(); pending.next() }
             }
           }
-        blocks.write.mode("overwrite").parquet(s"$dir/postings/wave=$w")
+        // zstd over snappy: ~20% fewer bytes through the (bandwidth-
+        // bound) storage/shuffle path for a CPU cost that the scaling
+        // bench shows is the better trade at high core counts
+        blocks.write.mode("overwrite").option("compression", "zstd")
+          .parquet(s"$dir/postings/wave=$w")
         writeMarker(dir, stage,
           Map("postings" -> postAcc.value, "blocks" -> blockAcc.value))
       }
@@ -407,7 +412,8 @@ object IndexBuilder {
           sum($"sumTf").as("ttf"), max($"maxTf").as("maxTf"))
         .select($"term", $"bucket", $"df", $"ttf", $"maxTf")
         .as[TermStats]
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/termstats")
+        .write.mode("overwrite").option("compression", "zstd")
+        .partitionBy("bucket").parquet(s"$dir/termstats")
       writeMarker(dir, "termstats", Map())
     }
 
