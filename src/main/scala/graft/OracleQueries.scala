@@ -259,6 +259,28 @@ object OracleQueries {
          |agg AS (SELECT doc_id, max(s) AS score FROM sc GROUP BY doc_id)
          |${rankSel(10)}""".stripMargin,
 
+    // LM-Dirichlet, mu=2000: per clause
+    // max(0, ln(1 + tf/(mu*(ttf+1)/(collTokens+1))) + ln(mu/(dl_q+mu)))
+    "ft_lmdirichlet" ->
+      s"""WITH $tokensCte,
+         |$dlCsCte,
+         |$normCte,
+         |q(qterm) AS (VALUES ('dup'),('customer')),
+         |tf AS (SELECT t.doc_id, q.qterm, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tokens t JOIN q ON q.qterm = t.term GROUP BY 1, 2),
+         |ttfq AS (SELECT q.qterm,
+         |           (SELECT count(*) FROM tokens t WHERE t.term = q.qterm) AS ttf
+         |         FROM q),
+         |sc AS (SELECT tf.doc_id,
+         |         greatest(0, ln(1 + tf.tf / (2000.0 * ((ttfq.ttf + 1.0) /
+         |             (cs.sumdl + 1.0)))) +
+         |           ln(2000.0 / (nrm.qdl + 2000.0))) AS s
+         |       FROM tf, ttfq, dl, nrm, cs
+         |       WHERE ttfq.qterm = tf.qterm AND dl.doc_id = tf.doc_id
+         |         AND dl.dl BETWEEN nrm.lo AND nrm.hi),
+         |agg AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id)
+         |${rankSel(15)}""".stripMargin,
+
     // max + 0.3 * (sum of the non-max clauses)
     "ft_dismax_tie" ->
       s"""$bm25OrWith,

@@ -396,6 +396,18 @@ object SparkEntry {
         .select("rank", "doc_id").orderBy("rank")
     }),
 
+    /** LM-Dirichlet similarity (mu=2000): rare term 'dup' scores high;
+      * common 'customer' clamps to 0 (reference clamp), so its docs
+      * match at score 0 and tie-break by doc_id. */
+    "ft_lmdirichlet" -> ((s, dir) => {
+      val r = reader(s, dir)
+      new LMDirichletScorer(r).topK(Seq("dup", "customer"), 15)
+        .join(idMap(r), "docId")
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        .select("rank", "doc_id").orderBy("rank")
+    }),
+
     /** DisMax with tieBreakerMultiplier: max + 0.3 x (sum of others). */
     "ft_dismax_tie" -> ((s, dir) => {
       val r = reader(s, dir)
