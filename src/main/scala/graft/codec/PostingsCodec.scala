@@ -38,6 +38,10 @@ final case class PostingBlock(
 /** One decoded posting. */
 final case class Posting(docId: Long, tf: Int, positions: Array[Int], norm: Byte)
 
+/** One pre-encoded posting as it rides the merge shuffle: `pb` =
+  * VInt(tf) ++ tf VInt position-deltas (graft.index.SegPosting layout). */
+final case class PrePosting(docId: Long, norm: Byte, pb: Array[Byte])
+
 object PostingsCodec {
 
   /** 128, the reference's postings block size / skip interval
@@ -78,6 +82,59 @@ object PostingsCodec {
         sumTf += p.tf
         if (cache != null) {
           val f = p.tf.toFloat
+          val partial = f / (f + cache(p.norm & 0xFF))
+          if (partial > maxPartial) maxPartial = partial
+        }
+        i += 1
+      }
+      PostingBlock(term, firstDoc, prev, chunk.size, maxTf, sumTf,
+        if (cache == null) Float.NaN else maxPartial,
+        docW.toBytes, nrm, posW.toBytes)
+    }
+  }
+
+  /** Encode one term's PRE-ENCODED postings (sorted by docId asc) into
+    * blocks — the builder's hot path. Each posting's position deltas are
+    * already VByte bytes (SegPosting.pb = VInt(tf) ++ deltas), so block
+    * posBytes are assembled by raw byte concatenation; only the doc-gap
+    * stream is encoded here. Float ops for maxPartial are identical to
+    * [[encode]] (CodecSpec proves block-for-block equality of the paths).
+    */
+  def encodePre(term: String, postings: Iterator[PrePosting],
+                cache: Array[Float]): Iterator[PostingBlock] = {
+    val grouped = postings.grouped(BlockSize)
+    grouped.map { chunk =>
+      val docW = new VByte.Writer(chunk.size * 2)
+      val posW = new VByte.Writer(chunk.size * 4)
+      val nrm = new Array[Byte](chunk.size)
+      var prev = chunk.head.docId
+      val firstDoc = chunk.head.docId
+      var maxTf = 0
+      var sumTf = 0L
+      var maxPartial = Float.NegativeInfinity
+      var i = 0
+      while (i < chunk.size) {
+        val p = chunk(i)
+        // tf prefix of pb
+        var q = 0
+        var b = p.pb(q); q += 1
+        var tf = b & 0x7F
+        var shift = 7
+        while ((b & 0x80) != 0) {
+          b = p.pb(q); q += 1
+          tf |= (b & 0x7F) << shift
+          shift += 7
+        }
+        val delta = p.docId - prev
+        prev = p.docId
+        if (tf == 1) docW.writeVLong((delta << 1) | 1L)
+        else { docW.writeVLong(delta << 1); docW.writeVInt(tf) }
+        nrm(i) = p.norm
+        posW.writeRaw(p.pb, q, p.pb.length - q)
+        if (tf > maxTf) maxTf = tf
+        sumTf += tf
+        if (cache != null) {
+          val f = tf.toFloat
           val partial = f / (f + cache(p.norm & 0xFF))
           if (partial > maxPartial) maxPartial = partial
         }

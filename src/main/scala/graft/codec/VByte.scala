@@ -27,6 +27,26 @@ object VByte {
     }
     def size: Int = len
     def toBytes: Array[Byte] = java.util.Arrays.copyOf(buf, len)
+    /** Append `n` pre-encoded bytes verbatim (the builder's positions fast
+      * path: per-posting delta bytes are concatenated, never re-encoded). */
+    def writeRaw(src: Array[Byte], from: Int, n: Int): Unit = {
+      ensure(n); System.arraycopy(src, from, buf, len, n); len += n
+    }
+  }
+
+  /** Encoded size of a VInt (for exact-size buffer allocation). */
+  def sizeVInt(v0: Int): Int = {
+    var i = v0; var n = 1
+    while ((i & ~0x7F) != 0) { n += 1; i >>>= 7 }
+    n
+  }
+
+  /** Write a VInt into `buf` at `off0`; returns the new offset. */
+  def putVInt(buf: Array[Byte], off0: Int, v0: Int): Int = {
+    var i = v0; var off = off0
+    while ((i & ~0x7F) != 0) { buf(off) = ((i & 0x7F) | 0x80).toByte; off += 1; i >>>= 7 }
+    buf(off) = i.toByte
+    off + 1
   }
 
   final class Reader(bytes: Array[Byte]) {

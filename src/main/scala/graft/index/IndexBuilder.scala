@@ -8,7 +8,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.analysis.{Analyzer, StopSets}
-import graft.codec.{PostingsCodec, Posting, SmallFloat}
+import graft.codec.{PostingsCodec, PrePosting, SmallFloat}
 import graft.search.BM25
 
 /** Batch inverted-index build: input table -> per-partition segments ->
@@ -91,10 +91,25 @@ object IndexBuilder {
       val t = terms(idx(i))
       var j = i + 1
       while (j < dl && terms(idx(j)) == t) j += 1
-      val ps = new Array[Int](j - i)
+      // pb = VInt(tf) ++ delta-VByte positions, sized exactly (two cheap
+      // passes beat a growable buffer + copy-out in this hot loop)
+      val tf = j - i
+      var size = graft.codec.VByte.sizeVInt(tf)
+      var prevPos = 0
       var k = i
-      while (k < j) { ps(k - i) = positions(idx(k)); k += 1 }
-      postings += SegPosting(t, ps.length, ps)
+      while (k < j) {
+        val p = positions(idx(k))
+        size += graft.codec.VByte.sizeVInt(p - prevPos); prevPos = p; k += 1
+      }
+      val pb = new Array[Byte](size)
+      var off = graft.codec.VByte.putVInt(pb, 0, tf)
+      prevPos = 0
+      k = i
+      while (k < j) {
+        val p = positions(idx(k))
+        off = graft.codec.VByte.putVInt(pb, off, p - prevPos); prevPos = p; k += 1
+      }
+      postings += SegPosting(t, pb)
       i = j
     }
     // path field: its own term space ("path:"-prefixed), positions and
@@ -103,11 +118,26 @@ object IndexBuilder {
     val pdl = ptoks.length
     ptoks.zipWithIndex.groupBy(_._1).toSeq.sortBy(_._1).foreach {
       case (tok, occs) =>
-        postings += SegPosting(pathTerm(tok), occs.length, occs.map(_._2))
+        postings += SegPosting(pathTerm(tok), pbOf(occs.map(_._2)))
     }
     SegmentDoc(docId, docPart, repo, path, commit, lang, dl,
       SmallFloat.normByte(dl), pdl, SmallFloat.normByte(pdl),
       sha256Hex(content), postings.toArray)
+  }
+
+  /** SegPosting.pb of an ascending positions array: VInt(tf) ++ deltas. */
+  private def pbOf(poss: Array[Int]): Array[Byte] = {
+    val tf = poss.length
+    var size = graft.codec.VByte.sizeVInt(tf)
+    var prev = 0
+    var k = 0
+    while (k < tf) { size += graft.codec.VByte.sizeVInt(poss(k) - prev); prev = poss(k); k += 1 }
+    val pb = new Array[Byte](size)
+    var off = graft.codec.VByte.putVInt(pb, 0, tf)
+    prev = 0
+    k = 0
+    while (k < tf) { off = graft.codec.VByte.putVInt(pb, off, poss(k) - prev); prev = poss(k); k += 1 }
+    pb
   }
 
   /** In-place quicksort of `idx[lo..hi]` ordered by (terms(i), i). The
@@ -321,29 +351,33 @@ object IndexBuilder {
         // the within-partition (term, docId) sort: every file is
         // term-sorted, so parquet row-group min/max stats prune term
         // lookups (the BlockTree-seek analog) without bucket directories.
-        // salt is a pure column expression (hot set is tiny by
-        // construction: |hot| <= sumTtf/hotDfThreshold) — no typed
-        // map/enc-dec pass over the posting rows; bucket is computed
-        // inside the encoder, it never rides the shuffle.
+        // salt is a pure PARTITIONING expression (hot set is tiny by
+        // construction: |hot| <= sumTtf/hotDfThreshold) — it steers the
+        // hash exchange but is NOT materialized into the shuffled row;
+        // the encoder re-derives it from (term, docId). Likewise tf rides
+        // inside pb (its VInt prefix) and bucket is computed inside the
+        // encoder, so the shuffle row is exactly (term, docId, pb, norm):
+        // at ~115 postings/doc the dropped salt+tf slots and the
+        // int-array->VByte positions cut the exchanged bytes by ~40%,
+        // which is the difference that matters in the DRAM-bound regime
+        // the scaling bench measures.
         val hotSeq = hotTerms.toSeq
         val saltCol =
           if (hotSeq.isEmpty) lit(0L)
           else when($"term".isin(hotSeq: _*), shiftright($"docId", shift))
             .otherwise(0L)
+        val hotB = spark.sparkContext.broadcast(hotTerms)
         val blocks = segments
           .where($"docPart" >= w * partsPerWave &&
             $"docPart" < (w + 1) * partsPerWave)
           .select($"docId", explode($"postings").as("p"), $"norm", $"pnorm")
-          .select($"p.term".as("term"), $"docId", $"p.tf".as("tf"),
-            $"p.positions".as("positions"),
+          .select($"p.term".as("term"), $"docId", $"p.pb".as("pb"),
             // each posting carries ITS field's norm byte
             when($"p.term".startsWith("path:"), $"pnorm").otherwise($"norm")
-              .as("norm"),
-            saltCol.as("salt"))
-          .repartition(cfg.shufflePartitions, $"term", $"salt")
+              .as("norm"))
+          .repartition(cfg.shufflePartitions, $"term", saltCol)
           .sortWithinPartitions($"term", $"docId")
-          .select($"salt", $"term", $"docId", $"tf", $"positions", $"norm")
-          .as[(Long, String, Long, Int, Array[Int], Byte)]
+          .as[(String, Long, Array[Byte], Byte)]
           .mapPartitions { it0 =>
             // Group consecutive same-(term, salt) runs, encode 128-posting
             // blocks. A run must break at salt boundaries: salt chunks of a
@@ -352,30 +386,32 @@ object IndexBuilder {
             // firstDoc-order concatenation (and the WAND cursor's skip
             // logic) to be valid — the docBase-concat invariant of
             // codecs/FieldsConsumer.java:90-100. salt is monotone in docId
-            // for one term, so sorting by (term, docId) already groups it.
-            val it = it0.map { case (salt, term, docId, tf, positions, norm) =>
-              (Buckets.of(term, nb), salt, term, docId, tf, positions, norm)
-            }
+            // for one term, so sorting by (term, docId) already groups it;
+            // the encoder recomputes it (hot-set lookup once per run).
+            val hot = hotB.value
             val cache = cacheB.value
             val pathCache = pathCacheB.value
             new Iterator[BlockRow] {
-              private val buf = it.buffered
+              private val buf = it0.buffered
               private var pending: Iterator[BlockRow] = Iterator.empty
               private def refill(): Unit = {
                 while (!pending.hasNext && buf.hasNext) {
-                  val bucket = buf.head._1
-                  val salt = buf.head._2
-                  val term = buf.head._3
+                  val term = buf.head._1
+                  val bucket = Buckets.of(term, nb)
+                  val isHot = hot.contains(term)
+                  val salt = if (isHot) buf.head._2 >> shift else 0L
                   val fieldCache =
                     if (fieldOfTerm(term) == "path") pathCache else cache
-                  val run = new scala.collection.mutable.ArrayBuffer[Posting]()
-                  while (buf.hasNext && buf.head._3 == term &&
-                      buf.head._1 == bucket && buf.head._2 == salt) {
-                    val (_, _, _, docId, tf, positions, norm) = buf.next()
-                    run += Posting(docId, tf, positions, norm)
+                  val run =
+                    new scala.collection.mutable.ArrayBuffer[PrePosting]()
+                  while (buf.hasNext && buf.head._1 == term &&
+                      (!isHot || (buf.head._2 >> shift) == salt)) {
+                    val (_, docId, pb, norm) = buf.next()
+                    run += PrePosting(docId, norm, pb)
                   }
                   postAcc.add(run.length)
-                  pending = PostingsCodec.encode(term, run.iterator, fieldCache)
+                  pending = PostingsCodec
+                    .encodePre(term, run.iterator, fieldCache)
                     .map { b =>
                       blockAcc.add(1)
                       BlockRow(bucket, b.term, b.firstDoc, b.lastDoc, b.count,
@@ -411,6 +447,12 @@ object IndexBuilder {
         .agg(first($"bucket").as("bucket"), sum($"count").as("df"),
           sum($"sumTf").as("ttf"), max($"maxTf").as("maxTf"))
         .select($"term", $"bucket", $"df", $"ttf", $"maxTf")
+        // co-locate each bucket into one task before the partitionBy
+        // write: without this every agg task writes a sliver of every
+        // bucket directory (tasks x buckets tiny files — file-create
+        // overhead was ~8% of the whole build and scaled at 0.94x);
+        // with it the stage emits exactly numBuckets files.
+        .repartition($"bucket")
         .as[TermStats]
         .write.mode("overwrite").option("compression", "zstd")
         .partitionBy("bucket").parquet(s"$dir/termstats")

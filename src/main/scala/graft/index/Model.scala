@@ -12,8 +12,14 @@ final case class DocInput(repo: String, path: String, commit: String,
 final case class PartedDocInput(docPart: Int, repo: String, path: String,
                                 commit: String, lang: String, content: String)
 
-/** One term's occurrences inside one doc (forward/segment layout). */
-final case class SegPosting(term: String, tf: Int, positions: Array[Int])
+/** One term's occurrences inside one doc (forward/segment layout).
+  * `pb` = VInt(tf) ++ tf VInt position-deltas — the positions are
+  * delta-VByte-encoded at INVERT time, so the global merge shuffle carries
+  * ~2 bytes/occurrence instead of a 4-byte-int array plus a tf column, and
+  * block posBytes are built by byte concatenation (never re-encoded). The
+  * per-posting layout inside a block is identical (PostingsCodec posBytes),
+  * making the segment row a zero-transcoding precursor of the index row. */
+final case class SegPosting(term: String, pb: Array[Byte])
 
 /** A fully inverted document: the per-partition "segment" row (reference
   * analog: one doc's contribution to a DocumentsWriterPerThread segment,
@@ -53,10 +59,6 @@ final case class TermStats(term: String, bucket: Int, df: Long, ttf: Long,
   * search/IndexSearcher.java:836-847). maxDoc is the DOC COUNT (Lucene
   * maxDoc), not the max docId — our docIds are deterministic but sparse. */
 final case class CollStats(maxDoc: Long, sumTotalTermFreq: Long)
-
-/** One posting exploded from a segment (intermediate shuffle row). */
-final case class PostingRow(term: String, docId: Long, tf: Int,
-                            positions: Array[Int], norm: Byte)
 
 /** On-disk block row = codec.PostingBlock + physical bucket. `count`
   * (=df contribution) / `sumTf` / `maxTf` let the term dictionary be

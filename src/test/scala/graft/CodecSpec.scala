@@ -132,6 +132,29 @@ class PostingsCodecSpec extends AnyFunSuite with MiniCheck {
     }
   }
 
+  test("encodePre(pre-encoded pb) == encode(decoded postings), block for block") {
+    forAll(genPostingList) { ps =>
+      val pre = ps.map { p =>
+        val w = new VByte.Writer()
+        w.writeVInt(p.tf)
+        var prev = 0
+        p.positions.foreach { pos => w.writeVInt(pos - prev); prev = pos }
+        PrePosting(p.docId, p.norm, w.toBytes)
+      }
+      val a = PostingsCodec.encode("t", ps.iterator, cache).toList
+      val b = PostingsCodec.encodePre("t", pre.iterator, cache).toList
+      assert(a.length == b.length)
+      (a zip b).foreach { case (x, y) =>
+        assert(x.firstDoc == y.firstDoc && x.lastDoc == y.lastDoc &&
+          x.count == y.count && x.maxTf == y.maxTf && x.sumTf == y.sumTf &&
+          x.maxPartial == y.maxPartial)
+        assert(java.util.Arrays.equals(x.docBytes, y.docBytes))
+        assert(java.util.Arrays.equals(x.nrmBytes, y.nrmBytes))
+        assert(java.util.Arrays.equals(x.posBytes, y.posBytes))
+      }
+    }
+  }
+
   test("freq==1 folding bit (Lucene50PostingsWriter.java:332-343 analog)") {
     val ps = List(Posting(10L, 1, Array(3), 120), Posting(12L, 2, Array(1, 5), 120))
     val b = PostingsCodec.encode("t", ps.iterator, cache).next()
