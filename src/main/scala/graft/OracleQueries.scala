@@ -281,6 +281,93 @@ object OracleQueries {
          |agg AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id)
          |${rankSel(15)}""".stripMargin,
 
+    // German light stem "ord": the only corpus surface form is "order"
+    // (the analyzer drops GERMAN stopwords, which never include "order",
+    // so tf = raw occurrence count)
+    "ft_stemmed_de" ->
+      s"""WITH $tokAllCte
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM tokall
+         |WHERE term = 'order' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // French minimal stem "vecto" <- "vector"
+    "ft_stemmed_fr" ->
+      s"""WITH $tokAllCte
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM tokall
+         |WHERE term = 'vector' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Spanish light stem "tabl" <- "table"
+    "ft_stemmed_es" ->
+      s"""WITH $tokAllCte
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM tokall
+         |WHERE term = 'table' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // DFR GL2: lam=(ttf+1)/(N+ttf+1); tfn=tf*log2(1+avgdl/qdl);
+    // s=(log2(1+lam)+tfn*log2((1+lam)/lam))/(tfn+1)
+    "ft_dfr_gl2" ->
+      s"""WITH $tokensCte,
+         |$dlCsCte,
+         |$normCte,
+         |q(qterm) AS (VALUES ('dup'),('spark')),
+         |tf AS (SELECT t.doc_id, q.qterm, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tokens t JOIN q ON q.qterm = t.term GROUP BY 1, 2),
+         |ttfq AS (SELECT q.qterm,
+         |           (SELECT count(*) FROM tokens t WHERE t.term = q.qterm) AS ttf
+         |         FROM q),
+         |sc AS (SELECT tf.doc_id,
+         |         (log2(1 + (ttfq.ttf + 1.0) / (cs.n + ttfq.ttf + 1.0)) +
+         |          (tf.tf * log2(1 + (CAST(cs.sumdl AS DOUBLE) / cs.n) / nrm.qdl)) *
+         |          log2((1 + (ttfq.ttf + 1.0) / (cs.n + ttfq.ttf + 1.0)) /
+         |               ((ttfq.ttf + 1.0) / (cs.n + ttfq.ttf + 1.0)))) /
+         |         ((tf.tf * log2(1 + (CAST(cs.sumdl AS DOUBLE) / cs.n) / nrm.qdl)) + 1)
+         |           AS s
+         |       FROM tf, ttfq, dl, nrm, cs
+         |       WHERE ttfq.qterm = tf.qterm AND dl.doc_id = tf.doc_id
+         |         AND dl.dl BETWEEN nrm.lo AND nrm.hi),
+         |agg AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id)
+         |${rankSel(15)}""".stripMargin,
+
+    // IB SPL/DF/H2: lam=(df+1)/(N+1); s=-ln((lam^(tfn/(tfn+1))-lam)/(1-lam))
+    "ft_ib_spl" ->
+      s"""WITH $tokensCte,
+         |$dlCsCte,
+         |$normCte,
+         |q(qterm) AS (VALUES ('vector'),('scan')),
+         |tf AS (SELECT t.doc_id, q.qterm, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tokens t JOIN q ON q.qterm = t.term GROUP BY 1, 2),
+         |dfq AS (SELECT qterm, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT tf.doc_id,
+         |         -ln((pow((dfq.df + 1.0) / (cs.n + 1.0),
+         |                  (tf.tf * log2(1 + (CAST(cs.sumdl AS DOUBLE) / cs.n) / nrm.qdl)) /
+         |                  ((tf.tf * log2(1 + (CAST(cs.sumdl AS DOUBLE) / cs.n) / nrm.qdl)) + 1))
+         |              - (dfq.df + 1.0) / (cs.n + 1.0)) /
+         |             (1 - (dfq.df + 1.0) / (cs.n + 1.0))) AS s
+         |       FROM tf, dfq, dl, nrm, cs
+         |       WHERE dfq.qterm = tf.qterm AND dl.doc_id = tf.doc_id
+         |         AND dl.dl BETWEEN nrm.lo AND nrm.hi),
+         |agg AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id)
+         |${rankSel(15)}""".stripMargin,
+
+    // LM Jelinek-Mercer (lambda=0.7): s=ln(1+((1-l)*tf/qdl)/(l*P(t|C))),
+    // P(t|C)=(ttf+1)/(collTokens+1)
+    "ft_lmjm" ->
+      s"""WITH $tokensCte,
+         |$dlCsCte,
+         |$normCte,
+         |q(qterm) AS (VALUES ('dup'),('window')),
+         |tf AS (SELECT t.doc_id, q.qterm, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tokens t JOIN q ON q.qterm = t.term GROUP BY 1, 2),
+         |ttfq AS (SELECT q.qterm,
+         |           (SELECT count(*) FROM tokens t WHERE t.term = q.qterm) AS ttf
+         |         FROM q),
+         |sc AS (SELECT tf.doc_id,
+         |         ln(1 + (0.3 * tf.tf / nrm.qdl) /
+         |                (0.7 * ((ttfq.ttf + 1.0) / (cs.sumdl + 1.0)))) AS s
+         |       FROM tf, ttfq, dl, nrm, cs
+         |       WHERE ttfq.qterm = tf.qterm AND dl.doc_id = tf.doc_id
+         |         AND dl.dl BETWEEN nrm.lo AND nrm.hi),
+         |agg AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id)
+         |${rankSel(15)}""".stripMargin,
+
     // max + 0.3 * (sum of the non-max clauses)
     "ft_dismax_tie" ->
       s"""$bm25OrWith,

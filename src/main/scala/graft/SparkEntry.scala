@@ -88,6 +88,35 @@ object SparkEntry {
       IndexReader(spark, dir, cfg)
     })
 
+  private val langStemReaders = new scala.collection.concurrent.TrieMap[(String, String), IndexReader]
+
+  /** Same corpus indexed with a per-language light-stem chain (reference
+    * de/GermanAnalyzer.java etc.): lang stop set + UniNE light stemmer. */
+  def langReader(spark: SparkSession, sfDir: String, analyzer: String): IndexReader =
+    langStemReaders.getOrElseUpdate((sfDir, analyzer), {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      val cfg = ftConfig((maxId / DocsPerPart + 1).toInt)
+        .copy(analyzer = analyzer)
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-$analyzer").toString
+      IndexBuilder.build(spark, docsAsInput(docs), dir, cfg)
+      IndexReader(spark, dir, cfg)
+    })
+
+  /** (doc_id, tf) of one stemmed term's postings — the shared shape of
+    * every ft_stemmed_* oracle query. */
+  private def stemTf(s: SparkSession, r: IndexReader, stem: String): DataFrame = {
+    import s.implicits._
+    r.blocks(Seq(stem))
+      .flatMap { b =>
+        val (docs, tfs, _) = graft.codec.PostingsCodec.decodeDocs(
+          graft.codec.PostingBlock(b.term, b.firstDoc, b.lastDoc, b.count,
+            b.maxTf, b.sumTf, b.maxPartial, b.docBytes, b.nrmBytes, b.posBytes))
+        docs.indices.iterator.map(i => (docs(i), tfs(i).toLong))
+      }.toDF("docId", "tf")
+      .join(idMap(r), "docId").select("doc_id", "tf").orderBy("doc_id")
+  }
+
   private val nrtReaders = new scala.collection.concurrent.TrieMap[String, MultiIndexReader]
 
   /** Same corpus as [[reader]] but ingested as base + 2 appended deltas
@@ -402,6 +431,57 @@ object SparkEntry {
     "ft_lmdirichlet" -> ((s, dir) => {
       val r = reader(s, dir)
       new LMDirichletScorer(r).topK(Seq("dup", "customer"), 15)
+        .join(idMap(r), "docId")
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        .select("rank", "doc_id").orderBy("rank")
+    }),
+
+    /** German-light-stemmed search (UniNE; reference de/GermanAnalyzer):
+      * postings of stem "ord" carry every "order" occurrence. */
+    "ft_stemmed_de" -> ((s, dir) =>
+      stemTf(s, langReader(s, dir, "german"), "ord")),
+
+    /** French-minimal-stemmed search: stem "vecto" <- "vector". */
+    "ft_stemmed_fr" -> ((s, dir) =>
+      stemTf(s, langReader(s, dir, "french"), "vecto")),
+
+    /** Spanish-light-stemmed search: stem "tabl" <- "table". */
+    "ft_stemmed_es" -> ((s, dir) =>
+      stemTf(s, langReader(s, dir, "spanish"), "tabl")),
+
+    /** DFR GL2 similarity (BasicModelG + AfterEffectL + NormalizationH2,
+      * c=1): geometric-Bose-Einstein informative content, Laplace
+      * normalization. */
+    "ft_dfr_gl2" -> ((s, dir) => {
+      val r = reader(s, dir)
+      new SimilarityScorer(r, (df, ttf, maxDoc, _, avgdl) =>
+        Similarities.dfrGL2(df, ttf, maxDoc, avgdl))
+        .topK(Seq("dup", "spark"), 15)
+        .join(idMap(r), "docId")
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        .select("rank", "doc_id").orderBy("rank")
+    }),
+
+    /** IB similarity (DistributionSPL + LambdaDF + NormalizationH2). */
+    "ft_ib_spl" -> ((s, dir) => {
+      val r = reader(s, dir)
+      new SimilarityScorer(r, (df, ttf, maxDoc, _, avgdl) =>
+        Similarities.ibSplDf(df, ttf, maxDoc, avgdl))
+        .topK(Seq("vector", "scan"), 15)
+        .join(idMap(r), "docId")
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        .select("rank", "doc_id").orderBy("rank")
+    }),
+
+    /** LM with Jelinek-Mercer smoothing (lambda=0.7). */
+    "ft_lmjm" -> ((s, dir) => {
+      val r = reader(s, dir)
+      new SimilarityScorer(r, (_, ttf, _, collTokens, _) =>
+        Similarities.lmJelinekMercer(ttf, collTokens))
+        .topK(Seq("dup", "window"), 15)
         .join(idMap(r), "docId")
         .withColumn("rank", row_number().over(
           Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))

@@ -185,6 +185,36 @@ object Analyzer {
       java.util.Arrays.copyOf(positions, n))
   }
 
+  /** Per-language light-stem chain (the reference's GermanAnalyzer /
+    * SpanishAnalyzer / ItalianAnalyzer / FrenchAnalyzer shape:
+    * StandardTokenizer -> LowerCaseFilter -> StopFilter(lang) ->
+    * <Lang>LightStemFilter — analysis/common/.../de/GermanAnalyzer.java).
+    * Stopwords are removed BEFORE stemming and dropped tokens still
+    * contribute position gaps, as in every reference chain. */
+  def analyzeLightFlat(text: String, stopSet: Set[String],
+                       stem: String => String,
+                       maxTokenLength: Int = StandardTokenizer.DefaultMaxTokenLength)
+      : (Array[String], Array[Int]) = {
+    val toks = StandardTokenizer.tokenize(text, maxTokenLength)
+    val terms = new Array[String](toks.length)
+    val positions = new Array[Int](toks.length)
+    var n = 0
+    var pos = -1
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      pos += t.posInc
+      val term = lowerCase(t.term)
+      if (!stopSet.contains(term)) {
+        terms(n) = stem(term); positions(n) = pos; n += 1
+      }
+      i += 1
+    }
+    if (n == toks.length) (terms, positions)
+    else (java.util.Arrays.copyOf(terms, n),
+      java.util.Arrays.copyOf(positions, n))
+  }
+
   /** Field length for norms = number of tokens emitted by the chain
     * (overlaps/posInc==0 tokens never occur in this chain, so
     * numOverlap = 0; reference: BM25Similarity.computeNorm,

@@ -64,17 +64,25 @@ object IndexBuilder {
     if (term.startsWith("path:")) "path" else "content"
 
   /** Analyze one document into a SegmentDoc (terms grouped in-memory per
-    * row — within-doc grouping needs no shuffle). `english = true` runs
-    * the EnglishAnalyzer chain (possessive strip + English stop set +
-    * Porter stem, reference en/EnglishAnalyzer.java:101-116) instead of
-    * the per-lang StandardAnalyzer chain. */
+    * row — within-doc grouping needs no shuffle). `analyzer` selects the
+    * chain: "standard" = per-row-lang StandardAnalyzer; "english" = the
+    * EnglishAnalyzer chain (possessive strip + English stop set + Porter
+    * stem, reference en/EnglishAnalyzer.java:101-116); "german" /
+    * "spanish" / "italian" / "french" = that language's stop set + light
+    * stemmer (reference de/GermanAnalyzer.java etc.). */
   def invertDoc(docId: Long, docPart: Int, repo: String, path: String,
                 commit: String, lang: String, content: String,
-                maxTokenLength: Int, english: Boolean = false): SegmentDoc = {
-    val (terms, positions) =
-      if (english)
+                maxTokenLength: Int, analyzer: String = "standard"): SegmentDoc = {
+    val (terms, positions) = analyzer match {
+      case "standard" =>
+        Analyzer.analyzeFlat(content, StopSets.forLang(lang), maxTokenLength)
+      case "english" =>
         Analyzer.analyzeEnglishFlat(content, StopSets.forLang("en"), maxTokenLength)
-      else Analyzer.analyzeFlat(content, StopSets.forLang(lang), maxTokenLength)
+      case other =>
+        val (iso, stem) = graft.analysis.LightStemmers.byName(other)
+        Analyzer.analyzeLightFlat(content, StopSets.forLang(iso), stem,
+          maxTokenLength)
+    }
     val dl = terms.length
     // group by term via an index sort ordered by (term, index) — the
     // index tiebreak makes the order stable, so positions ascend within
@@ -240,7 +248,7 @@ object IndexBuilder {
     val segPath = s"$dir/segments"
     if (!stageDone(dir, "segments")) timed("segments") {
       val maxTok = cfg.maxTokenLength
-      val english = cfg.analyzer == "english"
+      val analyzerName = cfg.analyzer
       val nParts = cfg.numDocParts
       val parted = (
         if (input.columns.contains("docPart"))
@@ -265,7 +273,7 @@ object IndexBuilder {
                 s"docPart ${d.docPart} outside [0, $nParts)")
             if (d.docPart != cur) { cur = d.docPart; idx = 0L }
             val sd = invertDoc(Ids.docId(cur, idx), cur, d.repo, d.path,
-              d.commit, d.lang, d.content, maxTok, english)
+              d.commit, d.lang, d.content, maxTok, analyzerName)
             idx += 1
             sd
           }

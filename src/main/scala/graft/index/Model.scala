@@ -92,8 +92,10 @@ final case class IndexConfig(
     shufflePartitions: Int = 32,
     analyzer: String = "standard") {
   require(numDocParts > 0 && numBuckets > 0 && waves > 0)
-  require(analyzer == "standard" || analyzer == "english",
-    s"unknown analyzer '$analyzer' (standard | english)")
+  require(analyzer == "standard" || analyzer == "english" ||
+    graft.analysis.LightStemmers.byName.contains(analyzer),
+    s"unknown analyzer '$analyzer' (standard | english | " +
+      graft.analysis.LightStemmers.byName.keys.toSeq.sorted.mkString(" | ") + ")")
 }
 
 object Buckets {

@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analysis.{Analyzer, LightStemmers, StopSets}
+
+/** Light stemmers vs the reference's full golden-vector data — the same
+  * word pairs TestGermanLightStemFilter / TestSpanishLightStemFilter /
+  * TestItalianLightStemFilter / TestFrenchMinimalStemFilter assert against
+  * (delighttestdata.zip etc., ~120k pairs total). */
+class LightStemSpec extends AnyFunSuite {
+
+  private def pairs(name: String): Vector[(String, String)] = {
+    val in = getClass.getResourceAsStream(name)
+    require(in != null, s"missing resource $name")
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).map { l =>
+        val t = l.split('\t'); (t(0), t(1))
+      }.toVector
+    finally in.close()
+  }
+
+  private def check(name: String, stem: String => String, minWords: Int): Unit = {
+    val vecs = pairs(name)
+    assert(vecs.length >= minWords)
+    var bad = 0
+    val examples = Vector.newBuilder[String]
+    vecs.foreach { case (w, want) =>
+      val got = stem(w)
+      if (got != want) {
+        bad += 1
+        if (bad <= 10) examples += s"$w -> $got (want $want)"
+      }
+    }
+    assert(bad == 0, s"$bad mismatches; first: ${examples.result().mkString("; ")}")
+  }
+
+  test("German light: full reference vocabulary (35k pairs)") {
+    check("/stems/delight.txt", LightStemmers.german, 30000)
+  }
+  test("Spanish light: full reference vocabulary (28k pairs)") {
+    check("/stems/eslight.txt", LightStemmers.spanish, 25000)
+  }
+  test("Italian light: full reference vocabulary (35k pairs)") {
+    check("/stems/itlight.txt", LightStemmers.italian, 30000)
+  }
+  test("French minimal: full reference vocabulary (20k pairs)") {
+    check("/stems/frminimal.txt", LightStemmers.french, 18000)
+  }
+
+  test("corpus-vocabulary witnesses (the oracle queries' stem families)") {
+    assert(LightStemmers.german("order") == "ord")
+    assert(LightStemmers.german("customer") == "custom")
+    assert(LightStemmers.french("vector") == "vecto")
+    assert(LightStemmers.spanish("table") == "tabl")
+    // Italian strips only final vowels; consonant-final English-ish vocab
+    // is untouched (len<6 also untouched)
+    assert(LightStemmers.italian("window") == "window")
+    assert(LightStemmers.italian("finestra") == "finestr")
+  }
+
+  test("light chain: stop-before-stem with position gaps") {
+    val (terms, pos) = Analyzer.analyzeLightFlat(
+      "der Fenster und die Ordner", StopSets.forLang("de"),
+      LightStemmers.german)
+    // "der"/"und"/"die" are German stopwords; gaps preserved
+    assert(terms.toSeq == Seq("fen", "ordn"))
+    assert(pos.toSeq == Seq(1, 4))
+  }
+}
