@@ -301,6 +301,49 @@ object OracleQueries {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM tokall
          |WHERE term = 'table' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // Phonetic match for "vektor" (Soundex V236): 'vector' is the only
+    // corpus term in that phonetic class (v-2-3-6; every other vocab word
+    // encodes differently), so the match set is exactly its postings
+    "ft_phonetic" ->
+      s"""WITH $tokAllCte
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM tokall
+         |WHERE term = 'vector' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Elevation: doc_ids 7, 3 pinned to ranks 1-2; organic BM25 "spark
+    // window" ranking follows, excluding the pinned docs
+    "ft_elevate" ->
+      s"""WITH $tokensCte,
+         |$dlCsCte,
+         |$normCte,
+         |q(qterm) AS (VALUES ('spark'),('window')),
+         |$bm25ClauseCte,
+         |agg AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id),
+         |organic AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rn
+         |  FROM agg WHERE doc_id NOT IN (7, 3))
+         |SELECT CAST(rank AS BIGINT) AS rank, CAST(doc_id AS BIGINT) AS doc_id
+         |FROM (
+         |  SELECT 1 AS rank, 7 AS doc_id
+         |  UNION ALL SELECT 2, 3
+         |  UNION ALL SELECT rn + 2, doc_id FROM organic WHERE rn <= 8)
+         |ORDER BY rank""".stripMargin,
+
+    // Char filter: regex rewrite before tokenization, count the token
+    "charfilter_replace" ->
+      s"""WITH rep AS (SELECT doc_id,
+         |    regexp_replace(text, 'sp[a-z]+k', 'flink', 'g') AS t
+         |  FROM documents),
+         |tok AS (SELECT doc_id,
+         |    unnest(regexp_extract_all(t, '$TokRe')) AS term FROM rep)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM tok
+         |WHERE term = 'flink' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // frange: 0.5*n_chars + 10 in [100, 200]
+    "func_range" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE n_chars * 0.5 + 10 BETWEEN 100 AND 200
+         |ORDER BY doc_id""".stripMargin,
+
     // DFR GL2: lam=(ttf+1)/(N+ttf+1); tfn=tf*log2(1+avgdl/qdl);
     // s=(log2(1+lam)+tfn*log2((1+lam)/lam))/(tfn+1)
     "ft_dfr_gl2" ->

@@ -103,19 +103,24 @@ object SparkEntry {
       IndexReader(spark, dir, cfg)
     })
 
-  /** (doc_id, tf) of one stemmed term's postings — the shared shape of
-    * every ft_stemmed_* oracle query. */
-  private def stemTf(s: SparkSession, r: IndexReader, stem: String): DataFrame = {
+  /** (doc_id, tf) of a term set's postings (tf summed per doc) — the
+    * shared shape of the ft_stemmed_* / ft_phonetic oracle queries. */
+  private def termsTf(s: SparkSession, r: IndexReader,
+                      terms: Seq[String]): DataFrame = {
     import s.implicits._
-    r.blocks(Seq(stem))
+    r.blocks(terms)
       .flatMap { b =>
         val (docs, tfs, _) = graft.codec.PostingsCodec.decodeDocs(
           graft.codec.PostingBlock(b.term, b.firstDoc, b.lastDoc, b.count,
             b.maxTf, b.sumTf, b.maxPartial, b.docBytes, b.nrmBytes, b.posBytes))
         docs.indices.iterator.map(i => (docs(i), tfs(i).toLong))
       }.toDF("docId", "tf")
+      .groupBy("docId").agg(sum("tf").as("tf"))
       .join(idMap(r), "docId").select("doc_id", "tf").orderBy("doc_id")
   }
+
+  private def stemTf(s: SparkSession, r: IndexReader, stem: String): DataFrame =
+    termsTf(s, r, Seq(stem))
 
   private val nrtReaders = new scala.collection.concurrent.TrieMap[String, MultiIndexReader]
 
@@ -449,6 +454,65 @@ object SparkEntry {
     /** Spanish-light-stemmed search: stem "tabl" <- "table". */
     "ft_stemmed_es" -> ((s, dir) =>
       stemTf(s, langReader(s, dir, "spanish"), "tabl")),
+
+    /** Phonetic match (Solr PhoneticFilterFactory analog, query-time
+      * expansion): terms whose Soundex equals the query's — misspelled
+      * "vektor" (V236) matches "vector". Dictionary expansion uses the
+      * codegen'd built-in soundex; Phonetic.soundex pins the algorithm
+      * (t:PhoneticSpec asserts parity). */
+    "ft_phonetic" -> ((s, dir) => {
+      val r = reader(s, dir)
+      val matched = r.expandTerms(
+        !col("term").startsWith("path:") &&
+          soundex(col("term")) === soundex(lit("vektor"))).map(_.term)
+      termsTf(s, r, matched)
+    }),
+
+    /** Query elevation (Solr QueryElevationComponent): doc_ids 7 and 3
+      * pinned to ranks 1-2 for "spark window"; organic BM25 ranking
+      * follows, excluding the pinned docs. */
+    "ft_elevate" -> ((s, dir) => {
+      import s.implicits._
+      val r = reader(s, dir)
+      val pinned = Seq(7L, 3L)
+      val q = QueryParser.parse("spark window")
+      val pins = pinned.zipWithIndex
+        .map { case (d, i) => ((i + 1).toLong, d) }.toDF("rank", "doc_id")
+      val organic = new JoinScorer(r).topK(q, 10 + pinned.length)
+        .join(idMap(r), "docId")
+        .where(!col("doc_id").isin(pinned: _*))
+        .withColumn("rank", (row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)) +
+          pinned.length).cast("long"))
+        .where(col("rank") <= 10)
+        .select("rank", "doc_id")
+      pins.union(organic).orderBy("rank")
+    }),
+
+    /** Pattern-replace char filter (Solr PatternReplaceCharFilterFactory):
+      * regex rewrite BEFORE tokenization, then the standard chain — count
+      * the rewritten token. */
+    "charfilter_replace" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          regexp_replace(col("text"), "sp[a-z]+k", "flink").as("t"))
+        .as[(Long, String)]
+        .flatMap { case (id, t) =>
+          val (terms, _) = graft.analysis.Analyzer.analyzeFlat(t, Set.empty)
+          terms.iterator.filter(_ == "flink").map(_ => id)
+        }
+        .toDF("doc_id")
+        .groupBy("doc_id").agg(count(lit(1)).as("tf"))
+        .orderBy("doc_id")
+    }),
+
+    /** Function range query (Solr frange / FunctionRangeQuery): filter by
+      * a ValueSource expression's value range. */
+    "func_range" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .where((col("n_chars") * 0.5 + 10).between(100, 200))
+        .select("doc_id").orderBy("doc_id")),
 
     /** DFR GL2 similarity (BasicModelG + AfterEffectL + NormalizationH2,
       * c=1): geometric-Bose-Einstein informative content, Laplace
