@@ -301,6 +301,47 @@ object OracleQueries {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM tokall
          |WHERE term = 'table' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // Term vector of doc 42: (term, tf) of its analyzed content
+    "ft_termvector" ->
+      s"""WITH $tokensCte
+         |SELECT term, CAST(count(*) AS BIGINT) AS tf FROM tokens
+         |WHERE doc_id = 42 GROUP BY term ORDER BY term""".stripMargin,
+
+    // bf boost function: BM25("spark window") + 0.001*n_chars
+    "ft_boost_func" ->
+      s"""WITH $tokensCte,
+         |$dlCsCte,
+         |$normCte,
+         |q(qterm) AS (VALUES ('spark'),('window')),
+         |$bm25ClauseCte,
+         |agg AS (SELECT sc.doc_id,
+         |          sum(sc.s) + 0.001 * any_value(d.n_chars) AS score
+         |        FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+         |        GROUP BY sc.doc_id)
+         |${rankSel(10)}""".stripMargin,
+
+    // date range facet, day gap
+    "facet_date" ->
+      s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         |       CAST(count(*) AS BIGINT) AS cnt
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // JSON field $.k of props, grouped
+    "json_field" ->
+      s"""SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k,
+         |       round(sum(value), 6) AS sum_value,
+         |       CAST(count(*) AS BIGINT) AS cnt
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // nested facet: top-2 sources per lang bucket
+    "facet_nested" ->
+      s"""SELECT lang, source, cnt FROM (
+         |  SELECT lang, source, CAST(count(*) AS BIGINT) AS cnt,
+         |         row_number() OVER (PARTITION BY lang
+         |           ORDER BY count(*) DESC, source) AS rn
+         |  FROM documents GROUP BY lang, source)
+         |WHERE rn <= 2 ORDER BY lang, cnt DESC, source""".stripMargin,
+
     // Phonetic match for "vektor" (Soundex V236): 'vector' is the only
     // corpus term in that phonetic class (v-2-3-6; every other vocab word
     // encodes differently), so the match set is exactly its postings

@@ -455,6 +455,72 @@ object SparkEntry {
     "ft_stemmed_es" -> ((s, dir) =>
       stemTf(s, langReader(s, dir, "spanish"), "tabl")),
 
+    /** Term-vectors component (per-doc forward index; reference
+      * TermVectorsFormat / Solr TermVectorComponent): one column-pruned
+      * segments lookup returns doc 42's (term, tf) vector — the stored
+      * term vector read path, no postings scan. */
+    "ft_termvector" -> ((s, dir) => {
+      import s.implicits._
+      val r = reader(s, dir)
+      val internalId = idMap(r).where(col("doc_id") === 42L)
+        .select("docId").as[Long].head()
+      s.read.parquet(s"${r.dir}/segments")
+        .where(col("docId") === internalId)
+        .select(explode(col("postings")).as("p"))
+        .select(col("p.term").as("term"), col("p.pb").as("pb"))
+        .as[(String, Array[Byte])]
+        .filter(!_._1.startsWith("path:"))
+        .map { case (t, pb) => (t, graft.codec.VByte.firstVInt(pb).toLong) }
+        .toDF("term", "tf").orderBy("term")
+    }),
+
+    /** Boost function (Solr `bf` param): organic BM25 plus an additive
+      * ValueSource over a stored field (0.001 * n_chars). */
+    "ft_boost_func" -> ((s, dir) => {
+      val r = reader(s, dir)
+      val q = QueryParser.parse("spark window")
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("n_chars"))
+      new JoinScorer(r).scores(q).toDF("docId", "score")
+        .join(idMap(r), "docId").join(docs, "doc_id")
+        .withColumn("fscore",
+          col("score").cast("double") + lit(0.001) * col("n_chars"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("fscore").desc, col("doc_id").asc)).cast("long"))
+        .where(col("rank") <= 10)
+        .select("rank", "doc_id").orderBy("rank")
+    }),
+
+    /** Date range facet (Solr facet.range over a date field, gap=+1DAY). */
+    "facet_date" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("day")),
+
+    /** JSON field extraction + aggregation (Solr JSON/dynamic fields):
+      * props is a JSON string column; group by its $.k value. */
+    "json_field" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
+          col("value"))
+        .groupBy("k")
+        .agg(round(sum("value"), 6).as("sum_value"),
+          count(lit(1)).as("cnt"))
+        .orderBy("k")),
+
+    /** Nested facet (JSON Facet subfacets): top-2 sources inside each
+      * lang bucket. */
+    "facet_nested" -> ((s, dir) => {
+      val counts = s.read.parquet(s"$dir/documents.parquet")
+        .groupBy("lang", "source").agg(count(lit(1)).as("cnt"))
+      counts.withColumn("rn", row_number().over(
+          Window.partitionBy("lang")
+            .orderBy(col("cnt").desc, col("source"))))
+        .where(col("rn") <= 2).drop("rn")
+        .orderBy(col("lang"), col("cnt").desc, col("source"))
+    }),
+
     /** Phonetic match (Solr PhoneticFilterFactory analog, query-time
       * expansion): terms whose Soundex equals the query's — misspelled
       * "vektor" (V236) matches "vector". Dictionary expansion uses the

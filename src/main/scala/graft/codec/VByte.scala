@@ -34,6 +34,20 @@ object VByte {
     }
   }
 
+  /** The first VInt of a byte array (e.g. SegPosting.pb's tf prefix). */
+  def firstVInt(bytes: Array[Byte]): Int = {
+    var q = 0
+    var b = bytes(q); q += 1
+    var v = b & 0x7F
+    var shift = 7
+    while ((b & 0x80) != 0) {
+      b = bytes(q); q += 1
+      v |= (b & 0x7F) << shift
+      shift += 7
+    }
+    v
+  }
+
   /** Encoded size of a VInt (for exact-size buffer allocation). */
   def sizeVInt(v0: Int): Int = {
     var i = v0; var n = 1

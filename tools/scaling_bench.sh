@@ -17,7 +17,10 @@ C8=$(cpu 8); C32=$(cpu 32)
 echo "{\"cpu8\":$C8,\"cpu32\":$C32}" > "$OUT/cpu.json"
 echo "[scaling] cpu ceiling: 8t=$C8 32t=$C32 ratio=$(awk "BEGIN{printf \"%.2f\", $C32/$C8}")"
 
+if [ "${WITH_L2:-0}" = 1 ]; then
+  sbt -batch "runMain graft.tools.ScalingBench level 2  $NDOCS $OUT/l2.json"
+fi
 sbt -batch "runMain graft.tools.ScalingBench level 8  $NDOCS $OUT/l8.json"
 sbt -batch "runMain graft.tools.ScalingBench level 32 $NDOCS $OUT/l32.json"
-sbt -batch "runMain graft.tools.ScalingBench report $OUT/l8.json $OUT/l32.json BENCH/BASELINE.md $OUT/cpu.json"
+sbt -batch "runMain graft.tools.ScalingBench report $OUT/l8.json $OUT/l32.json BENCH/BASELINE.md $OUT/cpu.json $OUT/l2.json"
 cat BENCH/BASELINE.md
