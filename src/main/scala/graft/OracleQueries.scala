@@ -301,6 +301,42 @@ object OracleQueries {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM tokall
          |WHERE term = 'table' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // Delete-by-query 'dup' then BM25 "spark window": full-corpus stats
+    // (tombstones still counted), results exclude the deleted docs
+    "ft_delete_search" ->
+      s"""WITH $tokensCte,
+         |$dlCsCte,
+         |$normCte,
+         |q(qterm) AS (VALUES ('spark'),('window')),
+         |$bm25ClauseCte,
+         |deld AS (SELECT DISTINCT doc_id FROM tokens WHERE term = 'dup'),
+         |agg AS (SELECT doc_id, sum(s) AS score FROM sc
+         |        WHERE doc_id NOT IN (SELECT doc_id FROM deld)
+         |        GROUP BY doc_id)
+         |${rankSel(15)}""".stripMargin,
+
+    // Same search after compaction: stats recomputed over survivors only
+    "ft_compact_search" ->
+      s"""WITH $tokAllCte,
+         |stop(slang, sterm) AS (VALUES $stopValues),
+         |tokens0 AS (
+         |  SELECT t.doc_id, t.lang, t.term, t.pos FROM tokall t
+         |  LEFT JOIN stop s ON s.slang = t.lang AND s.sterm = t.term
+         |  WHERE s.sterm IS NULL),
+         |deld AS (SELECT DISTINCT doc_id FROM tokens0 WHERE term = 'dup'),
+         |tokens AS (SELECT * FROM tokens0
+         |           WHERE doc_id NOT IN (SELECT doc_id FROM deld)),
+         |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+         |       FROM tokens GROUP BY doc_id),
+         |cs AS (SELECT (SELECT count(*) FROM documents) -
+         |              (SELECT count(*) FROM deld) AS n,
+         |              (SELECT count(*) FROM tokens) AS sumdl),
+         |$normCte,
+         |q(qterm) AS (VALUES ('spark'),('window')),
+         |$bm25ClauseCte,
+         |agg AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id)
+         |${rankSel(15)}""".stripMargin,
+
     // Term vector of doc 42: (term, tf) of its analyzed content
     "ft_termvector" ->
       s"""WITH $tokensCte

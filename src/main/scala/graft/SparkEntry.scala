@@ -122,6 +122,27 @@ object SparkEntry {
   private def stemTf(s: SparkSession, r: IndexReader, stem: String): DataFrame =
     termsTf(s, r, Seq(stem))
 
+  private val delReaders =
+    new scala.collection.concurrent.TrieMap[String, (IndexReader, IndexReader)]
+
+  /** Same corpus with every 'dup'-containing doc tombstoned: (reader over
+    * the deleted-but-not-compacted index, reader over its compaction).
+    * Pre-compaction stats still count the deleted docs; the compacted
+    * index recomputes them over survivors (reference merge semantics). */
+  def deletedReaders(spark: SparkSession, sfDir: String): (IndexReader, IndexReader) =
+    delReaders.getOrElseUpdate(sfDir, {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      val cfg = ftConfig((maxId / DocsPerPart + 1).toInt)
+      val dir = java.nio.file.Files.createTempDirectory("graft-del").toString
+      IndexBuilder.build(spark, docsAsInput(docs), dir, cfg)
+      IndexBuilder.deleteByQuery(spark, dir, cfg,
+        BoolQ(Seq((Occur.Must, TermQ("dup")))))
+      val cdir = java.nio.file.Files.createTempDirectory("graft-cpt").toString
+      IndexBuilder.compact(spark, dir, cdir, cfg)
+      (IndexReader(spark, dir, cfg), IndexReader(spark, cdir, cfg))
+    })
+
   private val nrtReaders = new scala.collection.concurrent.TrieMap[String, MultiIndexReader]
 
   /** Same corpus as [[reader]] but ingested as base + 2 appended deltas
@@ -454,6 +475,30 @@ object SparkEntry {
     /** Spanish-light-stemmed search: stem "tabl" <- "table". */
     "ft_stemmed_es" -> ((s, dir) =>
       stemTf(s, langReader(s, dir, "spanish"), "tabl")),
+
+    /** Delete-by-query then search (pre-compaction): tombstoned docs
+      * (those containing 'dup') leave results immediately, but BM25 stats
+      * still count them — reference live-docs semantics. */
+    "ft_delete_search" -> ((s, dir) => {
+      val (rDel, _) = deletedReaders(s, dir)
+      new JoinScorer(rDel).topK(QueryParser.parse("spark window"), 15)
+        .join(idMap(rDel), "docId")
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        .select("rank", "doc_id").orderBy("rank")
+    }),
+
+    /** Search after compaction: tombstones purged, df/avgdl/maxDoc
+      * recomputed over the survivors (post-merge reference semantics —
+      * the scores legitimately shift). */
+    "ft_compact_search" -> ((s, dir) => {
+      val (_, rCpt) = deletedReaders(s, dir)
+      new JoinScorer(rCpt).topK(QueryParser.parse("spark window"), 15)
+        .join(idMap(rCpt), "docId")
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        .select("rank", "doc_id").orderBy("rank")
+    }),
 
     /** Term-vectors component (per-doc forward index; reference
       * TermVectorsFormat / Solr TermVectorComponent): one column-pruned

@@ -490,6 +490,62 @@ object IndexBuilder {
     dir
   }
 
+  /** Tombstone deletes (reference IndexWriter.deleteDocuments +
+    * per-segment live-docs, index/IndexWriter.java / LiveDocsFormat):
+    * append the docIds to `dir/deletes`; readers opened afterwards
+    * anti-join them out of every result. Statistics intentionally keep
+    * counting deleted docs until [[compact]] purges them — exactly the
+    * reference's pre-merge semantics. Returns the number written. */
+  def deleteDocs(spark: SparkSession, dir: String, docIds: DataFrame): Long = {
+    import org.apache.spark.sql.functions.col
+    val ids = docIds.select(col("docId").cast("long").as("docId"))
+    ids.write.mode("append").parquet(s"$dir/deletes")
+    ids.count()
+  }
+
+  /** Delete-by-query (IndexWriter.deleteDocuments(Query)): every doc the
+    * boolean query matches gets a tombstone. The reader must be a fresh
+    * open over `dir` (the caller's serving reader keeps its point-in-time
+    * view). */
+  def deleteByQuery(spark: SparkSession, dir: String, cfg: IndexConfig,
+                    q: graft.search.BoolQ): Long = {
+    import spark.implicits._
+    val r = new IndexReader(spark, dir, cfg.numBuckets, cacheData = false)
+    val matched = new graft.search.JoinScorer(r).scores(q)
+      .map(_._1).toDF("docId")
+    deleteDocs(spark, dir, matched)
+  }
+
+  /** Compact a base index + its appended deltas into one fresh index at
+    * `outDir`, PURGING tombstoned docs (the TieredMergePolicy merge
+    * analog, index/TieredMergePolicy.java — here a single full merge,
+    * which is what a batch pipeline wants: deltas accumulate between
+    * compactions, one shuffle folds them). docIds are preserved, so
+    * callers' references stay valid; collection/term statistics are
+    * recomputed over the SURVIVING docs only (post-merge reference
+    * semantics — scores shift exactly as Lucene's do after a merge with
+    * deletes). Implementation: union the already-inverted segment rows
+    * (no re-analysis), anti-join tombstones, then run the standard
+    * stats/merge stages over the combined forward index. */
+  def compact(spark: SparkSession, baseDir: String, outDir: String,
+              cfg: IndexConfig): String = {
+    import org.apache.spark.sql.functions.col
+    val dirs = subIndexDirs(baseDir)
+    val segs = dirs.map(d => spark.read.parquet(s"$d/segments"))
+      .reduce(_ unionByName _)
+    val dels = dirs
+      .filter(d => Files.exists(Paths.get(d, "deletes")))
+      .map(d => spark.read.parquet(s"$d/deletes").select(col("docId")))
+    val live =
+      if (dels.isEmpty) segs
+      else segs.join(dels.reduce(_ union _), Seq("docId"), "left_anti")
+    live.write.mode("overwrite").option("compression", "zstd")
+      .parquet(s"$outDir/segments")
+    writeMarker(outDir, "segments", Map())
+    // stage 1 is committed above, so build() runs only stats + merge
+    build(spark, spark.emptyDataFrame, outDir, cfg)
+  }
+
   /** Sub-index directories of `baseDir` in append order. */
   def subIndexDirs(baseDir: String): Seq[String] = {
     val deltas = Option(new java.io.File(baseDir).listFiles()).toSeq.flatten

@@ -101,6 +101,15 @@ final class IndexReader(val spark: SparkSession, val dir: String,
     if (cacheData) p.persist(StorageLevel.MEMORY_AND_DISK) else p
   }
 
+  override lazy val deletedDocs: Option[DataFrame] = {
+    val p = java.nio.file.Paths.get(dir, "deletes")
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val d = spark.read.parquet(p.toString).select($"docId")
+      Some(if (cacheData) d.persist(StorageLevel.MEMORY_AND_DISK) else d)
+    }
+  }
+
   /** Compressed block rows for the given terms. Uncached: parquet
     * row-group pruning via the files' (term, docId) sort order; cached:
     * in-memory columnar batch filter. */

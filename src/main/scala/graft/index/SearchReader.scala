@@ -37,6 +37,15 @@ trait SearchReader {
   def blocks(terms: Seq[String]): Dataset[BlockRow]
   def docmeta: Dataset[DocMeta]
 
+  /** Tombstoned docIds (one `docId` column), or None when nothing was
+    * deleted. Reference semantics (index/LiveDocs + IndexWriter
+    * .deleteDocuments): deleted docs vanish from RESULTS immediately, but
+    * collection/term statistics keep counting them until a merge/compact
+    * rewrites the segments (`IndexBuilder.compact`). Point-in-time like
+    * everything else on a reader: deletes applied after the reader was
+    * opened need a re-open. */
+  def deletedDocs: Option[org.apache.spark.sql.DataFrame] = None
+
   /** Fuzzy term expansion with dictionary pruning: a cheap |len(term) -
     * len(query)| <= maxEdits band runs BEFORE the Levenshtein evaluation,
     * so the full-vocabulary edit-distance scan of round 1 becomes a
@@ -128,6 +137,11 @@ final class MultiIndexReader(val readers: Seq[IndexReader]) extends SearchReader
 
   def docmeta: Dataset[DocMeta] =
     readers.map(_.docmeta).reduce(_ union _)
+
+  override lazy val deletedDocs: Option[org.apache.spark.sql.DataFrame] = {
+    val dels = readers.flatMap(_.deletedDocs)
+    if (dels.isEmpty) None else Some(dels.reduce(_ union _))
+  }
 }
 
 object MultiIndexReader {

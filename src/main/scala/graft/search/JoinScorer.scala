@@ -390,7 +390,7 @@ final class JoinScorer(reader: SearchReader) {
       else if (nMust == 0 && nShould > 0) 1
       else 0
     val nClauses = rewritten.length
-    all.groupByKey(_.docId).mapGroups { (docId, it) =>
+    val matched = all.groupByKey(_.docId).mapGroups { (docId, it) =>
       val scoresByClause = new Array[Float](nClauses)
       java.util.Arrays.fill(scoresByClause, Float.NaN)
       val kinds = new Array[Int](nClauses)
@@ -420,6 +420,14 @@ final class JoinScorer(reader: SearchReader) {
         (docId, s)
       }
     }.filter(t => !java.lang.Float.isNaN(t._2))
+    // live-docs filter: tombstoned docs leave results immediately (stats
+    // unchanged until compaction — reference LiveDocs semantics)
+    reader.deletedDocs match {
+      case None => matched
+      case Some(del) =>
+        matched.toDF("docId", "score")
+          .join(del, Seq("docId"), "left_anti").as[(Long, Float)]
+    }
   }
 
   /** Top-k (score desc, docId asc) — TakeOrderedAndProject. */

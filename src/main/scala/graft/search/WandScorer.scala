@@ -52,6 +52,18 @@ final class WandScorer(reader: SearchReader) {
     val tIdxB = reader.spark.sparkContext.broadcast(termIdx)
     val msm = if (conjunctive) present.length else math.max(minShouldMatch, 1)
     val kk = k
+    // tombstones ride as a broadcast sorted array; wand skips them before
+    // heap insertion. Driver-side collect is bounded by the compaction
+    // policy (deletes accumulate only between compactions; compact()
+    // purges them), the same way Lucene bounds live-docs bitsets per
+    // segment.
+    val delSortedB = reader.spark.sparkContext.broadcast(
+      reader.deletedDocs match {
+        case None => Array.emptyLongArray
+        case Some(d) =>
+          d.select(org.apache.spark.sql.functions.col("docId"))
+            .distinct().collect().map(_.getLong(0)).sorted
+      })
 
     val ppc = WandScorer.partsPerChunk(reader.numDocPartsHint,
       sparkS.sparkContext.defaultParallelism)
@@ -74,7 +86,13 @@ final class WandScorer(reader: SearchReader) {
         else Some(new WandScorer.Cursor(i, wv(i), blocks, loDoc, hiDoc, cache(i)))
       }.toArray
       if (cursors.length < msm) Iterator.empty
-      else WandScorer.wand(cursors, wv.length, msm, kk).iterator
+      else {
+        val del = delSortedB.value
+        val deleted: Long => Boolean =
+          if (del.isEmpty) _ => false
+          else id => java.util.Arrays.binarySearch(del, id) >= 0
+        WandScorer.wand(cursors, wv.length, msm, kk, deleted).iterator
+      }
     }.toDF("docId", "score")
       .orderBy($"score".desc, $"docId".asc).limit(k)
   }
@@ -160,7 +178,9 @@ object WandScorer {
     * (reject when score <= heap-min; docs arrive in docId order so earlier
     * docIds win ties, as in TopScoreDocCollector.java:63-79). */
   private[search] def wand(cursors: Array[Cursor], nClauses: Int, msm: Int,
-                           k: Int): Array[(Long, Float)] = {
+                           k: Int,
+                           deleted: Long => Boolean = _ => false)
+      : Array[(Long, Float)] = {
     // heap.head must be the WORST kept hit (lowest score, then highest
     // docId) — HitQueue.lessThan semantics (search/HitQueue.java:68-81).
     // PriorityQueue dequeues its max, so rank "worse" as "greater".
@@ -205,7 +225,10 @@ object WandScorer {
               // block-level bound cannot beat threshold: skip this doc
               var j2 = 0
               while (j2 < aligned) { sorted(j2).next(); j2 += 1 }
-            } else if (aligned < msm) {
+            } else if (aligned < msm || deleted(pivotDoc)) {
+              // not enough aligned clauses, or a tombstoned doc: deleted
+              // docs must be skipped BEFORE the heap so they never
+              // displace a live hit from the per-chunk top-k
               var j2 = 0
               while (j2 < aligned) { sorted(j2).next(); j2 += 1 }
             } else {

@@ -83,6 +83,57 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       .foreach(c => assert(c.violations == 0L, s"salted check ${c.check}"))
   }
 
+  test("deletes: live-docs semantics pre-compaction; compact purges " +
+    "tombstones and recomputes stats (merge analog)") {
+    val dir = SparkSuite.tmpDir("graft-del")
+    val r0 = build(dir)
+    val q = BoolQ(Seq(
+      (Occur.Should, TermQ("import")), (Occur.Should, TermQ("spark"))))
+    val before = topDocs(r0)
+    val delQ = BoolQ(Seq((Occur.Must, TermQ("println"))))
+    val delIds = new JoinScorer(r0).scores(delQ).map(_._1).collect().toSet
+    assert(delIds.nonEmpty && delIds.size < 800)
+    val n = IndexBuilder.deleteByQuery(spark, dir, cfg, delQ)
+    assert(n == delIds.size)
+
+    val r1 = new IndexReader(spark, dir, cfg.numBuckets, cacheData = false)
+    // stats keep counting deleted docs until compaction (reference
+    // pre-merge semantics) -> surviving docs keep their exact scores
+    assert(r1.collStats == r0.collStats)
+    val after = topDocs(r1)
+    assert(after.nonEmpty && after.forall(t => !delIds.contains(t._1)))
+    val beforeMap = before.toMap
+    after.foreach { case (id, s) =>
+      beforeMap.get(id).foreach(bs => assert(bs == s)) }
+    // WAND path agrees with the join path under deletes (tombstones are
+    // skipped BEFORE the heap, so they cannot displace live hits)
+    val wandTop = new WandScorer(r1).topK(Seq("import", "spark"), 20)
+      .as[(Long, Float)].collect().toSeq
+    assert(wandTop == after)
+
+    val cdir = SparkSuite.tmpDir("graft-compacted")
+    IndexBuilder.compact(spark, dir, cdir, cfg)
+    val rc = new IndexReader(spark, cdir, cfg.numBuckets, cacheData = false)
+    assert(rc.deletedDocs.isEmpty)
+    assert(rc.collStats.maxDoc == r0.collStats.maxDoc - delIds.size)
+    assert(rc.termStats(Seq("println")).isEmpty,
+      "compaction must purge the deleted docs' terms from the dictionary")
+    // float-exact rank identity vs the independent oracle over survivors
+    // (docIds preserved; stats recomputed over survivors only)
+    val survivors = rc.docmeta
+      .join(input.withColumnRenamed("lang", "lang2"),
+        Seq("repo", "path", "commit"))
+      .select($"docId", $"lang", $"content")
+      .as[(Long, String, String)].collect()
+      .map(t => NaiveOracle.Doc(t._1, t._2, t._3))
+    assert(survivors.length == 800 - delIds.size)
+    val oracle = new NaiveOracle.Index(survivors.toSeq)
+    val got = new JoinScorer(rc).topK(q, 20).as[(Long, Float)].collect().toSeq
+    assert(got == oracle.topK(q, 20))
+    CheckIndex.run(rc).collect()
+      .foreach(c => assert(c.violations == 0L, s"compacted check ${c.check}"))
+  }
+
   private def deleteRec(p: Path): Unit =
     if (Files.exists(p))
       Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f =>
