@@ -119,6 +119,23 @@ object OracleQueries {
          |WHERE len(term) BETWEEN 3 AND 7 AND levenshtein(term, 'mrege') <= 2
          |ORDER BY dist, df DESC, term LIMIT 5""".stripMargin,
 
+    // Spell-check collation: best per-term correction, then the hit
+    // count of the collated conjunction
+    "spellcheck_collate" ->
+      s"""WITH $tokensCte,
+         |dict AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |         FROM tokens GROUP BY term),
+         |c1 AS (SELECT term FROM dict WHERE levenshtein(term, 'mrege') <= 2
+         |       ORDER BY levenshtein(term, 'mrege'), df DESC, term LIMIT 1),
+         |c2 AS (SELECT term FROM dict WHERE levenshtein(term, 'windoww') <= 2
+         |       ORDER BY levenshtein(term, 'windoww'), df DESC, term LIMIT 1)
+         |SELECT (SELECT term FROM c1) || ' ' || (SELECT term FROM c2) AS collation,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM documents d
+         |        WHERE EXISTS(SELECT 1 FROM tokens t WHERE t.doc_id = d.doc_id
+         |                     AND t.term = (SELECT term FROM c1))
+         |          AND EXISTS(SELECT 1 FROM tokens t WHERE t.doc_id = d.doc_id
+         |                     AND t.term = (SELECT term FROM c2))) AS hits""".stripMargin,
+
     // Stemmed search: the corpus surface forms whose Porter stem is
     // "custom" (the fixed 31-term vocabulary contains only "customer";
     // "custom"/"customs" listed defensively). Independent re-derivation:
@@ -182,6 +199,89 @@ object OracleQueries {
          |JOIN tokens b ON b.doc_id = a.doc_id
          |  AND abs(b.pos - a.pos) <= 3
          |WHERE a.term = 'scan' AND b.term = 'table' ORDER BY 1""".stripMargin,
+
+    // span-first: 'batch' within the first 2 positions (raw positions,
+    // stopword gaps preserved)
+    "ft_span_first" ->
+      s"""WITH $tokensCte
+         |SELECT DISTINCT doc_id FROM tokens
+         |WHERE term = 'batch' AND pos < 2 ORDER BY doc_id""".stripMargin,
+
+    // CommonTermsQuery: df > n/2 terms demote to optional, rare terms
+    // required; all matched terms still score
+    "ft_common_terms" ->
+      s"""WITH $tokensCte,
+         |$dlCsCte,
+         |$normCte,
+         |q(qterm) AS (VALUES ('table'),('dup'),('scan')),
+         |$bm25ClauseCte,
+         |req AS (SELECT qterm FROM dfq WHERE df <= (SELECT n FROM cs) // 2),
+         |ok AS (SELECT doc_id FROM tf WHERE qterm IN (SELECT qterm FROM req)
+         |       GROUP BY doc_id
+         |       HAVING count(DISTINCT qterm) = (SELECT count(*) FROM req)),
+         |agg AS (SELECT doc_id, sum(s) AS score FROM sc
+         |        WHERE doc_id IN (SELECT doc_id FROM ok) GROUP BY doc_id)
+         |${rankSel(15)}""".stripMargin,
+
+    // infix suggester: dictionary terms containing 'or', df-weighted
+    "ft_suggest_infix" ->
+      s"""WITH $tokensCte,
+         |d AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |      FROM tokens GROUP BY term)
+         |SELECT term, df FROM d WHERE term LIKE '%or%'
+         |ORDER BY df DESC, term LIMIT 5""".stripMargin,
+
+    // terms component: prefix-bounded dictionary enumeration with df/ttf
+    "terms_component" ->
+      s"""WITH $tokensCte
+         |SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+         |       CAST(count(*) AS BIGINT) AS ttf
+         |FROM tokens WHERE term LIKE 's%'
+         |GROUP BY term ORDER BY term LIMIT 10""".stripMargin,
+
+    // significant terms: foreground ('dup' result set) vs background
+    // rate lift, double math in the engine's operation order
+    "significant_terms" ->
+      s"""WITH $tokensCte,
+         |fg AS (SELECT DISTINCT doc_id FROM tokens WHERE term = 'dup'),
+         |fgt AS (SELECT t.term, CAST(count(DISTINCT t.doc_id) AS BIGINT) AS fg_df
+         |        FROM tokens t JOIN fg ON fg.doc_id = t.doc_id GROUP BY t.term),
+         |bg AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |       FROM tokens GROUP BY term),
+         |sel AS (SELECT fgt.term, fgt.fg_df, bg.df,
+         |          (CAST(fgt.fg_df AS DOUBLE) / (SELECT CAST(count(*) AS DOUBLE) FROM fg)) /
+         |          (CAST(bg.df AS DOUBLE) /
+         |             (SELECT CAST(count(*) AS DOUBLE) FROM documents)) AS score
+         |        FROM fgt JOIN bg USING (term))
+         |SELECT term, fg_df, df, score FROM sel
+         |ORDER BY round(score, 9) DESC, term LIMIT 10""".stripMargin,
+
+    // facet.query: one count per arbitrary sub-query
+    "facet_query" ->
+      s"""WITH $tokensCte
+         |SELECT facet, CAST(cnt AS BIGINT) AS cnt FROM (
+         |  SELECT 'merge' AS facet, (SELECT count(*) FROM documents d
+         |    WHERE ${boolDoc("merge")}) AS cnt
+         |  UNION ALL
+         |  SELECT 'scan_or_table', (SELECT count(*) FROM documents d
+         |    WHERE ${boolDoc("scan")} OR ${boolDoc("table")})
+         |  UNION ALL
+         |  SELECT 'spark_window', (SELECT count(*) FROM documents d
+         |    WHERE ${boolDoc("spark")} AND ${boolDoc("window")}))
+         |ORDER BY facet""".stripMargin,
+
+    // interval facets: arbitrary overlapping intervals, one count each
+    "facet_interval" ->
+      s"""SELECT interval, CAST(cnt AS BIGINT) AS cnt FROM (
+         |  SELECT 'low' AS interval, (SELECT count(*) FROM orders
+         |    WHERE o_totalprice < 150000) AS cnt
+         |  UNION ALL
+         |  SELECT 'mid', (SELECT count(*) FROM orders
+         |    WHERE o_totalprice BETWEEN 100000 AND 250000)
+         |  UNION ALL
+         |  SELECT 'high', (SELECT count(*) FROM orders
+         |    WHERE o_totalprice >= 200000))
+         |ORDER BY interval""".stripMargin,
 
     "ft_span_or" ->
       s"""WITH $tokensCte
@@ -336,6 +436,53 @@ object OracleQueries {
          |$bm25ClauseCte,
          |agg AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id)
          |${rankSel(15)}""".stripMargin,
+
+    // Atomic update pre-compaction: docs containing 'vector' rewritten
+    // (vector -> vectorized) under the same key; old versions excluded
+    // from results but still counted in stats (delete-by-key + add)
+    "ft_update_search" ->
+      s"""WITH docs2 AS (
+         |  SELECT doc_id, text, lang FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, replace(text, 'vector', 'vectorized'), lang
+         |  FROM documents WHERE text LIKE '%vector%'),
+         |${tokensCteOver("docs2")},
+         |${dlCsCteOver("docs2")},
+         |$normCte,
+         |q(qterm) AS (VALUES ('spark'),('vectorized')),
+         |$bm25ClauseCte,
+         |deld AS (SELECT doc_id FROM documents WHERE text LIKE '%vector%'),
+         |agg AS (SELECT CASE WHEN sc.doc_id >= 1000000
+         |                    THEN sc.doc_id - 1000000 ELSE sc.doc_id END AS doc_id,
+         |               sum(s) AS score
+         |        FROM sc WHERE sc.doc_id NOT IN (SELECT doc_id FROM deld)
+         |        GROUP BY 1)
+         |${rankSel(15)}""".stripMargin,
+
+    // Same search after compaction: stats over the rewritten corpus only
+    "ft_update_compact" ->
+      s"""WITH docs2 AS (
+         |  SELECT doc_id,
+         |         CASE WHEN text LIKE '%vector%'
+         |              THEN replace(text, 'vector', 'vectorized')
+         |              ELSE text END AS text,
+         |         lang FROM documents),
+         |${tokensCteOver("docs2")},
+         |${dlCsCteOver("docs2")},
+         |$normCte,
+         |q(qterm) AS (VALUES ('spark'),('vectorized')),
+         |$bm25ClauseCte,
+         |agg AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id)
+         |${rankSel(15)}""".stripMargin,
+
+    // Realtime get of doc 123 by unique key: post-update commit hash when
+    // the doc was rewritten, the original content hash otherwise
+    "ft_rtget" ->
+      s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |       md5(CASE WHEN text LIKE '%vector%'
+         |                THEN replace(text, 'vector', 'vectorized')
+         |                ELSE text END) AS commit
+         |FROM documents WHERE doc_id = 123""".stripMargin,
 
     // Term vector of doc 42: (term, tf) of its analyzed content
     "ft_termvector" ->
@@ -876,6 +1023,37 @@ object OracleQueries {
          |WHERE sim >= 0.35 ORDER BY a, b""".stripMargin,
 
     // ---------- similarity search ----------
+    // hybrid retrieval: RRF fusion of BM25 top-50 and cosine top-50
+    "hybrid_rrf" ->
+      s"""WITH $tokensCte,
+         |$dlCsCte,
+         |$normCte,
+         |q(qterm) AS (VALUES ('spark'),('window')),
+         |$bm25ClauseCte,
+         |agg AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id),
+         |bmr AS (SELECT doc_id, CAST(row_number() OVER (
+         |          ORDER BY round(score, 9) DESC, doc_id) AS BIGINT) AS rt
+         |        FROM agg ORDER BY round(score, 9) DESC, doc_id LIMIT 50),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |qvv AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |scp AS (SELECT vec_id AS doc_id,
+         |          list_dot_product(v, qv) /
+         |            (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS sim
+         |        FROM e, qvv WHERE vec_id <> 0),
+         |annr AS (SELECT doc_id, CAST(row_number() OVER (
+         |           ORDER BY sim DESC, doc_id) AS BIGINT) AS rv
+         |         FROM scp ORDER BY sim DESC, doc_id LIMIT 50),
+         |u AS (SELECT coalesce(bmr.doc_id, annr.doc_id) AS doc_id,
+         |             bmr.rt, annr.rv
+         |      FROM bmr FULL OUTER JOIN annr ON bmr.doc_id = annr.doc_id)
+         |SELECT doc_id,
+         |       round(coalesce(1.0/(60+rt), 0.0) +
+         |             coalesce(1.0/(60+rv), 0.0), 9) AS rrf
+         |FROM u
+         |ORDER BY round(coalesce(1.0/(60+rt), 0.0) +
+         |               coalesce(1.0/(60+rv), 0.0), 9) DESC, doc_id
+         |LIMIT 10""".stripMargin,
+
     "ann_cosine" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),

@@ -28,21 +28,27 @@ object OracleSql {
   /** Raw (pre-stop-filter) tokens with Lucene positions; pos = raw token
     * index (dropped stopwords still advance the position counter —
     * FilteringTokenFilter semantics). */
-  val tokAllCte: String =
+  def tokAllCteOver(tbl: String): String =
     s"""tokall AS (
        |  SELECT doc_id, lang,
        |         unnest(regexp_extract_all(text, '$TokRe')) AS term,
        |         unnest(range(len(regexp_extract_all(text, '$TokRe')))) AS pos
-       |  FROM documents)""".stripMargin
+       |  FROM $tbl)""".stripMargin
 
-  /** Analyzed tokens: raw tokens minus the doc's own language stop set. */
-  lazy val tokensCte: String =
-    s"""$tokAllCte,
+  val tokAllCte: String = tokAllCteOver("documents")
+
+  /** Analyzed tokens: raw tokens minus the doc's own language stop set.
+    * `tbl` must expose (doc_id, text, lang) — a CTE name works, letting
+    * update/delete oracles tokenize a rewritten corpus. */
+  def tokensCteOver(tbl: String): String =
+    s"""${tokAllCteOver(tbl)},
        |stop(slang, sterm) AS (VALUES $stopValues),
        |tokens AS (
        |  SELECT t.doc_id, t.lang, t.term, t.pos FROM tokall t
        |  LEFT JOIN stop s ON s.slang = t.lang AND s.sterm = t.term
        |  WHERE s.sterm IS NULL)""".stripMargin
+
+  lazy val tokensCte: String = tokensCteOver("documents")
 
   /** SmallFloat-quantized decoded field length: VALUES (lo, hi, qdl) with
     * qdl = NORM_TABLE[floatToByte315(1/sqrt(dl))] for dl in [lo, hi].
@@ -75,11 +81,13 @@ object OracleSql {
 
   /** Per-doc analyzed field length + collection stats. maxDoc counts ALL
     * docs (even all-stopword ones), as the engine's segment count does. */
-  lazy val dlCsCte: String =
+  def dlCsCteOver(tbl: String): String =
     s"""dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
        |      FROM tokens GROUP BY doc_id),
-       |cs AS (SELECT (SELECT count(*) FROM documents) AS n,
+       |cs AS (SELECT (SELECT count(*) FROM $tbl) AS n,
        |              (SELECT count(*) FROM tokens) AS sumdl)""".stripMargin
+
+  lazy val dlCsCte: String = dlCsCteOver("documents")
 
   /** BM25 per-(doc, clause-term) score CTE over query terms given as
     * `q(qterm) AS (VALUES ('a'),('b'))`; emits sc(doc_id, qterm, s).

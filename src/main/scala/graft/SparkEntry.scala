@@ -143,6 +143,39 @@ object SparkEntry {
       (IndexReader(spark, dir, cfg), IndexReader(spark, cdir, cfg))
     })
 
+  private val updReaders =
+    new scala.collection.concurrent.TrieMap[String, (MultiIndexReader, IndexReader)]
+
+  /** Corpus with every 'vector'-containing doc atomically UPDATED (text
+    * rewrite vector -> vectorized) under its unchanged unique key
+    * (repo, path): (NRT view pre-compaction — old versions tombstoned but
+    * still counted in stats, new versions live in a delta — , compacted
+    * index where only the rewritten corpus remains). */
+  def updatedReaders(spark: SparkSession, sfDir: String): (MultiIndexReader, IndexReader) =
+    updReaders.getOrElseUpdate(sfDir, {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      // fresh docParts for the new versions: shift past the base grid
+      val off = (maxId / DocsPerPart + 1) * DocsPerPart
+      val cfg = ftConfig((2 * off / DocsPerPart).toInt)
+      val dir = java.nio.file.Files.createTempDirectory("graft-upd").toString
+      IndexBuilder.build(spark, docsAsInput(docs), dir, cfg)
+      val upd = docs.where(col("text").contains("vector"))
+        .withColumn("text", regexp_replace(col("text"), "vector", "vectorized"))
+      val updInput = upd.select(
+        ((col("doc_id") + off) / DocsPerPart).cast("int").as("docPart"),
+        lit("corpus").as("repo"),
+        lpad(col("doc_id").cast("string"), 9, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"),
+        col("text").as("content"))
+      IndexBuilder.updateDocs(spark, dir, updInput, cfg)
+      val cdir = java.nio.file.Files.createTempDirectory("graft-updc").toString
+      IndexBuilder.compact(spark, dir, cdir, cfg)
+      (MultiIndexReader.open(spark, dir, cfg.numBuckets, cacheData = false),
+        IndexReader(spark, cdir, cfg))
+    })
+
   private val nrtReaders = new scala.collection.concurrent.TrieMap[String, MultiIndexReader]
 
   /** Same corpus as [[reader]] but ingested as base + 2 appended deltas
@@ -170,7 +203,7 @@ object SparkEntry {
     })
 
   /** internal docId -> source doc_id (path is the zero-padded doc_id). */
-  private def idMap(r: IndexReader): DataFrame =
+  private def idMap(r: SearchReader): DataFrame =
     r.docmeta.toDF().select(col("docId"), col("path").cast("long").as("doc_id"))
 
   /**
@@ -274,6 +307,34 @@ object SparkEntry {
     "ft_span_or" -> ((s, dir) => matchedDocs(s, dir, BoolQ(Seq(
       (Occur.Must, SpanOrQ(Seq("merge", "stream"))))))),
 
+    /** Span-first (SpanFirstQuery / SpanPositionRangeQuery start=0):
+      * docs whose 'batch' occurs within the first 2 positions. */
+    "ft_span_first" -> ((s, dir) => matchedDocs(s, dir, BoolQ(Seq(
+      (Occur.Must, SpanFirstQ("batch", 2)))))),
+
+    /** CommonTermsQuery (reference queries/CommonTermsQuery.java): terms
+      * with df > maxDoc/2 demote to SHOULD, rare terms stay MUST — the
+      * stopword-free way to keep high-frequency terms from dominating
+      * both match set and cost. Here 'table'/'scan' are common, 'dup' is
+      * rare, so the query is dup AND (table OR scan) with all three
+      * scored. */
+    "ft_common_terms" -> ((s, dir) => {
+      val r = reader(s, dir)
+      val terms = Seq("table", "dup", "scan")
+      val cutoff = r.collStats.maxDoc / 2
+      val stats = r.termStats(terms)
+      val clauses: Seq[(Occur, Query)] = terms.map { t =>
+        val df = stats.get(t).map(_.df).getOrElse(0L)
+        ((if (df > cutoff) Occur.Should else Occur.Must): Occur,
+          TermQ(t): Query)
+      }
+      new JoinScorer(r).topK(BoolQ(clauses), 15)
+        .join(idMap(r), "docId")
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        .select("rank", "doc_id").orderBy("rank")
+    }),
+
     /** Query-time synonym expansion (SynonymFilter analog): 'query' with
       * synonym 'scan' matches docs containing either. */
     "ft_synonym" -> ((s, dir) => matchedDocs(s, dir,
@@ -311,6 +372,26 @@ object SparkEntry {
           col("df"))
         .orderBy(col("dist"), col("df").desc, col("term"))
         .limit(5)
+    }),
+
+    /** Spell-check collation (SpellCheckComponent collate=true): best
+      * correction per query term (dist asc, df desc), re-queried as a
+      * conjunction to prove the collated query actually hits. */
+    "spellcheck_collate" -> ((s, dir) => {
+      import s.implicits._
+      val r = reader(s, dir)
+      val corrected = Seq("mrege", "windoww").map { w =>
+        r.termStatsDf.toDF()
+          .where(!col("term").startsWith("path:") &&
+            levenshtein(col("term"), lit(w)) <= 2)
+          .orderBy(levenshtein(col("term"), lit(w)), col("df").desc,
+            col("term"))
+          .limit(1).select("term").as[String].collect()
+          .headOption.getOrElse(w)
+      }
+      val hits = new JoinScorer(r).scores(
+        BoolQ(corrected.map(t => (Occur.Must: Occur, TermQ(t): Query)))).count()
+      Seq((corrected.mkString(" "), hits)).toDF("collation", "hits")
     }),
 
     /** Stemmed search on an EnglishAnalyzer-chain index: the postings for
@@ -498,6 +579,39 @@ object SparkEntry {
         .withColumn("rank", row_number().over(
           Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
         .select("rank", "doc_id").orderBy("rank")
+    }),
+
+    /** Atomic update, pre-compaction (updateDocument = delete-by-key +
+      * add): rewritten docs match their NEW content under the SAME key;
+      * stats count old tombstoned versions AND new versions until the
+      * merge — reference pre-merge semantics. */
+    "ft_update_search" -> ((s, dir) => {
+      val (rUpd, _) = updatedReaders(s, dir)
+      new JoinScorer(rUpd).topK(QueryParser.parse("spark vectorized"), 15)
+        .join(idMap(rUpd), "docId")
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        .select("rank", "doc_id").orderBy("rank")
+    }),
+
+    /** Same search after compaction: exactly the rewritten corpus, stats
+      * over one doc per key. */
+    "ft_update_compact" -> ((s, dir) => {
+      val (_, rCpt) = updatedReaders(s, dir)
+      new JoinScorer(rCpt).topK(QueryParser.parse("spark vectorized"), 15)
+        .join(idMap(rCpt), "docId")
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        .select("rank", "doc_id").orderBy("rank")
+    }),
+
+    /** Realtime get (Solr /get): newest live version of doc 123 by unique
+      * key across base + update delta — the post-update commit hash when
+      * the doc was rewritten, the original otherwise. */
+    "ft_rtget" -> ((s, dir) => {
+      val (rUpd, _) = updatedReaders(s, dir)
+      rUpd.realtimeGet("corpus", "000000123")
+        .select(col("path").cast("long").as("doc_id"), col("commit"))
     }),
 
     /** Term-vectors component (per-doc forward index; reference
@@ -833,7 +947,85 @@ object SparkEntry {
         .select(col("term"), col("df"))
     }),
 
+    /** Infix suggester (suggest/analyzing/AnalyzingInfixSuggester.java):
+      * completions whose term CONTAINS the typed fragment, weighted by
+      * df — prefix-free lookup the plain FST suggester can't do. */
+    "ft_suggest_infix" -> ((s, dir) => {
+      val r = reader(s, dir)
+      r.termStatsDf.toDF()
+        .where(col("term").contains("or") && !col("term").startsWith("path:"))
+        .orderBy(col("df").desc, col("term")).limit(5)
+        .select(col("term"), col("df"))
+    }),
+
+    /** Terms component (solr/handler/component/TermsComponent.java):
+      * raw term-dictionary enumeration — prefix-bounded, index order,
+      * with df + total term freq. */
+    "terms_component" -> ((s, dir) => {
+      val r = reader(s, dir)
+      r.termStatsDf.toDF()
+        .where(col("term").startsWith("s"))
+        .orderBy("term").limit(10)
+        .select(col("term"), col("df"), col("ttf"))
+    }),
+
+    /** Significant terms (Solr SignificantTermsQParser / ES significant
+      * terms): terms over-represented in the 'dup' result set vs the
+      * whole corpus, scored by foreground/background rate lift. The
+      * foreground doc set broadcasts into one column-pruned pass over the
+      * forward index (segments), so cost is O(|fg| terms), not a corpus
+      * scan. */
+    "significant_terms" -> ((s, dir) => {
+      import s.implicits._
+      val r = reader(s, dir)
+      val fg = new JoinScorer(r)
+        .scores(BoolQ(Seq((Occur.Must, TermQ("dup")))))
+        .map(_._1).toDF("docId")
+      val fgN = fg.count()
+      val n = r.collStats.maxDoc
+      val fgTerms = s.read.parquet(s"${r.dir}/segments")
+        .join(broadcast(fg), "docId")
+        .select(explode(col("postings.term")).as("term"))
+        .where(!col("term").startsWith("path:"))
+        .groupBy("term").agg(count(lit(1)).as("fg_df"))
+      fgTerms
+        .join(r.termStatsDf.toDF().select("term", "df"), "term")
+        .withColumn("score",
+          (col("fg_df").cast("double") / lit(fgN.toDouble)) /
+            (col("df").cast("double") / lit(n.toDouble)))
+        .orderBy(round(col("score"), 9).desc, col("term")).limit(10)
+        .select("term", "fg_df", "df", "score")
+    }),
+
     // ---------- facets / stats / grouping (Solr component analogs) ----------
+    /** Facet queries (Solr facet.query): a count per arbitrary sub-query,
+      * each evaluated on the index like any other search. */
+    "facet_query" -> ((s, dir) => {
+      val r = reader(s, dir)
+      def cnt(name: String, q: BoolQ): DataFrame =
+        new JoinScorer(r).scores(q).toDF("docId", "score")
+          .agg(count(lit(1)).as("cnt")).withColumn("facet", lit(name))
+      cnt("merge", BoolQ(Seq((Occur.Must, TermQ("merge")))))
+        .unionByName(cnt("scan_or_table", BoolQ(Seq(
+          (Occur.Should, TermQ("scan")), (Occur.Should, TermQ("table"))))))
+        .unionByName(cnt("spark_window", BoolQ(Seq(
+          (Occur.Must, TermQ("spark")), (Occur.Must, TermQ("window"))))))
+        .select("facet", "cnt").orderBy("facet")
+    }),
+
+    /** Interval facets (Solr interval faceting): arbitrary — possibly
+      * OVERLAPPING — intervals counted in ONE pass (array + explode), the
+      * semantics range facets can't express. */
+    "facet_interval" -> ((s, dir) =>
+      s.read.parquet(s"$dir/orders.parquet")
+        .select(explode(array(
+          when(col("o_totalprice") < 150000, lit("low")),
+          when(col("o_totalprice").between(100000, 250000), lit("mid")),
+          when(col("o_totalprice") >= 200000, lit("high")))).as("interval"))
+        .where(col("interval").isNotNull)
+        .groupBy("interval").agg(count(lit(1)).as("cnt"))
+        .orderBy("interval")),
+
     "facet_field" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
         .where(col("l_quantity") > 45)
@@ -1117,6 +1309,30 @@ object SparkEntry {
         .orderBy("a", "b")),
 
     // ---------- training-data ops: similarity search ----------
+    /** Hybrid retrieval via reciprocal-rank fusion (RRF, Cormack et al.
+      * SIGIR'09 — the standard BM25 + dense-vector fusion): rrf(d) =
+      * sum over lists of 1/(60 + rank_d); docs missing from a list
+      * contribute 0. Text list = BM25 top-50 for "spark window"; vector
+      * list = cosine top-50 around embedding 0. Both lists are
+      * distributed top-k's; the fusion join touches only 100 rows. */
+    "hybrid_rrf" -> ((s, dir) => {
+      val r = reader(s, dir)
+      val bm = new JoinScorer(r).topK(QueryParser.parse("spark window"), 50)
+        .join(idMap(r), "docId")
+        .withColumn("rt", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        .select(col("doc_id"), col("rt"))
+      val ann = Ann.cosineTopK(
+          s.read.parquet(s"$dir/embeddings.parquet"), 0L, 50)
+        .select(col("id").as("doc_id"), col("rank").cast("long").as("rv"))
+      bm.join(ann, Seq("doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + col("rt")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rv")), lit(0.0)))
+        .orderBy(round(col("rrf"), 9).desc, col("doc_id").asc).limit(10)
+        .select(col("doc_id"), round(col("rrf"), 9).as("rrf"))
+    }),
+
     "ann_cosine" -> ((s, dir) =>
       Ann.cosineTopK(s.read.parquet(s"$dir/embeddings.parquet"), 0L, 10)
         .select(col("rank").cast("long"), col("id"),

@@ -516,6 +516,29 @@ object IndexBuilder {
     deleteDocs(spark, dir, matched)
   }
 
+  /** Atomic update (IndexWriter.updateDocument(Term, doc),
+    * index/IndexWriter.java — Solr's atomic-update path resolves to the
+    * same delete-by-term + add): tombstone every existing doc whose
+    * unique key (repo, path) appears in `input`, then commit the new
+    * versions as a delta sub-index. Old versions leave results at the
+    * next reader open but keep counting in statistics until [[compact]]
+    * merges them away — reference pre-merge semantics. `input` rows must
+    * use FRESH docParts (disjoint from every committed sub-index), since
+    * new versions get new internal docIds exactly as in Lucene. Returns
+    * the delta dir. */
+  def updateDocs(spark: SparkSession, baseDir: String, input: DataFrame,
+                 cfg: IndexConfig): String = {
+    import org.apache.spark.sql.functions.col
+    val r = MultiIndexReader.open(spark, baseDir, cfg.numBuckets,
+      cacheData = false)
+    val old = r.docmeta.toDF()
+      .join(input.select(col("repo"), col("path")).distinct(),
+        Seq("repo", "path"), "left_semi")
+      .select(col("docId"))
+    deleteDocs(spark, baseDir, old)
+    append(spark, input, baseDir, subIndexDirs(baseDir).size, cfg)
+  }
+
   /** Compact a base index + its appended deltas into one fresh index at
     * `outDir`, PURGING tombstoned docs (the TieredMergePolicy merge
     * analog, index/TieredMergePolicy.java — here a single full merge,

@@ -46,6 +46,22 @@ trait SearchReader {
     * opened need a re-open. */
   def deletedDocs: Option[org.apache.spark.sql.DataFrame] = None
 
+  /** Realtime get (Solr /get, solr/handler/RealTimeGetHandler.java): the
+    * newest live version of the doc with unique key (repo, path) — max
+    * docId across base + delta sub-indexes, tombstones excluded. One row
+    * of docmeta (or zero when the doc was deleted / never existed); the
+    * stored fields come from the usual join back to the source table. */
+  def realtimeGet(repo: String, path: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val keyed = docmeta.toDF()
+      .where(col("repo") === repo && col("path") === path)
+    val live = deletedDocs match {
+      case None => keyed
+      case Some(d) => keyed.join(d, Seq("docId"), "left_anti")
+    }
+    live.orderBy(col("docId").desc).limit(1)
+  }
+
   /** Fuzzy term expansion with dictionary pruning: a cheap |len(term) -
     * len(query)| <= maxEdits band runs BEFORE the Levenshtein evaluation,
     * so the full-vocabulary edit-distance scan of round 1 becomes a

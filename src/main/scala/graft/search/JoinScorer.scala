@@ -44,7 +44,8 @@ final class JoinScorer(reader: SearchReader) {
       case (_, SloppyPhraseQ(ts, _, _), _) => ts
       case (_, SpanNearQ(ts, _, _), _) => ts
       case (_, SpanOrQ(ts), _) => ts
-      case (_, SpanNotQ(inc, exc, _, _), _) => Seq(inc, exc) }.flatten
+      case (_, SpanNotQ(inc, exc, _, _), _) => Seq(inc, exc)
+      case (_, SpanFirstQ(t, _), _) => Seq(t) }.flatten
     val stats = reader.termStats(termQs.distinct)
     flat.map {
       case (o, tq @ TermQ(t), b) =>
@@ -56,6 +57,8 @@ final class JoinScorer(reader: SearchReader) {
       case (o, sq @ SpanNotQ(inc, exc, pre, post), b) =>
         (o, sq, ScoredSpanNot(inc, exc, pre, post, stats.get(inc),
           stats.contains(exc), b))
+      case (o, sq @ SpanFirstQ(t, end), b) =>
+        (o, sq, ScoredSpanFirst(t, end, stats.get(t), b))
       case (o, pq @ PhraseQ(ts, rel), b) =>
         (o, pq, ScoredPhrase(ts, rel, ts.map(stats.get), 0, b))
       case (o, pq @ SloppyPhraseQ(ts, rel, slop), b) =>
@@ -112,6 +115,9 @@ final class JoinScorer(reader: SearchReader) {
                                  incStats: Option[TermStats],
                                  excPresent: Boolean,
                                  boost: Float = 1f) extends RewrittenClause
+  final case class ScoredSpanFirst(term: String, end: Int,
+                                   stats: Option[TermStats],
+                                   boost: Float = 1f) extends RewrittenClause
   /** Constant-score set: every matching doc scores `boost` (reference
     * ConstantScoreQuery multiplies 1.0 by the query boost,
     * search/ConstantScoreQuery.java). */
@@ -357,6 +363,32 @@ final class JoinScorer(reader: SearchReader) {
     }.filter(h => !java.lang.Float.isNaN(h.score))
   }
 
+  /** Span-first (SpanFirstQuery analog): occurrences at position < `end`
+    * survive; freq = surviving count, weight from the term's idf. The
+    * positions filter runs inside the postings decode — no extra pass. */
+  private def spanFirstHits(term: String, end: Int,
+                            stats: Option[TermStats], clause: Int,
+                            kind: Int, boost: Float): Dataset[ClauseHit] = {
+    if (stats.isEmpty) return spark.emptyDataset[ClauseHit]
+    val wv = BM25.weightValue(
+      BM25.idf(stats.get.df, reader.collStats.maxDoc), boost)
+    val cacheB = spark.sparkContext.broadcast(
+      reader.normCacheFor(IndexBuilder.fieldOfTerm(term)))
+    val endPos = end
+    reader.blocks(Seq(term)).flatMap { b =>
+      PostingsCodec.decode(graft.codec.PostingBlock(b.term, b.firstDoc,
+        b.lastDoc, b.count, b.maxTf, b.sumTf, b.maxPartial, b.docBytes,
+        b.nrmBytes, b.posBytes)).iterator.flatMap { p =>
+        // positions are ascending: count the prefix < endPos
+        var sf = 0
+        while (sf < p.positions.length && p.positions(sf) < endPos) sf += 1
+        if (sf == 0) Iterator.empty
+        else Iterator.single(ClauseHit(p.docId, clause, kind,
+          BM25.score(wv, sf.toFloat, cacheB.value, p.norm)))
+      }
+    }
+  }
+
   private def matchAllHits(clause: Int, kind: Int,
                            boost: Float = 1f): Dataset[ClauseHit] =
     reader.docmeta.map(d => ClauseHit(d.docId, clause, kind, boost))
@@ -376,6 +408,8 @@ final class JoinScorer(reader: SearchReader) {
         case ScoredSpanOr(ts, st, b) => spanOrHits(ts, st, i, kind, b)
         case ScoredSpanNot(inc, exc, pre, post, st, ep, b) =>
           spanNotHits(inc, exc, pre, post, st, ep, i, kind, b)
+        case ScoredSpanFirst(t, end, st, b) =>
+          spanFirstHits(t, end, st, i, kind, b)
         case ConstSet(ts, b) => constHits(ts, i, kind, b)
         case MatchAll(b) => matchAllHits(i, kind, b)
       }

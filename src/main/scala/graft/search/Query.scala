@@ -48,6 +48,10 @@ final case class SloppyPhraseQ(terms: Seq[String], rel: Seq[Int],
 /** Query-time boost (reference Query.setBoost; BM25 folds it into the
   * weight: weightValue = idf * boost * (k1+1), BM25Similarity.java:289-293). */
 final case class BoostQ(q: Query, boost: Float) extends Query
+/** Span-first (reference search/spans/SpanFirstQuery.java, i.e.
+  * SpanPositionRangeQuery with start 0): matches docs where `term` has an
+  * occurrence at position < `end`; freq = count of such occurrences. */
+final case class SpanFirstQ(term: String, end: Int) extends Query
 /** Span-near (reference lucene/core/.../search/spans/SpanNearQuery.java):
   * terms within a window of width <= terms.length + slop; `inOrder = true`
   * additionally requires query order (NearSpansOrdered), false allows any

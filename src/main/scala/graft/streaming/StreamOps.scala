@@ -101,6 +101,31 @@ object StreamOps {
         }
       }
 
+  /** Streaming UPDATE sink (Solr update-handler semantics over
+    * Structured Streaming): each micro-batch atomically REPLACES the
+    * current version of every incoming (repo, path) key —
+    * IndexBuilder.updateDocs tombstones the live versions and commits
+    * the new ones as a delta sub-index. Monotone per-batch docPart
+    * offsets make docIds monotone across batches, so realtimeGet's
+    * max-docId rule always returns the latest committed version even for
+    * a key updated in several batches. Stats converge at compact(). */
+  def indexUpdateSink(docs: DataFrame, baseDir: String,
+                      cfg: graft.index.IndexConfig, partsPerBatch: Int,
+                      basePartOffset: Int): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val offset = basePartOffset + batchId.toInt * partsPerBatch
+          val withPart = batch.withColumn("docPart",
+            lit(offset) + pmod(hash(col("repo"), col("path"), col("commit")),
+              lit(partsPerBatch)))
+          graft.index.IndexBuilder.updateDocs(batch.sparkSession, baseDir,
+            withPart, cfg.copy(numDocParts = offset + partsPerBatch))
+          ()
+        }
+      }
+
   /** Flush state at end-of-replay: closed sessions from [[sessionize]]
     * plus every still-open session (what a timeout would eventually
     * emit). Batch-equivalent result for a finite input. */

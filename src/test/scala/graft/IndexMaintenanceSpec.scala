@@ -134,6 +134,78 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       .foreach(c => assert(c.violations == 0L, s"compacted check ${c.check}"))
   }
 
+  test("atomic update: delete-by-key + add, realtime-get, compaction " +
+    "rank-identical to oracle over the rewritten corpus") {
+    import org.apache.spark.sql.functions.{col, hash, md5, pmod, regexp_replace, lit, not}
+    val dir = SparkSuite.tmpDir("graft-upd")
+    val r0 = build(dir)
+    val n0 = r0.collStats.maxDoc
+
+    // rewrite every 'println' doc under its unchanged (repo, path) key,
+    // on FRESH docParts (new internal docIds, as updateDocument assigns)
+    val updInput = input.where(col("content").contains("println"))
+      .withColumn("content", regexp_replace(col("content"), "println", "printfz"))
+      .withColumn("commit", md5(col("content")))
+      .withColumn("docPart",
+        (lit(cfg.numDocParts) +
+          pmod(hash(col("repo"), col("path"), col("commit")),
+            lit(cfg.numDocParts))).cast("int"))
+    val nUpd = updInput.count()
+    assert(nUpd > 0 && nUpd < 800)
+    val cfgU = cfg.copy(numDocParts = cfg.numDocParts * 2)
+    IndexBuilder.updateDocs(spark, dir, updInput, cfgU)
+
+    val rU = MultiIndexReader.open(spark, dir, cfg.numBuckets, cacheData = false)
+    // pre-merge stats count old tombstoned versions AND new versions
+    assert(rU.collStats.maxDoc == n0 + nUpd)
+    // old content is gone from results; new content matches
+    assert(new JoinScorer(rU)
+      .scores(BoolQ(Seq((Occur.Must, TermQ("println"))))).count() == 0)
+    val hitsNew = new JoinScorer(rU)
+      .scores(BoolQ(Seq((Occur.Must, TermQ("printfz"))))).count()
+    assert(hitsNew == nUpd)
+    // WAND agrees with the join path under update tombstones
+    val q2 = BoolQ(Seq(
+      (Occur.Should, TermQ("import")), (Occur.Should, TermQ("printfz"))))
+    val joinTop = new JoinScorer(rU).topK(q2, 20).as[(Long, Float)].collect().toSeq
+    val wandTop = new WandScorer(rU).topK(Seq("import", "printfz"), 20)
+      .as[(Long, Float)].collect().toSeq
+    assert(wandTop == joinTop)
+
+    // realtime-get: updated key -> new commit on a NEW docId
+    val u0 = updInput.select("repo", "path", "commit").head()
+    val got = rU.realtimeGet(u0.getString(0), u0.getString(1)).collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[String]("commit") == u0.getString(2))
+    assert(got(0).getAs[Long]("docId") >= (cfg.numDocParts.toLong << 40))
+    // non-updated key -> its original version
+    val k0 = input.where(not(col("content").contains("println")))
+      .select("repo", "path", "commit").head()
+    val got2 = rU.realtimeGet(k0.getString(0), k0.getString(1)).collect()
+    assert(got2.length == 1 && got2(0).getAs[String]("commit") == k0.getString(2))
+
+    // compaction: one doc per key, stats over the rewritten corpus;
+    // float-exact rank identity vs the independent in-memory oracle
+    val cdir = SparkSuite.tmpDir("graft-updc")
+    IndexBuilder.compact(spark, dir, cdir, cfgU)
+    val rc = new IndexReader(spark, cdir, cfg.numBuckets, cacheData = false)
+    assert(rc.deletedDocs.isEmpty && rc.collStats.maxDoc == n0)
+    val rewritten = input.where(not(col("content").contains("println")))
+      .unionByName(updInput.select(input.columns.map(col): _*))
+    val docs = rc.docmeta
+      .join(rewritten.withColumnRenamed("lang", "lang2"),
+        Seq("repo", "path", "commit"))
+      .select($"docId", $"lang", $"content")
+      .as[(Long, String, String)].collect()
+      .map(t => NaiveOracle.Doc(t._1, t._2, t._3))
+    assert(docs.length == n0)
+    val oracle = new NaiveOracle.Index(docs.toSeq)
+    val gotTop = new JoinScorer(rc).topK(q2, 20).as[(Long, Float)].collect().toSeq
+    assert(gotTop == oracle.topK(q2, 20))
+    CheckIndex.run(rc).collect()
+      .foreach(c => assert(c.violations == 0L, s"compacted check ${c.check}"))
+  }
+
   private def deleteRec(p: Path): Unit =
     if (Files.exists(p))
       Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f =>

@@ -77,4 +77,65 @@ class NrtAppendSpec extends AnyFunSuite {
     assert(wGot == exp)
     ids.unpersist(); all.unpersist()
   }
+
+  test("streamed updates: per-batch atomic replace; last writer wins " +
+    "across batches; compaction restores exact doc count") {
+    val all = CorpusGen.generate(spark, 400).toDF().cache()
+    val dir = SparkSuite.tmpDir("graft-supd")
+    val base = all.withColumn("docPart",
+      pmod(hash($"repo", $"path", $"commit"), lit(BaseParts)))
+    IndexBuilder.build(spark, base, dir, cfg(BaseParts))
+
+    // batch 0 rewrites every 'println' doc; batch 1 rewrites the 'import'
+    // subset of those SAME keys again (second generation)
+    def gen(src: DataFrame, from: String, to: String): DataFrame =
+      src.withColumn("content", regexp_replace($"content", from, to))
+        .withColumn("commit", md5($"content"))
+    val g1 = gen(all.where($"content".contains("println")),
+      "println", "printfa").cache()
+    val g2 = gen(g1.where($"content".contains("import")),
+      "printfa", "printfb").cache()
+    val (n1, n2) = (g1.count(), g2.count())
+    assert(n1 > 0 && n2 > 0 && n2 < n1)
+
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[DocInput]
+    val q = StreamOps.indexUpdateSink(
+        mem.toDS().toDF(), dir, cfg(BaseParts), PartsPerBatch, BaseParts)
+      .start()
+    mem.addData(g1.as[DocInput].collect().toIndexedSeq: _*)
+    q.processAllAvailable()
+    mem.addData(g2.as[DocInput].collect().toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val r = MultiIndexReader.open(spark, dir, 8, cacheData = false)
+    // pre-merge stats count every committed generation
+    assert(r.collStats.maxDoc == 400 + n1 + n2)
+    def hits(t: String): Long =
+      new JoinScorer(r).scores(BoolQ(Seq((Occur.Must, TermQ(t))))).count()
+    assert(hits("println") == 0, "generation-0 content must be gone")
+    assert(hits("printfb") == n2, "doubly-updated keys serve generation 2")
+    assert(hits("printfa") == n1 - n2,
+      "singly-updated keys still serve generation 1")
+
+    // last-writer-wins point lookup for a doubly-updated key
+    val k = g2.select("repo", "path", "commit").head()
+    val got = r.realtimeGet(k.getString(0), k.getString(1)).collect()
+    assert(got.length == 1 && got(0).getAs[String]("commit") == k.getString(2))
+
+    // compaction purges both generations of tombstones
+    val cdir = SparkSuite.tmpDir("graft-supd-c")
+    IndexBuilder.compact(spark, dir, cdir,
+      cfg(BaseParts + 2 * PartsPerBatch))
+    val rc = new IndexReader(spark, cdir, 8, cacheData = false)
+    assert(rc.collStats.maxDoc == 400)
+    def chits(t: String): Long =
+      new JoinScorer(rc).scores(BoolQ(Seq((Occur.Must, TermQ(t))))).count()
+    assert(chits("println") == 0 && chits("printfb") == n2 &&
+      chits("printfa") == n1 - n2)
+    CheckIndex.run(rc).collect()
+      .foreach(c => assert(c.violations == 0L, s"compacted check ${c.check}"))
+    g1.unpersist(); g2.unpersist(); all.unpersist()
+  }
 }
