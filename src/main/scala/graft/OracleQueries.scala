@@ -1023,6 +1023,49 @@ object OracleQueries {
          |WHERE sim >= 0.35 ORDER BY a, b""".stripMargin,
 
     // ---------- similarity search ----------
+    // int8 scalar-quantized ANN: symmetric 127/max|x| scale, cosine on
+    // the quantized ints (exact integer dots -> bit-identical doubles)
+    "ann_int8" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |m AS (SELECT 127.0 / max(list_aggregate(
+         |        list_transform(v, x -> abs(x)), 'max')) AS sc FROM e),
+         |qz AS (SELECT vec_id, list_transform(v, x -> greatest(-127.0,
+         |         least(127.0, floor(x * sc + 0.5)))) AS q8
+         |       FROM e, m),
+         |q AS (SELECT q8 AS qv FROM qz WHERE vec_id = 0),
+         |scp AS (SELECT vec_id AS id,
+         |          list_dot_product(q8, qv) /
+         |            (sqrt(list_dot_product(q8, q8)) * sqrt(list_dot_product(qv, qv))) AS sim
+         |        FROM qz, q WHERE vec_id <> 0)
+         |SELECT CAST(row_number() OVER (ORDER BY sim DESC, id) AS BIGINT) AS rank,
+         |       id, round(sim, 6) AS sim
+         |FROM scp ORDER BY sim DESC, id LIMIT 10""".stripMargin,
+
+    // facet over search results: lang counts of docs matching the query
+    "ft_facet_lang" ->
+      s"""WITH $tokensCte
+         |SELECT d.lang, CAST(count(*) AS BIGINT) AS cnt
+         |FROM documents d
+         |WHERE ${boolDoc("spark")} OR ${boolDoc("window")}
+         |GROUP BY d.lang ORDER BY cnt DESC, lang""".stripMargin,
+
+    // grouped search: top-2 scored docs per language
+    "ft_group_lang" ->
+      s"""WITH $tokensCte,
+         |$dlCsCte,
+         |$normCte,
+         |q(qterm) AS (VALUES ('spark'),('window')),
+         |$bm25ClauseCte,
+         |agg AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id),
+         |j AS (SELECT d.lang, a.doc_id, a.score
+         |      FROM agg a JOIN documents d USING (doc_id)),
+         |rk AS (SELECT lang, doc_id, CAST(row_number() OVER (
+         |         PARTITION BY lang
+         |         ORDER BY round(score, 9) DESC, doc_id) AS BIGINT) AS rk
+         |       FROM j)
+         |SELECT lang, rk, doc_id FROM rk WHERE rk <= 2
+         |ORDER BY lang, rk""".stripMargin,
+
     // hybrid retrieval: RRF fusion of BM25 top-50 and cosine top-50
     "hybrid_rrf" ->
       s"""WITH $tokensCte,

