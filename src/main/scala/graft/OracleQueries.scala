@@ -484,6 +484,71 @@ object OracleQueries {
          |                ELSE text END) AS commit
          |FROM documents WHERE doc_id = 123""".stripMargin,
 
+    // eDisMax pf: term-sum main query + a SCORED exact-phrase clause
+    // (phrase idf = sum of the member terms' idfs, freq = aligned starts)
+    "ft_edismax_pf" ->
+      s"""WITH $tokensCte,
+         |$dlCsCte,
+         |$normCte,
+         |q(qterm) AS (VALUES ('spark'),('window')),
+         |$bm25ClauseCte,
+         |ph AS (SELECT t1.doc_id, CAST(count(*) AS BIGINT) AS ptf
+         |       FROM tokens t1 JOIN tokens t2
+         |         ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+         |       WHERE t1.term = 'spark' AND t2.term = 'window'
+         |       GROUP BY t1.doc_id),
+         |pidf AS (SELECT sum(ln(1 + (cs.n - df + 0.5) / (df + 0.5))) AS v
+         |         FROM dfq, cs),
+         |phs AS (SELECT ph.doc_id,
+         |          (SELECT v FROM pidf) * 2.2 * ph.ptf /
+         |          (ph.ptf + 1.2 * (0.25 + 0.75 * nrm.qdl /
+         |             (CAST(cs.sumdl AS DOUBLE) / cs.n))) AS s
+         |        FROM ph, dl, nrm, cs
+         |        WHERE dl.doc_id = ph.doc_id
+         |          AND dl.dl BETWEEN nrm.lo AND nrm.hi),
+         |agg AS (SELECT doc_id, sum(s) AS score FROM (
+         |          SELECT doc_id, s FROM sc
+         |          UNION ALL SELECT doc_id, s FROM phs)
+         |        GROUP BY doc_id)
+         |${rankSel(15)}""".stripMargin,
+
+    // Term vector of doc 42 with positions: (term, tf, first occurrence)
+    "ft_termvector_pos" ->
+      s"""WITH $tokensCte
+         |SELECT term, CAST(count(*) AS BIGINT) AS tf,
+         |       CAST(min(pos) AS BIGINT) AS first_pos
+         |FROM tokens WHERE doc_id = 42
+         |GROUP BY term ORDER BY term""".stripMargin,
+
+    // Segments introspection: per doc-partition doc count + total
+    // analyzed length (docPart = doc_id // 64 by construction)
+    "index_segments" ->
+      s"""WITH $tokensCte,
+         |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+         |       FROM tokens GROUP BY doc_id)
+         |SELECT CAST(d.doc_id // 64 AS BIGINT) AS doc_part,
+         |       CAST(count(*) AS BIGINT) AS docs,
+         |       CAST(sum(coalesce(dl.dl, 0)) AS BIGINT) AS sum_dl
+         |FROM documents d LEFT JOIN dl ON dl.doc_id = d.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // JSON-facet bucket metrics over the "spark window" result set
+    "facet_metrics" ->
+      s"""WITH $tokensCte
+         |SELECT d.lang, CAST(count(*) AS BIGINT) AS cnt,
+         |       CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+         |       round(avg(d.n_chars), 6) AS avg_chars
+         |FROM documents d
+         |WHERE ${boolDoc("spark")} OR ${boolDoc("window")}
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    // graph gather: seed order 1 -> suppliers -> orders they touch
+    "graph_gather" ->
+      s"""SELECT DISTINCT l_orderkey FROM lineitem
+         |WHERE l_suppkey IN (SELECT DISTINCT l_suppkey FROM lineitem
+         |                    WHERE l_orderkey = 1)
+         |ORDER BY l_orderkey""".stripMargin,
+
     // Term vector of doc 42: (term, tf) of its analyzed content
     "ft_termvector" ->
       s"""WITH $tokensCte

@@ -633,6 +633,83 @@ object SparkEntry {
         .toDF("term", "tf").orderBy("term")
     }),
 
+    /** eDisMax pf (ExtendedDismaxQParser phrase-fields boost): main query
+      * = per-term sum; pf adds a SCORED exact-phrase clause on the same
+      * field, so documents with the terms adjacent outrank scattered
+      * ones. The phrase clause is the first oracle check of phrase
+      * SCORING (weight = summed term idfs, freq = aligned starts). */
+    "ft_edismax_pf" -> ((s, dir) => {
+      val r = reader(s, dir)
+      val q = BoolQ(Seq(
+        (Occur.Should, TermQ("spark")), (Occur.Should, TermQ("window")),
+        (Occur.Should, PhraseQ(Seq("spark", "window"), Seq(0, 1)))))
+      new JoinScorer(r).topK(q, 15)
+        .join(idMap(r), "docId")
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        .select("rank", "doc_id").orderBy("rank")
+    }),
+
+    /** Term vectors WITH positions (TermVectorsFormat positions option):
+      * doc 42's (term, tf, first position) — pb decodes as VInt(tf) ++
+      * position deltas, so the first delta IS the first position. */
+    "ft_termvector_pos" -> ((s, dir) => {
+      import s.implicits._
+      val r = reader(s, dir)
+      val internalId = idMap(r).where(col("doc_id") === 42L)
+        .select("docId").as[Long].head()
+      s.read.parquet(s"${r.dir}/segments")
+        .where(col("docId") === internalId)
+        .select(explode(col("postings")).as("p"))
+        .select(col("p.term").as("term"), col("p.pb").as("pb"))
+        .as[(String, Array[Byte])]
+        .filter(!_._1.startsWith("path:"))
+        .map { case (t, pb) =>
+          val v = graft.codec.VByte.allVInts(pb)
+          (t, v(0).toLong, v(1).toLong)
+        }
+        .toDF("term", "tf", "first_pos").orderBy("term")
+    }),
+
+    /** Segments introspection (Solr admin/luke | segments handler): doc
+      * count + total analyzed length per doc-partition, straight off the
+      * columnar docmeta. */
+    "index_segments" -> ((s, dir) => {
+      val r = reader(s, dir)
+      r.docmeta.toDF().groupBy(col("docPart"))
+        .agg(count(lit(1)).as("docs"), sum("dl").as("sum_dl"))
+        .orderBy("docPart")
+        .select(col("docPart").cast("long").as("doc_part"),
+          col("docs"), col("sum_dl"))
+    }),
+
+    /** JSON-facet bucket metrics (count + sum + avg per bucket) over a
+      * SEARCH result set — the q + json.facet aggregation flow. */
+    "facet_metrics" -> ((s, dir) => {
+      val r = reader(s, dir)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      new JoinScorer(r).scores(QueryParser.parse("spark window"))
+        .toDF("docId", "score")
+        .join(idMap(r), "docId")
+        .join(docs.select(col("doc_id"), col("lang"), col("n_chars")), "doc_id")
+        .groupBy("lang").agg(count(lit(1)).as("cnt"),
+          sum("n_chars").as("sum_chars"),
+          round(avg("n_chars"), 6).as("avg_chars"))
+        .orderBy("lang")
+    }),
+
+    /** Graph gather (Solr graph query parser / streaming gatherNodes):
+      * seed order 1 -> its suppliers -> every order those suppliers
+      * touch. Frontiers broadcast; the corpus-side scan stays pruned. */
+    "graph_gather" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val seed = li.where(col("l_orderkey") === 1L)
+        .select("l_suppkey").distinct()
+      li.join(broadcast(seed), "l_suppkey")
+        .select("l_orderkey").distinct().orderBy("l_orderkey")
+    }),
+
     /** Boost function (Solr `bf` param): organic BM25 plus an additive
       * ValueSource over a stored field (0.001 * n_chars). */
     "ft_boost_func" -> ((s, dir) => {

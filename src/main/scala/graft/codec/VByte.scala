@@ -48,6 +48,25 @@ object VByte {
     v
   }
 
+  /** ALL VInts in `bytes` — e.g. a SegPosting.pb, which is VInt(tf)
+    * followed by tf position deltas (term-vector decode path). */
+  def allVInts(bytes: Array[Byte]): Array[Int] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Int](8)
+    var q = 0
+    while (q < bytes.length) {
+      var b = bytes(q); q += 1
+      var v = b & 0x7F
+      var shift = 7
+      while ((b & 0x80) != 0) {
+        b = bytes(q); q += 1
+        v |= (b & 0x7F) << shift
+        shift += 7
+      }
+      out += v
+    }
+    out.toArray
+  }
+
   /** Encoded size of a VInt (for exact-size buffer allocation). */
   def sizeVInt(v0: Int): Int = {
     var i = v0; var n = 1

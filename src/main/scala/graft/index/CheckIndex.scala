@@ -108,6 +108,13 @@ object CheckIndex {
         .count()
     }
 
+    // every tombstone must reference a docId that exists in this
+    // sub-index's docmeta (a dangling tombstone means a corrupt deletes
+    // file or one written against the wrong index)
+    val delBad = reader.deletedDocs.map(del =>
+      del.select($"docId").distinct()
+        .join(dm.select($"docId"), Seq("docId"), "left_anti").count())
+
     val rows = Seq(
       CheckResult("block_invariants", blockBad),
       CheckResult("block_ranges_disjoint", overlap),
@@ -115,7 +122,8 @@ object CheckIndex {
       CheckResult("docid_unique", docidDup),
       CheckResult("norm_matches_dl", normBad),
       CheckResult("collstats_consistent", collBad)) ++
-      shaBad.map(n => CheckResult("sha256_matches_source", n))
+      shaBad.map(n => CheckResult("sha256_matches_source", n)) ++
+      delBad.map(n => CheckResult("deletes_reference_live_segment", n))
     facts.unpersist(); dm.unpersist()
     spark.createDataset(rows)
   }

@@ -110,6 +110,11 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     val wandTop = new WandScorer(r1).topK(Seq("import", "spark"), 20)
       .as[(Long, Float)].collect().toSeq
     assert(wandTop == after)
+    // CheckIndex on the tombstoned (pre-compaction) reader exercises the
+    // deletes_reference_live_segment invariant
+    val preChecks = CheckIndex.run(r1).collect()
+    assert(preChecks.exists(_.check == "deletes_reference_live_segment"))
+    preChecks.foreach(c => assert(c.violations == 0L, s"pre-compact ${c.check}"))
 
     val cdir = SparkSuite.tmpDir("graft-compacted")
     IndexBuilder.compact(spark, dir, cdir, cfg)
