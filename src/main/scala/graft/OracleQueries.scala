@@ -938,6 +938,13 @@ object OracleQueries {
          |  FROM customer JOIN orders ON o_custkey = c_custkey GROUP BY 1)
          |ORDER BY score DESC, c_custkey LIMIT 10""".stripMargin,
 
+    "join_score_avg" ->
+      s"""SELECT CAST(row_number() OVER (ORDER BY score DESC, c_custkey) AS BIGINT) AS rank,
+         |       c_custkey, score FROM (
+         |  SELECT c_custkey, round(avg(o_totalprice), 4) AS score
+         |  FROM customer JOIN orders ON o_custkey = c_custkey GROUP BY 1)
+         |ORDER BY score DESC, c_custkey LIMIT 10""".stripMargin,
+
     "block_join_parent" ->
       s"""SELECT DISTINCT o_orderkey FROM orders o
          |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -1105,6 +1112,25 @@ object OracleQueries {
          |SELECT CAST(row_number() OVER (ORDER BY sim DESC, id) AS BIGINT) AS rank,
          |       id, round(sim, 6) AS sim
          |FROM scp ORDER BY sim DESC, id LIMIT 10""".stripMargin,
+
+    // cursorMark paging on a field sort: page 2 strictly after the last
+    // (n_chars, doc_id) of page 1
+    "sort_cursor" ->
+      s"""WITH p1 AS (SELECT doc_id, n_chars FROM documents
+         |            ORDER BY n_chars DESC, doc_id LIMIT 10),
+         |cur AS (SELECT n_chars AS cn, doc_id AS cd FROM p1
+         |        ORDER BY n_chars, doc_id DESC LIMIT 1)
+         |SELECT d.doc_id, d.n_chars FROM documents d, cur
+         |WHERE d.n_chars < cur.cn
+         |   OR (d.n_chars = cur.cn AND d.doc_id > cur.cd)
+         |ORDER BY d.n_chars DESC, d.doc_id LIMIT 10""".stripMargin,
+
+    // stats component: per-bucket population stddev/variance
+    "stats_stddev" ->
+      s"""SELECT l_returnflag, round(stddev_pop(l_quantity), 4) AS sd,
+         |       round(var_pop(l_quantity), 4) AS variance
+         |FROM lineitem GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin,
 
     // facet over search results: lang counts of docs matching the query
     "ft_facet_lang" ->

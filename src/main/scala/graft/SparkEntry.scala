@@ -1257,6 +1257,20 @@ object SparkEntry {
         .select("rank", "c_custkey", "score")
     }),
 
+    /** Query-time join with ScoreMode.Avg (reference JoinUtil score
+      * modes: Max is above, Avg here — None is join_semi). */
+    "join_score_avg" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .groupBy("c_custkey")
+        .agg(round(avg("o_totalprice"), 4).as("score"))
+        .orderBy(col("score").desc, col("c_custkey")).limit(10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("c_custkey"))).cast("long"))
+        .select("rank", "c_custkey", "score")
+    }),
+
     "block_join_parent" -> ((s, dir) => {
       val o = s.read.parquet(s"$dir/orders.parquet")
       val l = s.read.parquet(s"$dir/lineitem.parquet")
@@ -1424,6 +1438,29 @@ object SparkEntry {
         .select(col("rank").cast("long"), col("id"),
           round(col("sim"), 6).as("sim"))
         .orderBy("rank")),
+
+    /** CursorMark paging on a FIELD sort (Solr deep paging; searchAfter
+      * covers the score sort): the cursor is the last (n_chars, doc_id)
+      * of page 1; page 2 is strictly-after in total sort order, so pages
+      * never shift under concurrent appends the way start/rows does. */
+    "sort_cursor" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val p1 = docs.orderBy(col("n_chars").desc, col("doc_id"))
+        .limit(10).select("doc_id", "n_chars").collect()
+      val (cd, cn) = (p1.last.getLong(0), p1.last.getLong(1))
+      docs.where(col("n_chars") < cn ||
+          (col("n_chars") === cn && col("doc_id") > cd))
+        .orderBy(col("n_chars").desc, col("doc_id")).limit(10)
+        .select("doc_id", "n_chars")
+    }),
+
+    /** Stats component stddev/variance (population, per bucket). */
+    "stats_stddev" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(round(stddev_pop(col("l_quantity")), 4).as("sd"),
+          round(var_pop(col("l_quantity")), 4).as("variance"))
+        .orderBy("l_returnflag")),
 
     /** Facet over SEARCH results (the core Solr q + facet.field flow, vs
       * the standalone table facets below): language counts of the docs

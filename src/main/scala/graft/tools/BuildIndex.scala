@@ -15,6 +15,10 @@ import graft.search.{BoolQ, JoinScorer, Occur, QueryParser}
   *   query <indexDir> <numBuckets> "<classic query>" [k]
   * spark-submit --class graft.tools.BuildIndex app.jar \
   *   check <indexDir> <numBuckets> [inputTable.parquet]
+  * spark-submit --class graft.tools.BuildIndex app.jar \
+  *   delete <indexDir> <numBuckets> "<classic query>"
+  * spark-submit --class graft.tools.BuildIndex app.jar \
+  *   compact <indexDir> <outDir> [numDocParts] [numBuckets]
   * }}}
   *
   * No `master`/memory settings here — spark-submit owns cluster sizing
@@ -52,6 +56,22 @@ object BuildIndex {
         val res = CheckIndex.run(r, src).collect()
         res.foreach(c => println(f"[check] ${c.check}%-24s ${c.violations}"))
         if (res.exists(_.violations > 0)) sys.exit(2)
+      case "delete" =>
+        val Array(_, dir, nb, q) = args.take(4)
+        val cfg = IndexConfig(numBuckets = nb.toInt)
+        val n = IndexBuilder.deleteByQuery(spark, dir, cfg,
+          QueryParser.parse(q))
+        println(s"[delete] tombstoned $n docs (stats unchanged until " +
+          s"compact) -> $dir/deletes")
+      case "compact" =>
+        val Array(_, dir, out) = args.take(3)
+        val cfg = IndexConfig(
+          numDocParts = if (args.length > 3) args(3).toInt else 256,
+          numBuckets = if (args.length > 4) args(4).toInt else 64)
+        IndexBuilder.compact(spark, dir, out, cfg)
+        val r = new IndexReader(spark, out, cfg.numBuckets, cacheData = false)
+        println(s"[compact] done: maxDoc=${r.collStats.maxDoc} " +
+          s"sumTtf=${r.collStats.sumTotalTermFreq} -> $out")
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()
