@@ -93,6 +93,63 @@ object Analyzer {
   def analyzeLang(text: String, lang: String): Vector[TermPos] =
     analyze(text, StopSets.forLang(lang))
 
+  /** CJK bigram chain, HAN script (reference
+    * analysis/common/src/java/org/apache/lucene/analysis/cjk/CJKBigramFilter.java:141-215,
+    * cjk/CJKAnalyzer.java:72-80): a run of n consecutive single-codepoint
+    * <IDEOGRAPHIC> tokens becomes n-1 overlapping bigrams
+    * ("一二三" -> 一二, 二三), each advancing the position by 1; an
+    * ISOLATED ideograph stays a unigram (the reference emits the single
+    * char when no bigram can be formed). Non-Han tokens (incl. hiragana /
+    * katakana under the HAN-only flags) pass through and break the run. */
+  def analyzeCjk(text: String, stopSet: Set[String] = Set.empty,
+                 maxTokenLength: Int = StandardTokenizer.DefaultMaxTokenLength)
+      : Vector[TermPos] = {
+    val toks = StandardTokenizer.tokenize(text, maxTokenLength)
+    val out = Vector.newBuilder[TermPos]
+    var pos = -1
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.tokenType == "<IDEOGRAPHIC>") {
+        var j = i + 1 // extend the uninterrupted Han run
+        while (j < toks.length && toks(j).tokenType == "<IDEOGRAPHIC>" &&
+          toks(j).posInc == 1) j += 1
+        pos += t.posInc
+        if (j - i == 1) {
+          val term = lowerCase(t.term)
+          if (!stopSet.contains(term)) out += TermPos(term, pos)
+        } else {
+          var k = i
+          while (k < j - 1) {
+            val term = lowerCase(toks(k).term + toks(k + 1).term)
+            if (!stopSet.contains(term)) out += TermPos(term, pos)
+            if (k < j - 2) pos += 1
+            k += 1
+          }
+        }
+        i = j
+      } else {
+        pos += t.posInc
+        val term = lowerCase(t.term)
+        if (!stopSet.contains(term)) out += TermPos(term, pos)
+        i += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Flat-array variant of [[analyzeCjk]] for the indexing path. */
+  def analyzeCjkFlat(text: String, stopSet: Set[String],
+                     maxTokenLength: Int = StandardTokenizer.DefaultMaxTokenLength)
+      : (Array[String], Array[Int]) = {
+    val v = analyzeCjk(text, stopSet, maxTokenLength)
+    val terms = new Array[String](v.length)
+    val positions = new Array[Int](v.length)
+    var i = 0
+    while (i < v.length) { terms(i) = v(i).term; positions(i) = v(i).position; i += 1 }
+    (terms, positions)
+  }
+
   // non-decomposable Latin letters the NFKD pass cannot fold (reference
   // miscellaneous/ASCIIFoldingFilter.java handles these in its big switch)
   private val FoldMap: Map[Char, String] = Map(

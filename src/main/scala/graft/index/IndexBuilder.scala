@@ -78,6 +78,8 @@ object IndexBuilder {
         Analyzer.analyzeFlat(content, StopSets.forLang(lang), maxTokenLength)
       case "english" =>
         Analyzer.analyzeEnglishFlat(content, StopSets.forLang("en"), maxTokenLength)
+      case "cjk" =>
+        Analyzer.analyzeCjkFlat(content, Set.empty, maxTokenLength)
       case other =>
         val (iso, stem) = graft.analysis.LightStemmers.byName(other)
         Analyzer.analyzeLightFlat(content, StopSets.forLang(iso), stem,
