@@ -541,6 +541,43 @@ object IndexBuilder {
     append(spark, input, baseDir, subIndexDirs(baseDir).size, cfg)
   }
 
+  /** Optimistic-concurrency update (Solr _version_ semantics,
+    * solr/update/processor/DistributedUpdateProcessor.java optimistic
+    * locking — our content hash plays the _version_ role): each `input`
+    * row carries `expectCommit`, the commit the caller believes is the
+    * LIVE version of its (repo, path) key. Rows whose expectation matches
+    * are applied atomically via [[updateDocs]]; stale rows (live version
+    * moved, or doc deleted/absent) are REJECTED, exactly as Solr returns
+    * HTTP 409. Returns (applied, conflicted). */
+  def updateDocsVersioned(spark: SparkSession, baseDir: String,
+                          input: DataFrame, cfg: IndexConfig): (Long, Long) = {
+    import org.apache.spark.sql.functions.{col, max => fmax, struct}
+    val r = MultiIndexReader.open(spark, baseDir, cfg.numBuckets,
+      cacheData = false)
+    val dm = r.docmeta.toDF()
+    val liveRows = r.deletedDocs match {
+      case None => dm
+      case Some(d) => dm.join(d, Seq("docId"), "left_anti")
+    }
+    // newest live version per key (max docId wins, as in realtimeGet)
+    val live = liveRows.groupBy(col("repo"), col("path"))
+      .agg(fmax(struct(col("docId"), col("commit"))).as("v"))
+      .select(col("repo"), col("path"), col("v.commit").as("liveCommit"))
+    val joined = input.join(live, Seq("repo", "path"), "left")
+    // localCheckpoint SEVERS the plan's dependency on the index files:
+    // updateDocs is about to write new tombstones to baseDir/deletes, and
+    // Spark's recache-by-path would otherwise re-evaluate this lazy plan
+    // against the post-delete state (every expectation then looks stale
+    // and the delta silently builds empty).
+    val ok = joined.where(col("expectCommit") === col("liveCommit"))
+      .drop("expectCommit", "liveCommit")
+      .localCheckpoint(true)
+    val nOk = ok.count()
+    val nConflict = joined.count() - nOk
+    if (nOk > 0) updateDocs(spark, baseDir, ok, cfg)
+    (nOk, nConflict)
+  }
+
   /** Compact a base index + its appended deltas into one fresh index at
     * `outDir`, PURGING tombstoned docs (the TieredMergePolicy merge
     * analog, index/TieredMergePolicy.java — here a single full merge,

@@ -279,8 +279,8 @@ object ScalingBench {
         f"| ${lat(j32, q, "p50")}%.0f | ${lat(j32, q, "p95")}%.0f |\n")
     }
     md.append("\nRank-identity at both levels is enforced separately by the " +
-      "ScalaTest suite (RankIdentitySpec) and the 72 DuckDB-checked oracle " +
-      "queries.\n")
+      s"ScalaTest suite (RankIdentitySpec) and the " +
+      s"${graft.OracleQueries.all.size} DuckDB-checked oracle queries.\n")
     Files.createDirectories(Paths.get(outMd).toAbsolutePath.getParent)
     Files.writeString(Paths.get(outMd), md.toString)
     val ceilJson = cpuCeil.map(c =>

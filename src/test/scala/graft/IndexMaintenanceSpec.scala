@@ -211,6 +211,45 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       .foreach(c => assert(c.violations == 0L, s"compacted check ${c.check}"))
   }
 
+  test("optimistic concurrency: matching expectCommit applies, stale or " +
+    "unknown keys are rejected as conflicts") {
+    import org.apache.spark.sql.functions.{col, hash, lit, md5, pmod, regexp_replace}
+    val dir = SparkSuite.tmpDir("graft-ver")
+    build(dir)
+    val cfgU = cfg.copy(numDocParts = cfg.numDocParts * 3)
+    def parted(df: org.apache.spark.sql.DataFrame, offset: Int) =
+      df.withColumn("docPart", (lit(offset) +
+        pmod(hash(col("repo"), col("path"), col("commit")),
+          lit(cfg.numDocParts))).cast("int"))
+
+    val g0 = input.where(col("content").contains("println"))
+    val n = g0.count()
+    // generation 1 carries the ORIGINAL commit as its expectation
+    val g1 = parted(g0.withColumn("expectCommit", col("commit"))
+      .withColumn("content", regexp_replace(col("content"), "println", "printva"))
+      .withColumn("commit", md5(col("content"))), cfg.numDocParts).cache()
+    assert(IndexBuilder.updateDocsVersioned(spark, dir, g1, cfgU) == (n, 0L))
+
+    // replaying generation 1 is now STALE (live commit moved), and an
+    // unknown key can never match
+    val bogus = g1.limit(1).withColumn("path", lit("no/such/doc"))
+    assert(IndexBuilder.updateDocsVersioned(spark, dir,
+      g1.unionByName(bogus), cfgU) == (0L, n + 1))
+
+    // generation 2 expects generation 1's commit -> applies
+    val g2 = parted(g1.drop("expectCommit", "docPart")
+      .withColumn("expectCommit", col("commit"))
+      .withColumn("content", regexp_replace(col("content"), "printva", "printvb"))
+      .withColumn("commit", md5(col("content"))), 2 * cfg.numDocParts)
+    assert(IndexBuilder.updateDocsVersioned(spark, dir, g2, cfgU) == (n, 0L))
+
+    val r = MultiIndexReader.open(spark, dir, cfg.numBuckets, cacheData = false)
+    def hits(t: String): Long =
+      new JoinScorer(r).scores(BoolQ(Seq((Occur.Must, TermQ(t))))).count()
+    assert(hits("println") == 0 && hits("printva") == 0 && hits("printvb") == n)
+    g1.unpersist()
+  }
+
   private def deleteRec(p: Path): Unit =
     if (Files.exists(p))
       Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f =>
