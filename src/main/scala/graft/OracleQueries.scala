@@ -1113,6 +1113,20 @@ object OracleQueries {
          |       id, round(sim, 6) AS sim
          |FROM scp ORDER BY sim DESC, id LIMIT 10""".stripMargin,
 
+    // percolation: which saved queries match each document
+    "percolate" ->
+      s"""WITH $tokensCte
+         |SELECT query_id, doc_id FROM (
+         |  SELECT 'q_spark_window' AS query_id, d.doc_id FROM documents d
+         |  WHERE ${boolDoc("spark")} AND ${boolDoc("window")}
+         |  UNION ALL
+         |  SELECT 'q_dup', d.doc_id FROM documents d
+         |  WHERE ${boolDoc("dup")}
+         |  UNION ALL
+         |  SELECT 'q_merge_not_scan', d.doc_id FROM documents d
+         |  WHERE ${boolDoc("merge")} AND NOT ${boolDoc("scan")})
+         |ORDER BY query_id, doc_id""".stripMargin,
+
     // cursorMark paging on a field sort: page 2 strictly after the last
     // (n_chars, doc_id) of page 1
     "sort_cursor" ->

@@ -1439,6 +1439,27 @@ object SparkEntry {
           round(col("sim"), 6).as("sim"))
         .orderBy("rank")),
 
+    /** Percolation / saved searches (ES percolator, Luwak monitor — the
+      * reverse of search: which STORED queries match each document):
+      * every registered query runs as a normal search and stamps its id
+      * on the matches. At scale the stored-query set broadcasts and docs
+      * stream through once per registered disjunction class; here each
+      * saved query is one index search. */
+    "percolate" -> ((s, dir) => {
+      val r = reader(s, dir)
+      val saved: Seq[(String, BoolQ)] = Seq(
+        "q_spark_window" -> BoolQ(Seq(
+          (Occur.Must, TermQ("spark")), (Occur.Must, TermQ("window")))),
+        "q_dup" -> BoolQ(Seq((Occur.Must, TermQ("dup")))),
+        "q_merge_not_scan" -> BoolQ(Seq(
+          (Occur.Must, TermQ("merge")), (Occur.MustNot, TermQ("scan")))))
+      saved.map { case (qid, q) =>
+        new JoinScorer(r).scores(q).toDF("docId", "score")
+          .join(idMap(r), "docId")
+          .select(lit(qid).as("query_id"), col("doc_id"))
+      }.reduce(_ unionByName _).orderBy("query_id", "doc_id")
+    }),
+
     /** CursorMark paging on a FIELD sort (Solr deep paging; searchAfter
       * covers the score sort): the cursor is the last (n_chars, doc_id)
       * of page 1; page 2 is strictly-after in total sort order, so pages
