@@ -1113,6 +1113,12 @@ object OracleQueries {
          |       id, round(sim, 6) AS sim
          |FROM scp ORDER BY sim DESC, id LIMIT 10""".stripMargin,
 
+    // leading wildcard via reversed-token field: tokens ending in 'er'
+    "ft_leading_wildcard" ->
+      s"""WITH $tokensCte
+         |SELECT DISTINCT doc_id FROM tokens
+         |WHERE term LIKE '%er' ORDER BY doc_id""".stripMargin,
+
     // percolation: which saved queries match each document
     "percolate" ->
       s"""WITH $tokensCte

@@ -176,6 +176,21 @@ object SparkEntry {
         IndexReader(spark, cdir, cfg))
     })
 
+  private val revReaders = new scala.collection.concurrent.TrieMap[String, IndexReader]
+
+  /** Same corpus with the reversed-token "rev:" field indexed — the
+    * leading-wildcard surface (ReversedWildcardFilterFactory analog). */
+  def revReader(spark: SparkSession, sfDir: String): IndexReader =
+    revReaders.getOrElseUpdate(sfDir, {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      val cfg = ftConfig((maxId / DocsPerPart + 1).toInt)
+        .copy(reverseTokens = true)
+      val dir = java.nio.file.Files.createTempDirectory("graft-rev").toString
+      IndexBuilder.build(spark, docsAsInput(docs), dir, cfg)
+      IndexReader(spark, dir, cfg)
+    })
+
   private val nrtReaders = new scala.collection.concurrent.TrieMap[String, MultiIndexReader]
 
   /** Same corpus as [[reader]] but ingested as base + 2 appended deltas
@@ -353,6 +368,18 @@ object SparkEntry {
 
     "ft_fuzzy" -> ((s, dir) => matchedDocs(s, dir,
       BoolQ(Seq((Occur.Should, FuzzyQ("merg", 1)))))),
+
+    /** Leading wildcard on a reversed-token index
+      * (ReversedWildcardFilterFactory): *er rewrites to a PREFIX scan of
+      * the rev dictionary ("rev:re…"), never a full-vocabulary regex. */
+    "ft_leading_wildcard" -> ((s, dir) => {
+      val r = revReader(s, dir)
+      new JoinScorer(r)
+        .scores(BoolQ(Seq((Occur.Should, WildcardQ("*er")))))
+        .toDF("docId", "score")
+        .join(idMap(r), "docId")
+        .select("doc_id").orderBy("doc_id")
+    }),
 
     "ft_range_term" -> ((s, dir) => matchedDocs(s, dir,
       BoolQ(Seq((Occur.Should, RangeQ("query", "sort")))))),

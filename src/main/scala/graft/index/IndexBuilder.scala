@@ -60,6 +60,13 @@ object IndexBuilder {
     * index/FieldInfos.java — here encoded by key prefix). */
   def pathTerm(token: String): String = "path:" + token
 
+  /** Reversed-token term key (reference
+    * solr/core/src/java/org/apache/solr/analysis/ReversedWildcardFilterFactory.java,
+    * lucene/analysis/common/.../reverse/ReverseStringFilter.java): the
+    * "rev:" field carries each content token reversed, so a leading
+    * wildcard becomes a prefix scan of this dictionary. */
+  def revTerm(token: String): String = "rev:" + token.reverse
+
   def fieldOfTerm(term: String): String =
     if (term.startsWith("path:")) "path" else "content"
 
@@ -72,7 +79,8 @@ object IndexBuilder {
     * stemmer (reference de/GermanAnalyzer.java etc.). */
   def invertDoc(docId: Long, docPart: Int, repo: String, path: String,
                 commit: String, lang: String, content: String,
-                maxTokenLength: Int, analyzer: String = "standard"): SegmentDoc = {
+                maxTokenLength: Int, analyzer: String = "standard",
+                reverseTokens: Boolean = false): SegmentDoc = {
     val (terms, positions) = analyzer match {
       case "standard" =>
         Analyzer.analyzeFlat(content, StopSets.forLang(lang), maxTokenLength)
@@ -120,6 +128,10 @@ object IndexBuilder {
         off = graft.codec.VByte.putVInt(pb, off, p - prevPos); prevPos = p; k += 1
       }
       postings += SegPosting(t, pb)
+      // rev field shares the content pb (same tf/positions; the doc's
+      // content norm rides along at merge time), so the extra field is
+      // pure posting volume, no re-encode
+      if (reverseTokens) postings += SegPosting(revTerm(t), pb)
       i = j
     }
     // path field: its own term space ("path:"-prefixed), positions and
@@ -251,6 +263,7 @@ object IndexBuilder {
     if (!stageDone(dir, "segments")) timed("segments") {
       val maxTok = cfg.maxTokenLength
       val analyzerName = cfg.analyzer
+      val revTok = cfg.reverseTokens
       val nParts = cfg.numDocParts
       val parted = (
         if (input.columns.contains("docPart"))
@@ -275,7 +288,7 @@ object IndexBuilder {
                 s"docPart ${d.docPart} outside [0, $nParts)")
             if (d.docPart != cur) { cur = d.docPart; idx = 0L }
             val sd = invertDoc(Ids.docId(cur, idx), cur, d.repo, d.path,
-              d.commit, d.lang, d.content, maxTok, analyzerName)
+              d.commit, d.lang, d.content, maxTok, analyzerName, revTok)
             idx += 1
             sd
           }

@@ -90,11 +90,19 @@ final case class IndexConfig(
     saltShift: Int = 16,
     maxTokenLength: Int = 255,
     shufflePartitions: Int = 32,
-    analyzer: String = "standard") {
+    analyzer: String = "standard",
+    /** Also index each content token REVERSED under the "rev:" field
+      * (Solr ReversedWildcardFilterFactory): leading-wildcard queries
+      * then rewrite to a PREFIX scan of the rev dictionary instead of a
+      * full-dictionary regex scan — the difference between O(matching
+      * row groups) and O(vocabulary) at 10^8 terms. Costs one extra
+      * posting per content posting. */
+    reverseTokens: Boolean = false) {
   require(numDocParts > 0 && numBuckets > 0 && waves > 0)
   require(analyzer == "standard" || analyzer == "english" ||
+    analyzer == "cjk" ||
     graft.analysis.LightStemmers.byName.contains(analyzer),
-    s"unknown analyzer '$analyzer' (standard | english | " +
+    s"unknown analyzer '$analyzer' (standard | english | cjk | " +
       graft.analysis.LightStemmers.byName.keys.toSeq.sorted.mkString(" | ") + ")")
 }
 

@@ -46,6 +46,14 @@ trait SearchReader {
     * opened need a re-open. */
   def deletedDocs: Option[org.apache.spark.sql.DataFrame] = None
 
+  /** Whether this index carries the reversed-token "rev:" field (built
+    * with IndexConfig.reverseTokens) — one memoized dictionary probe;
+    * leading-wildcard rewrites use it to pick the prefix-scan path. */
+  lazy val hasReverseField: Boolean = {
+    import org.apache.spark.sql.functions.col
+    !termStatsDf.where(col("term").startsWith("rev:")).isEmpty
+  }
+
   /** Realtime get (Solr /get, solr/handler/RealTimeGetHandler.java): the
     * newest live version of the doc with unique key (repo, path) — max
     * docId across base + delta sub-indexes, tombstones excluded. One row

@@ -69,6 +69,18 @@ final class JoinScorer(reader: SearchReader) {
       case (o, pq @ PrefixQ(p), b) =>
         (o, pq, ConstSet(reader.expandTerms(
           $"term".startsWith(p) && fieldGuard(p)).map(_.term), b))
+      case (o, wq @ WildcardQ(pat), b)
+        if pat.length > 1 && pat.startsWith("*") &&
+          !pat.substring(1).exists(c => c == '*' || c == '?') &&
+          reader.hasReverseField =>
+        // leading wildcard via the reversed-token field (Solr
+        // ReversedWildcardFilterFactory): *fix -> prefix scan of
+        // rev:xif* — O(matching dictionary row groups), never the
+        // full-vocabulary regex scan
+        val terms = reader.expandTerms(
+          $"term".startsWith("rev:" + pat.substring(1).reverse))
+          .map(ts => ts.term.stripPrefix("rev:").reverse)
+        (o, wq, ConstSet(terms, b))
       case (o, wq @ WildcardQ(pat), b) =>
         val rx = "(?s)" + pat.flatMap {
           case '*' => ".*"
@@ -94,7 +106,7 @@ final class JoinScorer(reader: SearchReader) {
     * versa (the pattern names its field via the "path:" key prefix). */
   private def fieldGuard(pattern: String) =
     if (pattern.startsWith("path:")) lit(true)
-    else !$"term".startsWith("path:")
+    else !$"term".startsWith("path:") && !$"term".startsWith("rev:")
 
   sealed trait RewrittenClause
   final case class ScoredTerm(term: String, stats: Option[TermStats],

@@ -250,6 +250,29 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     g1.unpersist()
   }
 
+  test("reversed-token field: leading wildcard == exact-term match set; " +
+    "content expansions never leak rev terms; CheckIndex clean") {
+    val dir = SparkSuite.tmpDir("graft-rev")
+    IndexBuilder.build(spark, input, dir, cfg.copy(reverseTokens = true))
+    val r = new IndexReader(spark, dir, cfg.numBuckets, cacheData = false)
+    assert(r.hasReverseField)
+    val viaRev = new JoinScorer(r)
+      .scores(BoolQ(Seq((Occur.Should, WildcardQ("*intln")))))
+      .map(_._1).collect().toSet
+    val exact = new JoinScorer(r)
+      .scores(BoolQ(Seq((Occur.Must, TermQ("println")))))
+      .map(_._1).collect().toSet
+    assert(viaRev.nonEmpty && viaRev == exact)
+    // a content prefix expansion must not pick up rev:/path: dictionary
+    // entries (fieldGuard)
+    val pfx = new JoinScorer(r)
+      .scores(BoolQ(Seq((Occur.Should, PrefixQ("r")))))
+      .map(_._1).collect()
+    assert(pfx.nonEmpty)
+    CheckIndex.run(r, Some(input)).collect()
+      .foreach(c => assert(c.violations == 0L, s"rev check ${c.check}"))
+  }
+
   private def deleteRec(p: Path): Unit =
     if (Files.exists(p))
       Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f =>
