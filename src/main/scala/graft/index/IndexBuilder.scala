@@ -474,8 +474,15 @@ object IndexBuilder {
         // write: without this every agg task writes a sliver of every
         // bucket directory (tasks x buckets tiny files — file-create
         // overhead was ~8% of the whole build and scaled at 0.94x);
-        // with it the stage emits exactly numBuckets files.
+        // with it the stage emits exactly numBuckets files. The
+        // within-bucket TERM SORT makes each file's parquet row-group
+        // min/max stats monotone in term, so prefix/range dictionary
+        // expansions (PrefixQ/RangeQ/rev: leading wildcards) prune to
+        // the matching row groups instead of scanning the whole
+        // dictionary — the difference between O(matches) and O(vocab)
+        // IO at a 10^8-term dictionary.
         .repartition($"bucket")
+        .sortWithinPartitions($"term")
         .as[TermStats]
         .write.mode("overwrite").option("compression", "zstd")
         .partitionBy("bucket").parquet(s"$dir/termstats")
