@@ -512,13 +512,42 @@ object IndexBuilder {
     dir
   }
 
+  /** Single-writer lock (reference IndexWriter write.lock,
+    * index/IndexWriter.java + store/NativeFSLockFactory.java — here a
+    * plain atomic-create marker, which is what a driver-coordinated
+    * batch pipeline needs): every MUTATING entry point (delete / update
+    * / versioned update) runs under it; a second concurrent writer fails
+    * fast instead of interleaving tombstone and delta commits. A crash
+    * can leave a stale lock — clear it with [[unlock]] (the
+    * IndexWriter.unlock analog) once no writer is running. */
+  def withWriteLock[T](dir: String)(f: => T): T = {
+    val lock = Paths.get(dir, "write.lock")
+    try Files.createFile(lock)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"index $dir is locked by another writer (write.lock present); " +
+            "if no writer is running this is a stale crash lock — clear " +
+            "it with IndexBuilder.unlock(dir)")
+    }
+    try f finally Files.deleteIfExists(lock)
+  }
+
+  /** Remove a stale write.lock (IndexWriter.unlock analog). */
+  def unlock(dir: String): Boolean =
+    Files.deleteIfExists(Paths.get(dir, "write.lock"))
+
   /** Tombstone deletes (reference IndexWriter.deleteDocuments +
     * per-segment live-docs, index/IndexWriter.java / LiveDocsFormat):
     * append the docIds to `dir/deletes`; readers opened afterwards
     * anti-join them out of every result. Statistics intentionally keep
     * counting deleted docs until [[compact]] purges them — exactly the
     * reference's pre-merge semantics. Returns the number written. */
-  def deleteDocs(spark: SparkSession, dir: String, docIds: DataFrame): Long = {
+  def deleteDocs(spark: SparkSession, dir: String, docIds: DataFrame): Long =
+    withWriteLock(dir) { deleteDocsLocked(spark, dir, docIds) }
+
+  private def deleteDocsLocked(spark: SparkSession, dir: String,
+                               docIds: DataFrame): Long = {
     import org.apache.spark.sql.functions.col
     val ids = docIds.select(col("docId").cast("long").as("docId"))
     ids.write.mode("append").parquet(s"$dir/deletes")
@@ -530,12 +559,12 @@ object IndexBuilder {
     * open over `dir` (the caller's serving reader keeps its point-in-time
     * view). */
   def deleteByQuery(spark: SparkSession, dir: String, cfg: IndexConfig,
-                    q: graft.search.BoolQ): Long = {
+                    q: graft.search.BoolQ): Long = withWriteLock(dir) {
     import spark.implicits._
     val r = new IndexReader(spark, dir, cfg.numBuckets, cacheData = false)
     val matched = new graft.search.JoinScorer(r).scores(q)
       .map(_._1).toDF("docId")
-    deleteDocs(spark, dir, matched)
+    deleteDocsLocked(spark, dir, matched)
   }
 
   /** Atomic update (IndexWriter.updateDocument(Term, doc),
@@ -549,7 +578,11 @@ object IndexBuilder {
     * new versions get new internal docIds exactly as in Lucene. Returns
     * the delta dir. */
   def updateDocs(spark: SparkSession, baseDir: String, input: DataFrame,
-                 cfg: IndexConfig): String = {
+                 cfg: IndexConfig): String =
+    withWriteLock(baseDir) { updateDocsLocked(spark, baseDir, input, cfg) }
+
+  private def updateDocsLocked(spark: SparkSession, baseDir: String,
+                               input: DataFrame, cfg: IndexConfig): String = {
     import org.apache.spark.sql.functions.col
     val r = MultiIndexReader.open(spark, baseDir, cfg.numBuckets,
       cacheData = false)
@@ -557,7 +590,7 @@ object IndexBuilder {
       .join(input.select(col("repo"), col("path")).distinct(),
         Seq("repo", "path"), "left_semi")
       .select(col("docId"))
-    deleteDocs(spark, baseDir, old)
+    deleteDocsLocked(spark, baseDir, old)
     append(spark, input, baseDir, subIndexDirs(baseDir).size, cfg)
   }
 
@@ -570,7 +603,8 @@ object IndexBuilder {
     * moved, or doc deleted/absent) are REJECTED, exactly as Solr returns
     * HTTP 409. Returns (applied, conflicted). */
   def updateDocsVersioned(spark: SparkSession, baseDir: String,
-                          input: DataFrame, cfg: IndexConfig): (Long, Long) = {
+                          input: DataFrame, cfg: IndexConfig): (Long, Long) =
+      withWriteLock(baseDir) {
     import org.apache.spark.sql.functions.{col, max => fmax, struct}
     val r = MultiIndexReader.open(spark, baseDir, cfg.numBuckets,
       cacheData = false)
@@ -594,7 +628,7 @@ object IndexBuilder {
       .localCheckpoint(true)
     val nOk = ok.count()
     val nConflict = joined.count() - nOk
-    if (nOk > 0) updateDocs(spark, baseDir, ok, cfg)
+    if (nOk > 0) updateDocsLocked(spark, baseDir, ok, cfg)
     (nOk, nConflict)
   }
 

@@ -273,6 +273,21 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       .foreach(c => assert(c.violations == 0L, s"rev check ${c.check}"))
   }
 
+  test("write.lock: a concurrent writer fails fast; unlock clears a " +
+    "stale crash lock; the lock releases after a successful mutation") {
+    val dir = SparkSuite.tmpDir("graft-lock")
+    build(dir)
+    Files.createFile(Paths.get(dir, "write.lock"))
+    val q = BoolQ(Seq((Occur.Must, TermQ("println"))))
+    val e = intercept[IllegalStateException] {
+      IndexBuilder.deleteByQuery(spark, dir, cfg, q)
+    }
+    assert(e.getMessage.contains("write.lock"))
+    assert(IndexBuilder.unlock(dir))
+    assert(IndexBuilder.deleteByQuery(spark, dir, cfg, q) > 0)
+    assert(!Files.exists(Paths.get(dir, "write.lock")), "lock released")
+  }
+
   private def deleteRec(p: Path): Unit =
     if (Files.exists(p))
       Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f =>
