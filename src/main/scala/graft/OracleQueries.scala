@@ -1330,6 +1330,79 @@ object OracleQueries {
          |SELECT id, CAST(n_frames AS BIGINT) AS n_frames,
          |  CAST(len(range(0, n_frames, 10)) AS BIGINT) AS n_sampled,
          |  array_to_string(range(0, n_frames, 10), ',') AS frame_idx_csv
-         |FROM m ORDER BY id""".stripMargin
+         |FROM m ORDER BY id""".stripMargin,
+
+    // ---------- spatial ----------
+    "geo_filt" ->
+      s"""WITH $geoPtsCte
+         |SELECT c_custkey FROM pts
+         |WHERE ${geoDistKm(48.85, 2.35)} <= 800.0
+         |ORDER BY c_custkey""".stripMargin,
+
+    "geo_bbox" ->
+      s"""WITH $geoPtsCte
+         |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt FROM pts
+         |WHERE lat >= 30.0 AND lat <= 50.0 AND lon >= -20.0 AND lon <= 40.0
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "geo_nearest" ->
+      s"""WITH $geoPtsCte,
+         |d AS (SELECT c_custkey, ${geoDistKm(40.71, -74.0)} AS dkm FROM pts)
+         |SELECT CAST(row_number() OVER (
+         |    ORDER BY round(dkm, 9), c_custkey) AS BIGINT) AS rank, c_custkey
+         |FROM d ORDER BY round(dkm, 9), c_custkey LIMIT 20""".stripMargin,
+
+    "geo_heatmap" ->
+      s"""WITH $geoPtsCte
+         |SELECT CAST(least(7, floor((lat - 40.0) / 2.0)) AS BIGINT) AS cell_row,
+         |       CAST(least(7, floor((lon - -10.0) / 4.0)) AS BIGINT) AS cell_col,
+         |       CAST(count(*) AS BIGINT) AS cnt
+         |FROM pts
+         |WHERE lat >= 40.0 AND lat <= 56.0 AND lon >= -10.0 AND lon <= 22.0
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // ---------- /export (full sorted result set) ----------
+    "export_sorted" ->
+      s"""WITH $tokensCte,
+         |$dlCsCte,
+         |m AS (SELECT DISTINCT doc_id FROM tokens WHERE term = 'merge')
+         |SELECT m.doc_id, dl.dl FROM m JOIN dl USING (doc_id)
+         |ORDER BY dl.dl DESC, m.doc_id""".stripMargin,
+
+    // ---------- MLT interestingTerms ----------
+    "mlt_interesting" ->
+      s"""WITH $tokensCte,
+         |d0 AS (SELECT term, count(*) AS tf FROM tokens WHERE doc_id = 0 GROUP BY term),
+         |alldf AS (SELECT term, count(DISTINCT doc_id) AS df FROM tokens GROUP BY term)
+         |SELECT d0.term AS term, CAST(d0.tf AS BIGINT) AS tf,
+         |       CAST(alldf.df AS BIGINT) AS df
+         |FROM d0 JOIN alldf USING (term) WHERE alldf.df >= 2
+         |ORDER BY d0.tf DESC, alldf.df ASC, d0.term LIMIT 5""".stripMargin,
+
+    // ---------- fuzzy suggester ----------
+    "ft_suggest_fuzzy" ->
+      s"""WITH $tokensCte,
+         |d AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |      FROM tokens GROUP BY term)
+         |SELECT term, df FROM d
+         |WHERE levenshtein(substr(term, 1, 5), 'strem') <= 1
+         |ORDER BY df DESC, term LIMIT 8""".stripMargin,
+
+    // ---------- payload scoring ----------
+    "ft_payload" ->
+      s"""WITH $tokensCte,
+         |pay AS (SELECT doc_id,
+         |          avg(CASE WHEN pos < 20 THEN CAST(2.0 AS DOUBLE)
+         |              ELSE CAST(1.0 AS DOUBLE) END) AS pay
+         |        FROM tokens WHERE term = 'spark' GROUP BY doc_id)
+         |SELECT CAST(row_number() OVER (
+         |    ORDER BY round(pay, 9) DESC, doc_id) AS BIGINT) AS rank, doc_id
+         |FROM pay ORDER BY round(pay, 9) DESC, doc_id LIMIT 10""".stripMargin,
+
+    // ---------- clustering component ----------
+    "cluster_docs" ->
+      s"""WITH ${ivfKmeansCtes(8, 64)}
+         |SELECT CAST(cid AS BIGINT) AS cluster, CAST(count(*) AS BIGINT) AS cnt
+         |FROM asg GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -142,6 +142,22 @@ object OracleSql {
        |${asgCte("asg", "cents")}""".stripMargin
   }
 
+  /** Deterministic LatLonType points over customer — mirrors
+    * SparkEntry.geoCustomers op for op (long mod, one double divide). */
+  val geoPtsCte: String =
+    """pts AS (SELECT c_custkey, c_mktsegment,
+      |  (c_custkey * 7919 % 18000) / CAST(100.0 AS DOUBLE) - 90.0 AS lat,
+      |  (c_custkey * 104729 % 36000) / CAST(100.0 AS DOUBLE) - 180.0 AS lon
+      |FROM customer)""".stripMargin
+
+  /** Haversine km from (lat, lon) columns to a constant point, mirroring
+    * Geo.haversineKm's exact operation order and association. */
+  def geoDistKm(clat: Double, clon: Double): String =
+    s"""(2 * CAST(6371.0087714 AS DOUBLE) * asin(sqrt(
+       |  sin(radians($clat - lat)/2) * sin(radians($clat - lat)/2) +
+       |  cos(radians(lat)) * cos(radians($clat)) *
+       |  sin(radians($clon - lon)/2) * sin(radians($clon - lon)/2))))""".stripMargin
+
   /** MinHash permutation params as VALUES — the engine's own constants. */
   lazy val minhashPermValues: String =
     Dedup.MinHashParams.map { case (i, a, b) => s"($i, $a, $b)" }.mkString(", ")

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.codec.SmallFloat
 import graft.index._
-import graft.operators.{Ann, Dedup, Multimodal, TextAnalysis}
+import graft.operators.{Ann, Dedup, Geo, Multimodal, TextAnalysis}
 import graft.search._
 
 /** Driver contract (see SURVEY.md §7 + the builder prompt): `queries` maps
@@ -72,6 +72,15 @@ object SparkEntry {
       val asg = Ann.ivfAssignTo(emb, cents).cache()
       (cents, asg)
     })
+
+  /** Deterministic LatLonType point columns over `customer` — the spatial
+    * queries' corpus. Integer-exact derivation (long mod then one double
+    * divide), so the engine and the DuckDB oracle compute bit-identical
+    * coordinates from the same parquet column. */
+  private def geoCustomers(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/customer.parquet")
+      .withColumn("lat", (col("c_custkey") * 7919 % 18000) / lit(100.0) - 90.0)
+      .withColumn("lon", (col("c_custkey") * 104729 % 36000) / lit(100.0) - 180.0)
 
   private val stemmedReaders = new scala.collection.concurrent.TrieMap[String, IndexReader]
 
@@ -1588,7 +1597,138 @@ object SparkEntry {
       Multimodal.sampleFrames(
         Multimodal.decodeStub(
           Multimodal.asMedia(s.read.parquet(s"$dir/documents.parquet"))), 10)
-        .orderBy("id"))
+        .orderBy("id")),
+
+    // ---------- spatial (Solr LatLonType: geofilt/bbox/geodist/heatmap) ----------
+
+    /** `{!geofilt pt=48.85,2.35 d=800}` — customers within 800 km of Paris.
+      * Two-phase: sargable bbox pushdown, then exact haversine verify. */
+    "geo_filt" -> ((s, dir) =>
+      Geo.geofilt(geoCustomers(s, dir), "lat", "lon", 48.85, 2.35, 800.0)
+        .select(col("c_custkey")).orderBy("c_custkey")),
+
+    /** `{!bbox}` + a facet over the boxed result — pure range predicates,
+      * both pushed into the parquet scan. */
+    "geo_bbox" -> ((s, dir) =>
+      Geo.bboxFilter(geoCustomers(s, dir), "lat", "lon", 30.0, 50.0, -20.0, 40.0)
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("cnt"))
+        .orderBy("c_mktsegment")),
+
+    /** `sort=geodist() asc, rows=20` near New York. Rank collapses
+      * sub-nanometer distance ties via round(,9) (cf. rankSel note). */
+    "geo_nearest" -> ((s, dir) =>
+      Geo.nearest(geoCustomers(s, dir), "lat", "lon", 40.71, -74.0, 20,
+          "c_custkey")
+        .withColumn("rank", row_number().over(
+          Window.orderBy(round(col("dist_km"), 9).asc, col("c_custkey").asc))
+          .cast("long"))
+        .select(col("rank"), col("c_custkey")).orderBy("rank")),
+
+    /** `facet.heatmap` — 8x8 grid counts over a Europe bbox (cell sizes
+      * 2.0 deg x 4.0 deg, exact binary doubles on both engines). */
+    "geo_heatmap" -> ((s, dir) =>
+      Geo.heatmap(geoCustomers(s, dir), "lat", "lon",
+          40.0, 56.0, -10.0, 22.0, 8, 8)
+        .select(col("cell_row"), col("cell_col"), col("cnt"))
+        .orderBy("cell_row", "cell_col")),
+
+    // ---------- /export handler (full sorted result streaming) ----------
+
+    /** Solr /export (solr/handler/component/SortingResponseWriter in 5.2):
+      * the FULL sorted match set, not a top-k — the feeder for streaming
+      * expressions. Distributed sort; nothing driver-side. */
+    "export_sorted" -> ((s, dir) => {
+      val r = reader(s, dir)
+      new JoinScorer(r).scores(must("merge")).toDF("docId", "score")
+        .join(r.docmeta.toDF(), "docId")
+        .select(col("path").cast("long").as("doc_id"),
+          col("dl").cast("long").as("dl"))
+        .orderBy(col("dl").desc, col("doc_id"))
+    }),
+
+    // ---------- MLT interestingTerms ----------
+
+    /** MoreLikeThis with interestingTerms=details (mlt/MoreLikeThis.java
+      * retrieveInterestingTerms): the selected terms themselves with their
+      * source-doc tf and collection df — same selection as ft_mlt. */
+    "mlt_interesting" -> ((s, dir) => {
+      import s.implicits._
+      val r = reader(s, dir)
+      val d0 = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") === 0L).select("text", "lang").head()
+      val toks = graft.analysis.Analyzer.analyze(d0.getString(0),
+        graft.analysis.StopSets.forLang(d0.getString(1)))
+      val tf = toks.groupBy(_.term).map { case (t, xs) => t -> xs.length }
+      val stats = r.termStats(tf.keys.toSeq)
+      tf.toSeq
+        .flatMap { case (t, f) => stats.get(t).map(st => (t, f.toLong, st.df)) }
+        .filter(_._3 >= 2L)
+        .sortBy { case (t, f, df) => (-f, df, t) }
+        .take(5).toDF("term", "tf", "df")
+    }),
+
+    // ---------- fuzzy suggester ----------
+
+    /** FuzzySuggester (lucene/suggest/.../analyzing/FuzzySuggester.java):
+      * completions whose prefix is within 1 edit of the typed text,
+      * weighted by df — catches in-prefix typos the plain FST can't. */
+    "ft_suggest_fuzzy" -> ((s, dir) => {
+      val r = reader(s, dir)
+      val q = "strem"
+      r.termStatsDf.toDF()
+        .where(!col("term").startsWith("path:") && !col("term").startsWith("rev:"))
+        .where(levenshtein(
+          expr(s"substring(term, 1, ${q.length})"), lit(q)) <= 1)
+        .orderBy(col("df").desc, col("term")).limit(8)
+        .select(col("term"), col("df"))
+    }),
+
+    // ---------- payload scoring ----------
+
+    /** PayloadScoreQuery(includeSpanScore=false, fn=avg) over a
+      * position-derived payload channel (reference: lucene/queries/.../
+      * payloads/PayloadTermQuery.java + analysis/common/.../payloads/
+      * TokenOffsetPayloadTokenFilter.java — payloads produced by the
+      * analysis chain from token geometry; here payload(occurrence) = 2.0
+      * when its position < 20 — a "lead paragraph" boost — else 1.0).
+      * Score(doc) = avg payload of the term's occurrences, read from the
+      * index's position channel, no re-analysis. */
+    "ft_payload" -> ((s, dir) => {
+      import s.implicits._
+      val r = reader(s, dir)
+      r.blocks(Seq("spark"))
+        .flatMap { b =>
+          graft.codec.PostingsCodec.decode(graft.codec.PostingBlock(
+            b.term, b.firstDoc, b.lastDoc, b.count, b.maxTf, b.sumTf,
+            b.maxPartial, b.docBytes, b.nrmBytes, b.posBytes)).iterator
+            .map { p =>
+              var sum = 0.0
+              var j = 0
+              while (j < p.positions.length) {
+                sum += (if (p.positions(j) < 20) 2.0 else 1.0); j += 1
+              }
+              (p.docId, sum / p.tf)
+            }
+        }.toDF("docId", "pay")
+        .join(idMap(r), "docId")
+        .withColumn("rank", row_number().over(
+          Window.orderBy(round(col("pay"), 9).desc, col("doc_id").asc))
+          .cast("long"))
+        .where(col("rank") <= 10)
+        .select(col("rank"), col("doc_id")).orderBy("rank")
+    }),
+
+    // ---------- clustering component ----------
+
+    /** Solr clustering component analog (contrib/clustering): k-means
+      * document clusters over the embedding column — same deterministic
+      * Lloyd iterations as the IVF index, assignments materialized once. */
+    "cluster_docs" -> ((s, dir) => {
+      val (_, asg) = ivfIndex(s, dir)
+      asg.groupBy(col("cid").cast("long").as("cluster"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("cluster")
+    })
   )
 
   def oracleSql: Map[String, String] = OracleQueries.all
