@@ -1388,6 +1388,14 @@ object OracleQueries {
          |WHERE levenshtein(substr(term, 1, 5), 'strem') <= 1
          |ORDER BY df DESC, term LIMIT 8""".stripMargin,
 
+    // ---------- group.ngroups ----------
+    "group_ngroups" ->
+      s"""WITH $tokensCte,
+         |m AS (SELECT DISTINCT doc_id FROM tokens WHERE term = 'merge')
+         |SELECT CAST(count(DISTINCT d.lang) AS BIGINT) AS n_groups,
+         |       CAST(count(*) AS BIGINT) AS n_docs
+         |FROM m JOIN documents d USING (doc_id)""".stripMargin,
+
     // ---------- payload scoring ----------
     "ft_payload" ->
       s"""WITH $tokensCte,

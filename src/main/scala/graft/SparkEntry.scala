@@ -1683,6 +1683,16 @@ object SparkEntry {
         .select(col("term"), col("df"))
     }),
 
+    /** Solr group.ngroups=true (Grouping.java): total distinct groups in
+      * the match set alongside the doc count — one distributed agg. */
+    "group_ngroups" -> ((s, dir) => {
+      val r = reader(s, dir)
+      new JoinScorer(r).scores(must("merge")).toDF("docId", "score")
+        .join(r.docmeta.toDF(), "docId")
+        .agg(countDistinct(col("lang")).as("n_groups"),
+          count(lit(1)).as("n_docs"))
+    }),
+
     // ---------- payload scoring ----------
 
     /** PayloadScoreQuery(includeSpanScore=false, fn=avg) over a

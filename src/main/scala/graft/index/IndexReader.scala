@@ -19,7 +19,8 @@ import graft.search.BM25
   * working set should live in executor storage — Spark evicts LRU).
   */
 final class IndexReader(val spark: SparkSession, val dir: String,
-                        val numBuckets: Int, val cacheData: Boolean = true)
+                        val numBuckets: Int, val cacheData: Boolean = true,
+                        val pinnedDeleteFiles: Option[Seq[String]] = None)
     extends SearchReader {
   import spark.implicits._
 
@@ -101,11 +102,20 @@ final class IndexReader(val spark: SparkSession, val dir: String,
     if (cacheData) p.persist(StorageLevel.MEMORY_AND_DISK) else p
   }
 
+  /** Tombstones. Live readers scan the whole `deletes/` dir; a reader
+    * opened at a snapshot (SnapshotDeletionPolicy analog, see
+    * [[Snapshot]]) pins the exact delete part-files that existed at the
+    * commit point — later appends to `deletes/` stay invisible. */
   override lazy val deletedDocs: Option[DataFrame] = {
     val p = java.nio.file.Paths.get(dir, "deletes")
-    if (!java.nio.file.Files.exists(p)) None
+    val files: Seq[String] = pinnedDeleteFiles match {
+      case Some(fs) => fs.map(f => p.resolve(f).toString)
+      case None =>
+        if (java.nio.file.Files.exists(p)) Seq(p.toString) else Nil
+    }
+    if (files.isEmpty) None
     else {
-      val d = spark.read.parquet(p.toString).select($"docId")
+      val d = spark.read.parquet(files: _*).select($"docId")
       Some(if (cacheData) d.persist(StorageLevel.MEMORY_AND_DISK) else d)
     }
   }

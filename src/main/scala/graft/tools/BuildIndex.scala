@@ -19,6 +19,10 @@ import graft.search.{BoolQ, JoinScorer, Occur, QueryParser}
   *   delete <indexDir> <numBuckets> "<classic query>"
   * spark-submit --class graft.tools.BuildIndex app.jar \
   *   compact <indexDir> <outDir> [numDocParts] [numBuckets]
+  * spark-submit --class graft.tools.BuildIndex app.jar \
+  *   snapshot <indexDir> <name>
+  * spark-submit --class graft.tools.BuildIndex app.jar \
+  *   backup <indexDir> <name> <destDir>
   * }}}
   *
   * No `master`/memory settings here — spark-submit owns cluster sizing
@@ -72,6 +76,16 @@ object BuildIndex {
         val r = new IndexReader(spark, out, cfg.numBuckets, cacheData = false)
         println(s"[compact] done: maxDoc=${r.collStats.maxDoc} " +
           s"sumTtf=${r.collStats.sumTotalTermFreq} -> $out")
+      case "snapshot" =>
+        val Array(_, dir, name) = args.take(3)
+        val m = Snapshot.create(spark, dir, name)
+        println(s"[snapshot] pinned '$name': ${m.subs.size} sub-index(es), " +
+          s"${m.subs.map(_.deleteFiles.size).sum} tombstone file(s)")
+      case "backup" =>
+        val Array(_, dir, name, dest) = args.take(4)
+        Snapshot.backup(dir, name, dest)
+        println(s"[backup] snapshot '$name' -> $dest (self-contained; " +
+          "open it directly to restore)")
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()

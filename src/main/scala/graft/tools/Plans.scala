@@ -16,7 +16,8 @@ object Plans {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("facet_field", "join_semi", "group_twopass", "ft_bm25_top20",
         "dedup_minhash", "ann_cosine", "significant_terms", "hybrid_rrf",
-        "ann_int8", "graph_gather", "ft_delete_search")
+        "ann_int8", "graph_gather", "ft_delete_search", "geo_filt",
+        "geo_nearest", "export_sorted")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "8")
