@@ -1388,6 +1388,67 @@ object OracleQueries {
          |WHERE levenshtein(substr(term, 1, 5), 'strem') <= 1
          |ORDER BY df DESC, term LIMIT 8""".stripMargin,
 
+    // ---------- index-free percolation (MemoryIndex path) ----------
+    "percolate_memory" ->
+      s"""WITH $tokensCte,
+         |m1 AS (SELECT 'q_spark_window' AS query_id, d.doc_id
+         |       FROM documents d
+         |       WHERE ${boolDoc("spark")} AND ${boolDoc("window")}),
+         |m2 AS (SELECT DISTINCT 'q_phrase_stream_table' AS query_id, a.doc_id
+         |       FROM tokens a
+         |       JOIN tokens b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |         AND b.term = 'table'
+         |       WHERE a.term = 'stream'),
+         |m3 AS (SELECT 'q_prefix_sca' AS query_id, d.doc_id FROM documents d
+         |       WHERE EXISTS(SELECT 1 FROM tokens t
+         |                    WHERE t.doc_id = d.doc_id AND t.term LIKE 'sca%'))
+         |SELECT query_id, doc_id FROM (
+         |  SELECT * FROM m1 UNION ALL SELECT * FROM m2 UNION ALL SELECT * FROM m3)
+         |ORDER BY query_id, doc_id""".stripMargin,
+
+    // ---------- relevance function queries (termfreq/docfreq/idf) ----------
+    "func_relevance" ->
+      s"""WITH $tokensCte,
+         |tfq AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tf
+         |        FROM tokens WHERE term = 'spark' GROUP BY doc_id),
+         |st AS (SELECT
+         |  (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM tokens
+         |   WHERE term = 'spark') AS df,
+         |  (SELECT count(*) FROM documents) AS n)
+         |SELECT t.doc_id, t.tf, st.df,
+         |  round(ln(CAST(st.n AS DOUBLE) / (CAST(st.df AS DOUBLE) + 1.0)) + 1.0,
+         |        6) AS idf
+         |FROM tfq t CROSS JOIN st ORDER BY doc_id""".stripMargin,
+
+    // ---------- phrase highlighting ----------
+    // Phrase score mirrors the engine's phraseHits: idf = sum of member
+    // term idfs (dfq from bm25ClauseCte = full collection df per term),
+    // tf = aligned phrase starts.
+    "ft_highlight_phrase" ->
+      s"""${bm25With("('stream'),('table')")},
+         |phtf AS (SELECT a.doc_id, CAST(count(*) AS BIGINT) AS ptf
+         |         FROM tokens a
+         |         JOIN tokens b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |           AND b.term = 'table'
+         |         WHERE a.term = 'stream' GROUP BY a.doc_id),
+         |pidf AS (SELECT sum(ln(1 + (cs.n - df + 0.5) / (df + 0.5))) AS v
+         |         FROM dfq, cs),
+         |phs AS (SELECT p.doc_id,
+         |          (SELECT v FROM pidf) * 2.2 * p.ptf /
+         |          (p.ptf + 1.2 * (0.25 + 0.75 * nrm.qdl /
+         |             (CAST(cs.sumdl AS DOUBLE) / cs.n))) AS s
+         |        FROM phtf p JOIN dl ON dl.doc_id = p.doc_id
+         |        JOIN nrm ON dl.dl BETWEEN nrm.lo AND nrm.hi
+         |        CROSS JOIN cs),
+         |top3 AS (SELECT doc_id FROM phs
+         |         ORDER BY round(s, 9) DESC, doc_id LIMIT 3)
+         |SELECT d.doc_id,
+         |  substr(d.text,
+         |    CAST(greatest(1, strpos(lower(d.text), 'stream table') - 15) AS BIGINT),
+         |    60) AS snippet
+         |FROM documents d JOIN top3 t ON t.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
     // ---------- group.ngroups ----------
     "group_ngroups" ->
       s"""WITH $tokensCte,

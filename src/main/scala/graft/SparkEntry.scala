@@ -1683,6 +1683,65 @@ object SparkEntry {
         .select(col("term"), col("df"))
     }),
 
+    /** Index-free percolation (lucene/memory/.../MemoryIndex.java — the
+      * one-doc index behind percolation/monitoring): each document is
+      * analyzed once and the saved-query set is evaluated directly on its
+      * term->positions map. Same operator runs over readStream micro-
+      * batches (PercolatorSpec); richer query surface than the indexed
+      * percolate query (phrase + prefix here). */
+    "percolate_memory" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val saved: Seq[(String, BoolQ)] = Seq(
+        "q_spark_window" -> BoolQ(Seq(
+          (Occur.Must, TermQ("spark")), (Occur.Must, TermQ("window")))),
+        "q_phrase_stream_table" -> BoolQ(Seq(
+          (Occur.Must, PhraseQ(Seq("stream", "table"), Seq(0, 1))))),
+        "q_prefix_sca" -> BoolQ(Seq((Occur.Must, PrefixQ("sca")))))
+      Percolator.percolate(docs, saved, idCol = "doc_id")
+        .orderBy("query_id", "doc_id")
+    }),
+
+    /** Relevance function queries (Solr termfreq()/docfreq()/idf() value
+      * sources, solr/search/ValueSourceParser.java): per-doc tf of a term
+      * read from the index postings (freq-only decode, positions
+      * skipped), with the collection df and ClassicSimilarity idf. */
+    "func_relevance" -> ((s, dir) => {
+      import s.implicits._
+      val r = reader(s, dir)
+      val st = r.termStats(Seq("spark"))("spark")
+      val n = r.collStats.maxDoc
+      val idf = math.log(n.toDouble / (st.df + 1.0)) + 1.0
+      r.blocks(Seq("spark"))
+        .flatMap { b =>
+          val (ids, tfs, _) = graft.codec.PostingsCodec.decodeDocs(
+            graft.codec.PostingBlock(b.term, b.firstDoc, b.lastDoc, b.count,
+              b.maxTf, b.sumTf, b.maxPartial, b.docBytes, b.nrmBytes,
+              b.posBytes))
+          ids.indices.iterator.map(i => (ids(i), tfs(i).toLong))
+        }.toDF("docId", "tf")
+        .join(idMap(r), "docId")
+        .select(col("doc_id"), col("tf"), lit(st.df).as("df"),
+          round(lit(idf), 6).as("idf"))
+        .orderBy("doc_id")
+    }),
+
+    /** Phrase highlighting (FastVectorHighlighter posture: the PHRASE
+      * match drives the fragment, not the first lone term) — top-3 docs
+      * of an exact phrase query, snippet centered on the phrase. */
+    "ft_highlight_phrase" -> ((s, dir) => {
+      val r = reader(s, dir)
+      val q = BoolQ(Seq(
+        (Occur.Must, PhraseQ(Seq("stream", "table"), Seq(0, 1))): (Occur, Query)))
+      val top = new JoinScorer(r).topK(q, 3)
+        .join(idMap(r), "docId").select("doc_id")
+      top.join(s.read.parquet(s"$dir/documents.parquet"), "doc_id")
+        .select(col("doc_id"),
+          substring(col("text"),
+            greatest(lit(1), locate("stream table", lower(col("text"))) - 15),
+            lit(60)).as("snippet"))
+        .orderBy("doc_id")
+    }),
+
     /** Solr group.ngroups=true (Grouping.java): total distinct groups in
       * the match set alongside the doc count — one distributed agg. */
     "group_ngroups" -> ((s, dir) => {
