@@ -1449,6 +1449,112 @@ object OracleQueries {
          |FROM documents d JOIN top3 t ON t.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
 
+    // ---------- MultiPhraseQuery ----------
+    // Engine blends idf over ALL member terms (stream, spark, table);
+    // freq counts starts where slot 0 has (stream|spark) and slot 1 has
+    // table at the next position.
+    "ft_multiphrase" ->
+      s"""${bm25With("('stream'),('spark'),('table')")},
+         |phtf AS (SELECT a.doc_id, CAST(count(*) AS BIGINT) AS ptf
+         |         FROM tokens a
+         |         JOIN tokens b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |           AND b.term = 'table'
+         |         WHERE a.term IN ('stream','spark') GROUP BY a.doc_id),
+         |pidf AS (SELECT sum(ln(1 + (cs.n - df + 0.5) / (df + 0.5))) AS v
+         |         FROM dfq, cs),
+         |agg AS (SELECT p.doc_id,
+         |          (SELECT v FROM pidf) * 2.2 * p.ptf /
+         |          (p.ptf + 1.2 * (0.25 + 0.75 * nrm.qdl /
+         |             (CAST(cs.sumdl AS DOUBLE) / cs.n))) AS score
+         |        FROM phtf p JOIN dl ON dl.doc_id = p.doc_id
+         |        JOIN nrm ON dl.dl BETWEEN nrm.lo AND nrm.hi
+         |        CROSS JOIN cs)
+         |${rankSel(15)}""".stripMargin,
+
+    // ---------- Naive Bayes classification ----------
+    // Multinomial NB, add-one smoothing over (class token total + vocab),
+    // resubstitution on the corpus; argmax at 6 decimals (cross-engine
+    // double-sum associativity ~1e-12, class gaps >> 1e-6), ties -> lang.
+    "classify_nb" ->
+      s"""WITH $tokensCte,
+         |cls AS (SELECT lang AS c, count(*) AS nc FROM documents GROUP BY lang),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |tl AS (SELECT d.lang AS c, t.term, CAST(count(*) AS BIGINT) AS ctf
+         |       FROM tokens t JOIN documents d ON d.doc_id = t.doc_id
+         |       GROUP BY 1, 2),
+         |tc AS (SELECT c, sum(ctf) AS tot FROM tl GROUP BY c),
+         |vv AS (SELECT CAST(count(DISTINCT term) AS DOUBLE) AS v FROM tokens),
+         |dt AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tfd
+         |       FROM tokens GROUP BY 1, 2),
+         |ll AS (SELECT g.doc_id, g.c,
+         |         sum(g.tfd * ln((coalesce(tl.ctf, 0) + 1.0) /
+         |                        (CAST(tc.tot AS DOUBLE) + vv.v))) AS ll
+         |       FROM (SELECT dt.*, cls.c FROM dt CROSS JOIN cls) g
+         |       LEFT JOIN tl ON tl.c = g.c AND tl.term = g.term
+         |       JOIN tc ON tc.c = g.c CROSS JOIN vv
+         |       GROUP BY 1, 2),
+         |sc2 AS (SELECT l.doc_id, l.c,
+         |          l.ll + ln(CAST(cls.nc AS DOUBLE) / nn.n) AS score
+         |        FROM ll l JOIN cls ON cls.c = l.c CROSS JOIN nn)
+         |SELECT doc_id, c AS pred FROM (
+         |  SELECT doc_id, c, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY round(score, 6) DESC, c) AS rn FROM sc2)
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // ---------- k-NN classification ----------
+    // Same term selection as ft_mlt but seeded from doc 42; prediction =
+    // majority lang of the 10 BM25-nearest neighbors.
+    "classify_knn" ->
+      s"""WITH $tokensCte,
+         |$dlCsCte,
+         |$normCte,
+         |d0 AS (SELECT term, count(*) AS tf FROM tokens WHERE doc_id = 42 GROUP BY term),
+         |alldf AS (SELECT term, count(DISTINCT doc_id) AS df FROM tokens GROUP BY term),
+         |q AS (SELECT d0.term AS qterm FROM d0 JOIN alldf USING (term)
+         |      WHERE alldf.df >= 2
+         |      ORDER BY d0.tf DESC, alldf.df ASC, d0.term LIMIT 5),
+         |$bm25ClauseCte,
+         |agg AS (SELECT doc_id, sum(s) AS score FROM sc
+         |        WHERE doc_id <> 42 GROUP BY doc_id),
+         |nb AS (SELECT doc_id FROM agg
+         |       ORDER BY round(score, 9) DESC, doc_id LIMIT 10)
+         |SELECT d.lang, CAST(count(*) AS BIGINT) AS votes
+         |FROM nb JOIN documents d USING (doc_id)
+         |GROUP BY d.lang ORDER BY votes DESC, d.lang""".stripMargin,
+
+    // ---------- FreeTextSuggester (bigram LM completion) ----------
+    "suggest_freetext" ->
+      s"""WITH $tokensCte,
+         |big AS (SELECT b.term, CAST(count(*) AS BIGINT) AS freq
+         |        FROM tokens a JOIN tokens b
+         |          ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |        WHERE a.term = 'spark' AND b.term LIKE 'w%'
+         |        GROUP BY b.term)
+         |SELECT term, freq FROM big ORDER BY freq DESC, term LIMIT 5""".stripMargin,
+
+    // ---------- WordBreakSpellChecker: breaks ----------
+    "spellcheck_wordbreak" ->
+      s"""WITH $tokensCte,
+         |dict AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |         FROM tokens GROUP BY term),
+         |cand AS (SELECT substr('sparkwindow', 1, CAST(i AS INT)) AS left_part,
+         |                substr('sparkwindow', CAST(i + 1 AS INT)) AS right_part
+         |         FROM UNNEST(generate_series(1, 10)) AS t(i))
+         |SELECT c.left_part, c.right_part, dl.df + dr.df AS freq
+         |FROM cand c JOIN dict dl ON dl.term = c.left_part
+         |JOIN dict dr ON dr.term = c.right_part
+         |ORDER BY freq DESC, left_part""".stripMargin,
+
+    // ---------- WordBreakSpellChecker: combinations ----------
+    "spellcheck_wordcombine" ->
+      s"""WITH $tokensCte,
+         |dict AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |         FROM tokens GROUP BY term),
+         |qt(i, w) AS (VALUES (1, 'win'), (2, 'dow'), (3, 'table')),
+         |comb AS (SELECT a.w || b.w AS combined FROM qt a JOIN qt b ON b.i = a.i + 1)
+         |SELECT c.combined, d.df FROM comb c JOIN dict d ON d.term = c.combined
+         |ORDER BY c.combined""".stripMargin,
+
     // ---------- group.ngroups ----------
     "group_ngroups" ->
       s"""WITH $tokensCte,

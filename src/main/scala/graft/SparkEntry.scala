@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.codec.SmallFloat
 import graft.index._
-import graft.operators.{Ann, Dedup, Geo, Multimodal, TextAnalysis}
+import graft.operators.{Ann, Classify, Dedup, Geo, Multimodal, TextAnalysis}
 import graft.search._
 
 /** Driver contract (see SURVEY.md §7 + the builder prompt): `queries` maps
@@ -1740,6 +1740,118 @@ object SparkEntry {
             greatest(lit(1), locate("stream table", lower(col("text"))) - 15),
             lit(60)).as("snippet"))
         .orderBy("doc_id")
+    }),
+
+    /** MultiPhraseQuery (search/MultiPhraseQuery.java): a phrase slot
+      * accepting alternatives — ("stream"|"spark") immediately followed
+      * by "table". Statistics blended over all member terms, freq =
+      * aligned starts over per-slot unions (UnionPostingsEnum). */
+    "ft_multiphrase" -> ((s, dir) => {
+      val q = BoolQ(Seq((Occur.Must,
+        MultiPhraseQ(Seq(Seq("stream", "spark"), Seq("table")),
+          Seq(0, 1))): (Occur, Query)))
+      rankedTopK(s, dir, q, 15)
+    }),
+
+    /** Naive Bayes classification (lucene/classification/.../
+      * SimpleNaiveBayesClassifier.java): multinomial NB with add-one
+      * smoothing, model read from corpus statistics, classifying every
+      * doc's lang. Model relations broadcast; data side streams. */
+    "classify_nb" -> ((s, dir) => {
+      Classify.naiveBayes(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy("doc_id")
+    }),
+
+    /** k-NN classification (lucene/classification/.../
+      * KNearestNeighborClassifier.java): MLT-style BM25 query from the
+      * target doc's top representative terms, class = majority vote of
+      * the 10 nearest neighbors. Output is the vote histogram (first row
+      * = the prediction). */
+    "classify_knn" -> ((s, dir) => {
+      val r = reader(s, dir)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val d0 = docs.where(col("doc_id") === 42L).select("text", "lang").head()
+      val toks = graft.analysis.Analyzer.analyze(d0.getString(0),
+        graft.analysis.StopSets.forLang(d0.getString(1)))
+      val tf = toks.groupBy(_.term).map { case (t, xs) => t -> xs.length }
+      val stats = r.termStats(tf.keys.toSeq)
+      val picked = tf.toSeq
+        .flatMap { case (t, f) => stats.get(t).map(st => (t, f, st.df)) }
+        .filter(_._3 >= 2L)
+        .sortBy { case (t, f, df) => (-f, df, t) }
+        .take(5).map(_._1)
+      val neighbors = new JoinScorer(r)
+        .topK(BoolQ(picked.map(t => (Occur.Should: Occur, TermQ(t): Query))), 11)
+        .join(idMap(r), "docId").where(col("doc_id") =!= 42L)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        .where(col("rank") <= 10).select("doc_id")
+      Classify.knnVotes(neighbors, docs)
+    }),
+
+    /** FreeTextSuggester (lucene/suggest/.../analyzing/FreeTextSuggester
+      * .java — an n-gram language model over the corpus): completions of
+      * "spark w..." ranked by bigram adjacency count, derived entirely
+      * from index postings positions (no raw-text pass). */
+    "suggest_freetext" -> ((s, dir) => {
+      import s.implicits._
+      val r = reader(s, dir)
+      val ctx = "spark"
+      val cands = r.expandTerms($"term".startsWith("w") &&
+        !$"term".startsWith("path:") && !$"term".startsWith("rev:"))
+        .map(_.term)
+      val rows = r.blocks((ctx +: cands).distinct).flatMap { b =>
+        graft.codec.PostingsCodec.decode(graft.codec.PostingBlock(b.term,
+          b.firstDoc, b.lastDoc, b.count, b.maxTf, b.sumTf, b.maxPartial,
+          b.docBytes, b.nrmBytes, b.posBytes)).iterator
+          .map(p => (p.docId, b.term, p.positions))
+      }
+      rows.groupByKey(_._1).flatMapGroups { (_, it) =>
+        var ctxPos: Array[Int] = null
+        val cs = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Int])]
+        it.foreach { case (_, t, pos) =>
+          if (t == ctx) ctxPos = pos else cs += ((t, pos))
+        }
+        if (ctxPos == null) Iterator.empty
+        else cs.iterator.map { case (t, pos) =>
+          var cnt = 0L
+          pos.foreach(p =>
+            if (java.util.Arrays.binarySearch(ctxPos, p - 1) >= 0) cnt += 1)
+          (t, cnt)
+        }.filter(_._2 > 0L)
+      }.toDF("term", "cnt")
+        .groupBy("term").agg(sum("cnt").as("freq"))
+        .orderBy(col("freq").desc, col("term")).limit(5)
+    }),
+
+    /** WordBreakSpellChecker.suggestWordBreaks (lucene/suggest/.../spell/
+      * WordBreakSpellChecker.java): split an out-of-dictionary run-on
+      * term at every point where both halves are dictionary words, ranked
+      * by combined df. */
+    "spellcheck_wordbreak" -> ((s, dir) => {
+      import s.implicits._
+      val r = reader(s, dir)
+      val word = "sparkwindow"
+      val parts = (1 until word.length)
+        .map(i => (word.substring(0, i), word.substring(i)))
+      val stats = r.termStats(parts.flatMap(p => Seq(p._1, p._2)).distinct)
+      parts.flatMap { case (l, rr) =>
+        for (ls <- stats.get(l); rs <- stats.get(rr))
+          yield (l, rr, ls.df + rs.df)
+      }.toDF("left_part", "right_part", "freq")
+        .orderBy(col("freq").desc, col("left_part"))
+    }),
+
+    /** WordBreakSpellChecker.suggestWordCombinations: merge adjacent
+      * query terms when the concatenation is a dictionary word. */
+    "spellcheck_wordcombine" -> ((s, dir) => {
+      import s.implicits._
+      val r = reader(s, dir)
+      val qterms = Seq("win", "dow", "table")
+      val combos = qterms.sliding(2).map(p => p(0) + p(1)).toSeq
+      val stats = r.termStats(combos)
+      combos.flatMap(cb => stats.get(cb).map(st => (cb, st.df)))
+        .toDF("combined", "df").orderBy("combined")
     }),
 
     /** Solr group.ngroups=true (Grouping.java): total distinct groups in

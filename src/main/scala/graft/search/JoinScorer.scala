@@ -41,6 +41,7 @@ final class JoinScorer(reader: SearchReader) {
     }
     val termQs = flat.collect { case (_, TermQ(t), _) => Seq(t)
       case (_, PhraseQ(ts, _), _) => ts
+      case (_, MultiPhraseQ(ss, _), _) => ss.flatten
       case (_, SloppyPhraseQ(ts, _, _), _) => ts
       case (_, SpanNearQ(ts, _, _), _) => ts
       case (_, SpanOrQ(ts), _) => ts
@@ -63,6 +64,8 @@ final class JoinScorer(reader: SearchReader) {
         (o, pq, ScoredPhrase(ts, rel, ts.map(stats.get), 0, b))
       case (o, pq @ SloppyPhraseQ(ts, rel, slop), b) =>
         (o, pq, ScoredPhrase(ts, rel, ts.map(stats.get), slop, b))
+      case (o, mq @ MultiPhraseQ(ss, rel), b) =>
+        (o, mq, ScoredMultiPhrase(ss, rel, ss.map(_.map(stats.get)), b))
       case (o, rq @ RegexpQ(pat), b) =>
         (o, rq, ConstSet(reader.expandTerms(
           $"term".rlike("^" + pat + "$") && fieldGuard(pat)).map(_.term), b))
@@ -115,6 +118,9 @@ final class JoinScorer(reader: SearchReader) {
                                 stats: Seq[Option[TermStats]],
                                 slop: Int = 0,
                                 boost: Float = 1f) extends RewrittenClause
+  final case class ScoredMultiPhrase(slots: Seq[Seq[String]], rel: Seq[Int],
+                                     stats: Seq[Seq[Option[TermStats]]],
+                                     boost: Float = 1f) extends RewrittenClause
   final case class ScoredSpan(terms: Seq[String], slop: Int,
                               stats: Seq[Option[TermStats]],
                               boost: Float = 1f,
@@ -247,6 +253,70 @@ final class JoinScorer(reader: SearchReader) {
               ok = cost <= slop
               j += 1
             }
+          }
+          if (ok) pf += 1
+          i += 1
+        }
+        if (pf == 0) ClauseHit(docId, clause, kind, Float.NaN)
+        else ClauseHit(docId, clause, kind,
+          BM25.score(wv, pf.toFloat, cacheB.value, norm))
+      }
+    }.filter(h => !java.lang.Float.isNaN(h.score))
+  }
+
+  /** Multi-phrase hits (reference search/MultiPhraseQuery.java +
+    * UnionPostingsEnum): each slot's alternatives' position lists are
+    * unioned into one sorted list per slot, then the exact-phrase
+    * alignment count runs over the merged lists. Weight blends ALL member
+    * terms' statistics (idf sum), as the reference's union enum does. */
+  private def multiPhraseHits(slots: Seq[Seq[String]], rel: Seq[Int],
+                              stats: Seq[Seq[Option[TermStats]]],
+                              clause: Int, kind: Int,
+                              boost: Float = 1f): Dataset[ClauseHit] = {
+    // a slot with no indexed alternative can never align -> no matches
+    if (slots.isEmpty || stats.exists(_.forall(_.isEmpty)))
+      return spark.emptyDataset[ClauseHit]
+    var idfSum = 0f
+    stats.flatten.flatten.foreach(ts =>
+      idfSum += BM25.idf(ts.df, reader.collStats.maxDoc))
+    val wv = BM25.weightValue(idfSum, boost)
+    val relArr = rel.toArray
+    val nSlots = slots.length
+    // a term may serve several slots ("(a b) (b c)")
+    val termSlots: Map[String, Seq[Int]] =
+      slots.zipWithIndex.flatMap { case (sl, i) => sl.map(_ -> i) }
+        .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2) }
+    val cacheB = spark.sparkContext.broadcast(
+      reader.normCacheFor(IndexBuilder.fieldOfTerm(slots.head.head)))
+    val tIdxB = spark.sparkContext.broadcast(termSlots)
+    reader.blocks(slots.flatten.distinct).flatMap { b =>
+      val idxs = tIdxB.value(b.term)
+      PostingsCodec.decode(graft.codec.PostingBlock(b.term, b.firstDoc,
+        b.lastDoc, b.count, b.maxTf, b.sumTf, b.maxPartial, b.docBytes,
+        b.nrmBytes, b.posBytes)).iterator.flatMap(p =>
+        idxs.map(idx => (p.docId, idx, p.positions, p.norm)))
+    }.groupByKey(_._1).mapGroups { (docId, it) =>
+      val bySlot = Array.fill(nSlots)(List.empty[Array[Int]])
+      var norm: Byte = 0
+      it.foreach { case (_, i, pos, n) => bySlot(i) ::= pos; norm = n }
+      if (bySlot.exists(_.isEmpty)) ClauseHit(docId, clause, kind, Float.NaN)
+      else {
+        // union alternatives per slot (positions are disjoint across
+        // alternatives: one token per position)
+        val merged = bySlot.map { ls =>
+          val a = ls.toArray.flatten
+          java.util.Arrays.sort(a); a
+        }
+        var pf = 0
+        val base = merged(0)
+        var i = 0
+        while (i < base.length) {
+          val p0 = base(i) - relArr(0)
+          var ok = true
+          var j = 1
+          while (ok && j < nSlots) {
+            ok = java.util.Arrays.binarySearch(merged(j), p0 + relArr(j)) >= 0
+            j += 1
           }
           if (ok) pf += 1
           i += 1
@@ -415,6 +485,8 @@ final class JoinScorer(reader: SearchReader) {
         case ScoredTerm(t, st, b) => termHits(t, i, kind, st, b)
         case ScoredPhrase(ts, rel, st, slop, b) =>
           phraseHits(ts, rel, st, i, kind, slop, b)
+        case ScoredMultiPhrase(ss, rel, st, b) =>
+          multiPhraseHits(ss, rel, st, i, kind, b)
         case ScoredSpan(ts, slop, st, b, ord) =>
           spanHits(ts, slop, st, i, kind, b, ord)
         case ScoredSpanOr(ts, st, b) => spanOrHits(ts, st, i, kind, b)

@@ -66,6 +66,13 @@ object Percolator {
       val posLists = ts.map(ix.getOrElse(_, Vector.empty))
       posLists.head.exists(p0 =>
         posLists.indices.forall(i => posLists(i).contains(p0 + rel(i))))
+    case MultiPhraseQ(ss, rel) =>
+      // per-slot union of the alternatives' positions (MemoryIndex's view
+      // of MultiPhraseQuery's UnionPostingsEnum)
+      val posLists = ss.map(_.flatMap(t => ix.getOrElse(t, Vector.empty)))
+      posLists.head.exists(p0 =>
+        posLists.indices.forall(i =>
+          posLists(i).contains(p0 - rel(0) + rel(i))))
     case SloppyPhraseQ(ts, rel, slop) =>
       val a = ix.getOrElse(ts.head, Vector.empty)
       val b = ix.getOrElse(ts(1), Vector.empty)

@@ -21,6 +21,14 @@ final case class TermQ(term: String) extends Query
   * stopwords were removed at parse time, reference PhraseQuery analyzed
   * positions). */
 final case class PhraseQ(terms: Seq[String], rel: Seq[Int]) extends Query
+/** Multi-phrase (reference search/MultiPhraseQuery.java): a phrase where
+  * each position slot accepts ANY of several alternative terms (the query
+  * shape index-time synonyms or prefix-expanded phrase terms produce).
+  * Statistics are blended: idf = sum over every member term across all
+  * slots (the UnionPostingsEnum posture); freq = count of start positions
+  * where each slot has SOME alternative at its rel offset. */
+final case class MultiPhraseQ(slots: Seq[Seq[String]],
+                              rel: Seq[Int]) extends Query
 final case class PrefixQ(prefix: String) extends Query
 final case class WildcardQ(pattern: String) extends Query
 final case class FuzzyQ(term: String, maxEdits: Int = 2) extends Query

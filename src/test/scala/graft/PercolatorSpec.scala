@@ -30,7 +30,10 @@ class PercolatorSpec extends AnyFunSuite {
       (Occur.Must, PhraseQ(Seq("import", "return"), Seq(0, 1))))),
     "wild_fuzzy" -> BoolQ(Seq(
       (Occur.Should, WildcardQ("d?taset")),
-      (Occur.Should, FuzzyQ("mrege", 2))), minShouldMatch = 2))
+      (Occur.Should, FuzzyQ("mrege", 2))), minShouldMatch = 2),
+    "multiphrase" -> BoolQ(Seq(
+      (Occur.Must, MultiPhraseQ(Seq(Seq("import", "merge"), Seq("return")),
+        Seq(0, 1))))))
 
   private lazy val input = CorpusGen.generate(spark, 300).toDF()
   private lazy val docs = input
