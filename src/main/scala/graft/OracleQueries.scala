@@ -1064,6 +1064,68 @@ object OracleQueries {
          |WHERE CAST(i2.i AS DOUBLE) / (sa.n + sb.n - i2.i) >= 0.2
          |ORDER BY a, b""".stripMargin,
 
+    // ---------- dedup clusters (connected components over LSH pairs) ----------
+    // Transitive closure of min-reachable id == the engine's iterated
+    // min-label propagation fixed point.
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |perm(pi, pa, pb) AS (VALUES $minhashPermValues),
+         |hh AS (SELECT id, shingle,
+         |         ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS h
+         |       FROM sh),
+         |mh AS (SELECT id, pi, min((pa * h + pb) % 2147483647) AS mh
+         |       FROM hh, perm GROUP BY id, pi),
+         |bands AS (SELECT id, pi // 4 AS band,
+         |            string_agg(mh::VARCHAR, ',' ORDER BY pi) AS sig
+         |          FROM mh GROUP BY id, band),
+         |cand AS (SELECT DISTINCT x.id AS a, y.id AS b FROM bands x
+         |         JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.id < y.id),
+         |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+         |inter AS (SELECT c.a, c.b, count(*) AS i FROM cand c
+         |          JOIN sh p ON p.id = c.a
+         |          JOIN sh q ON q.id = c.b AND q.shingle = p.shingle
+         |          GROUP BY c.a, c.b),
+         |nd AS (SELECT i2.a, i2.b FROM inter i2
+         |       JOIN sizes sa ON sa.id = i2.a JOIN sizes sb ON sb.id = i2.b
+         |       WHERE CAST(i2.i AS DOUBLE) / (sa.n + sb.n - i2.i) >= 0.2),
+         |edges AS (SELECT a AS u, b AS v FROM nd UNION SELECT b, a FROM nd),
+         |reach(id2, lab) AS (
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT e.u, r.lab FROM edges e JOIN reach r ON r.id2 = e.v)
+         |SELECT min(lab) AS cluster, id2 AS member FROM reach
+         |GROUP BY id2 ORDER BY cluster, member""".stripMargin,
+
+    // ---------- benchmark decontamination (8-gram overlap) ----------
+    "decontaminate" ->
+      s"""WITH $tokAllCte,
+         |tl AS (SELECT doc_id, list(term ORDER BY pos) AS ts
+         |       FROM tokall GROUP BY doc_id),
+         |g AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+7], ' ') AS gram
+         |      FROM tl, UNNEST(generate_series(1, len(ts) - 7)) AS t(i)),
+         |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 8)
+         |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS hits
+         |FROM g JOIN bg USING (gram)
+         |WHERE g.doc_id % 10 <> 8
+         |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
+
+    // ---------- deterministic stratified sampling ----------
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (doc_id * 2654435761) % 1000 <
+        |  CASE lang WHEN 'en' THEN 500 WHEN 'fr' THEN 250 WHEN 'de' THEN 200
+        |            WHEN 'es' THEN 200 WHEN 'zh' THEN 100 ELSE 0 END
+        |ORDER BY doc_id""".stripMargin,
+
+    // ---------- blocklist scrub ----------
+    "scrub_blocklist" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\bdup\b')) AS BIGINT) AS redactions,
+        |  md5(regexp_replace(text, '\bdup\b', '<BAD>', 'g')) AS scrubbed_md5
+        |FROM documents
+        |WHERE len(regexp_extract_all(text, '\bdup\b')) > 0
+        |ORDER BY doc_id""".stripMargin,
+
     "dedup_simhash" ->
       s"""WITH $tokAllCte,
          |tf AS (SELECT doc_id AS id, term, CAST(count(*) AS BIGINT) AS tf

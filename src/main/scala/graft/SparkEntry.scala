@@ -1424,6 +1424,48 @@ object SparkEntry {
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("a", "b")),
 
+    /** Dedup clustering: connected components over the MinHash-LSH
+      * verified near-dup pairs — (cluster = component-min doc_id,
+      * member). The "keep one per duplicate group" step; min-label
+      * propagation, one shuffle per round, rounds = component diameter. */
+    "dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup
+        .minhashLsh(s.read.parquet(s"$dir/documents.parquet"), 3, 0.2)
+        .select("a", "b")
+      Dedup.clusters(pairs).orderBy("cluster", "member")
+    }),
+
+    /** Benchmark decontamination: corpus docs sharing any word 8-gram
+      * with the benchmark slice (doc_id % 10 == 8 stands in for an eval
+      * set); hits = distinct shared 8-grams. Benchmark grams broadcast. */
+    "decontaminate" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val bench = docs.where(col("doc_id") % 10 === 8)
+      TextAnalysis.decontaminate(docs, bench, 8).orderBy("doc_id")
+    }),
+
+    /** Deterministic stratified sampling: per-lang permille rates via a
+      * multiplicative-hash keep rule — pure scan predicate, no RNG. */
+    "sample_stratified" -> ((s, dir) => {
+      TextAnalysis.sampleStratified(
+        s.read.parquet(s"$dir/documents.parquet"),
+        Map("en" -> 500, "fr" -> 250, "de" -> 200, "es" -> 200,
+          "zh" -> 100))
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
+    /** Blocklist scrub: redact word-boundary occurrences of a blocklist
+      * pattern (the rare term 'dup' stands in for PII/badword regexes)
+      * and count redactions; emits md5 of the scrubbed text. */
+    "scrub_blocklist" -> ((s, dir) => {
+      TextAnalysis.scrub(s.read.parquet(s"$dir/documents.parquet"),
+          "\\bdup\\b", "<BAD>")
+        .where(col("redactions") > 0)
+        .select(col("doc_id"), col("redactions"),
+          md5(col("scrubbed")).as("scrubbed_md5"))
+        .orderBy("doc_id")
+    }),
+
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(s.read.parquet(s"$dir/documents.parquet"), 3)
         .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))

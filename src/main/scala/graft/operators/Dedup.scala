@@ -120,6 +120,42 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Connected components over near-dup pairs -> dedup clusters (the
+    * "keep one representative per duplicate group" step a training-data
+    * pipeline runs after pair generation; canonical id = component-min).
+    *
+    * Iterative min-label propagation (the MapReduce CC family of Kiveris
+    * et al., "Connected Components in MapReduce and Beyond"): each round
+    * every node adopts the minimum label in its closed neighborhood —
+    * one shuffle per round, rounds = O(component diameter). No driver-
+    * side graph state, so the edge list can be arbitrarily large;
+    * near-dup clusters are shallow (stars/cliques), so 2-3 rounds
+    * converge. Lineage is truncated per round (localCheckpoint) to keep
+    * the plan bounded. Returns (cluster, member). */
+  def clusters(pairs: DataFrame, a: String = "a", b: String = "b",
+               maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col(a).as("u"), col(b).as("v"))
+      .union(pairs.select(col(b).as("u"), col(a).as("v")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("lab", col("id"))
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val nbrMin = edges.join(labels.withColumnRenamed("id", "v"), "v")
+        .groupBy(col("u").as("id")).agg(min("lab").as("nlab"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("lab", "old"), "id")
+        .where(col("lab") =!= col("old")).isEmpty
+      labels = next
+      round += 1
+    }
+    labels.select(col("lab").as("cluster"), col("id").as("member"))
+  }
+
   final val SimHashBits = 48 // md5-derived; <2^48 keeps all sums exact
   final val SimHashBandBits = 12
   final val SimHashBands = SimHashBits / SimHashBandBits

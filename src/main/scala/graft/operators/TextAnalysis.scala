@@ -128,4 +128,49 @@ object TextAnalysis {
       .select(col("id"), coalesce(col("n_fp"), lit(0L)).as("n_fp"),
         coalesce(col("fp"), lit("")).as("fp"))
   }
+
+  /** Benchmark decontamination: flag corpus docs sharing any word k-gram
+    * with a benchmark/eval document set (the n-gram-overlap scrub LLM
+    * training pipelines run against held-out eval sets). At real scale
+    * the benchmark gram set is tiny next to the corpus (eval suites are
+    * megabytes vs terabytes), so it broadcasts and the corpus side is
+    * one exploded-gram scan + broadcast semi-join — no corpus shuffle.
+    * Returns (doc_id, hits) = number of distinct shared k-grams, for
+    * corpus docs (benchmark docs excluded) with hits > 0. */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, k: Int = 8,
+                    id: String = "doc_id",
+                    text: String = "text"): DataFrame = {
+    val grams = Dedup.docShingles(docs, k, id, text)
+    val bg = Dedup.docShingles(benchmark, k, id, text)
+      .select(col("shingle")).distinct()
+    val bids = benchmark.select(col(id).as("id")).distinct()
+    grams.join(broadcast(bg), "shingle")
+      .join(broadcast(bids), Seq("id"), "left_anti")
+      .groupBy(col("id").as(id)).agg(count(lit(1)).as("hits"))
+  }
+
+  /** Deterministic stratified sampling: per-class keep rates in permille,
+    * keep rule = Knuth multiplicative hash of the id mod 1000 — the
+    * data-mixture step of training-set assembly. Integer-exact, so the
+    * sample is bit-stable across engines/runs, and it's a pure scan
+    * predicate: no shuffle, no RNG state, pushes down to the source. */
+  def sampleStratified(docs: DataFrame, permille: Map[String, Int],
+                       id: String = "doc_id",
+                       classCol: String = "lang"): DataFrame = {
+    val rateCol = permille.foldLeft(lit(0)) { case (acc, (c, r)) =>
+      when(col(classCol) === c, lit(r)).otherwise(acc)
+    }
+    docs.where((col(id) * lit(2654435761L)) % 1000 < rateCol)
+  }
+
+  /** Blocklist scrub (the PII / badword redaction pass of a training
+    * pipeline): replace regex matches with a redaction token and count
+    * them. Email/phone/IP scrubbing is this same operator with the
+    * corresponding patterns; one narrow codegen'd map, no shuffle. */
+  def scrub(docs: DataFrame, pattern: String,
+            token: String = "<SCRUBBED>", id: String = "doc_id",
+            text: String = "text"): DataFrame =
+    docs.select(col(id),
+      regexp_replace(col(text), pattern, token).as("scrubbed"),
+      regexp_count(col(text), lit(pattern)).cast("long").as("redactions"))
 }
