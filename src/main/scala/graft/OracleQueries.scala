@@ -1533,6 +1533,28 @@ object OracleQueries {
          |        CROSS JOIN cs)
          |${rankSel(15)}""".stripMargin,
 
+    // ---------- surround parser (distance operator) ----------
+    // `stream 2w table`: ordered span, width - 2 <= slop(1)
+    "ft_surround" ->
+      s"""WITH $tokensCte
+         |SELECT DISTINCT a.doc_id FROM tokens a
+         |JOIN tokens b ON b.doc_id = a.doc_id AND b.pos > a.pos
+         |  AND (b.pos - a.pos + 1) - 2 <= 1
+         |WHERE a.term = 'stream' AND b.term = 'table' ORDER BY 1""".stripMargin,
+
+    // ---------- {!boost} multiplicative function boost ----------
+    "ft_boost_mult" ->
+      s"""WITH $tokensCte,
+         |$dlCsCte,
+         |$normCte,
+         |q(qterm) AS (VALUES ('spark'),('window')),
+         |$bm25ClauseCte,
+         |agg AS (SELECT sc.doc_id,
+         |          sum(sc.s) * ln(1.0 + any_value(d.n_chars)) AS score
+         |        FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+         |        GROUP BY sc.doc_id)
+         |${rankSel(10)}""".stripMargin,
+
     // ---------- Naive Bayes classification ----------
     // Multinomial NB, add-one smoothing over (class token total + vocab),
     // resubstitution on the corpus; argmax at 6 decimals (cross-engine

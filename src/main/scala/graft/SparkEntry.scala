@@ -1795,6 +1795,34 @@ object SparkEntry {
       rankedTopK(s, dir, q, 15)
     }),
 
+    /** Surround query parser (queryparser/surround): distance-operator
+      * grammar `stream 2w table` -> ordered span within distance 2. */
+    "ft_surround" -> ((s, dir) => {
+      val r = reader(s, dir)
+      val q = BoolQ(Seq((Occur.Must, SurroundParser.parse("stream 2w table"))))
+      new JoinScorer(r).scores(q).toDF("docId", "score")
+        .join(idMap(r), "docId").select("doc_id").orderBy("doc_id")
+    }),
+
+    /** Solr {!boost} query parser (BoostQParserPlugin / lucene queries
+      * CustomScoreQuery): main-query score MULTIPLIED by a function
+      * query — here ln(1 + n_chars) — unlike the additive bf of
+      * ft_boost_func. */
+    "ft_boost_mult" -> ((s, dir) => {
+      val r = reader(s, dir)
+      val q = QueryParser.parse("spark window")
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("n_chars"))
+      new JoinScorer(r).scores(q).toDF("docId", "score")
+        .join(idMap(r), "docId").join(docs, "doc_id")
+        .withColumn("fscore",
+          col("score").cast("double") * log(lit(1.0) + col("n_chars")))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("fscore").desc, col("doc_id").asc)).cast("long"))
+        .where(col("rank") <= 10)
+        .select("rank", "doc_id").orderBy("rank")
+    }),
+
     /** Naive Bayes classification (lucene/classification/.../
       * SimpleNaiveBayesClassifier.java): multinomial NB with add-one
       * smoothing, model read from corpus statistics, classifying every

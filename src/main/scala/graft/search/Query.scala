@@ -81,6 +81,43 @@ case object MatchAllQ extends Query
 final case class BoolQ(clauses: Seq[(Occur, Query)],
                        minShouldMatch: Int = 0) extends Query
 
+/** Surround-query-parser subset (reference lucene/queryparser/src/java/
+  * org/apache/lucene/queryparser/surround/parser/QueryParser.jj — the
+  * distance-operator grammar): an infix chain `t1 3W t2 3W t3` where the
+  * digit is the maximum span distance, `W` = ordered (NearSpansOrdered),
+  * `N` = any order. Distance N maps to span slop = N - 1 (window width
+  * <= nTerms + slop). All distance ops in one chain must agree — the
+  * reference nests DistanceQuery pairwise; a uniform chain is the flat
+  * equivalent, and mixed chains are refused rather than approximated. */
+object SurroundParser {
+  private val Op = "(\\d+)([wWnN])".r
+
+  def parse(s: String): Query = {
+    val toks = s.trim.split("\\s+").toSeq
+    if (toks.length < 3 || toks.length % 2 == 0)
+      throw new IllegalArgumentException(
+        s"surround distance chain expected (term NW term ...): $s")
+    val terms = Seq.newBuilder[String]
+    var dist = -1
+    var ordered = true
+    toks.zipWithIndex.foreach { case (t, i) =>
+      if (i % 2 == 0) terms += Analyzer.lowerCase(t)
+      else t match {
+        case Op(d, o) =>
+          val dd = d.toInt
+          val oo = o == "w" || o == "W"
+          if (dist >= 0 && (dd != dist || oo != ordered))
+            throw new IllegalArgumentException(
+              s"mixed distance operators in one chain: $s")
+          dist = dd; ordered = oo
+        case other =>
+          throw new IllegalArgumentException(s"bad distance op: $other")
+      }
+    }
+    SpanNearQ(terms.result(), slop = dist - 1, inOrder = ordered)
+  }
+}
+
 object QueryParser {
 
   /** Classic-QueryParser subset (reference grammar
