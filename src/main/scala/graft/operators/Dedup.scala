@@ -48,12 +48,15 @@ object Dedup {
       .select(col("keeper"), col("group_size"))
 
   /** (id, shingle) distinct pairs: word k-shingles of the lowercased
-    * token stream (stopwords kept — dedup is language-neutral). */
+    * token stream (stopwords kept — dedup is language-neutral).
+    * Per-doc dedup happens BEFORE the explode (array_distinct on the
+    * in-row shingle array), so distinctness costs zero shuffle — a
+    * doc's shingles all live in its own row. */
   def docShingles(docs: DataFrame, k: Int, id: String = "doc_id",
                   text: String = "text"): DataFrame =
     docs.select(col(id).as("id"),
-        explode(TextFns.shingles(TextFns.tokensAll(col(text)), k)).as("shingle"))
-      .distinct()
+      explode(array_distinct(
+        TextFns.shingles(TextFns.tokensAll(col(text)), k))).as("shingle"))
 
   /** Exact Jaccard over shingle sets for every pair sharing >=1 shingle
     * (the LSH-free baseline): (a, b, jaccard) with jaccard >= threshold,

@@ -17,7 +17,8 @@ object Plans {
       else Seq("facet_field", "join_semi", "group_twopass", "ft_bm25_top20",
         "dedup_minhash", "ann_cosine", "significant_terms", "hybrid_rrf",
         "ann_int8", "graph_gather", "ft_delete_search", "geo_filt",
-        "geo_nearest", "export_sorted")
+        "geo_nearest", "export_sorted", "classify_nb", "decontaminate",
+        "sample_stratified", "percolate_memory")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "8")
