@@ -1533,6 +1533,62 @@ object OracleQueries {
          |        CROSS JOIN cs)
          |${rankSel(15)}""".stripMargin,
 
+    // ---------- SpanWithinQuery ----------
+    // big = greedy minimal-end ordered (merge..batch) spans, width - 2
+    // <= 5; freq = distinct 'part' positions inside any span; idf from
+    // 'part' (the little side drives SpanWithinQuery).
+    "ft_span_within" ->
+      s"""WITH $tokensCte,
+         |$dlCsCte,
+         |$normCte,
+         |big AS (SELECT a.doc_id, a.pos AS s, min(b.pos) AS e
+         |        FROM tokens a JOIN tokens b ON b.doc_id = a.doc_id
+         |          AND b.pos > a.pos AND b.term = 'batch'
+         |        WHERE a.term = 'merge' GROUP BY a.doc_id, a.pos
+         |        HAVING (min(b.pos) - a.pos + 1) - 2 <= 5),
+         |wf AS (SELECT l.doc_id, CAST(count(DISTINCT l.pos) AS BIGINT) AS f
+         |       FROM tokens l JOIN big g ON g.doc_id = l.doc_id
+         |         AND l.pos BETWEEN g.s AND g.e
+         |       WHERE l.term = 'part' GROUP BY l.doc_id),
+         |ldf AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |        FROM tokens WHERE term = 'part'),
+         |agg AS (SELECT w2.doc_id,
+         |          ln(1 + (cs.n - ldf.df + 0.5) / (ldf.df + 0.5)) * 2.2 * w2.f /
+         |          (w2.f + 1.2 * (0.25 + 0.75 * nrm.qdl /
+         |             (CAST(cs.sumdl AS DOUBLE) / cs.n))) AS score
+         |        FROM wf w2 JOIN dl ON dl.doc_id = w2.doc_id
+         |        JOIN nrm ON dl.dl BETWEEN nrm.lo AND nrm.hi
+         |        CROSS JOIN cs CROSS JOIN ldf)
+         |${rankSel(10)}""".stripMargin,
+
+    // ---------- SpanContainingQuery ----------
+    "ft_span_containing" ->
+      s"""WITH $tokensCte,
+         |$dlCsCte,
+         |$normCte,
+         |big AS (SELECT a.doc_id, a.pos AS s, min(b.pos) AS e
+         |        FROM tokens a JOIN tokens b ON b.doc_id = a.doc_id
+         |          AND b.pos > a.pos AND b.term = 'batch'
+         |        WHERE a.term = 'merge' GROUP BY a.doc_id, a.pos
+         |        HAVING (min(b.pos) - a.pos + 1) - 2 <= 5),
+         |cf AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS f FROM big g
+         |       WHERE EXISTS(SELECT 1 FROM tokens l WHERE l.doc_id = g.doc_id
+         |                    AND l.term = 'part' AND l.pos BETWEEN g.s AND g.e)
+         |       GROUP BY g.doc_id),
+         |bdf AS (SELECT sum(ln(1 + (cs.n - df + 0.5) / (df + 0.5))) AS v FROM (
+         |          SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |          FROM tokens WHERE term = 'merge'
+         |          UNION ALL
+         |          SELECT CAST(count(DISTINCT doc_id) AS BIGINT)
+         |          FROM tokens WHERE term = 'batch') d, cs),
+         |agg AS (SELECT c2.doc_id,
+         |          (SELECT v FROM bdf) * 2.2 * c2.f /
+         |          (c2.f + 1.2 * (0.25 + 0.75 * nrm.qdl /
+         |             (CAST(cs.sumdl AS DOUBLE) / cs.n))) AS score
+         |        FROM cf c2 JOIN dl ON dl.doc_id = c2.doc_id
+         |        JOIN nrm ON dl.dl BETWEEN nrm.lo AND nrm.hi CROSS JOIN cs)
+         |${rankSel(10)}""".stripMargin,
+
     // ---------- surround parser (distance operator) ----------
     // `stream 2w table`: ordered span, width - 2 <= slop(1)
     "ft_surround" ->

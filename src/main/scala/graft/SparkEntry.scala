@@ -1795,6 +1795,24 @@ object SparkEntry {
       rankedTopK(s, dir, q, 15)
     }),
 
+    /** SpanWithinQuery (search/spans/SpanWithinQuery.java, new in 5.2):
+      * occurrences of 'part' inside an ordered ("merge".."batch") span of
+      * slop 5; freq = surviving occurrences, scored with part's idf. */
+    "ft_span_within" -> ((s, dir) => {
+      val q = BoolQ(Seq((Occur.Must,
+        SpanWithinQ("part", Seq("merge", "batch"), 5)): (Occur, Query)))
+      rankedTopK(s, dir, q, 10)
+    }),
+
+    /** SpanContainingQuery (search/spans/SpanContainingQuery.java):
+      * ("merge".."batch") spans holding at least one 'part'; freq =
+      * qualifying spans, scored with the big terms' summed idf. */
+    "ft_span_containing" -> ((s, dir) => {
+      val q = BoolQ(Seq((Occur.Must,
+        SpanContainingQ("part", Seq("merge", "batch"), 5)): (Occur, Query)))
+      rankedTopK(s, dir, q, 10)
+    }),
+
     /** Surround query parser (queryparser/surround): distance-operator
       * grammar `stream 2w table` -> ordered span within distance 2. */
     "ft_surround" -> ((s, dir) => {

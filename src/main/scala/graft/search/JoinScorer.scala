@@ -46,6 +46,8 @@ final class JoinScorer(reader: SearchReader) {
       case (_, SpanNearQ(ts, _, _), _) => ts
       case (_, SpanOrQ(ts), _) => ts
       case (_, SpanNotQ(inc, exc, _, _), _) => Seq(inc, exc)
+      case (_, SpanWithinQ(l, bg, _), _) => l +: bg
+      case (_, SpanContainingQ(l, bg, _), _) => l +: bg
       case (_, SpanFirstQ(t, _), _) => Seq(t) }.flatten
     val stats = reader.termStats(termQs.distinct)
     flat.map {
@@ -60,6 +62,12 @@ final class JoinScorer(reader: SearchReader) {
           stats.contains(exc), b))
       case (o, sq @ SpanFirstQ(t, end), b) =>
         (o, sq, ScoredSpanFirst(t, end, stats.get(t), b))
+      case (o, sq @ SpanWithinQ(l, bg, slop), b) =>
+        (o, sq, ScoredSpanContain(l, bg, slop, within = true,
+          stats.get(l), bg.map(stats.get), b))
+      case (o, sq @ SpanContainingQ(l, bg, slop), b) =>
+        (o, sq, ScoredSpanContain(l, bg, slop, within = false,
+          stats.get(l), bg.map(stats.get), b))
       case (o, pq @ PhraseQ(ts, rel), b) =>
         (o, pq, ScoredPhrase(ts, rel, ts.map(stats.get), 0, b))
       case (o, pq @ SloppyPhraseQ(ts, rel, slop), b) =>
@@ -136,6 +144,11 @@ final class JoinScorer(reader: SearchReader) {
   final case class ScoredSpanFirst(term: String, end: Int,
                                    stats: Option[TermStats],
                                    boost: Float = 1f) extends RewrittenClause
+  final case class ScoredSpanContain(little: String, big: Seq[String],
+                                     slop: Int, within: Boolean,
+                                     littleStats: Option[TermStats],
+                                     bigStats: Seq[Option[TermStats]],
+                                     boost: Float = 1f) extends RewrittenClause
   /** Constant-score set: every matching doc scores `boost` (reference
     * ConstantScoreQuery multiplies 1.0 by the query boost,
     * search/ConstantScoreQuery.java). */
@@ -445,6 +458,92 @@ final class JoinScorer(reader: SearchReader) {
     }.filter(h => !java.lang.Float.isNaN(h.score))
   }
 
+  /** Span-within / span-containing (reference search/spans/
+    * SpanWithinQuery.java, SpanContainingQuery.java — both new in the
+    * 5.2 reference): ordered `big` spans are enumerated greedily
+    * (minimal end per start, as NearSpansOrdered does); `within` counts
+    * little occurrences inside some big span (scored with little's idf),
+    * `containing` counts big spans holding at least one little
+    * occurrence (scored with the big terms' summed idf). */
+  private def spanContainHits(little: String, big: Seq[String], slop: Int,
+                              within: Boolean,
+                              littleStats: Option[TermStats],
+                              bigStats: Seq[Option[TermStats]],
+                              clause: Int, kind: Int,
+                              boost: Float): Dataset[ClauseHit] = {
+    if (littleStats.isEmpty || bigStats.exists(_.isEmpty) || big.isEmpty)
+      return spark.emptyDataset[ClauseHit]
+    var idf = 0f
+    if (within) idf = BM25.idf(littleStats.get.df, reader.collStats.maxDoc)
+    else bigStats.flatten.foreach(ts =>
+      idf += BM25.idf(ts.df, reader.collStats.maxDoc))
+    val wv = BM25.weightValue(idf, boost)
+    val nBig = big.length
+    val isWithin = within
+    val slp = slop
+    // roles: 0..nBig-1 = big slots, nBig = little (a term may fill both)
+    val roleIdx: Map[String, Seq[Int]] =
+      (big.zipWithIndex ++ Seq(little -> nBig))
+        .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2) }
+    val cacheB = spark.sparkContext.broadcast(
+      reader.normCacheFor(IndexBuilder.fieldOfTerm(little)))
+    val rIdxB = spark.sparkContext.broadcast(roleIdx)
+    reader.blocks((big :+ little).distinct).flatMap { b =>
+      val idxs = rIdxB.value(b.term)
+      PostingsCodec.decode(graft.codec.PostingBlock(b.term, b.firstDoc,
+        b.lastDoc, b.count, b.maxTf, b.sumTf, b.maxPartial, b.docBytes,
+        b.nrmBytes, b.posBytes)).iterator.flatMap(p =>
+        idxs.map(idx => (p.docId, idx, p.positions, p.norm)))
+    }.groupByKey(_._1).mapGroups { (docId, it) =>
+      val byRole = new Array[Array[Int]](nBig + 1)
+      var norm: Byte = 0
+      it.foreach { case (_, i, pos, n) => byRole(i) = pos; norm = n }
+      if (byRole.exists(_ == null)) ClauseHit(docId, clause, kind, Float.NaN)
+      else {
+        // greedy ordered big spans: minimal end per start position
+        val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+        val starts = byRole(0)
+        var i = 0
+        while (i < starts.length) {
+          var prev = starts(i)
+          var ok = true
+          var j = 1
+          while (ok && j < nBig) {
+            val arr = byRole(j)
+            val at = java.util.Arrays.binarySearch(arr, prev + 1)
+            val ins = if (at >= 0) at else -at - 1
+            if (ins >= arr.length) ok = false else prev = arr(ins)
+            j += 1
+          }
+          if (ok && (prev - starts(i) + 1) - nBig <= slp)
+            spans += ((starts(i), prev))
+          i += 1
+        }
+        val lp = byRole(nBig)
+        var sf = 0
+        if (isWithin) {
+          // little occurrences inside ANY big span (each counted once)
+          var k = 0
+          while (k < lp.length) {
+            val p = lp(k)
+            if (spans.exists(se => se._1 <= p && p <= se._2)) sf += 1
+            k += 1
+          }
+        } else {
+          // big spans containing at least one little occurrence
+          spans.foreach { case (s, e) =>
+            val at = java.util.Arrays.binarySearch(lp, s)
+            val ins = if (at >= 0) at else -at - 1
+            if (ins < lp.length && lp(ins) <= e) sf += 1
+          }
+        }
+        if (sf == 0) ClauseHit(docId, clause, kind, Float.NaN)
+        else ClauseHit(docId, clause, kind,
+          BM25.score(wv, sf.toFloat, cacheB.value, norm))
+      }
+    }.filter(h => !java.lang.Float.isNaN(h.score))
+  }
+
   /** Span-first (SpanFirstQuery analog): occurrences at position < `end`
     * survive; freq = surviving count, weight from the term's idf. The
     * positions filter runs inside the postings decode — no extra pass. */
@@ -494,6 +593,8 @@ final class JoinScorer(reader: SearchReader) {
           spanNotHits(inc, exc, pre, post, st, ep, i, kind, b)
         case ScoredSpanFirst(t, end, st, b) =>
           spanFirstHits(t, end, st, i, kind, b)
+        case ScoredSpanContain(l, bg, slop, w, lst, bst, b) =>
+          spanContainHits(l, bg, slop, w, lst, bst, i, kind, b)
         case ConstSet(ts, b) => constHits(ts, i, kind, b)
         case MatchAll(b) => matchAllHits(i, kind, b)
       }

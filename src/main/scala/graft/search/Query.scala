@@ -77,6 +77,19 @@ final case class SpanOrQ(terms: Seq[String]) extends Query
   * of surviving occurrences, scored with include's idf. */
 final case class SpanNotQ(include: String, exclude: String,
                           pre: Int = 0, post: Int = 0) extends Query
+/** Span-within (reference search/spans/SpanWithinQuery.java, new in 5.2):
+  * occurrences of `little` that lie inside some ordered `big` span
+  * (big = span-near over `big` terms with slop `slop`). freq = count of
+  * such occurrences; scored with little's statistics (the little side
+  * drives SpanWithinQuery's iteration). */
+final case class SpanWithinQ(little: String, big: Seq[String],
+                             slop: Int) extends Query
+/** Span-containing (reference search/spans/SpanContainingQuery.java):
+  * ordered `big` spans that contain at least one occurrence of `little`;
+  * freq = count of such spans, scored with the big terms' summed idf
+  * (the big side drives SpanContainingQuery). */
+final case class SpanContainingQ(little: String, big: Seq[String],
+                                 slop: Int) extends Query
 case object MatchAllQ extends Query
 final case class BoolQ(clauses: Seq[(Occur, Query)],
                        minShouldMatch: Int = 0) extends Query
