@@ -86,6 +86,31 @@ object NaiveOracle {
           if (pf == 0) None
           else Some(id -> BM25.score(wv, pf.toFloat, cache, norm(id)))
         }.toMap
+      case MultiPhraseQ(slots, rel) =>
+        // per-slot union of alternatives' positions; blended idf over all
+        // PRESENT member terms (engine skips absent stats)
+        if (slots.exists(_.forall(df(_) == 0L))) return Map.empty
+        var idfSum = 0f
+        slots.flatten.filter(df(_) > 0L)
+          .foreach(t => idfSum += BM25.idf(df(t), maxDoc))
+        val wv = BM25.weightValue(idfSum, boost)
+        val slotPos: Seq[Map[Long, Set[Int]]] = slots.map { sl =>
+          sl.flatMap(t => postings.getOrElse(t, Map.empty).toSeq)
+            .groupBy(_._1)
+            .map { case (id, xs) => id -> xs.flatMap(_._2).toSet }
+        }
+        val docsWithAll = slotPos.map(_.keySet).reduce(_ intersect _)
+        docsWithAll.iterator.flatMap { id =>
+          val pf = slotPos.head(id).toSeq.sorted.count(p0 =>
+            slots.indices.forall(j =>
+              slotPos(j)(id).contains(p0 - rel.head + rel(j))))
+          if (pf == 0) None
+          else Some(id -> BM25.score(wv, pf.toFloat, cache, norm(id)))
+        }.toMap
+      case SpanWithinQ(little, big, slop) =>
+        spanContain(little, big, slop, within = true, boost)
+      case SpanContainingQ(little, big, slop) =>
+        spanContain(little, big, slop, within = false, boost)
       case RegexpQ(pat) =>
         val rx = ("^" + pat + "$").r
         constSet(allTerms.filter(t => rx.findFirstIn(t).isDefined), boost)
@@ -102,6 +127,46 @@ object NaiveOracle {
       case FuzzyQ(t, e) => constSet(allTerms.filter(c => lev(c, t) <= e), boost)
       case MatchAllQ => dl.keys.map(_ -> boost).toMap
       case b: BoolQ => sys.error("nested bool not supported")
+    }
+
+    /** Greedy minimal-end ordered big spans of one doc (the
+      * NearSpansOrdered enumeration contract, written as filters/min
+      * rather than the engine's binary searches). */
+    private def bigSpans(big: Seq[String], slop: Int,
+                         id: Long): Seq[(Int, Int)] =
+      postings(big.head)(id).flatMap { s =>
+        var prev = s
+        var ok = true
+        big.drop(1).foreach { t =>
+          if (ok) {
+            val nxt = postings(t)(id).filter(_ > prev)
+            if (nxt.isEmpty) ok = false else prev = nxt.min
+          }
+        }
+        if (ok && (prev - s + 1) - big.length <= slop) Some((s, prev))
+        else None
+      }
+
+    /** SpanWithin / SpanContaining brute force. */
+    private def spanContain(little: String, big: Seq[String], slop: Int,
+                            within: Boolean,
+                            boost: Float): Map[Long, Float] = {
+      if (df(little) == 0L || big.exists(df(_) == 0L)) return Map.empty
+      var idf = 0f
+      if (within) idf = BM25.idf(df(little), maxDoc)
+      else big.foreach(t => idf += BM25.idf(df(t), maxDoc))
+      val wv = BM25.weightValue(idf, boost)
+      val docsWithAll =
+        (big :+ little).map(t => postings(t).keySet).reduce(_ intersect _)
+      docsWithAll.iterator.flatMap { id =>
+        val spans = bigSpans(big, slop, id)
+        val lp = postings(little)(id)
+        val sf =
+          if (within) lp.count(p => spans.exists(se => se._1 <= p && p <= se._2))
+          else spans.count { case (s, e) => lp.exists(p => s <= p && p <= e) }
+        if (sf == 0) None
+        else Some(id -> BM25.score(wv, sf.toFloat, cache, norm(id)))
+      }.toMap
     }
 
     /** ConstantScoreQuery semantics: each matching doc scores the boost. */

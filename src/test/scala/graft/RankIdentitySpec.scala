@@ -115,6 +115,26 @@ class RankIdentitySpec extends AnyFunSuite {
       Occur.Should -> TermQ("merge"))), 20)
   }
 
+  test("q7f: multi-phrase (per-slot alternatives, blended stats)") {
+    val q = BoolQ(Seq(Occur.Should -> MultiPhraseQ(
+      Seq(Seq("import", "return"), Seq("val", "def")), Seq(0, 1))))
+    assert(oracle.topK(q, 10).nonEmpty, "fixture must have matches")
+    checkQuery(q)
+    // a slot mixing present + absent alternatives still scores correctly
+    checkQuery(BoolQ(Seq(Occur.Should -> MultiPhraseQ(
+      Seq(Seq("import", "zzznope"), Seq("val")), Seq(0, 1)))))
+  }
+
+  test("q7g: span-within and span-containing") {
+    val qw = BoolQ(Seq(Occur.Must ->
+      SpanWithinQ("val", Seq("import", "return"), 8)))
+    val qc = BoolQ(Seq(Occur.Must ->
+      SpanContainingQ("val", Seq("import", "return"), 8)))
+    assert(oracle.topK(qw, 10).nonEmpty, "fixture must have matches")
+    checkQuery(qw)
+    checkQuery(qc)
+  }
+
   test("3-term sloppy phrase is refused (2-term movement cost only)") {
     intercept[IllegalArgumentException] {
       SloppyPhraseQ(Seq("a", "b", "c"), Seq(0, 1, 2), 2)
