@@ -1533,6 +1533,28 @@ object OracleQueries {
          |        CROSS JOIN cs)
          |${rankSel(15)}""".stripMargin,
 
+    // ---------- HighFreqTerms (lucene/misc) ----------
+    "high_freq_terms" ->
+      s"""WITH $tokensCte
+         |SELECT term, CAST(count(*) AS BIGINT) AS ttf,
+         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |FROM tokens GROUP BY term ORDER BY ttf DESC, term LIMIT 10""".stripMargin,
+
+    // ---------- BoostingQuery (demote-by-context) ----------
+    "ft_boosting_demote" ->
+      s"""WITH $tokensCte,
+         |$dlCsCte,
+         |$normCte,
+         |q(qterm) AS (VALUES ('spark'),('window')),
+         |$bm25ClauseCte,
+         |ctx AS (SELECT DISTINCT doc_id FROM tokens WHERE term = 'slow'),
+         |agg AS (SELECT sc.doc_id,
+         |          sum(sc.s) * (CASE WHEN ctx.doc_id IS NOT NULL
+         |                            THEN 0.5 ELSE 1.0 END) AS score
+         |        FROM sc LEFT JOIN ctx ON ctx.doc_id = sc.doc_id
+         |        GROUP BY sc.doc_id, ctx.doc_id)
+         |${rankSel(10)}""".stripMargin,
+
     // ---------- SpanWithinQuery ----------
     // big = greedy minimal-end ordered (merge..batch) spans, width - 2
     // <= 5; freq = distinct 'part' positions inside any span; idf from

@@ -59,6 +59,17 @@ object SparkEntry {
       IndexReader(spark, dir, cfg)
     })
 
+  private val minhashPairsCache =
+    new scala.collection.concurrent.TrieMap[String, DataFrame]
+
+  /** MinHash-LSH verified near-dup pairs materialized once per corpus
+    * (same materialize-per-snapshot posture as the IVF assignments):
+    * dedup_minhash reports them, dedup_clusters consumes them. */
+  def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    minhashPairsCache.getOrElseUpdate(dir,
+      Dedup.minhashLsh(s.read.parquet(s"$dir/documents.parquet"), 3, 0.2)
+        .cache())
+
   private val ivfIndexes =
     new scala.collection.concurrent.TrieMap[String, (DataFrame, DataFrame)]
 
@@ -1082,6 +1093,40 @@ object SparkEntry {
         .select(col("term"), col("df"), col("ttf"))
     }),
 
+    /** HighFreqTerms (lucene/misc/.../index/HighFreqTerms.java): top
+      * dictionary terms by total term frequency — straight off the
+      * termstats relation, no postings touched. */
+    "high_freq_terms" -> ((s, dir) => {
+      val r = reader(s, dir)
+      r.termStatsDf.toDF()
+        .where(!col("term").startsWith("path:") &&
+          !col("term").startsWith("rev:"))
+        .orderBy(col("ttf").desc, col("term")).limit(10)
+        .select(col("term"), col("ttf"), col("df"))
+    }),
+
+    /** BoostingQuery (lucene/queries/.../BoostingQuery.java): the main
+      * query scores normally, but docs also matching the context query
+      * are DEMOTED (score x 0.5) without being excluded — the
+      * "soft NOT". */
+    "ft_boosting_demote" -> ((s, dir) => {
+      val r = reader(s, dir)
+      val main = QueryParser.parse("spark window")
+      val ctx = QueryParser.parse("slow")
+      val js = new JoinScorer(r)
+      val ctxDocs = js.scores(ctx).toDF("docId", "cs").select("docId")
+        .withColumn("demote", lit(0.5))
+      js.scores(main).toDF("docId", "score")
+        .join(ctxDocs, Seq("docId"), "left")
+        .withColumn("fscore",
+          col("score").cast("double") * coalesce(col("demote"), lit(1.0)))
+        .join(idMap(r), "docId")
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("fscore").desc, col("doc_id").asc)).cast("long"))
+        .where(col("rank") <= 10)
+        .select("rank", "doc_id").orderBy("rank")
+    }),
+
     /** Significant terms (Solr SignificantTermsQParser / ES significant
       * terms): terms over-represented in the 'dup' result set vs the
       * whole corpus, scored by foreground/background rate lift. The
@@ -1420,7 +1465,7 @@ object SparkEntry {
         .orderBy("a", "b")),
 
     "dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashLsh(s.read.parquet(s"$dir/documents.parquet"), 3, 0.2)
+      minhashPairs(s, dir)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("a", "b")),
 
@@ -1429,10 +1474,8 @@ object SparkEntry {
       * member). The "keep one per duplicate group" step; min-label
       * propagation, one shuffle per round, rounds = component diameter. */
     "dedup_clusters" -> ((s, dir) => {
-      val pairs = Dedup
-        .minhashLsh(s.read.parquet(s"$dir/documents.parquet"), 3, 0.2)
-        .select("a", "b")
-      Dedup.clusters(pairs).orderBy("cluster", "member")
+      Dedup.clusters(minhashPairs(s, dir).select("a", "b"))
+        .orderBy("cluster", "member")
     }),
 
     /** Benchmark decontamination: corpus docs sharing any word 8-gram
