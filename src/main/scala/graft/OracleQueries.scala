@@ -1021,6 +1021,22 @@ object OracleQueries {
          |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
          |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
 
+    // ---------- sessionization (gap/island) ----------
+    "stream_sessionize" ->
+      """WITH l AS (SELECT user_id, ts, value,
+        |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, value) AS prev_ts
+        |      FROM events),
+        |b AS (SELECT *, CASE WHEN prev_ts IS NULL
+        |        OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000
+        |        THEN 1 ELSE 0 END AS brk FROM l),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, value
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM b)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  CAST(epoch_ms(min(ts)) AS BIGINT) AS first_ms,
+        |  CAST(epoch_ms(max(ts)) AS BIGINT) AS last_ms
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, first_ms""".stripMargin,
+
     // ---------- training-data ops ----------
     "dedup_exact" ->
       s"""SELECT min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS group_size

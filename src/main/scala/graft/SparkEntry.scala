@@ -1454,6 +1454,25 @@ object SparkEntry {
           col("event_type"), col("n"), col("sum_cents"))
         .orderBy("win_start", "event_type")),
 
+    /** Sessionization (batch reference of the flatMapGroupsWithState
+      * streaming op, StreamOps.sessionize — stream==batch equality is
+      * proven in StreamingSpec): 30-minute inactivity-gap sessions over
+      * the events table. */
+    "stream_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      // parquet ts is TIMESTAMP_NTZ; cast to session-tz timestamp (the
+      // harness runs UTC, so epoch values match DuckDB's naive-as-UTC)
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+          col("value"))
+        .as[graft.streaming.StreamOps.Event]
+      graft.streaming.StreamOps.sessionizeComplete(ev, 30L * 60 * 1000)
+        .select(col("user_id"), col("n"), col("sum_cents"),
+          unix_millis(col("first_ts")).as("first_ms"),
+          unix_millis(col("last_ts")).as("last_ms"))
+        .orderBy("user_id", "first_ms")
+    }),
+
     // ---------- training-data ops: dedup ----------
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(s.read.parquet(s"$dir/documents.parquet"))
