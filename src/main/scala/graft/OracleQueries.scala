@@ -1549,6 +1549,25 @@ object OracleQueries {
          |        CROSS JOIN cs)
          |${rankSel(15)}""".stripMargin,
 
+    // ---------- Luke per-field info ----------
+    // content = analyzed tokens; path = one keyword token per doc
+    // (zero-padded doc_id, the docsAsInput path).
+    "index_fieldinfo" ->
+      s"""WITH $tokensCte,
+         |ct AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+         |         CAST(count(*) AS BIGINT) AS ttf FROM tokens GROUP BY term),
+         |pt AS (SELECT lpad(CAST(doc_id AS VARCHAR), 9, '0') AS term,
+         |         CAST(1 AS BIGINT) AS df, CAST(1 AS BIGINT) AS ttf
+         |       FROM documents)
+         |SELECT * FROM (
+         |  SELECT 'content' AS field, CAST(count(*) AS BIGINT) AS n_terms,
+         |    CAST(sum(ttf) AS BIGINT) AS sum_ttf, CAST(max(df) AS BIGINT) AS max_df
+         |  FROM ct
+         |  UNION ALL
+         |  SELECT 'path', CAST(count(*) AS BIGINT), CAST(sum(ttf) AS BIGINT),
+         |    CAST(max(df) AS BIGINT) FROM pt)
+         |ORDER BY field""".stripMargin,
+
     // ---------- HighFreqTerms (lucene/misc) ----------
     "high_freq_terms" ->
       s"""WITH $tokensCte

@@ -1093,6 +1093,23 @@ object SparkEntry {
         .select(col("term"), col("df"), col("ttf"))
     }),
 
+    /** Luke field info (solr/admin/luke, lucene index/FieldInfos): per
+      * indexed field, the dictionary size + total/max term stats — one
+      * pass over termstats, no postings. */
+    "index_fieldinfo" -> ((s, dir) => {
+      val r = reader(s, dir)
+      r.termStatsDf.toDF()
+        .withColumn("field",
+          when(col("term").startsWith("path:"), "path")
+            .when(col("term").startsWith("rev:"), "rev")
+            .otherwise("content"))
+        .groupBy("field")
+        .agg(count(lit(1)).cast("long").as("n_terms"),
+          sum("ttf").cast("long").as("sum_ttf"),
+          max("df").cast("long").as("max_df"))
+        .orderBy("field")
+    }),
+
     /** HighFreqTerms (lucene/misc/.../index/HighFreqTerms.java): top
       * dictionary terms by total term frequency — straight off the
       * termstats relation, no postings touched. */
