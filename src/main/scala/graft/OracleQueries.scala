@@ -1128,7 +1128,7 @@ object OracleQueries {
     // ---------- deterministic stratified sampling ----------
     "sample_stratified" ->
       """SELECT doc_id, lang FROM documents
-        |WHERE (doc_id * 2654435761) % 1000 <
+        |WHERE ((doc_id % 1000000007) * 2654435761) % 1000 <
         |  CASE lang WHEN 'en' THEN 500 WHEN 'fr' THEN 250 WHEN 'de' THEN 200
         |            WHEN 'es' THEN 200 WHEN 'zh' THEN 100 ELSE 0 END
         |ORDER BY doc_id""".stripMargin,

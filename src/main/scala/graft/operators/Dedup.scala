@@ -156,6 +156,12 @@ object Dedup {
       labels = next
       round += 1
     }
+    // an unconverged result is silently WRONG (labels mid-propagation);
+    // refuse it rather than return it — callers raise maxRounds for
+    // pathologically deep components
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge in $maxRounds rounds " +
+        "(component diameter exceeds maxRounds)")
     labels.select(col("lab").as("cluster"), col("id").as("member"))
   }
 

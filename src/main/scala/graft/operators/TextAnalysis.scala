@@ -160,7 +160,12 @@ object TextAnalysis {
     val rateCol = permille.foldLeft(lit(0)) { case (acc, (c, r)) =>
       when(col(classCol) === c, lit(r)).otherwise(acc)
     }
-    docs.where((col(id) * lit(2654435761L)) % 1000 < rateCol)
+    // id is reduced mod a prime BEFORE the multiply: (1e9 * 2.65e9)
+    // stays under Long.MaxValue, so the rule is overflow-free even at
+    // 10^12-scale ids (DuckDB raises on BIGINT overflow; Spark wraps —
+    // without the reduction the two engines would diverge)
+    docs.where(
+      ((col(id) % 1000000007L) * lit(2654435761L)) % 1000 < rateCol)
   }
 
   /** Blocklist scrub (the PII / badword redaction pass of a training
