@@ -1549,6 +1549,26 @@ object OracleQueries {
          |        CROSS JOIN cs)
          |${rankSel(15)}""".stripMargin,
 
+    // ---------- composite search handler (q + fq + paging + hl) ----------
+    "search_handler" ->
+      s"""WITH $tokensCte,
+         |$dlCsCte,
+         |$normCte,
+         |q(qterm) AS (VALUES ('spark'),('window')),
+         |$bm25ClauseCte,
+         |agg AS (SELECT sc.doc_id, sum(sc.s) AS score FROM sc
+         |        JOIN documents d ON d.doc_id = sc.doc_id AND d.lang = 'en'
+         |        GROUP BY sc.doc_id),
+         |rk AS (SELECT doc_id,
+         |         row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rn
+         |       FROM agg)
+         |SELECT CAST(rk.rn AS BIGINT) AS rank, rk.doc_id,
+         |  substr(d.text,
+         |    CAST(greatest(1, strpos(lower(d.text), 'spark') - 10) AS BIGINT),
+         |    40) AS snippet
+         |FROM rk JOIN documents d ON d.doc_id = rk.doc_id
+         |WHERE rk.rn BETWEEN 6 AND 10 ORDER BY rank""".stripMargin,
+
     // ---------- Luke per-field info ----------
     // content = analyzed tokens; path = one keyword token per doc
     // (zero-padded doc_id, the docsAsInput path).

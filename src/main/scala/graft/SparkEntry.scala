@@ -1093,6 +1093,29 @@ object SparkEntry {
         .select(col("term"), col("df"), col("ttf"))
     }),
 
+    /** Composite search handler (solr/.../component/SearchHandler.java —
+      * the default /select pipeline): q + fq + paging + highlighting in
+      * ONE request: BM25 "spark window", filtered to lang:en BEFORE
+      * ranking (fq semantics), page 2 (ranks 6-10), with a snippet
+      * window per hit. */
+    "search_handler" -> ((s, dir) => {
+      val r = reader(s, dir)
+      val q = QueryParser.parse("spark window")
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      new JoinScorer(r).scores(q).toDF("docId", "score")
+        .join(idMap(r), "docId")
+        .join(docs.select("doc_id", "lang", "text"), "doc_id")
+        .where(col("lang") === "en")
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        .where(col("rank") > 5 && col("rank") <= 10)
+        .select(col("rank"), col("doc_id"),
+          substring(col("text"),
+            greatest(lit(1), locate("spark", lower(col("text"))) - 10),
+            lit(40)).as("snippet"))
+        .orderBy("rank")
+    }),
+
     /** Luke field info (solr/admin/luke, lucene index/FieldInfos): per
       * indexed field, the dictionary size + total/max term stats — one
       * pass over termstats, no postings. */
