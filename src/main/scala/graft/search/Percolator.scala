@@ -102,7 +102,10 @@ object Percolator {
       if (q.minShouldMatch > 0) q.minShouldMatch
       else if (nMust == 0 && nShould > 0) 1
       else 0
-    !vetoed && mustSeen == nMust && shouldSeen >= effMsm
+    // a query with no positive clause matches NOTHING (Lucene's pure-
+    // negative semantics — the scored path has no candidates to score)
+    val hasPositive = nMust > 0 || nShould > 0
+    hasPositive && !vetoed && mustSeen == nMust && shouldSeen >= effMsm
   }
 
   /** Percolate a document relation (batch or streaming) against the

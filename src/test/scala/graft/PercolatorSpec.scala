@@ -61,6 +61,55 @@ class PercolatorSpec extends AnyFunSuite {
       "every saved query should match at least one doc in this corpus")
   }
 
+  test("randomized query sweep: matcher == indexed path (shared-code-free)") {
+    val dir = SparkSuite.tmpDir("graft-perc-rand")
+    IndexBuilder.build(spark, input, dir, cfg)
+    val r = new IndexReader(spark, dir, cfg.numBuckets, cacheData = false)
+    val idOf = r.docmeta.toDF()
+      .select(col("docId"),
+        regexp_extract(col("path"), "f(\\d+)", 1).cast("long").as("doc_id"))
+    val vocab = Vector("import", "return", "val", "def", "class", "object",
+      "spark", "merge", "filter", "index", "query", "dataset", "void",
+      "println", "reduce")
+    val rng = new scala.util.Random(7L)
+    def randClause(): Query = rng.nextInt(6) match {
+      case 0 => TermQ(vocab(rng.nextInt(vocab.length)))
+      case 1 => PrefixQ(vocab(rng.nextInt(vocab.length)).take(3))
+      case 2 => WildcardQ(vocab(rng.nextInt(vocab.length)).take(2) + "*t")
+      case 3 => FuzzyQ(vocab(rng.nextInt(vocab.length)).drop(1), 2)
+      case 4 => PhraseQ(Seq(vocab(rng.nextInt(vocab.length)),
+        vocab(rng.nextInt(vocab.length))), Seq(0, 1))
+      case _ => RangeQ("d", "n")
+    }
+    val randQs: Seq[(String, BoolQ)] = (0 until 12).map { i =>
+      val n = 1 + rng.nextInt(3)
+      val clauses = (0 until n).map { _ =>
+        val occ = rng.nextInt(4) match {
+          case 0 => Occur.Must
+          case 1 | 2 => Occur.Should
+          case _ => Occur.MustNot
+        }
+        (occ: Occur, randClause())
+      }
+      val nShould = clauses.count(_._1 == Occur.Should)
+      val msm = if (nShould >= 2 && rng.nextBoolean()) 2 else 0
+      s"rq$i" -> BoolQ(clauses, minShouldMatch = msm)
+    }
+    val got = Percolator.percolate(docs, randQs)
+      .as[(String, Long)].collect().toSet
+    val want = randQs.flatMap { case (qid, q) =>
+      new JoinScorer(r).scores(q).toDF("docId", "score")
+        .join(idOf, "docId").select("doc_id")
+        .as[Long].collect().map(qid -> _)
+    }.toSet
+    assert(got == want)
+    assert(want.nonEmpty, "sweep should produce some matches")
+    // pure-negative saved query matches NOTHING (Lucene semantics)
+    val pn = Percolator.percolate(docs,
+      Seq("neg" -> BoolQ(Seq((Occur.MustNot, TermQ("import"))))))
+    assert(pn.count() == 0L)
+  }
+
   test("same operator percolates a document stream (micro-batch == batch)") {
     implicit val sq = spark.sqlContext
     val mem = org.apache.spark.sql.execution.streaming.runtime
