@@ -1191,6 +1191,30 @@ object OracleQueries {
          |       id, round(sim, 6) AS sim
          |FROM scp ORDER BY sim DESC, id LIMIT 10""".stripMargin,
 
+    // two-stage ANN: int8 coarse top-100 -> fp32 exact rerank top-10
+    "ann_rerank" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |m AS (SELECT 127.0 / max(list_aggregate(
+         |        list_transform(v, x -> abs(x)), 'max')) AS sc FROM e),
+         |qz AS (SELECT vec_id, list_transform(v, x -> greatest(-127.0,
+         |         least(127.0, floor(x * sc + 0.5)))) AS q8
+         |       FROM e, m),
+         |q AS (SELECT q8 AS qv FROM qz WHERE vec_id = 0),
+         |coarse AS (SELECT id AS cid FROM (
+         |    SELECT vec_id AS id,
+         |      list_dot_product(q8, qv) /
+         |        (sqrt(list_dot_product(q8, q8)) * sqrt(list_dot_product(qv, qv))) AS sim
+         |    FROM qz, q WHERE vec_id <> 0)
+         |  ORDER BY sim DESC, id LIMIT 100),
+         |qf AS (SELECT v AS qfv FROM e WHERE vec_id = 0),
+         |rr AS (SELECT e.vec_id AS id,
+         |         list_dot_product(e.v, qfv) /
+         |           (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qfv, qfv))) AS sim
+         |       FROM e JOIN coarse ON coarse.cid = e.vec_id CROSS JOIN qf)
+         |SELECT CAST(row_number() OVER (ORDER BY sim DESC, id) AS BIGINT) AS rank,
+         |       id, round(sim, 6) AS sim
+         |FROM rr ORDER BY sim DESC, id LIMIT 10""".stripMargin,
+
     // leading wildcard via reversed-token field: tokens ending in 'er'
     "ft_leading_wildcard" ->
       s"""WITH $tokensCte

@@ -1619,6 +1619,15 @@ object SparkEntry {
           round(col("sim"), 6).as("sim"))
         .orderBy("rank")),
 
+    /** Two-stage ANN: int8 coarse top-100 -> fp32 exact rerank top-10
+      * (FAISS IndexRefine / SQ8+rerank deployment pattern). */
+    "ann_rerank" -> ((s, dir) =>
+      Ann.int8RerankTopK(s.read.parquet(s"$dir/embeddings.parquet"),
+          0L, 100, 10)
+        .select(col("rank").cast("long"), col("id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy("rank")),
+
     /** Percolation / saved searches (ES percolator, Luwak monitor — the
       * reverse of search: which STORED queries match each document):
       * every registered query runs as a normal search and stamps its id

@@ -68,6 +68,29 @@ object Ann {
       .select(col("rank"), col("id"), col("sim"))
   }
 
+  /** Two-stage retrieval (the coarse-scan + exact-rerank pattern of every
+    * large-scale ANN deployment, FAISS IndexRefine posture): stage 1
+    * scans the int8 scalar-quantized vectors (4x less memory traffic)
+    * for the top `candidates`; stage 2 reranks ONLY those candidates at
+    * full precision. At 100 TB the fp32 corpus is never scanned — the
+    * candidate set broadcasts. */
+  def int8RerankTopK(emb: DataFrame, queryId: Long, candidates: Int,
+                     k: Int, id: String = "vec_id",
+                     vec: String = "embedding"): DataFrame = {
+    val coarse = int8CosineTopK(emb, queryId, candidates, id, vec)
+      .select(col("id").as("cid"))
+    val q = emb.where(col(id) === queryId).select(col(vec).as("qv"))
+    emb.join(broadcast(coarse), col(id) === col("cid"))
+      .crossJoin(broadcast(q))
+      .select(col(id).as("id"),
+        TextFns.cosine(col(vec), col("qv")).as("sim"))
+      .orderBy(col("sim").desc, col("id").asc)
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("sim").desc, col("id").asc)))
+      .select(col("rank"), col("id"), col("sim"))
+  }
+
   /** Brute-force k-NN join: top-k neighbors for every query id < nQueries
     * (self excluded): (qid, rank, id, sim). */
   def knnJoin(emb: DataFrame, nQueries: Int, k: Int,
