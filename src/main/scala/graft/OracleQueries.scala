@@ -945,6 +945,13 @@ object OracleQueries {
          |  FROM customer JOIN orders ON o_custkey = c_custkey GROUP BY 1)
          |ORDER BY score DESC, c_custkey LIMIT 10""".stripMargin,
 
+    "join_score_total" ->
+      s"""SELECT CAST(row_number() OVER (ORDER BY score DESC, c_custkey) AS BIGINT) AS rank,
+         |       c_custkey, score FROM (
+         |  SELECT c_custkey, round(sum(o_totalprice), 4) AS score
+         |  FROM customer JOIN orders ON o_custkey = c_custkey GROUP BY 1)
+         |ORDER BY score DESC, c_custkey LIMIT 10""".stripMargin,
+
     "block_join_parent" ->
       s"""SELECT DISTINCT o_orderkey FROM orders o
          |JOIN lineitem l ON l.l_orderkey = o.o_orderkey

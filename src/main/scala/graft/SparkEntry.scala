@@ -1378,6 +1378,21 @@ object SparkEntry {
         .select("rank", "c_custkey", "score")
     }),
 
+    /** Query-time join with ScoreMode.Total (reference JoinUtil score
+      * modes — completes None/Max/Avg/Total): child scores SUM into the
+      * parent. Rounded to 4dp on both sides (double sum order). */
+    "join_score_total" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .groupBy("c_custkey")
+        .agg(round(sum("o_totalprice"), 4).as("score"))
+        .orderBy(col("score").desc, col("c_custkey")).limit(10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("c_custkey"))).cast("long"))
+        .select("rank", "c_custkey", "score")
+    }),
+
     /** Query-time join with ScoreMode.Avg (reference JoinUtil score
       * modes: Max is above, Avg here — None is join_semi). */
     "join_score_avg" -> ((s, dir) => {
