@@ -1826,6 +1826,135 @@ object OracleQueries {
     "cluster_docs" ->
       s"""WITH ${ivfKmeansCtes(8, 64)}
          |SELECT CAST(cid AS BIGINT) AS cluster, CAST(count(*) AS BIGINT) AS cnt
-         |FROM asg GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM asg GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // HLL cardinality: full register-level re-derivation of the engine's
+    // deterministic md5-based HyperLogLog (p=12): idx = top 12 of the
+    // 60-bit hash, rho = rank of first 1-bit in the low 48 (exact msb via
+    // a powers-of-two join, not floating log2), register sum as the exact
+    // BIGINT sum of 2^(49-rho), then the same raw / linear-counting
+    // estimate arithmetic in the engine's operation order.
+    "stats_cardinality" ->
+      s"""WITH pow(k, v) AS (SELECT k, CAST(power(2, k) AS BIGINT) FROM range(50) t(k)),
+         |hx AS (SELECT o_orderpriority AS g,
+         |         CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |       FROM orders),
+         |hw AS (SELECT g, h // ${1L << 48} AS idx, h % ${1L << 48} AS w FROM hx),
+         |rho AS (SELECT g, idx,
+         |          CASE WHEN w = 0 THEN 49 ELSE 48 - max(p.k) END AS rho
+         |        FROM hw LEFT JOIN pow p ON p.v <= hw.w
+         |        GROUP BY g, idx, w),
+         |reg AS (SELECT g, idx, max(rho) AS r FROM rho GROUP BY g, idx),
+         |agg AS (SELECT reg.g,
+         |          CAST(sum(p2.v) + (4096 - count(*)) * ${1L << 49} AS BIGINT) AS sumint,
+         |          4096 - count(*) AS zeros
+         |        FROM reg JOIN pow p2 ON p2.k = 49 - reg.r
+         |        GROUP BY reg.g)
+         |SELECT g AS o_orderpriority,
+         |  CASE WHEN (${graft.operators.Stats.AlphaMM} * 562949953421312.0 / sumint) <= 10240.0
+         |            AND zeros > 0
+         |       THEN CAST(round(4096 * ln(4096.0 / zeros)) AS BIGINT)
+         |       ELSE CAST(round(${graft.operators.Stats.AlphaMM} * 562949953421312.0 / sumint) AS BIGINT)
+         |  END AS card_est
+         |FROM agg ORDER BY 1""".stripMargin,
+
+    "group_facet" ->
+      s"""SELECT o_orderpriority, CAST(count(DISTINCT o_custkey) AS BIGINT) AS ngroups
+         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "facet_prefix" ->
+      s"""SELECT p_type, CAST(count(*) AS BIGINT) AS cnt FROM part
+         |WHERE p_type LIKE 'S%' GROUP BY 1
+         |HAVING count(*) >= 2 ORDER BY p_type""".stripMargin,
+
+    // sortMissingLast: best 'P'-order total per customer; missing sorts
+    // after every present value, served as two top-k slices
+    "sort_missing" ->
+      s"""WITH best AS (SELECT o_custkey, max(o_totalprice) AS mx FROM orders
+         |              WHERE o_orderstatus = 'P' GROUP BY 1),
+         |j AS (SELECT c.c_custkey, b.mx FROM customer c
+         |      LEFT JOIN best b ON b.o_custkey = c.c_custkey),
+         |p AS (SELECT 'present' AS part, c_custkey,
+         |        CAST(round(mx * 100) AS BIGINT) AS mx_cents
+         |      FROM j WHERE mx IS NOT NULL
+         |      ORDER BY mx DESC, c_custkey LIMIT 5),
+         |m AS (SELECT 'missing' AS part, c_custkey, CAST(-1 AS BIGINT) AS mx_cents
+         |      FROM j WHERE mx IS NULL ORDER BY c_custkey LIMIT 5)
+         |SELECT * FROM (SELECT * FROM p UNION ALL SELECT * FROM m)
+         |ORDER BY part DESC, mx_cents DESC, c_custkey""".stripMargin,
+
+    "func_strdist" ->
+      s"""SELECT p_partkey, p_name,
+         |  round(1.0 - CAST(levenshtein(p_name, 'small gear') AS DOUBLE)
+         |        / greatest(length(p_name), 10), 6) AS sim
+         |FROM part ORDER BY sim DESC, p_partkey LIMIT 20""".stripMargin,
+
+    // Solr date math resolved in SQL: date_trunc = /UNIT, INTERVAL = +/-
+    "date_math" ->
+      s"""WITH mx AS (SELECT max(epoch_ms(ts)) AS nowms FROM events),
+         |nw AS (SELECT make_timestamp(nowms * 1000) AS now_ts FROM mx),
+         |b(expr, from_ms) AS (
+         |  SELECT 'NOW/DAY', epoch_ms(date_trunc('day', now_ts)) FROM nw UNION ALL
+         |  SELECT 'NOW/DAY-7DAYS', epoch_ms(date_trunc('day', now_ts) - INTERVAL 7 DAY) FROM nw UNION ALL
+         |  SELECT 'NOW/HOUR-36HOURS', epoch_ms(date_trunc('hour', now_ts) - INTERVAL 36 HOUR) FROM nw UNION ALL
+         |  SELECT 'NOW/MONTH', epoch_ms(date_trunc('month', now_ts)) FROM nw UNION ALL
+         |  SELECT 'NOW-90MINUTES', epoch_ms(now_ts - INTERVAL 90 MINUTE) FROM nw UNION ALL
+         |  SELECT 'NOW/DAY+1DAY', epoch_ms(date_trunc('day', now_ts) + INTERVAL 1 DAY) FROM nw)
+         |SELECT b.expr, CAST(b.from_ms AS BIGINT) AS from_ms,
+         |       CAST(count(e.ts) AS BIGINT) AS cnt
+         |FROM b LEFT JOIN events e ON epoch_ms(e.ts) >= b.from_ms
+         |GROUP BY 1, 2 ORDER BY b.expr""".stripMargin,
+
+    "terms_query" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
+         |       CAST(sum(n_chars) AS BIGINT) AS chars
+         |FROM documents
+         |WHERE doc_id IN (${(0 until 300).map(_ * 7 + 3).mkString(", ")})
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // /analysis/field: stage 1 = raw tokenizer stream, stage 2 = after
+    // the per-lang StopFilter (positions keep the gaps)
+    "analysis_field" ->
+      s"""WITH $tokensCte
+         |SELECT doc_id, stage, pos, term FROM (
+         |  SELECT doc_id, '1_tokenize' AS stage, pos, term FROM tokall
+         |  WHERE doc_id IN (3, 7)
+         |  UNION ALL
+         |  SELECT doc_id, '2_stop', pos, term FROM tokens WHERE doc_id IN (3, 7))
+         |ORDER BY doc_id, stage, pos""".stripMargin,
+
+    // Gopher repetition: duplicate bigram/trigram fraction per doc
+    "quality_repetition" ->
+      s"""WITH $tokAllCte,
+         |g2 AS (SELECT a.doc_id AS id, count(*) AS t,
+         |         count(DISTINCT a.term || ' ' || b.term) AS d
+         |       FROM tokall a
+         |       JOIN tokall b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |       GROUP BY 1),
+         |g3 AS (SELECT a.doc_id AS id, count(*) AS t,
+         |         count(DISTINCT a.term || ' ' || b.term || ' ' || c.term) AS d
+         |       FROM tokall a
+         |       JOIN tokall b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |       JOIN tokall c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+         |       GROUP BY 1)
+         |SELECT d0.doc_id AS id,
+         |  round(1.0 - CAST(g2.d AS DOUBLE) / g2.t, 6) AS dup2_frac,
+         |  round(1.0 - CAST(g3.d AS DOUBLE) / g3.t, 6) AS dup3_frac
+         |FROM documents d0
+         |JOIN g2 ON g2.id = d0.doc_id JOIN g3 ON g3.id = d0.doc_id
+         |ORDER BY id""".stripMargin,
+
+    // unigram-LM doc scoring in exact integer micro-nats
+    "lm_logprob" ->
+      s"""WITH $tokAllCte,
+         |lmc AS (SELECT term, count(*) AS cnt FROM tokall GROUP BY 1),
+         |tot AS (SELECT count(*) AS t FROM tokall),
+         |mic AS (SELECT term,
+         |          CAST(round(ln(CAST(cnt AS DOUBLE) / t) * 1000000.0) AS BIGINT) AS micro
+         |        FROM lmc, tot)
+         |SELECT ta.doc_id AS id, CAST(count(*) AS BIGINT) AS n_tok,
+         |       CAST(sum(m.micro) AS BIGINT) AS sum_micro
+         |FROM tokall ta JOIN mic m ON m.term = ta.term
+         |GROUP BY 1 ORDER BY id""".stripMargin
   )
 }

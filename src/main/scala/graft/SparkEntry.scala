@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
 
 import graft.codec.SmallFloat
 import graft.index._
-import graft.operators.{Ann, Classify, Dedup, Geo, Multimodal, TextAnalysis}
+import graft.analysis.Analyzer
+import graft.operators.{Ann, Classify, Dedup, Geo, Multimodal, Stats, TextAnalysis}
 import graft.search._
 
 /** Driver contract (see SURVEY.md §7 + the builder prompt): `queries` maps
@@ -863,6 +864,43 @@ object SparkEntry {
         .where((col("n_chars") * 0.5 + 10).between(100, 200))
         .select("doc_id").orderBy("doc_id")),
 
+    /** strdist() function query (Solr ValueSourceParser "strdist" with
+      * the edit-distance flavor): similarity = 1 − lev/max(len), ranked.
+      * One codegen'd scan + TakeOrdered — no shuffle of the table. */
+    "func_strdist" -> ((s, dir) => {
+      val q = "small gear"
+      s.read.parquet(s"$dir/part.parquet")
+        .select(col("p_partkey"), col("p_name"),
+          round(lit(1.0) - levenshtein(col("p_name"), lit(q)).cast("double")
+            / greatest(length(col("p_name")), lit(q.length)), 6).as("sim"))
+        .orderBy(col("sim").desc, col("p_partkey")).limit(20)
+    }),
+
+    /** Solr date math (util/DateMathParser.java): NOW-relative
+      * expressions — `/UNIT` floor, `±N UNIT` arithmetic, left to right —
+      * resolved in Scala against the corpus max(ts) anchor, each driving
+      * a range count over events (the date-filter / facet.range.start
+      * companion). The 6-row bounds frame broadcasts; events stay put. */
+    "date_math" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("ts").cast("timestamp").as("ts")) // NTZ -> UTC instant
+      val nowMs = ev.agg(max(unix_millis(col("ts")))).head().getLong(0)
+      val now = java.time.Instant.ofEpochMilli(nowMs)
+      val exprs = Seq("NOW/DAY", "NOW/DAY-7DAYS", "NOW/HOUR-36HOURS",
+        "NOW/MONTH", "NOW-90MINUTES", "NOW/DAY+1DAY")
+      val b = s.createDataFrame(
+        exprs.map(e => (e, DateMath.resolve(now, e).toEpochMilli)))
+        .toDF("expr", "from_ms")
+      val counts = ev.select(unix_millis(col("ts")).as("ms"))
+        .crossJoin(broadcast(b))
+        .where(col("ms") >= col("from_ms"))
+        .groupBy("expr").agg(count(lit(1)).as("cnt"))
+      b.join(counts, Seq("expr"), "left")
+        .select(col("expr"), col("from_ms"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"))
+        .orderBy("expr")
+    }),
+
     /** DFR GL2 similarity (BasicModelG + AfterEffectL + NormalizationH2,
       * c=1): geometric-Bose-Einstein informative content, Laplace
       * normalization. */
@@ -1091,6 +1129,43 @@ object SparkEntry {
         .where(col("term").startsWith("s"))
         .orderBy("term").limit(10)
         .select(col("term"), col("df"), col("ttf"))
+    }),
+
+    /** TermsQuery / {!terms} (lucene/queries/TermsQuery.java, Solr
+      * TermsQParserPlugin): one filter from a large explicit id list.
+      * Scale shape: the list becomes a broadcast hash join against the
+      * id column — never an O(|list|) OR-expansion of clauses, never a
+      * shuffle of the corpus (the exact reason TermsQuery exists next
+      * to BooleanQuery in the reference). */
+    "terms_query" -> ((s, dir) => {
+      import s.implicits._
+      val ids = (0 until 300).map(i => (i * 7 + 3).toLong)
+      val terms = broadcast(ids.toDF("doc_id"))
+      s.read.parquet(s"$dir/documents.parquet")
+        .join(terms, "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("cnt"), sum("n_chars").as("chars"))
+        .orderBy("lang")
+    }),
+
+    /** /analysis/field handler (solr/handler/FieldAnalysisRequestHandler,
+      * AnalysisRequestHandlerBase.analyzeValue): the per-stage token
+      * stream dump for two corpus docs — stage 1_tokenize = tokenizer
+      * output before stop removal, stage 2_stop = after the per-lang
+      * StopFilter (positions keep the gaps). */
+    "analysis_field" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id").isin(3L, 7L))
+        .select("doc_id", "lang", "text").as[(Long, String, String)]
+        .flatMap { case (id, lang, text) =>
+          Analyzer.analyze(text, Set.empty)
+            .map(tp => (id, "1_tokenize", tp.position, tp.term)) ++
+            Analyzer.analyzeLang(text, lang)
+              .map(tp => (id, "2_stop", tp.position, tp.term))
+        }
+        .toDF("doc_id", "stage", "pos", "term")
+        .orderBy("doc_id", "stage", "pos")
     }),
 
     /** Composite search handler (solr/.../component/SearchHandler.java —
@@ -1469,6 +1544,32 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_shipdate").cast("timestamp").cast("double").as("ship_epoch"))),
 
+    /** sortMissingLast (Solr FieldType sortMissingLast=true): customers
+      * ranked by their best status-'P' order total; customers with no
+      * such order are "missing" and sort after every present value.
+      * Served scale-right as two top-k scans (TakeOrdered each), not one
+      * global nulls-last window: the 'present' head and the head of the
+      * 'missing' tail. */
+    "sort_missing" -> ((s, dir) => {
+      val best = s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_orderstatus") === "P")
+        .groupBy("o_custkey").agg(max("o_totalprice").as("mx"))
+      val joined = s.read.parquet(s"$dir/customer.parquet")
+        .select("c_custkey")
+        .join(best, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("mx"))
+      val present = joined.where(col("mx").isNotNull)
+        .orderBy(col("mx").desc, col("c_custkey")).limit(5)
+      val missing = joined.where(col("mx").isNull)
+        .orderBy(col("c_custkey")).limit(5)
+      present.unionByName(missing)
+        .select(
+          when(col("mx").isNotNull, "present").otherwise("missing").as("part"),
+          col("c_custkey"),
+          coalesce(round(col("mx") * 100).cast("long"), lit(-1L)).as("mx_cents"))
+        .orderBy(col("part").desc, col("mx_cents").desc, col("c_custkey"))
+    }),
+
     // ---------- streaming-expression analogs (events) ----------
     "stream_reduce" -> ((s, dir) =>
       s.read.parquet(s"$dir/events.parquet")
@@ -1687,6 +1788,37 @@ object SparkEntry {
           round(var_pop(col("l_quantity")), 4).as("variance"))
         .orderBy("l_returnflag")),
 
+    /** Stats component `cardinality=true` (Solr 5.2 StatsValuesFactory +
+      * java-hll): HyperLogLog distinct-customer estimate per priority
+      * bucket. Map-side partial aggregation of fixed 4 KiB registers —
+      * distinct VALUES never cross the shuffle (the whole point of the
+      * option vs count(distinct) at scale). The deterministic md5-based
+      * HLL is re-derived register-for-register by the SQL oracle. */
+    "stats_cardinality" -> ((s, dir) =>
+      s.read.parquet(s"$dir/orders.parquet")
+        .groupBy("o_orderpriority")
+        .agg(Stats.cardinality(col("o_custkey")).as("card_est"))
+        .orderBy("o_orderpriority")),
+
+    /** Grouped faceting (Solr group.facet=true, Grouping.java): facet
+      * counts count GROUPS (distinct customers), not documents. */
+    "group_facet" -> ((s, dir) =>
+      s.read.parquet(s"$dir/orders.parquet")
+        .groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("ngroups"))
+        .orderBy("o_orderpriority")),
+
+    /** facet.prefix + facet.mincount + facet.sort=index (SimpleFacets'
+      * prefix-bounded term walk): p_type buckets starting with 'S',
+      * mincount 2, lexicographic order. The prefix is a sargable
+      * range predicate — it prunes the scan, not the agg. */
+    "facet_prefix" -> ((s, dir) =>
+      s.read.parquet(s"$dir/part.parquet")
+        .where(col("p_type").startsWith("S"))
+        .groupBy("p_type").agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") >= 2)
+        .orderBy("p_type")),
+
     /** Facet over SEARCH results (the core Solr q + facet.field flow, vs
       * the standalone table facets below): language counts of the docs
       * matching "spark window". */
@@ -1739,6 +1871,18 @@ object SparkEntry {
 
     "token_counts" -> ((s, dir) =>
       TextAnalysis.tokenCounts(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy("id")),
+
+    /** Gopher-style repetition filters: per-doc duplicate bigram/trigram
+      * fraction, pure per-row collection functions (no shuffle). */
+    "quality_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy("id")),
+
+    /** Unigram-LM scoring (perplexity-proxy quality filter): integer
+      * micro-nat log-probs vs the corpus' own unigram LM. */
+    "lm_logprob" -> ((s, dir) =>
+      TextAnalysis.lmLogProb(s.read.parquet(s"$dir/documents.parquet"))
         .orderBy("id")),
 
     "fingerprint" -> ((s, dir) =>

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -178,4 +178,47 @@ object TextAnalysis {
     docs.select(col(id),
       regexp_replace(col(text), pattern, token).as("scrubbed"),
       regexp_count(col(text), lit(pattern)).cast("long").as("redactions"))
+
+  /** Within-document repetition quality signals (the Gopher/"Scaling
+    * Language Models" repetition filters, token-level analog): per doc,
+    * the fraction of duplicate word bigrams and trigrams — 1 −
+    * distinct/total. High values flag boilerplate/spam for removal
+    * before training. Pure per-row collection functions: no explode, no
+    * shuffle, pushes through a plain scan at any corpus size. */
+  def repetition(docs: DataFrame, id: String = "doc_id",
+                 text: String = "text"): DataFrame = {
+    def dupFrac(toks: Column, k: Int) = {
+      val sh = TextFns.shingles(toks, k)
+      when(size(sh) > 0,
+        round(lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh), 6))
+        .otherwise(lit(0.0))
+    }
+    val toks = TextFns.tokensAll(col(text))
+    docs.select(col(id).as("id"),
+      dupFrac(toks, 2).as("dup2_frac"),
+      dupFrac(toks, 3).as("dup3_frac"))
+  }
+
+  /** Unigram-LM document scoring (the perplexity-proxy quality filter of
+    * CCNet/RedPajama-style pipelines, with the corpus itself as the LM):
+    * p(term) = ttf/Σttf over all docs; per doc emit token count and
+    * Σ round(1e6·ln p(term)) in integer micro-nats, so cross-engine
+    * comparison is exact (float additions never cross the shuffle in a
+    * data-dependent order). Scale shape: the LM table is vocabulary-sized
+    * → broadcast back onto one exploded-token scan; per-doc re-agg is the
+    * only data-sized shuffle. */
+  def lmLogProb(docs: DataFrame, id: String = "doc_id",
+                text: String = "text"): DataFrame = {
+    val tok = docs.select(col(id).as("id"),
+      explode(TextFns.tokensAll(col(text))).as("term"))
+    val counts = tok.groupBy("term").agg(count(lit(1)).as("cnt")).cache()
+    // one scalar collection stat, same posture as the index collStats
+    val total = counts.agg(sum("cnt")).head().getLong(0)
+    val lm = counts.select(col("term"),
+      round(log(col("cnt").cast("double") / total) * 1e6).cast("long")
+        .as("micro"))
+    tok.join(broadcast(lm), "term")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tok"), sum("micro").as("sum_micro"))
+  }
 }
