@@ -1944,6 +1944,64 @@ object OracleQueries {
          |JOIN g2 ON g2.id = d0.doc_id JOIN g3 ON g3.id = d0.doc_id
          |ORDER BY id""".stripMargin,
 
+    "block_join_facet" ->
+      s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt
+         |FROM orders o WHERE EXISTS (SELECT 1 FROM lineitem l
+         |  WHERE l.l_orderkey = o.o_orderkey
+         |    AND l.l_quantity >= 50 AND l.l_returnflag = 'R')
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "join_score_min" ->
+      s"""SELECT CAST(row_number() OVER (ORDER BY score DESC, c_custkey) AS BIGINT) AS rank,
+         |       c_custkey, score FROM (
+         |  SELECT c_custkey, min(o_totalprice) AS score
+         |  FROM customer JOIN orders ON o_custkey = c_custkey GROUP BY 1)
+         |ORDER BY score DESC, c_custkey LIMIT 10""".stripMargin,
+
+    "geo_polygon" ->
+      s"""WITH $geoPtsCte
+         |SELECT c_custkey FROM pts
+         |WHERE ${polygonPred(graft.operators.Geo.EuropePoly, "lat", "lon")}
+         |ORDER BY c_custkey""".stripMargin,
+
+    // hl.snippets=2: second occurrence located relative to the first
+    "ft_highlight_multi" ->
+      s"""${bm25With("('vector')")},
+         |agg AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id),
+         |top3 AS (SELECT doc_id FROM agg
+         |         ORDER BY round(score, 9) DESC, doc_id LIMIT 3),
+         |wp AS (SELECT d.doc_id, d.text,
+         |         strpos(lower(d.text), 'vector') AS p1,
+         |         strpos(substr(lower(d.text), strpos(lower(d.text), 'vector') + 1,
+         |                length(lower(d.text))), 'vector') AS q2
+         |       FROM documents d JOIN top3 t ON t.doc_id = d.doc_id)
+         |SELECT doc_id, frag, pos, snippet FROM (
+         |  SELECT doc_id, CAST(1 AS BIGINT) AS frag, CAST(p1 AS BIGINT) AS pos,
+         |    substr(text, CAST(greatest(1, p1 - 15) AS BIGINT), 40) AS snippet
+         |  FROM wp
+         |  UNION ALL
+         |  SELECT doc_id, CAST(2 AS BIGINT), CAST(p1 + q2 AS BIGINT),
+         |    substr(text, CAST(greatest(1, p1 + q2 - 15) AS BIGINT), 40)
+         |  FROM wp WHERE q2 > 0)
+         |ORDER BY doc_id, frag""".stripMargin,
+
+    // index-sorted early termination: the per-segment LIMIT-k union must
+    // reproduce exactly the globally sorted top-k
+    "ft_sorted_early" ->
+      s"""SELECT doc_id, n_chars FROM documents
+         |ORDER BY n_chars DESC, doc_id LIMIT 15""".stripMargin,
+
+    "corpus_stats" ->
+      s"""WITH $tokensCte,
+         |t AS (SELECT lang, count(*) AS n_tok, count(DISTINCT term) AS vocab
+         |      FROM tokens GROUP BY 1),
+         |d AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1)
+         |SELECT d.lang, CAST(d.n_docs AS BIGINT) AS n_docs,
+         |       CAST(t.n_tok AS BIGINT) AS n_tok,
+         |       CAST(t.vocab AS BIGINT) AS vocab,
+         |       round(CAST(t.n_tok AS DOUBLE) / d.n_docs, 4) AS mean_dl
+         |FROM d JOIN t USING (lang) ORDER BY lang""".stripMargin,
+
     // unigram-LM doc scoring in exact integer micro-nats
     "lm_logprob" ->
       s"""WITH $tokAllCte,

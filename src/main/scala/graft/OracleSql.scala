@@ -150,6 +150,17 @@ object OracleSql {
       |  (c_custkey * 104729 % 36000) / CAST(100.0 AS DOUBLE) - 180.0 AS lon
       |FROM customer)""".stripMargin
 
+  /** Half-plane conjunction for a convex polygon — generated from the
+    * SAME vertex constants the engine uses (Geo.EuropePoly), mirroring
+    * Geo.convexPolygonFilter's cross-product operation order. */
+  def polygonPred(verts: Seq[(Double, Double)],
+                  latCol: String, lonCol: String): String =
+    verts.indices.map { i =>
+      val (x1, y1) = verts(i)
+      val (x2, y2) = verts((i + 1) % verts.length)
+      s"((${x2 - x1}) * ($latCol - (${y1})) - (${y2 - y1}) * ($lonCol - (${x1})) >= 0)"
+    }.mkString(" AND ")
+
   /** Haversine km from (lat, lon) columns to a constant point, mirroring
     * Geo.haversineKm's exact operation order and association. */
   def geoDistKm(clat: Double, clon: Double): String =

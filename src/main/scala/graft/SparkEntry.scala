@@ -60,6 +60,25 @@ object SparkEntry {
       IndexReader(spark, dir, cfg)
     })
 
+  private val sortedDocsDirs =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  /** Index-time sort (lucene/misc/SortingMergePolicy.java): materialize
+    * the corpus once as range-partitioned segments each stored in
+    * (n_chars desc, doc_id) order, so sorted top-k queries can
+    * early-terminate per segment (EarlyTerminatingSortingCollector)
+    * instead of sorting at query time. */
+  def sortedDocsDir(s: SparkSession, sfDir: String): String =
+    sortedDocsDirs.getOrElseUpdate(sfDir, {
+      val dir = java.nio.file.Files.createTempDirectory("graft-sorted").toString
+      s.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "n_chars")
+        .repartitionByRange(4, col("n_chars").desc, col("doc_id"))
+        .sortWithinPartitions(col("n_chars").desc, col("doc_id"))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+
   private val minhashPairsCache =
     new scala.collection.concurrent.TrieMap[String, DataFrame]
 
@@ -1100,6 +1119,45 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    /** hl.snippets=2 (multi-fragment highlighting — Highlighter's
+      * getBestFragments): up to two snippet windows per top doc, one row
+      * per fragment, second occurrence found relative to the first. */
+    "ft_highlight_multi" -> ((s, dir) => {
+      val r = reader(s, dir)
+      val top = new JoinScorer(r).topK(should("vector"), 3)
+        .join(idMap(r), "docId").select("doc_id")
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val lt = lower(col("text"))
+      val withPos = top.join(docs, "doc_id")
+        .withColumn("p1", locate("vector", lt))
+        .withColumn("rest", lt.substr(col("p1") + 1, length(lt)))
+        .withColumn("q2", locate("vector", col("rest")))
+        .withColumn("p2", when(col("q2") > 0, col("p1") + col("q2")))
+      def snip(pos: org.apache.spark.sql.Column) =
+        col("text").substr(greatest(lit(1), pos - 15), lit(40))
+      val f1 = withPos.select(col("doc_id"), lit(1L).as("frag"),
+        col("p1").cast("long").as("pos"), snip(col("p1")).as("snippet"))
+      val f2 = withPos.where(col("p2").isNotNull)
+        .select(col("doc_id"), lit(2L).as("frag"),
+          col("p2").cast("long").as("pos"), snip(col("p2")).as("snippet"))
+      f1.unionByName(f2).orderBy("doc_id", "frag")
+    }),
+
+    /** Index-sorted early termination (lucene/misc SortingMergePolicy +
+      * EarlyTerminatingSortingCollector): segments pre-sorted by
+      * (n_chars desc, doc_id), so sorted top-k = per-segment LIMIT k
+      * (reads only the head of each segment — LocalLimit, no Sort of the
+      * table) + a k·segments-row final merge. */
+    "ft_sorted_early" -> ((s, dir) => {
+      val segDir = sortedDocsDir(s, dir)
+      val parts = new java.io.File(segDir).listFiles()
+        .filter(_.getName.startsWith("part-")).map(_.getPath).sorted
+      val k = 15
+      parts.map(p => s.read.parquet(p).limit(k))
+        .reduce(_ unionByName _)
+        .orderBy(col("n_chars").desc, col("doc_id")).limit(k)
+    }),
+
     /** Suggester analog (solr/suggest): prefix completion by document
       * frequency over the term dictionary. */
     "ft_suggest" -> ((s, dir) => {
@@ -1206,6 +1264,24 @@ object SparkEntry {
           sum("ttf").cast("long").as("sum_ttf"),
           max("df").cast("long").as("max_df"))
         .orderBy("field")
+    }),
+
+    /** Per-language corpus statistics (Luke / admin index stats sliced by
+      * lang — docs, analyzed tokens, vocabulary size, mean field length).
+      * One exploded-token agg + one doc-count agg, joined on 5 rows. */
+    "corpus_stats" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val tok = docs.select(col("lang"),
+        explode(graft.functions.TextFns.tokensLang(col("text"), col("lang")))
+          .as("term"))
+      val t = tok.groupBy("lang").agg(count(lit(1)).as("n_tok"),
+        countDistinct(col("term")).as("vocab"))
+      val d = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      d.join(t, Seq("lang"))
+        .select(col("lang"), col("n_docs"), col("n_tok"), col("vocab"),
+          round(col("n_tok").cast("double") / col("n_docs"), 4)
+            .as("mean_dl"))
+        .orderBy("lang")
     }),
 
     /** HighFreqTerms (lucene/misc/.../index/HighFreqTerms.java): top
@@ -1496,6 +1572,32 @@ object SparkEntry {
       val l = s.read.parquet(s"$dir/lineitem.parquet")
       l.join(o, l("l_orderkey") === o("o_orderkey"), "left_semi")
         .select("l_orderkey", "l_linenumber").orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    /** Facet over block-join parents (the q={!parent}… + facet.field
+      * flow; BlockJoinFacetComponent posture): priority counts of the
+      * orders whose lineitems match the child filter. Semi-join then one
+      * hash agg — children never shuffle past the join. */
+    "block_join_facet" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val l = s.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_quantity") >= 50 && col("l_returnflag") === "R")
+      o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("cnt"))
+        .orderBy("o_orderpriority")
+    }),
+
+    /** Query-time join with ScoreMode.Min (JoinUtil — completes the
+      * None/Max/Avg/Total/Min score-mode set). */
+    "join_score_min" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .groupBy("c_custkey").agg(min("o_totalprice").as("score"))
+        .orderBy(col("score").desc, col("c_custkey")).limit(10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("c_custkey"))).cast("long"))
+        .select("rank", "c_custkey", "score")
     }),
 
     // ---------- set operations ----------
@@ -1925,6 +2027,14 @@ object SparkEntry {
       Geo.bboxFilter(geoCustomers(s, dir), "lat", "lon", 30.0, 50.0, -20.0, 40.0)
         .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("cnt"))
         .orderBy("c_mktsegment")),
+
+    /** Convex-polygon containment (lucene-spatial polygon shapes via
+      * Spatial4j/JTS, planar): half-plane conjunction per CCW edge —
+      * sargable arithmetic only, no UDF. */
+    "geo_polygon" -> ((s, dir) =>
+      Geo.convexPolygonFilter(geoCustomers(s, dir), "lat", "lon",
+        Geo.EuropePoly)
+        .select("c_custkey").orderBy("c_custkey")),
 
     /** `sort=geodist() asc, rows=20` near New York. Rank collapses
       * sub-nanometer distance ties via round(,9) (cf. rankSel note). */

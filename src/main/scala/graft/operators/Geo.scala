@@ -51,6 +51,30 @@ object Geo {
     df.filter(col(latCol) >= latMin && col(latCol) <= latMax &&
       col(lonCol) >= lonMin && col(lonCol) <= lonMax)
 
+  /** A convex test polygon over Europe, CCW in (lon, lat) — shared by the
+    * geo_polygon query and its SQL oracle so the edge constants cannot
+    * drift between the two. */
+  val EuropePoly: Seq[(Double, Double)] =
+    Seq((-10.0, 35.0), (30.0, 35.0), (40.0, 55.0), (10.0, 62.0), (-12.0, 50.0))
+
+  /** Convex-polygon filter (the polygon shapes lucene-spatial accepts via
+    * Spatial4j/JTS, planar approximation): point-in-convex-polygon as the
+    * conjunction of per-edge half-plane tests — cross((v2−v1), (p−v1)) ≥ 0
+    * for every CCW edge. Pure sargable arithmetic predicates, fully
+    * codegen'd, no UDF, no shuffle. */
+  def convexPolygonFilter(df: DataFrame, latCol: String, lonCol: String,
+                          verts: Seq[(Double, Double)]): DataFrame = {
+    require(verts.length >= 3, "polygon needs >= 3 vertices")
+    val px = col(lonCol)
+    val py = col(latCol)
+    val pred = verts.indices.map { i =>
+      val (x1, y1) = verts(i)
+      val (x2, y2) = verts((i + 1) % verts.length)
+      (lit(x2 - x1) * (py - lit(y1)) - lit(y2 - y1) * (px - lit(x1))) >= 0d
+    }.reduce(_ && _)
+    df.filter(pred)
+  }
+
   /** `{!geofilt sfield pt d}` — docs within `radiusKm` of (clat, clon).
     * Two-phase: bounding-box pre-filter (grid approximation, pushed down)
     * then exact haversine verify — the RPT Intersects shape. */

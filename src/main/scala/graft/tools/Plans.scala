@@ -18,7 +18,12 @@ object Plans {
         "dedup_minhash", "ann_cosine", "significant_terms", "hybrid_rrf",
         "ann_int8", "graph_gather", "ft_delete_search", "geo_filt",
         "geo_nearest", "export_sorted", "classify_nb", "decontaminate",
-        "sample_stratified", "percolate_memory")
+        "sample_stratified", "percolate_memory",
+        // session-4 additions: broadcast list join, partial-agg HLL,
+        // no-sort early-terminated top-k, sargable polygon, scan-only
+        // repetition stats
+        "terms_query", "stats_cardinality", "ft_sorted_early",
+        "geo_polygon", "quality_repetition")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "8")

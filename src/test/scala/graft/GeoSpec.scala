@@ -53,6 +53,24 @@ class GeoSpec extends AnyFunSuite {
     }
   }
 
+  test("convex polygon filter == brute winding test, grid sweep") {
+    // dense deterministic grid crossing all edges of the test polygon
+    val pts = for (la <- -90 to 90 by 3; lo <- -180 to 180 by 7)
+      yield (s"p${la}_$lo", la.toDouble + 0.5, lo.toDouble + 0.5)
+    val verts = Geo.EuropePoly
+    def inside(lat: Double, lon: Double): Boolean =
+      verts.indices.forall { i =>
+        val (x1, y1) = verts(i)
+        val (x2, y2) = verts((i + 1) % verts.length)
+        (x2 - x1) * (lat - y1) - (y2 - y1) * (lon - x1) >= 0
+      }
+    val got = Geo.convexPolygonFilter(
+      pts.toDF("name", "lat", "lon"), "lat", "lon", verts)
+      .select("name").as[String].collect().toSet
+    val want = pts.filter(p => inside(p._2, p._3)).map(_._1).toSet
+    assert(got == want && want.nonEmpty && want.size < pts.size)
+  }
+
   test("nearest returns k closest in distance order") {
     val got = Geo.nearest(df, "lat", "lon", 48.8566, 2.3522, 3, "name")
       .select("name").as[String].collect().toSeq
