@@ -1944,6 +1944,27 @@ object OracleQueries {
          |JOIN g2 ON g2.id = d0.doc_id JOIN g3 ON g3.id = d0.doc_id
          |ORDER BY id""".stripMargin,
 
+    "ann_matryoshka" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |t AS (SELECT vec_id, v[1:16] AS tv FROM e),
+         |q AS (SELECT tv AS qv FROM t WHERE vec_id = 0),
+         |scp AS (SELECT vec_id AS id,
+         |          list_dot_product(tv, qv) /
+         |            (sqrt(list_dot_product(tv, tv)) * sqrt(list_dot_product(qv, qv))) AS sim
+         |        FROM t, q WHERE vec_id <> 0)
+         |SELECT CAST(row_number() OVER (ORDER BY sim DESC, id) AS BIGINT) AS rank,
+         |       id, round(sim, 6) AS sim
+         |FROM scp ORDER BY sim DESC, id LIMIT 10""".stripMargin,
+
+    // recip(ms(NOW,ts), 3.16e-11, 1, 1) recency boost
+    "func_recency" ->
+      s"""WITH mx AS (SELECT max(epoch_ms(ts)) AS nowms FROM events)
+         |SELECT event_id, round(score, 6) AS score FROM (
+         |  SELECT event_id,
+         |    value * (1.0 / (3.16e-11 * CAST(nowms - epoch_ms(ts) AS DOUBLE) + 1.0)) AS score
+         |  FROM events, mx)
+         |ORDER BY score DESC, event_id LIMIT 20""".stripMargin,
+
     "block_join_facet" ->
       s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt
          |FROM orders o WHERE EXISTS (SELECT 1 FROM lineitem l

@@ -920,6 +920,23 @@ object SparkEntry {
         .orderBy("expr")
     }),
 
+    /** Recency boost — the canonical Solr
+      * `bf=recip(ms(NOW,date),3.16e-11,1,1)` (ValueSourceParser recip +
+      * ms): event value × reciprocal age decay, ranked. One codegen'd
+      * scan + TakeOrdered; NOW is the corpus max(ts) anchor. */
+    "func_recency" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("value"),
+          col("ts").cast("timestamp").as("ts"))
+      val nowMs = ev.agg(max(unix_millis(col("ts")))).head().getLong(0)
+      ev.select(col("event_id"),
+          (col("value") * (lit(1.0) /
+            (lit(3.16e-11) * (lit(nowMs) - unix_millis(col("ts"))).cast("double")
+              + lit(1.0)))).as("score"))
+        .orderBy(col("score").desc, col("event_id")).limit(20)
+        .select(col("event_id"), round(col("score"), 6).as("score"))
+    }),
+
     /** DFR GL2 similarity (BasicModelG + AfterEffectL + NormalizationH2,
       * c=1): geometric-Bose-Einstein informative content, Laplace
       * normalization. */
@@ -1824,6 +1841,14 @@ object SparkEntry {
 
     "ann_cosine" -> ((s, dir) =>
       Ann.cosineTopK(s.read.parquet(s"$dir/embeddings.parquet"), 0L, 10)
+        .select(col("rank").cast("long"), col("id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy("rank")),
+
+    /** Matryoshka ANN (MRL): cosine top-k on the first 16 of 64 dims —
+      * the dimension-truncated coarse-search path. */
+    "ann_matryoshka" -> ((s, dir) =>
+      Ann.matryoshkaTopK(s.read.parquet(s"$dir/embeddings.parquet"), 0L, 10, 16)
         .select(col("rank").cast("long"), col("id"),
           round(col("sim"), 6).as("sim"))
         .orderBy("rank")),
