@@ -1862,6 +1862,20 @@ object OracleQueries {
       s"""SELECT o_orderpriority, CAST(count(DISTINCT o_custkey) AS BIGINT) AS ngroups
          |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "facet_missing" ->
+      s"""WITH best AS (SELECT o_custkey, max(o_totalprice) AS mx FROM orders
+         |              WHERE o_orderstatus = 'P' GROUP BY 1)
+         |SELECT CASE WHEN b.mx IS NULL THEN '__missing__'
+         |            ELSE 'b' || CAST(CAST(floor(b.mx / 100000) AS BIGINT) AS VARCHAR)
+         |       END AS bucket, CAST(count(*) AS BIGINT) AS cnt
+         |FROM customer c LEFT JOIN best b ON b.o_custkey = c.c_custkey
+         |GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "facet_offset" ->
+      s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt
+         |FROM orders GROUP BY 1
+         |ORDER BY cnt DESC, o_orderpriority LIMIT 3 OFFSET 1""".stripMargin,
+
     "facet_prefix" ->
       s"""SELECT p_type, CAST(count(*) AS BIGINT) AS cnt FROM part
          |WHERE p_type LIKE 'S%' GROUP BY 1

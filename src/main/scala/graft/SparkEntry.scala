@@ -1935,6 +1935,31 @@ object SparkEntry {
         .agg(countDistinct(col("o_custkey")).as("ngroups"))
         .orderBy("o_orderpriority")),
 
+    /** facet.missing=true (SimpleFacets missing bucket): facet customers
+      * by the price bucket of their best status-'P' order; customers with
+      * no such order land in the trailing missing bucket. */
+    "facet_missing" -> ((s, dir) => {
+      val best = s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_orderstatus") === "P")
+        .groupBy("o_custkey").agg(max("o_totalprice").as("mx"))
+      s.read.parquet(s"$dir/customer.parquet").select("c_custkey")
+        .join(best, col("c_custkey") === col("o_custkey"), "left")
+        .select(when(col("mx").isNull, "__missing__")
+          .otherwise(concat(lit("b"),
+            floor(col("mx") / 100000).cast("long").cast("string")))
+          .as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+        .orderBy("bucket")
+    }),
+
+    /** facet.offset + facet.limit (SimpleFacets bucket paging): the
+      * count-ordered priority facet, buckets 2-4. */
+    "facet_offset" -> ((s, dir) =>
+      s.read.parquet(s"$dir/orders.parquet")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("o_orderpriority"))
+        .offset(1).limit(3)),
+
     /** facet.prefix + facet.mincount + facet.sort=index (SimpleFacets'
       * prefix-bounded term walk): p_type buckets starting with 'S',
       * mincount 2, lexicographic order. The prefix is a sargable

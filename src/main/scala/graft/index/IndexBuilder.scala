@@ -662,6 +662,38 @@ object IndexBuilder {
     build(spark, spark.emptyDataFrame, outDir, cfg)
   }
 
+  /** Shard split (SolrCloud SPLITSHARD — solr/core/src/java/org/apache/
+    * solr/handler/admin/CollectionsHandler.java SPLITSHARD +
+    * lucene/misc/.../IndexSplitter posture): split one index into two
+    * independently searchable children at a docId boundary. Like the
+    * reference, the children's postings are REBUILT per sub-range — here
+    * by filtering the per-doc segment rows (a columnar scan, the cheap
+    * part) and re-running only the stats + merge stages per child; docIds
+    * are preserved, so a MultiIndexReader over both children is
+    * float/rank-identical to the parent (global stats come from the union
+    * — the same mechanism the NRT append view uses). Pending deletes
+    * follow their docs into the matching child. */
+  def splitShard(spark: SparkSession, baseDir: String,
+                 outLo: String, outHi: String, midDocId: Long,
+                 cfg: IndexConfig): (String, String) = {
+    import org.apache.spark.sql.functions.col
+    val segs = spark.read.parquet(s"$baseDir/segments")
+    val dels =
+      if (Files.exists(Paths.get(baseDir, "deletes")))
+        Some(spark.read.parquet(s"$baseDir/deletes"))
+      else None
+    Seq(outLo -> (col("docId") < midDocId),
+        outHi -> (col("docId") >= midDocId)).foreach { case (out, pred) =>
+      segs.where(pred).write.mode("overwrite")
+        .option("compression", "zstd").parquet(s"$out/segments")
+      writeMarker(out, "segments", Map())
+      dels.foreach(_.where(pred).write.mode("overwrite")
+        .parquet(s"$out/deletes"))
+      build(spark, spark.emptyDataFrame, out, cfg)
+    }
+    (outLo, outHi)
+  }
+
   /** Sub-index directories of `baseDir` in append order. */
   def subIndexDirs(baseDir: String): Seq[String] = {
     val deltas = Option(new java.io.File(baseDir).listFiles()).toSeq.flatten

@@ -34,11 +34,15 @@ object DateMath {
       case _      => t.truncatedTo(unit)
     }
 
-  /** Evaluate `expr` (must start with `NOW`) against the given anchor. */
-  def resolve(now: Instant, expr: String): Instant = {
+  /** Evaluate `expr` (must start with `NOW`) against the given anchor.
+    * `zone` is Solr's TZ request parameter (DateMathParser's timezone
+    * argument): rounding and day/month arithmetic happen in that zone's
+    * local calendar, default UTC. */
+  def resolve(now: Instant, expr: String,
+              zone: java.time.ZoneId = ZoneOffset.UTC): Instant = {
     require(expr.startsWith("NOW"), s"date math must start with NOW: $expr")
     val math = expr.substring(3)
-    var t = LocalDateTime.ofInstant(now, ZoneOffset.UTC)
+    var t = LocalDateTime.ofInstant(now, zone)
     var consumed = 0
     for (m <- Op.findAllMatchIn(math)) {
       require(m.start == consumed, s"garbled date math at '${math.substring(consumed)}'")
@@ -53,6 +57,6 @@ object DateMath {
       }
     }
     require(consumed == math.length, s"garbled date math tail in '$expr'")
-    t.toInstant(ZoneOffset.UTC)
+    t.atZone(zone).toInstant
   }
 }

@@ -49,6 +49,14 @@ class DateMathSpec extends AnyFunSuite {
     assert(r("NOW-2DAYS") == r("NOW-1DAY-1DAY"))
   }
 
+  test("TZ parameter: rounding happens in the request timezone") {
+    val la = java.time.ZoneId.of("America/Los_Angeles")
+    val n = Instant.parse("2024-06-15T03:30:00Z") // 2024-06-14 20:30 in LA
+    assert(DateMath.resolve(n, "NOW/DAY", la).toString ==
+      "2024-06-14T07:00:00Z") // LA midnight = 07:00Z in PDT
+    assert(DateMath.resolve(n, "NOW/DAY").toString == "2024-06-15T00:00:00Z")
+  }
+
   test("garbled input raises") {
     intercept[IllegalArgumentException](r("NOW/"))
     intercept[IllegalArgumentException](r("NOW+DAY"))
