@@ -1580,6 +1580,32 @@ object OracleQueries {
          |        CROSS JOIN cs)
          |${rankSel(15)}""".stripMargin,
 
+    // complexphrase "s* table": the wildcard slot re-derived as the
+    // DISTINCT dictionary terms with the prefix, blended idf over
+    // slot-terms + 'table', adjacency alignment count as phrase tf
+    "ft_complexphrase" ->
+      s"""WITH $tokensCte,
+         |$dlCsCte,
+         |$normCte,
+         |q(qterm) AS (SELECT DISTINCT term FROM tokens WHERE term LIKE 's%'
+         |             UNION SELECT 'table'),
+         |$bm25ClauseCte,
+         |phtf AS (SELECT a.doc_id, CAST(count(*) AS BIGINT) AS ptf
+         |         FROM tokens a
+         |         JOIN tokens b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |           AND b.term = 'table'
+         |         WHERE a.term LIKE 's%' GROUP BY a.doc_id),
+         |pidf AS (SELECT sum(ln(1 + (cs.n - df + 0.5) / (df + 0.5))) AS v
+         |         FROM dfq, cs),
+         |agg AS (SELECT p.doc_id,
+         |          (SELECT v FROM pidf) * 2.2 * p.ptf /
+         |          (p.ptf + 1.2 * (0.25 + 0.75 * nrm.qdl /
+         |             (CAST(cs.sumdl AS DOUBLE) / cs.n))) AS score
+         |        FROM phtf p JOIN dl ON dl.doc_id = p.doc_id
+         |        JOIN nrm ON dl.dl BETWEEN nrm.lo AND nrm.hi
+         |        CROSS JOIN cs)
+         |${rankSel(15)}""".stripMargin,
+
     // ---------- composite search handler (q + fq + paging + hl) ----------
     "search_handler" ->
       s"""WITH $tokensCte,

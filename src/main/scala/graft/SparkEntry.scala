@@ -2225,6 +2225,19 @@ object SparkEntry {
       rankedTopK(s, dir, q, 15)
     }),
 
+    /** ComplexPhraseQueryParser ({!complexphrase} — lucene/queryparser/
+      * complexPhrase/ComplexPhraseQueryParser.java): a wildcard INSIDE a
+      * phrase — "s* table" — expands against the term dictionary
+      * (TooManyClauses-guarded, never the postings) and runs as a
+      * MultiPhraseQuery over the expanded slot. */
+    "ft_complexphrase" -> ((s, dir) => {
+      val r = reader(s, dir)
+      val slot = r.expandTerms(col("term").startsWith("s")).map(_.term)
+      val q = BoolQ(Seq((Occur.Must,
+        MultiPhraseQ(Seq(slot, Seq("table")), Seq(0, 1))): (Occur, Query)))
+      rankedTopK(s, dir, q, 15)
+    }),
+
     /** SpanWithinQuery (search/spans/SpanWithinQuery.java, new in 5.2):
       * occurrences of 'part' inside an ordered ("merge".."batch") span of
       * slop 5; freq = surviving occurrences, scored with part's idf. */
