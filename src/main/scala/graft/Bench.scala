@@ -10,16 +10,24 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // time the one-off index build explicitly so the ft_* query entries
-    // measure pure query latency, not build + query
-    val tb = System.nanoTime()
-    try SparkEntry.reader(spark, sfDir) catch { case _: Throwable => }
-    val buildSec = (System.nanoTime() - tb) / 1e9
-    val tn = System.nanoTime()
-    try SparkEntry.nrtReader(spark, sfDir) catch { case _: Throwable => }
-    val nrtBuildSec = (System.nanoTime() - tn) / 1e9
-    val results = Map("ft_index_build" -> buildSec,
-      "ft_nrt_build" -> nrtBuildSec) ++
+    // time every one-off index/fixture build explicitly so the query
+    // entries measure pure query latency, not build + query
+    def timedBuild(body: => Any): Double = {
+      val t0 = System.nanoTime()
+      try body catch { case _: Throwable => }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val builds = Seq(
+      "ft_index_build" -> timedBuild(SparkEntry.reader(spark, sfDir)),
+      "ft_nrt_build" -> timedBuild(SparkEntry.nrtReader(spark, sfDir)),
+      "ft_stemmed_build" -> timedBuild(SparkEntry.stemmedReader(spark, sfDir)),
+      "ft_lang_builds" -> timedBuild(Seq("german", "french", "spanish")
+        .foreach(SparkEntry.langReader(spark, sfDir, _))),
+      "ft_rev_build" -> timedBuild(SparkEntry.revReader(spark, sfDir)),
+      "ft_delete_build" -> timedBuild(SparkEntry.deletedReaders(spark, sfDir)),
+      "ft_update_build" -> timedBuild(SparkEntry.updatedReaders(spark, sfDir)),
+      "ft_sorted_build" -> timedBuild(SparkEntry.sortedDocsDir(spark, sfDir)))
+    val results = builds.toMap ++
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
