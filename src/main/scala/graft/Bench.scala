@@ -26,7 +26,12 @@ object Bench {
       "ft_rev_build" -> timedBuild(SparkEntry.revReader(spark, sfDir)),
       "ft_delete_build" -> timedBuild(SparkEntry.deletedReaders(spark, sfDir)),
       "ft_update_build" -> timedBuild(SparkEntry.updatedReaders(spark, sfDir)),
-      "ft_sorted_build" -> timedBuild(SparkEntry.sortedDocsDir(spark, sfDir)))
+      "ft_sorted_build" -> timedBuild(SparkEntry.sortedDocsDir(spark, sfDir)),
+      "ann_ivf_build" -> timedBuild {
+        val (c, a) = SparkEntry.ivfIndex(spark, sfDir); c.count(); a.count()
+      },
+      "dedup_minhash_build" ->
+        timedBuild(SparkEntry.minhashPairs(spark, sfDir).count()))
     val results = builds.toMap ++
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
