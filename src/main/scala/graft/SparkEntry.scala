@@ -79,6 +79,26 @@ object SparkEntry {
       dir
     })
 
+  /** Early-terminated sorted top-k over pre-sorted segments written by
+    * [[sortedDocsDir]] (EarlyTerminatingSortingCollector): per-PARTITION
+    * take(k), not limit(k) — if a big segment file splits into several
+    * read partitions, each partition is a contiguous (hence sorted)
+    * slice, so its first k rows are its top-k and the union still covers
+    * the global top-k; a bare GlobalLimit could instead keep k rows from
+    * a tail slice. take(k) stops consuming the iterator after k rows —
+    * the early-termination primitive. Final merge is k·segments rows. */
+  def sortedEarlyTopK(s: SparkSession, segDir: String, k: Int): DataFrame = {
+    import s.implicits._
+    val parts = new java.io.File(segDir).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.getPath).sorted
+    parts.map { p =>
+      s.read.parquet(p).select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)].mapPartitions(_.take(k))
+        .toDF("doc_id", "n_chars")
+    }.reduce(_ unionByName _)
+      .orderBy(col("n_chars").desc, col("doc_id")).limit(k)
+  }
+
   private val minhashPairsCache =
     new scala.collection.concurrent.TrieMap[String, DataFrame]
 
@@ -1165,25 +1185,8 @@ object SparkEntry {
       * (n_chars desc, doc_id), so sorted top-k = per-segment LIMIT k
       * (reads only the head of each segment — LocalLimit, no Sort of the
       * table) + a k·segments-row final merge. */
-    "ft_sorted_early" -> ((s, dir) => {
-      import s.implicits._
-      val segDir = sortedDocsDir(s, dir)
-      val parts = new java.io.File(segDir).listFiles()
-        .filter(_.getName.startsWith("part-")).map(_.getPath).sorted
-      val k = 15
-      // per-PARTITION take(k), not limit(k): if a big segment file splits
-      // into several read partitions, each partition is a contiguous
-      // (hence sorted) slice, so its first k rows are its top-k and the
-      // union still covers the global top-k; a bare GlobalLimit could
-      // instead keep k rows from a tail slice. take(k) stops consuming
-      // the iterator after k rows — the early-termination primitive.
-      parts.map { p =>
-        s.read.parquet(p).select(col("doc_id"), col("n_chars"))
-          .as[(Long, Long)].mapPartitions(_.take(k))
-          .toDF("doc_id", "n_chars")
-      }.reduce(_ unionByName _)
-        .orderBy(col("n_chars").desc, col("doc_id")).limit(k)
-    }),
+    "ft_sorted_early" -> ((s, dir) =>
+      sortedEarlyTopK(s, sortedDocsDir(s, dir), 15)),
 
     /** Suggester analog (solr/suggest): prefix completion by document
       * frequency over the term dictionary. */
