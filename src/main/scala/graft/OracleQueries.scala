@@ -1441,6 +1441,23 @@ object OracleQueries {
          |  array_to_string(range(0, n_frames, 10), ',') AS frame_idx_csv
          |FROM m ORDER BY id""".stripMargin,
 
+    // multimodal feature-extract -> ANN: byte-class histogram of the
+    // UTF-8 payload (remove-patterns shared with the engine), cosine
+    "multimodal_ann" -> {
+      val cols = graft.operators.Multimodal.HistRemovePatterns
+        .map(p => s"CAST(length(regexp_replace(text, '$p', '', 'g')) AS DOUBLE)")
+        .mkString("[", ", ", "]")
+      s"""WITH h AS (SELECT doc_id AS id, $cols AS v FROM documents),
+         |q AS (SELECT v AS qv FROM h WHERE id = 0),
+         |scp AS (SELECT id,
+         |          list_dot_product(v, qv) /
+         |            (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS sim
+         |        FROM h, q WHERE id <> 0)
+         |SELECT CAST(row_number() OVER (ORDER BY sim DESC, id) AS BIGINT) AS rank,
+         |       id, round(sim, 6) AS sim
+         |FROM scp ORDER BY sim DESC, id LIMIT 10""".stripMargin
+    },
+
     // ---------- spatial ----------
     "geo_filt" ->
       s"""WITH $geoPtsCte

@@ -2076,6 +2076,16 @@ object SparkEntry {
           Multimodal.asMedia(s.read.parquet(s"$dir/documents.parquet"))), 10)
         .orderBy("id")),
 
+    /** Multimodal feature-extract -> ANN composite (perceptual-similarity
+      * dedup shape): REAL byte-class-histogram features over the opaque
+      * blob (no codec needed), brute cosine top-10 vs payload 0. */
+    "multimodal_ann" -> ((s, dir) =>
+      Multimodal.featureTopK(
+        Multimodal.asMedia(s.read.parquet(s"$dir/documents.parquet")), 0L, 10)
+        .select(col("rank").cast("long"), col("id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy("rank")),
+
     // ---------- spatial (Solr LatLonType: geofilt/bbox/geodist/heatmap) ----------
 
     /** `{!geofilt pt=48.85,2.35 d=800}` — customers within 800 km of Paris.

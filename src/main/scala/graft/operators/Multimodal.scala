@@ -61,6 +61,46 @@ object Multimodal {
         array_join(col("idx"), ",").as("frame_idx_csv"))
   }
 
+  /** Byte-class REMOVE patterns for [[featureHistogram]] (count of a
+    * class = length after removing everything else) — shared with the
+    * SQL oracle so both sides count the same classes. Last class =
+    * "other" (everything outside a-z, 0-9, space). */
+  val HistRemovePatterns: Seq[String] =
+    Seq("[^a-i]", "[^j-r]", "[^s-z]", "[^0-9]", "[^ ]", "[a-z0-9 ]")
+
+  /** REAL (not stubbed) feature extraction over the opaque payload: a
+    * byte-class histogram of the blob as a fixed-size feature vector —
+    * the simplest genuine content embedding computable without codecs
+    * (for this text-backed corpus the bytes are UTF-8, so byte classes ==
+    * character classes). Pure codegen'd column ops over the binary
+    * column: decode + 6 regexp counts, no UDF, no shuffle. Output:
+    * (id, v: array<double>[6]). */
+  def featureHistogram(media: DataFrame): DataFrame = {
+    val s = decode(col("blob"), "UTF-8")
+    media.select(col("id"),
+      array(HistRemovePatterns.map(p =>
+        length(regexp_replace(s, p, "")).cast("double")): _*).as("v"))
+  }
+
+  /** Multimodal similarity search: feature-extract every payload, then
+    * brute-force cosine top-k against the payload with id `queryId` —
+    * the feature-extract -> ANN composite of a multimodal curation
+    * pipeline (dedup by perceptual similarity). Broadcast query vector,
+    * one scan, TakeOrdered. */
+  def featureTopK(media: DataFrame, queryId: Long, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = featureHistogram(media)
+    val q = h.where(col("id") === queryId).select(col("v").as("qv"))
+    h.crossJoin(broadcast(q))
+      .where(col("id") =!= queryId)
+      .select(col("id"), graft.functions.TextFns.cosine(col("v"), col("qv"))
+        .as("sim"))
+      .orderBy(col("sim").desc, col("id").asc).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("sim").desc, col("id").asc)))
+      .select(col("rank"), col("id"), col("sim"))
+  }
+
   /** Batch-wise "decode": partition-preserving mapPartitions consuming
     * fixed-size batches (the pandas-UDF batch shape). */
   def decodeStub(media: DataFrame, batchSize: Int = 256): Dataset[MediaMeta] = {
