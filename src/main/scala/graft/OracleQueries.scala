@@ -1980,6 +1980,24 @@ object OracleQueries {
          |  SELECT doc_id, '2_stop', pos, term FROM tokens WHERE doc_id IN (3, 7))
          |ORDER BY doc_id, stage, pos""".stripMargin,
 
+    // TextProfileSignature: quantized term-frequency profile md5
+    // (ties in the count sort break by term asc — see Dedup scaladoc)
+    "dedup_signature" ->
+      s"""WITH $tokAllCte,
+         |t3 AS (SELECT doc_id AS id, term FROM tokall WHERE length(term) > 2),
+         |cnt AS (SELECT id, term, count(*) AS cnt FROM t3 GROUP BY 1, 2),
+         |mx AS (SELECT id, max(cnt) AS mxf FROM cnt GROUP BY 1),
+         |qn AS (SELECT id, CASE WHEN CAST(round(mxf * 0.01) AS BIGINT) < 2
+         |              THEN CASE WHEN mxf > 1 THEN 2 ELSE 1 END
+         |              ELSE CAST(round(mxf * 0.01) AS BIGINT) END AS quant
+         |       FROM mx),
+         |qq AS (SELECT c.id, c.term, (c.cnt // q.quant) * q.quant AS qcnt,
+         |              q.quant
+         |       FROM cnt c JOIN qn q ON q.id = c.id)
+         |SELECT id, md5(string_agg(term || ' ' || qcnt, chr(10)
+         |                          ORDER BY qcnt DESC, term)) AS sig
+         |FROM qq WHERE qcnt >= quant GROUP BY id ORDER BY id""".stripMargin,
+
     // Gopher repetition: duplicate bigram/trigram fraction per doc
     "quality_repetition" ->
       s"""WITH $tokAllCte,

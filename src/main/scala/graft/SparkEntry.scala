@@ -1762,6 +1762,13 @@ object SparkEntry {
     }),
 
     // ---------- training-data ops: dedup ----------
+    /** SignatureUpdateProcessor fuzzy dedup (TextProfileSignature):
+      * quantized term-frequency-profile md5 per doc; docs sharing a
+      * signature are near-duplicates. */
+    "dedup_signature" -> ((s, dir) =>
+      Dedup.textProfileSignature(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy("id")),
+
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(s.read.parquet(s"$dir/documents.parquet"))
         .orderBy("keeper")),

@@ -47,6 +47,43 @@ object Dedup {
       .agg(min(col(id)).as("keeper"), count(lit(1)).as("group_size"))
       .select(col("keeper"), col("group_size"))
 
+  /** TextProfileSignature (reference solr/core/src/java/org/apache/solr/
+    * update/processor/TextProfileSignature.java, from Nutch — the fuzzy
+    * dedup signature of SignatureUpdateProcessorFactory): per doc, count
+    * lowercase alphanumeric tokens LONGER than minTokenLen, quantize
+    * counts down to multiples of QUANT = round(maxFreq·quantRate)
+    * (floored at 2 when maxFreq>1, else 1), drop tokens quantized below
+    * QUANT, and md5 the "term cnt" lines sorted by count desc. One
+    * deviation, documented: count ties sort by term asc — the reference's
+    * comparator orders ties by HashMap iteration order
+    * (TextProfileSignature.java:158-163), which is not reproducible;
+    * a deterministic tie-break makes the signature stable across engines
+    * and runs. Shape: explode + two keyed aggs — no all-pairs work; docs
+    * sharing a signature are near-duplicates (collapse on it). */
+  def textProfileSignature(docs: DataFrame, quantRate: Double = 0.01,
+                           minTokenLen: Int = 2, id: String = "doc_id",
+                           text: String = "text"): DataFrame = {
+    val tok = docs.select(col(id).as("id"),
+      explode(filter(TextFns.tokensAll(col(text)),
+        t => length(t) > minTokenLen)).as("term"))
+    val cnt = tok.groupBy("id", "term").agg(count(lit(1)).as("cnt"))
+    val mx = cnt.groupBy("id").agg(max("cnt").as("maxFreq"))
+    val rawQuant = round(col("maxFreq") * quantRate).cast("long")
+    val quant = when(rawQuant < 2,
+      when(col("maxFreq") > 1, lit(2L)).otherwise(lit(1L)))
+      .otherwise(rawQuant)
+    val q = cnt.join(mx, "id")
+      .withColumn("quant", quant)
+      .withColumn("qcnt", (col("cnt") / col("quant")).cast("long") * col("quant"))
+      .where(col("qcnt") >= col("quant"))
+    q.groupBy("id")
+      .agg(md5(array_join(transform(
+        array_sort(collect_list(struct(negate(col("qcnt")).as("nq"),
+          col("term"), col("qcnt")))),
+        s => concat(s.getField("term"), lit(" "), s.getField("qcnt"))),
+        "\n")).as("sig"))
+  }
+
   /** (id, shingle) distinct pairs: word k-shingles of the lowercased
     * token stream (stopwords kept — dedup is language-neutral).
     * Per-doc dedup happens BEFORE the explode (array_distinct on the
