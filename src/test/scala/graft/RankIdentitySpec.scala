@@ -214,6 +214,49 @@ class RankIdentitySpec extends AnyFunSuite {
     }
   }
 
+  test("randomized boolean-query sweep == oracle (terms, phrases, " +
+    "prefixes, boosts, msm; WAND agrees on pure disjunctions)") {
+    val rng = new scala.util.Random(20260817L)
+    val pool = Vector("import", "return", "spark", "println", "merge",
+      "dataset", "data", "set", "void", "val", "def", "id001", "id007",
+      "absentzzz")
+    def term(): String = pool(rng.nextInt(pool.length))
+    def leaf(): Query = rng.nextInt(10) match {
+      case 0 => PhraseQ(Seq(term(), term()), Seq(0, 1))
+      case 1 => PrefixQ(Seq("im", "pri", "id0", "da")(rng.nextInt(4)))
+      case 2 => BoostQ(TermQ(term()), 1f + rng.nextInt(3).toFloat / 2f)
+      case _ => TermQ(term())
+    }
+    def occur(): Occur = rng.nextInt(20) match {
+      case n if n < 12 => Occur.Should
+      case n if n < 17 => Occur.Must
+      case _           => Occur.MustNot
+    }
+    var checked = 0
+    for (_ <- 1 to 60) {
+      val n = 1 + rng.nextInt(4)
+      var clauses = Seq.fill(n)((occur(), leaf()))
+      if (!clauses.exists(_._1 != Occur.MustNot))
+        clauses = (Occur.Should: Occur, leaf()) +: clauses
+      val nShould = clauses.count(_._1 == Occur.Should)
+      val msm =
+        if (nShould >= 2 && !clauses.exists(_._1 == Occur.Must) &&
+          rng.nextInt(4) == 0) 1 + rng.nextInt(nShould) else 0
+      val q = BoolQ(clauses, msm)
+      checkQuery(q, 15)
+      checked += 1
+      // WAND must agree with the spec path on pure term disjunctions
+      if (msm == 0 && clauses.forall { case (o, l) =>
+        o == Occur.Should && l.isInstanceOf[TermQ] }) {
+        val ts = clauses.map(_._2.asInstanceOf[TermQ].term)
+        val exp = oracle.topK(q, 15)
+        val got = wand.topK(ts, 15).as[(Long, Float)].collect().toSeq
+        assert(got == exp, s"WAND mismatch on $ts")
+      }
+    }
+    assert(checked == 60)
+  }
+
   test("query parser: classic subset") {
     val q = QueryParser.parse("+import -void \"data set\" spark print*")
     val occurs = q.clauses.map(_._1)
