@@ -549,9 +549,16 @@ object IndexBuilder {
   private def deleteDocsLocked(spark: SparkSession, dir: String,
                                docIds: DataFrame): Long = {
     import org.apache.spark.sql.functions.col
+    // Materialize BEFORE the append: for delete-by-query the input plan
+    // scans this index's own deletes dir, and Spark's recache-by-path
+    // would re-evaluate the lazy plan against the post-write state (the
+    // just-written tombstones anti-join themselves out and the returned
+    // count under-reports) — same defense as updateDocsVersioned.
     val ids = docIds.select(col("docId").cast("long").as("docId"))
+      .localCheckpoint(true)
+    val n = ids.count()
     ids.write.mode("append").parquet(s"$dir/deletes")
-    ids.count()
+    n
   }
 
   /** Delete-by-query (IndexWriter.deleteDocuments(Query)): every doc the

@@ -46,6 +46,16 @@ trait SearchReader {
     * opened need a re-open. */
   def deletedDocs: Option[org.apache.spark.sql.DataFrame] = None
 
+  /** Apply the live-docs filter to any frame carrying a `docId` column:
+    * tombstoned docs leave RESULTS immediately (the LiveDocs contract
+    * above). Every scorer's final (docId, score) frame routes through
+    * here so no top-k path can forget the anti-join. */
+  def liveOnly(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    deletedDocs match {
+      case None => df
+      case Some(d) => df.join(d, Seq("docId"), "left_anti")
+    }
+
   /** Whether this index carries the reversed-token "rev:" field (built
     * with IndexConfig.reverseTokens) — one memoized dictionary probe;
     * leading-wildcard rewrites use it to pick the prefix-scan path. */
@@ -63,11 +73,7 @@ trait SearchReader {
     import org.apache.spark.sql.functions.col
     val keyed = docmeta.toDF()
       .where(col("repo") === repo && col("path") === path)
-    val live = deletedDocs match {
-      case None => keyed
-      case Some(d) => keyed.join(d, Seq("docId"), "left_anti")
-    }
-    live.orderBy(col("docId").desc).limit(1)
+    liveOnly(keyed).orderBy(col("docId").desc).limit(1)
   }
 
   /** Fuzzy term expansion with dictionary pruning: a cheap |len(term) -

@@ -87,9 +87,23 @@ object Geo {
     // latitudes cos() is smallest, so size the box there (with slack).
     val maxAbsLat = math.min(89.9, math.max(math.abs(latLo), math.abs(latHi)))
     val dLon = dLat / math.cos(math.toRadians(maxAbsLat))
+    val lonLo = clon - dLon
+    val lonHi = clon + dLon
     val boxed =
       if (dLon >= 180.0) df.filter(col(latCol) >= latLo && col(latCol) <= latHi)
-      else bboxFilter(df, latCol, lonCol, latLo, latHi, clon - dLon, clon + dLon)
+      else if (lonLo < -180.0 || lonHi > 180.0) {
+        // Antimeridian wrap: the box crosses ±180, so the longitude
+        // predicate is the UNION of two ranges (lon >= loW OR lon <= hiW)
+        // — without this, docs on the far side of the dateline are pruned
+        // before the exact haversine verify (haversine itself is
+        // wrap-safe: sin((360−x)/2) = sin(x/2)). Both bounds can't wrap
+        // at once since dLon < 180.
+        val loW = if (lonLo < -180.0) lonLo + 360.0 else lonLo
+        val hiW = if (lonHi > 180.0) lonHi - 360.0 else lonHi
+        df.filter(col(latCol) >= latLo && col(latCol) <= latHi &&
+          (col(lonCol) >= loW || col(lonCol) <= hiW))
+      }
+      else bboxFilter(df, latCol, lonCol, latLo, latHi, lonLo, lonHi)
     boxed.filter(
       haversineKm(col(latCol), col(lonCol), lit(clat), lit(clon)) <= radiusKm)
   }

@@ -62,6 +62,7 @@ final class ClassicScorer(reader: SearchReader) {
       }
       (docId, s * (overlap.toFloat / maxOverlap)) // coord
     }.toDF("docId", "score")
+      .transform(reader.liveOnly) // LiveDocs contract, same as JoinScorer
       .orderBy($"score".desc, $"docId".asc).limit(k)
   }
 }

@@ -641,12 +641,7 @@ final class JoinScorer(reader: SearchReader) {
     }.filter(t => !java.lang.Float.isNaN(t._2))
     // live-docs filter: tombstoned docs leave results immediately (stats
     // unchanged until compaction — reference LiveDocs semantics)
-    reader.deletedDocs match {
-      case None => matched
-      case Some(del) =>
-        matched.toDF("docId", "score")
-          .join(del, Seq("docId"), "left_anti").as[(Long, Float)]
-    }
+    reader.liveOnly(matched.toDF("docId", "score")).as[(Long, Float)]
   }
 
   /** Top-k (score desc, docId asc) — TakeOrderedAndProject. */
@@ -694,6 +689,7 @@ final class JoinScorer(reader: SearchReader) {
         (docId, m + tie * (sum - m))
       }
       .toDF("docId", "score")
+      .transform(reader.liveOnly) // LiveDocs contract, same as scores()
       .orderBy($"score".desc, $"docId".asc).limit(k)
   }
 }

@@ -59,6 +59,7 @@ final class LMDirichletScorer(reader: SearchReader, mu: Float = 2000f) {
       }
       (docId, s)
     }.toDF("docId", "score")
+      .transform(reader.liveOnly) // LiveDocs contract, same as JoinScorer
       .orderBy($"score".desc, $"docId".asc).limit(k)
   }
 }

@@ -232,8 +232,9 @@ object QueryParser {
         // multi-segment path ("src/main") = exact phrase over segments
         else PhraseQ(toks.map("path:" + _).toSeq, toks.indices.toSeq)))
     }
-    if (body.startsWith("content:"))
-      return parseClause(body.substring(8), stop).map(boosted)
+    if (body.startsWith("content:")) // forward synonyms/folding so an
+      // explicitly-fielded default-field term analyzes like an unfielded one
+      return parseClause(body.substring(8), stop, synonyms, foldAscii).map(boosted)
     if (body.startsWith("\"")) {
       val close = body.lastIndexOf('"')
       val inner = body.substring(1, if (close > 0) close else body.length)
@@ -246,7 +247,14 @@ object QueryParser {
       val base = terms.head.position
       val (ts, rel) = (terms.map(_.term), terms.map(_.position - base))
       return Some(boosted(
-        if (slop > 0) SloppyPhraseQ(ts, rel, slop) else PhraseQ(ts, rel)))
+        if (slop > 0 && ts.length > 2)
+          // SloppyPhraseQ refuses >2 terms (its displacement sum matches
+          // Lucene's movement cost only pairwise); the classic parser
+          // degrades to unordered span-near instead of throwing the
+          // case-class require at the user's query string
+          SpanNearQ(ts, slop, inOrder = false)
+        else if (slop > 0) SloppyPhraseQ(ts, rel, slop)
+        else PhraseQ(ts, rel)))
     }
     if (body.length > 2 && body.startsWith("/") && body.endsWith("/"))
       return Some(boosted(RegexpQ(body.substring(1, body.length - 1))))

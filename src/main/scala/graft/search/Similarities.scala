@@ -114,6 +114,7 @@ final class SimilarityScorer(reader: SearchReader,
       }
       (docId, s)
     }.toDF("docId", "score")
+      .transform(reader.liveOnly) // LiveDocs contract, same as JoinScorer
       .orderBy($"score".desc, $"docId".asc).limit(k)
   }
 }

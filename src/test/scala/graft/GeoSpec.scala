@@ -90,6 +90,24 @@ class GeoSpec extends AnyFunSuite {
     assert(parisCell >= 1)
   }
 
+  test("geofilt at the antimeridian: wrap-split bbox loses nothing") {
+    val pts = Seq(
+      ("fiji", -17.7134, 178.0650), ("westside", -16.5, -179.9),
+      ("eastside", -16.5, 179.9), ("vanuatu", -17.7333, 168.3273),
+      ("hawaii", 19.8968, -155.5828))
+    val d = pts.toDF("name", "lat", "lon")
+    // circle centers on BOTH sides of the dateline, radii that straddle it
+    for ((clat, clon, r) <- Seq((-17.0, 179.95, 300.0), (-17.0, -179.95, 300.0),
+        (-17.0, 178.0, 1500.0), (0.0, -180.0, 3000.0))) {
+      val fast = Geo.geofilt(d, "lat", "lon", clat, clon, r)
+        .select("name").as[String].collect().toSet
+      val brute = pts.filter(p => havKm(p._2, p._3, clat, clon) <= r)
+        .map(_._1).toSet
+      assert(fast == brute, s"center ($clat,$clon) r=$r: $fast vs $brute")
+      assert(brute.nonEmpty, s"degenerate case ($clat,$clon,$r)")
+    }
+  }
+
   test("gridCell clamps the closed upper edge") {
     val got = Seq((90.0, 180.0), (-90.0, -180.0), (0.0, 0.0))
       .toDF("lat", "lon")

@@ -139,6 +139,32 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       .foreach(c => assert(c.violations == 0L, s"compacted check ${c.check}"))
   }
 
+  test("live-docs contract holds in EVERY scorer: LM-Dirichlet, DFR, " +
+    "Classic and DisMax exclude tombstones (round-2 advice)") {
+    val dir = SparkSuite.tmpDir("graft-del-alt")
+    val r0 = build(dir)
+    val delQ = BoolQ(Seq((Occur.Must, TermQ("println"))))
+    val delIds = new JoinScorer(r0).scores(delQ).map(_._1).collect().toSet
+    assert(delIds.nonEmpty)
+    IndexBuilder.deleteByQuery(spark, dir, cfg, delQ)
+    val r = new IndexReader(spark, dir, cfg.numBuckets, cacheData = false)
+    val terms = Seq("import", "println")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("docId").as[Long].collect().toSet
+    val got = Map(
+      "lmdirichlet" -> ids(new LMDirichletScorer(r).topK(terms, 100)),
+      "dfr" -> ids(new SimilarityScorer(r,
+        (df, ttf, maxDoc, _, avgdl) =>
+          Similarities.dfrGL2(df, ttf, maxDoc, avgdl)).topK(terms, 100)),
+      "classic" -> ids(new ClassicScorer(r).topK(terms, 100)),
+      "dismax" -> ids(new JoinScorer(r).topKDisMax(terms, 100)))
+    got.foreach { case (name, s) =>
+      assert(s.nonEmpty, name)
+      assert(s.intersect(delIds).isEmpty,
+        s"$name returned tombstoned docs: ${s.intersect(delIds).take(5)}")
+    }
+  }
+
   test("atomic update: delete-by-key + add, realtime-get, compaction " +
     "rank-identical to oracle over the rewritten corpus") {
     import org.apache.spark.sql.functions.{col, hash, md5, pmod, regexp_replace, lit, not}
