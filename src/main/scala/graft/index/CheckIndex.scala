@@ -18,8 +18,11 @@ object CheckIndex {
   final case class CheckResult(check: String, violations: Long)
 
   /** Decode-level per-block stats used by several checks (public:
-    * Catalyst codegen needs accessor visibility on Encoder classes). */
-  final case class BlockFacts(term: String, firstDoc: Long,
+    * Catalyst codegen needs accessor visibility on Encoder classes).
+    * Keyed by the 63-bit term key — the postings files carry no term
+    * strings; the dictionary cross-check joins on the key computed from
+    * the dictionary's term column. */
+  final case class BlockFacts(key: Long, firstDoc: Long,
                                       lastDoc: Long, count: Int,
                                       nDecoded: Int, sumTf: Long, maxTf: Int,
                                       declaredMaxTf: Int, declaredSumTf: Long,
@@ -33,19 +36,19 @@ object CheckIndex {
     val cacheB = spark.sparkContext.broadcast(reader.normCache)
     val pathCacheB = spark.sparkContext.broadcast(reader.normCacheFor("path"))
     val facts = spark.read.parquet(s"${reader.dir}/postings").drop("wave")
-      .select($"term", $"firstDoc", $"lastDoc", $"count", $"maxTf",
+      .select($"key", $"firstDoc", $"lastDoc", $"count", $"maxTf",
         $"sumTf", $"maxPartial", $"docBytes", $"nrmBytes", $"posBytes")
-      .as[(String, Long, Long, Int, Int, Long, Float, Array[Byte], Array[Byte], Array[Byte])]
-      .map { case (term, fd, ld, cnt, mtf, stf, mp, db, nb, pb) =>
+      .as[(Long, Long, Long, Int, Int, Long, Float, Array[Byte], Array[Byte], Array[Byte])]
+      .map { case (key, fd, ld, cnt, mtf, stf, mp, db, nb, pb) =>
         val (docs, tfs, nrms) = PostingsCodec.decodeDocs(
-          PostingBlock(term, fd, ld, cnt, mtf, stf, mp, db, nb, pb))
+          PostingBlock("", fd, ld, cnt, mtf, stf, mp, db, nb, pb))
         var sorted = true
         var maxTf = 0
         var sumTf = 0L
         var boundSafe = true
         // the bound must be checked with the block's FIELD cache (same
-        // avgdl the scorer will use)
-        val c = if (IndexBuilder.fieldOfTerm(term) == "path") pathCacheB.value
+        // avgdl the scorer will use); field rides in the key's field bit
+        val c = if (TermKeys.isPath(key)) pathCacheB.value
                 else cacheB.value
         var i = 0
         while (i < docs.length) {
@@ -60,7 +63,7 @@ object CheckIndex {
         }
         val inRange = docs.isEmpty ||
           (docs.head == fd && docs.last == ld && docs.head >= fd && docs.last <= ld)
-        BlockFacts(term, fd, ld, cnt, docs.length, sumTf, maxTf, mtf, stf,
+        BlockFacts(key, fd, ld, cnt, docs.length, sumTf, maxTf, mtf, stf,
           sorted, inRange, boundSafe)
       }.cache()
 
@@ -73,18 +76,23 @@ object CheckIndex {
 
     // blocks of one term must cover disjoint, ascending docId ranges
     // (the docBase-concatenation invariant, codecs/FieldsConsumer.java:90-100)
-    val w = Window.partitionBy("term").orderBy("firstDoc")
+    val w = Window.partitionBy("key").orderBy("firstDoc")
     val overlap = facts.toDF()
       .withColumn("prevLast", lag($"lastDoc", 1).over(w))
       .where($"prevLast".isNotNull && $"firstDoc" <= $"prevLast")
       .count()
 
-    // term dict vs postings cross-check (CheckIndex.java:1688-1696)
-    val perTerm = facts.groupBy("term")
+    // term dict vs postings cross-check (CheckIndex.java:1688-1696),
+    // joined on the dictionary term's key — this also audits the
+    // key<->term mapping itself: a dictionary term whose key matches no
+    // postings (or postings whose key is absent from the dictionary)
+    // counts as a violation via the full_outer null arms
+    val perTerm = facts.groupBy("key")
       .agg(sum($"nDecoded").as("df2"), sum($"sumTf").as("ttf2"),
         max($"maxTf").as("maxTf2"))
     val statsBad = reader.termStatsDf.toDF()
-      .join(perTerm, Seq("term"), "full_outer")
+      .withColumn("key", TermKeys.column($"term"))
+      .join(perTerm, Seq("key"), "full_outer")
       .where($"df".isNull || $"df2".isNull ||
         $"df" =!= $"df2" || $"ttf" =!= $"ttf2" || $"maxTf" =!= $"maxTf2")
       .count()

@@ -359,7 +359,6 @@ object IndexBuilder {
     while (w < cfg.waves) {
       val stage = s"postings_wave_$w"
       if (!stageDone(dir, stage)) timed(stage) {
-        val nb = cfg.numBuckets
         val shift = cfg.saltShift
         val waves = cfg.waves
         val postAcc = spark.sparkContext.longAccumulator("graft.postings")
@@ -367,84 +366,89 @@ object IndexBuilder {
         // waves own CONTIGUOUS docPart ranges: block docId-spans must stay
         // disjoint across waves (same invariant as salt chunks)
         val partsPerWave = (cfg.numDocParts + waves - 1) / waves
-        // Shuffle key = (term, salt), NOT bucket: hashing raw terms spreads
-        // the merge over ALL shuffle partitions at any parallelism (bucket
-        // count would cap it), and salt still splits hot terms into
-        // disjoint docId-range chunks. Term locality for reads comes from
-        // the within-partition (term, docId) sort: every file is
-        // term-sorted, so parquet row-group min/max stats prune term
-        // lookups (the BlockTree-seek analog) without bucket directories.
-        // salt is a pure PARTITIONING expression (hot set is tiny by
-        // construction: |hot| <= sumTtf/hotDfThreshold) — it steers the
-        // hash exchange but is NOT materialized into the shuffled row;
-        // the encoder re-derives it from (term, docId). Likewise tf rides
-        // inside pb (its VInt prefix) and bucket is computed inside the
-        // encoder, so the shuffle row is exactly (term, docId, pb, norm):
-        // at ~115 postings/doc the dropped salt+tf slots and the
-        // int-array->VByte positions cut the exchanged bytes by ~40%,
-        // which is the difference that matters in the DRAM-bound regime
-        // the scaling bench measures.
-        val hotSeq = hotTerms.toSeq
+        // Shuffle key = (termKey, salt): hashing keys spreads the merge
+        // over ALL shuffle partitions at any parallelism, and salt still
+        // splits hot terms into disjoint docId-range chunks. The row is
+        // (key: Long, docId, pb, norm) — NO term string: the 63-bit
+        // TermKeys key (field bit included) replaces the var-length term
+        // bytes, cutting both the exchanged bytes and, more importantly,
+        // the sort cost — (key, docId) sorts on Spark's 8-byte radix
+        // prefix, where term strings fell back to byte-wise comparisons
+        // on every shared prefix ("path:", common stems). Term text is
+        // recovered ONLY in the dictionary stage (from the segments'
+        // vocabulary) and at read time (from the query's own terms) —
+        // the Lucene posture: postings files are keyed by term ord, the
+        // .tim dictionary owns the bytes. Key locality for reads comes
+        // from the within-partition (key, docId) sort: every file is
+        // key-sorted, so parquet row-group min/max stats prune term
+        // lookups (the BlockTree-seek analog). salt is a pure
+        // PARTITIONING expression (hot set tiny by construction:
+        // |hot| <= sumTtf/hotDfThreshold) — it steers the hash exchange
+        // but is NOT materialized into the shuffled row; the encoder
+        // re-derives it from (key, docId). tf rides inside pb (its VInt
+        // prefix).
+        val hotKeys: Set[Long] = hotTerms.map(TermKeys.of)
+        val hotKeySeq = hotKeys.toSeq
         val saltCol =
-          if (hotSeq.isEmpty) lit(0L)
-          else when($"term".isin(hotSeq: _*), shiftright($"docId", shift))
+          if (hotKeySeq.isEmpty) lit(0L)
+          else when($"key".isin(hotKeySeq: _*), shiftright($"docId", shift))
             .otherwise(0L)
-        val hotB = spark.sparkContext.broadcast(hotTerms)
+        val hotB = spark.sparkContext.broadcast(hotKeys)
         val blocks = segments
           .where($"docPart" >= w * partsPerWave &&
             $"docPart" < (w + 1) * partsPerWave)
           .select($"docId", explode($"postings").as("p"), $"norm", $"pnorm")
-          .select($"p.term".as("term"), $"docId", $"p.pb".as("pb"),
+          .select(TermKeys.column($"p.term").as("key"), $"docId",
+            $"p.pb".as("pb"),
             // each posting carries ITS field's norm byte
             when($"p.term".startsWith("path:"), $"pnorm").otherwise($"norm")
               .as("norm"))
-          .repartition(cfg.shufflePartitions, $"term", saltCol)
-          .sortWithinPartitions($"term", $"docId")
-          .as[(String, Long, Array[Byte], Byte)]
+          .repartition(cfg.shufflePartitions, $"key", saltCol)
+          .sortWithinPartitions($"key", $"docId")
+          .as[(Long, Long, Array[Byte], Byte)]
           .mapPartitions { it0 =>
-            // Group consecutive same-(term, salt) runs, encode 128-posting
+            // Group consecutive same-(key, salt) runs, encode 128-posting
             // blocks. A run must break at salt boundaries: salt chunks of a
             // hot term land in different shuffle partitions, and block
             // docId-spans must stay DISJOINT across partitions for the
             // firstDoc-order concatenation (and the WAND cursor's skip
             // logic) to be valid — the docBase-concat invariant of
             // codecs/FieldsConsumer.java:90-100. salt is monotone in docId
-            // for one term, so sorting by (term, docId) already groups it;
+            // for one key, so sorting by (key, docId) already groups it;
             // the encoder recomputes it (hot-set lookup once per run).
             val hot = hotB.value
             val cache = cacheB.value
             val pathCache = pathCacheB.value
-            new Iterator[BlockRow] {
+            new Iterator[BlockRowK] {
               private val buf = it0.buffered
-              private var pending: Iterator[BlockRow] = Iterator.empty
+              private var pending: Iterator[BlockRowK] = Iterator.empty
               private def refill(): Unit = {
                 while (!pending.hasNext && buf.hasNext) {
-                  val term = buf.head._1
-                  val bucket = Buckets.of(term, nb)
-                  val isHot = hot.contains(term)
+                  val key = buf.head._1
+                  val isHot = hot.contains(key)
                   val salt = if (isHot) buf.head._2 >> shift else 0L
                   val fieldCache =
-                    if (fieldOfTerm(term) == "path") pathCache else cache
+                    if (TermKeys.isPath(key)) pathCache else cache
                   val run =
                     new scala.collection.mutable.ArrayBuffer[PrePosting]()
-                  while (buf.hasNext && buf.head._1 == term &&
+                  while (buf.hasNext && buf.head._1 == key &&
                       (!isHot || (buf.head._2 >> shift) == salt)) {
                     val (_, docId, pb, norm) = buf.next()
                     run += PrePosting(docId, norm, pb)
                   }
                   postAcc.add(run.length)
                   pending = PostingsCodec
-                    .encodePre(term, run.iterator, fieldCache)
+                    .encodePre("", run.iterator, fieldCache)
                     .map { b =>
                       blockAcc.add(1)
-                      BlockRow(bucket, b.term, b.firstDoc, b.lastDoc, b.count,
+                      BlockRowK(key, b.firstDoc, b.lastDoc, b.count,
                         b.maxTf, b.sumTf, b.maxPartial, b.docBytes, b.nrmBytes,
                         b.posBytes)
                     }
                 }
               }
               def hasNext: Boolean = { refill(); pending.hasNext }
-              def next(): BlockRow = { refill(); pending.next() }
+              def next(): BlockRowK = { refill(); pending.next() }
             }
           }
         // zstd over snappy: ~20% fewer bytes through the (bandwidth-
@@ -458,18 +462,40 @@ object IndexBuilder {
       w += 1
     }
 
-    // ---- stage 5: term dictionary, re-aggregated from block metadata ----
-    // df = sum(count), ttf = sum(sumTf), maxTf = max(maxTf) over a term's
-    // blocks: ~postings/128 input rows, so this replaces round 1's second
-    // full explode+shuffle of every posting. (CheckIndex cross-checks the
-    // result against fully DECODED postings, so stored block metadata
-    // can't drift unnoticed.)
+    // ---- stage 5: term dictionary ----
+    // Stats re-aggregated from block METADATA keyed by term key
+    // (~postings/128 input rows — never a second full posting shuffle);
+    // term STRINGS come from the segments' vocabulary (a column-pruned
+    // scan of just postings.term with map-side-combined distinct), joined
+    // back on the key. This is also where the 62-bit key space is
+    // audited: any two distinct terms sharing a key ABORT the build
+    // before the `done` marker — a collision would have interleaved two
+    // posting lists in the merge, so the index must never be served.
+    // (CheckIndex additionally cross-checks the dictionary against fully
+    // DECODED postings, so stored block metadata can't drift unnoticed.)
     if (!stageDone(dir, "termstats")) timed("termstats") {
-      spark.read.parquet(s"$dir/postings")
-        .groupBy($"term")
-        .agg(first($"bucket").as("bucket"), sum($"count").as("df"),
-          sum($"sumTf").as("ttf"), max($"maxTf").as("maxTf"))
-        .select($"term", $"bucket", $"df", $"ttf", $"maxTf")
+      val nb = cfg.numBuckets
+      val keyAgg = spark.read.parquet(s"$dir/postings")
+        .groupBy($"key")
+        .agg(sum($"count").as("df"), sum($"sumTf").as("ttf"),
+          max($"maxTf").as("maxTf"))
+      val vocab = segments.select(explode($"postings.term").as("term"))
+        .distinct()
+        .groupBy(TermKeys.column($"term").as("key"))
+        .agg(count(lit(1)).as("nTerms"), min($"term").as("term"),
+          max($"term").as("termHi"))
+      val clash = vocab.where($"nTerms" > 1)
+        .select($"term", $"termHi").limit(1).collect()
+      if (clash.nonEmpty)
+        throw new IllegalStateException(
+          s"term-key collision: '${clash(0).getString(0)}' and " +
+            s"'${clash(0).getString(1)}' share one 62-bit key — the merged " +
+            "postings are poisoned; refusing to commit the index")
+      vocab.select($"key", $"term").join(keyAgg, Seq("key"))
+        .select($"term", $"df", $"ttf", $"maxTf")
+        .as[(String, Long, Long, Int)]
+        .map { case (t, df, ttf, mtf) =>
+          TermStats(t, Buckets.of(t, nb), df, ttf, mtf) }
         // co-locate each bucket into one task before the partitionBy
         // write: without this every agg task writes a sliver of every
         // bucket directory (tasks x buckets tiny files — file-create

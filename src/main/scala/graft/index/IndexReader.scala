@@ -120,17 +120,25 @@ final class IndexReader(val spark: SparkSession, val dir: String,
     }
   }
 
-  /** Compressed block rows for the given terms. Uncached: parquet
-    * row-group pruning via the files' (term, docId) sort order; cached:
+  /** Compressed block rows for the given terms. The on-disk rows are
+    * keyed by the 63-bit term key (no term strings in the postings
+    * files); query terms resolve to keys driver-side and the string is
+    * reattached from the query's own (tiny) key->term map, so every
+    * scorer keeps consuming BlockRow.term unchanged. Uncached: parquet
+    * row-group pruning via the files' (key, docId) sort order; cached:
     * in-memory columnar batch filter. */
   def blocks(terms: Seq[String]): Dataset[BlockRow] = {
-    val buckets = terms.map(t => Buckets.of(t, numBuckets)).distinct
+    val k2t: Map[Long, String] =
+      terms.distinct.map(t => TermKeys.of(t) -> t).toMap
+    val keys = k2t.keys.toSeq
     postingsDf
-      .where($"bucket".isin(buckets: _*) && $"term".isin(terms: _*))
-      .select($"bucket", $"term", $"firstDoc", $"lastDoc", $"count",
-        $"maxTf", $"sumTf", $"maxPartial", $"docBytes", $"nrmBytes",
-        $"posBytes")
-      .as[BlockRow]
+      .where($"key".isin(keys: _*))
+      .as[BlockRowK]
+      .map { r =>
+        BlockRow(0 /* bucket: dictionary-only concept now */,
+          k2t(r.key), r.firstDoc, r.lastDoc, r.count,
+          r.maxTf, r.sumTf, r.maxPartial, r.docBytes, r.nrmBytes, r.posBytes)
+      }
   }
 }
 

@@ -60,15 +60,33 @@ final case class TermStats(term: String, bucket: Int, df: Long, ttf: Long,
   * maxDoc), not the max docId — our docIds are deterministic but sparse. */
 final case class CollStats(maxDoc: Long, sumTotalTermFreq: Long)
 
-/** On-disk block row = codec.PostingBlock + physical bucket. `count`
+/** In-memory block row the scorers consume (term string attached by
+  * IndexReader.blocks from the query's own term list). `count`
   * (=df contribution) / `sumTf` / `maxTf` let the term dictionary be
-  * re-aggregated from block rows (~postings/128 of them) instead of a
+  * re-aggregated from block metadata (~postings/128 rows) instead of a
   * second full explode over the segments. */
 final case class BlockRow(bucket: Int, term: String, firstDoc: Long,
                           lastDoc: Long, count: Int, maxTf: Int,
                           sumTf: Long, maxPartial: Float,
                           docBytes: Array[Byte], nrmBytes: Array[Byte],
                           posBytes: Array[Byte])
+
+/** ON-DISK block row: keyed by the 63-bit term key, NOT the term string.
+  * Term text exists only in the dictionary (termstats) — the merge
+  * shuffle and the postings files carry 8 fixed bytes per key where round
+  * 2 carried a var-length string, and the within-partition (key, docId)
+  * sort runs on Spark's 8-byte radix-sort prefix instead of byte-wise
+  * string comparisons. Readers resolve query terms to keys driver-side
+  * ([[TermKeys.of]]) and reattach the string ([[IndexReader.blocks]]).
+  * The reference analog: Lucene's postings files are keyed by term ORD
+  * into the .tip/.tim dictionary, never by repeated term bytes
+  * (lucene/core/src/java/org/apache/lucene/codecs/blocktree/
+  * BlockTreeTermsWriter.java:118-160). */
+final case class BlockRowK(key: Long, firstDoc: Long,
+                           lastDoc: Long, count: Int, maxTf: Int,
+                           sumTf: Long, maxPartial: Float,
+                           docBytes: Array[Byte], nrmBytes: Array[Byte],
+                           posBytes: Array[Byte])
 
 object Ids {
   /** docId = (docPart << DocIdShift) | indexWithinPartition — deterministic
@@ -113,4 +131,37 @@ object Buckets {
     val h = term.hashCode % numBuckets
     if (h < 0) h + numBuckets else h
   }
+}
+
+/** 63-bit term key = xxhash64(term) with the sign bit cleared and bit 62
+  * carrying the field (path vs content) so the post-shuffle encoder can
+  * pick the right norm cache without the string. Computable BOTH as a
+  * codegen'd Column (the build's shuffle key) and driver-side in plain
+  * Scala (query-term resolution) — parity is exact because both sides
+  * call Spark's own XXH64 with the xxhash64() default seed (42).
+  *
+  * Collisions: 62 bits of hash per field half-space; the dictionary
+  * build groups the full vocabulary by key and ABORTS the build loudly
+  * if any two distinct terms share one (expected collision count at a
+  * 10^8-term vocabulary is ~1e-3 — and a poisoned index can never be
+  * served silently because the guard runs before the `done` marker). */
+object TermKeys {
+  final val PathBit: Long = 1L << 62
+  final val HashMask: Long = (1L << 62) - 1
+  final val Seed: Long = 42L // xxhash64() Column default seed
+
+  def of(term: String): Long = {
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUTF8String(org.apache.spark.unsafe.types.UTF8String.fromString(term), Seed)
+    (h & HashMask) | (if (term.startsWith("path:")) PathBit else 0L)
+  }
+
+  /** Same function as [[of]] over a string Column (codegen'd, no UDF). */
+  def column(term: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    xxhash64(term).bitwiseAND(lit(HashMask))
+      .bitwiseOR(when(term.startsWith("path:"), lit(PathBit)).otherwise(lit(0L)))
+  }
+
+  def isPath(key: Long): Boolean = (key & PathBit) != 0L
 }
