@@ -401,6 +401,80 @@ object OracleQueries {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM tokall
          |WHERE term = 'table' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // Portuguese light stem "merg" <- "merge"
+    "ft_stemmed_pt" ->
+      s"""WITH $tokAllCte
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM tokall
+         |WHERE term = 'merge' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Russian light: Cyrillic-only rules => Latin corpus terms identical
+    "ft_stemmed_ru" ->
+      s"""WITH $tokAllCte
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM tokall
+         |WHERE term = 'query' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Swedish light stem "vect" <- "vector"
+    "ft_stemmed_sv" ->
+      s"""WITH $tokAllCte
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM tokall
+         |WHERE term = 'vector' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Finnish light stem "sor" <- "sort"
+    "ft_stemmed_fi" ->
+      s"""WITH $tokAllCte
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM tokall
+         |WHERE term = 'sort' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Hungarian light stem "stre" <- "stream"
+    "ft_stemmed_hu" ->
+      s"""WITH $tokAllCte
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM tokall
+         |WHERE term = 'stream' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Index-time synonym fast->quick: phrase "quick hash" == docs with
+    // adjacent (fast, hash) in the post-stop stream
+    "ft_synonym_index" ->
+      s"""WITH $tokensCte
+         |SELECT DISTINCT a.doc_id FROM tokens a
+         |JOIN tokens b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |  AND b.term = 'hash'
+         |WHERE a.term = 'fast' ORDER BY 1""".stripMargin,
+
+    // Multi-token LHS "hash agg" -> "hashagg": injected-term tf == count
+    // of consecutive (hash, agg) pairs per doc
+    "ft_synonym_multitok" ->
+      s"""WITH $tokensCte
+         |SELECT a.doc_id, CAST(count(*) AS BIGINT) AS tf FROM tokens a
+         |JOIN tokens b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |  AND b.term = 'agg'
+         |WHERE a.term = 'hash' GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
+
+    // eDisMax qf over {content^1, path^2}: per term only one field can
+    // match in this corpus (path tokens are numeric), so each term's
+    // dismax is its single field score; terms sum per doc. Path clause =
+    // df=1 idf, pdl=1 norm, boost 2.
+    "ft_edismax_qf" ->
+      s"""${bm25With("('spark')")},
+         |scp AS (
+         |  SELECT doc_id,
+         |         2.0 * ln(1 + ((SELECT n FROM cs) - 1 + 0.5) / (1 + 0.5)) * 2.2 /
+         |         (1 + 1.2 * (0.25 + 0.75 *
+         |            (SELECT qdl FROM nrm WHERE 1 BETWEEN lo AND hi))) AS s
+         |  FROM documents WHERE doc_id = 123),
+         |agg AS (SELECT doc_id, sum(s) AS score FROM
+         |        (SELECT doc_id, s FROM sc UNION ALL SELECT doc_id, s FROM scp)
+         |        GROUP BY doc_id)
+         |${rankSel(15)}""".stripMargin,
+
+    // Span-near with a prefix leg: 'fast' immediately followed by any
+    // s* term (SpanMultiTermQueryWrapper expansion)
+    "ft_span_wildcard" ->
+      s"""WITH $tokensCte
+         |SELECT DISTINCT a.doc_id FROM tokens a
+         |JOIN tokens b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |  AND b.term LIKE 's%'
+         |WHERE a.term = 'fast' ORDER BY 1""".stripMargin,
+
     // Delete-by-query 'dup' then BM25 "spark window": full-corpus stats
     // (tombstones still counted), results exclude the deleted docs
     "ft_delete_search" ->
@@ -626,6 +700,17 @@ object OracleQueries {
          |    unnest(regexp_extract_all(t, '$TokRe')) AS term FROM rep)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM tok
          |WHERE term = 'flink' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // HTML strip: the scaffold is fixed, so the oracle can CONSTRUCT the
+    // expected stripped string — <html><body><p> are block (-> \n each),
+    // </p>+script -> \n\n, <b></b> inline (removed), &amp; &#33; &Gamma;
+    // &nbsp; decode to '& ! Γ ', comments vanish, </body></html> -> \n\n
+    "charfilter_html" ->
+      s"""SELECT doc_id,
+         |  chr(10) || chr(10) || chr(10) || text || chr(10) || chr(10) ||
+         |  lang || ' & ! ' || 'Γ' || ' ' || chr(10) || chr(10)
+         |    AS stripped
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // frange: 0.5*n_chars + 10 in [100, 200]
     "func_range" ->

@@ -124,6 +124,14 @@ object SparkEntry {
       (cents, asg)
     })
 
+  private val maxAbsStats = new scala.collection.concurrent.TrieMap[String, Double]
+
+  /** Int8 quantization scale, memoized per corpus (a stored corpus stat
+    * beside the IVF centroids/assignments). */
+  private def int8MaxAbs(s: SparkSession, sfDir: String): Double =
+    maxAbsStats.getOrElseUpdate(sfDir,
+      Ann.corpusMaxAbs(s.read.parquet(s"$sfDir/embeddings.parquet")))
+
   /** Deterministic LatLonType point columns over `customer` — the spatial
     * queries' corpus. Integer-exact derivation (long mod then one double
     * divide), so the engine and the DuckDB oracle compute bit-identical
@@ -181,6 +189,24 @@ object SparkEntry {
 
   private def stemTf(s: SparkSession, r: IndexReader, stem: String): DataFrame =
     termsTf(s, r, Seq(stem))
+
+  private val synReaders = new scala.collection.concurrent.TrieMap[String, IndexReader]
+
+  /** Same corpus indexed WITH index-time synonym rules (reference
+    * synonym/SynonymFilter.java, keepOrig): "fast"->"quick" (single) and
+    * "hash agg"->"hashagg" (multi-token LHS collapse). Injected tokens
+    * sit at the match-start position, so phrases match through them. */
+  def synReader(spark: SparkSession, sfDir: String): IndexReader =
+    synReaders.getOrElseUpdate(sfDir, {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      val cfg = ftConfig((maxId / DocsPerPart + 1).toInt)
+        .copy(synonyms = Seq(
+          "fast" -> Seq("quick"), "hash agg" -> Seq("hashagg")))
+      val dir = java.nio.file.Files.createTempDirectory("graft-syn").toString
+      IndexBuilder.build(spark, docsAsInput(docs), dir, cfg)
+      IndexReader(spark, dir, cfg)
+    })
 
   private val delReaders =
     new scala.collection.concurrent.TrieMap[String, (IndexReader, IndexReader)]
@@ -463,18 +489,36 @@ object SparkEntry {
 
     /** Spell-check collation (SpellCheckComponent collate=true): best
       * correction per query term (dist asc, df desc), re-queried as a
-      * conjunction to prove the collated query actually hits. */
+      * conjunction to prove the collated query actually hits. Candidate
+      * generation routes through the fuzzy path's LENGTH-BANDED
+      * dictionary scan (SearchReader.fuzzyTerms) — never a raw
+      * levenshtein over the whole vocabulary; a length band ±maxEdits is
+      * lossless because edit distance bounds the length difference. */
     "spellcheck_collate" -> ((s, dir) => {
       import s.implicits._
       val r = reader(s, dir)
+      def lev(a: String, b: String): Int = {
+        val d = Array.tabulate(b.length + 1)(identity)
+        var i = 1
+        while (i <= a.length) {
+          var prev = d(0); d(0) = i
+          var j = 1
+          while (j <= b.length) {
+            val t = d(j)
+            d(j) = math.min(math.min(d(j) + 1, d(j - 1) + 1),
+              prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+            prev = t
+            j += 1
+          }
+          i += 1
+        }
+        d(b.length)
+      }
       val corrected = Seq("mrege", "windoww").map { w =>
-        r.termStatsDf.toDF()
-          .where(!col("term").startsWith("path:") &&
-            levenshtein(col("term"), lit(w)) <= 2)
-          .orderBy(levenshtein(col("term"), lit(w)), col("df").desc,
-            col("term"))
-          .limit(1).select("term").as[String].collect()
-          .headOption.getOrElse(w)
+        val cands = r.fuzzyTerms(w, 2)
+        if (cands.isEmpty) w
+        else cands.map(ts => (lev(ts.term, w), -ts.df, ts.term))
+          .sorted.head._3
       }
       val hits = new JoinScorer(r).scores(
         BoolQ(corrected.map(t => (Occur.Must: Occur, TermQ(t): Query)))).count()
@@ -643,6 +687,79 @@ object SparkEntry {
     /** Spanish-light-stemmed search: stem "tabl" <- "table". */
     "ft_stemmed_es" -> ((s, dir) =>
       stemTf(s, langReader(s, dir, "spanish"), "tabl")),
+
+    /** Portuguese-light-stemmed search: stem "merg" <- "merge" (the only
+      * corpus surface form in that family). */
+    "ft_stemmed_pt" -> ((s, dir) =>
+      stemTf(s, langReader(s, dir, "portuguese"), "merg")),
+
+    /** Russian-light-stemmed search: the Dolamic-Savoy rules touch only
+      * Cyrillic suffixes, so Latin corpus terms index unchanged — the
+      * oracle verifies exactly that identity ("query" postings equal the
+      * surface term's); Cyrillic behavior is pinned by the 49k-pair
+      * golden suite (LightStemSpec). */
+    "ft_stemmed_ru" -> ((s, dir) =>
+      stemTf(s, langReader(s, dir, "russian"), "query")),
+
+    /** Swedish-light-stemmed search: stem "vect" <- "vector". */
+    "ft_stemmed_sv" -> ((s, dir) =>
+      stemTf(s, langReader(s, dir, "swedish"), "vect")),
+
+    /** Finnish-light-stemmed search: stem "sor" <- "sort". */
+    "ft_stemmed_fi" -> ((s, dir) =>
+      stemTf(s, langReader(s, dir, "finnish"), "sor")),
+
+    /** Hungarian-light-stemmed search: stem "stre" <- "stream". */
+    "ft_stemmed_hu" -> ((s, dir) =>
+      stemTf(s, langReader(s, dir, "hungarian"), "stre")),
+
+    /** Index-time synonym: phrase "quick hash" matches THROUGH the
+      * injected synonym (rule fast->quick; "quick" sits at "fast"'s
+      * position, posInc=0) — the capability query-time expansion lacks. */
+    "ft_synonym_index" -> ((s, dir) => {
+      import s.implicits._
+      val r = synReader(s, dir)
+      new JoinScorer(r)
+        .scores(BoolQ(Seq((Occur.Must,
+          PhraseQ(Seq("quick", "hash"), Seq(0, 1))))))
+        .map(_._1).toDF("docId")
+        .join(idMap(r), "docId").select("doc_id").orderBy("doc_id")
+    }),
+
+    /** Index-time multi-token-LHS synonym ("hash agg" -> "hashagg"):
+      * tf of the injected collapsed term == count of consecutive
+      * (hash, agg) occurrences per doc. */
+    "ft_synonym_multitok" -> ((s, dir) =>
+      stemTf(s, synReader(s, dir), "hashagg")),
+
+    /** eDisMax qf (ExtendedDismaxQParser queryFields): the user string
+      * "spark 000000123" scored across {content^1, path^2} — each term
+      * dismax-combines its per-field scores (path clause uses the path
+      * field's df/avgdl/norms), matching terms sum per doc. */
+    "ft_edismax_qf" -> ((s, dir) => {
+      val r = reader(s, dir)
+      new JoinScorer(r)
+        .topKEdismaxQf(Seq("spark", "000000123"),
+          Seq(("", 1f), ("path:", 2f)), tie = 0.3f, k = 15)
+        .join(idMap(r), "docId")
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        .select("rank", "doc_id").orderBy("rank")
+    }),
+
+    /** SpanMultiTermQueryWrapper: span-near with a PREFIX leg —
+      * "fast" immediately followed by any s* dictionary term, via
+      * TooManyClauses-guarded expansion into a span-OR slot. */
+    "ft_span_wildcard" -> ((s, dir) => {
+      import s.implicits._
+      val r = reader(s, dir)
+      new JoinScorer(r)
+        .scores(BoolQ(Seq((Occur.Must,
+          SpanNearMultiQ(Seq(TermQ("fast"), PrefixQ("s")), 0,
+            inOrder = true)))))
+        .map(_._1).toDF("docId")
+        .join(idMap(r), "docId").select("doc_id").orderBy("doc_id")
+    }),
 
     /** Delete-by-query then search (pre-compaction): tombstoned docs
       * (those containing 'dup') leave results immediately, but BM25 stats
@@ -894,6 +1011,26 @@ object SparkEntry {
         .toDF("doc_id")
         .groupBy("doc_id").agg(count(lit(1)).as("tf"))
         .orderBy("doc_id")
+    }),
+
+    /** HTML-strip char filter (HTMLStripCharFilter / Solr
+      * HTMLStripCharFilterFactory): every doc's text wrapped in a fixed
+      * HTML scaffold (block + inline tags, a script element, entities, a
+      * comment), stripped by the real scanner. The oracle CONSTRUCTS the
+      * semantically-expected output from the same parts, so the strip is
+      * verified byte-for-byte per row; the reference's own test vectors
+      * (incl. malformed HTML) live in HtmlStripSpec. */
+    "charfilter_html" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("text"))
+        .as[(Long, String, String)]
+        .map { case (id, lang, text) =>
+          val html = "<html><body id=\"d\"><p>" + text + "</p>" +
+            "<script>var q = '<!-- no -->';</script><b>" + lang + "</b>" +
+            " &amp; &#33; &Gamma;&nbsp;<!-- hidden --></body></html>"
+          (id, graft.analysis.HtmlStrip.strip(html))
+        }.toDF("doc_id", "stripped").orderBy("doc_id")
     }),
 
     /** Function range query (Solr frange / FunctionRangeQuery): filter by
@@ -1875,9 +2012,12 @@ object SparkEntry {
 
     /** Int8 scalar-quantized ANN (FAISS SQ8 / Lucene scalar-quantized
       * vectors analog): 4x smaller storage, cosine on the quantized ints
-      * (scale cancels), exact-integer dot products in double math. */
+      * (scale cancels), exact-integer dot products in double math. The
+      * quantization scale max|x| is a CORPUS STAT computed once and
+      * reused across queries, never a per-query corpus scan. */
     "ann_int8" -> ((s, dir) =>
-      Ann.int8CosineTopK(s.read.parquet(s"$dir/embeddings.parquet"), 0L, 10)
+      Ann.int8CosineTopK(s.read.parquet(s"$dir/embeddings.parquet"), 0L, 10,
+          maxAbs0 = Some(int8MaxAbs(s, dir)))
         .select(col("rank").cast("long"), col("id"),
           round(col("sim"), 6).as("sim"))
         .orderBy("rank")),
@@ -1886,7 +2026,7 @@ object SparkEntry {
       * (FAISS IndexRefine / SQ8+rerank deployment pattern). */
     "ann_rerank" -> ((s, dir) =>
       Ann.int8RerankTopK(s.read.parquet(s"$dir/embeddings.parquet"),
-          0L, 100, 10)
+          0L, 100, 10, maxAbs0 = Some(int8MaxAbs(s, dir)))
         .select(col("rank").cast("long"), col("id"),
           round(col("sim"), 6).as("sim"))
         .orderBy("rank")),

@@ -278,4 +278,85 @@ object Analyzer {
     * search/similarities/BM25Similarity.java:138-141).
     */
   def fieldLength(terms: Vector[TermPos]): Int = terms.length
+
+  /** One compiled index-time synonym rule: LHS token sequence (matched
+    * against CONSECUTIVE positions) -> RHS alternatives, each a token
+    * sequence. Both sides are run through the analysis chain at compile
+    * time, like the reference's SynonymMap.Builder does
+    * (analysis/common/src/java/org/apache/lucene/analysis/synonym/
+    * SynonymMap.java:184-199). */
+  final case class SynRule(lhs: Array[String], rhs: Array[Array[String]])
+
+  /** Compile raw rules (lhs text -> rhs alternative texts) through the
+    * standard chain (no stopwords — synonyms run BEFORE StopFilter in
+    * the reference's canonical chain order). */
+  def compileSynonyms(raw: Seq[(String, Seq[String])]): Seq[SynRule] =
+    raw.map { case (l, rs) =>
+      SynRule(analyze(l, Set.empty).map(_.term).toArray,
+        rs.map(r => analyze(r, Set.empty).map(_.term).toArray).toArray)
+    }.filter(r => r.lhs.nonEmpty && r.rhs.forall(_.nonEmpty))
+
+  /** Index-time SynonymFilter (reference analysis/common/.../synonym/
+    * SynonymFilter.java:1 semantics, keepOrig=true, greedy longest match,
+    * no overlapping matches): wherever an LHS token run matches at
+    * consecutive positions, each RHS alternative's tokens are INJECTED
+    * with the first token at the SAME position as the match start
+    * (posInc=0) and subsequent tokens at the following positions — so
+    * phrases and spans match THROUGH the synonym on the indexed side,
+    * including the reference's documented multi-word "sausage" overlap.
+    * Returns (terms, positions, fieldLength) where fieldLength counts
+    * DISTINCT positions: injected tokens are overlaps and must not
+    * inflate the BM25 norm (discountOverlaps, BM25Similarity.java:138).
+    * Output array order keeps every term's positions non-descending, the
+    * invariant the postings position-delta encoder needs. */
+  def applySynonymsFlat(terms: Array[String], positions: Array[Int],
+                        rules: Seq[SynRule]): (Array[String], Array[Int], Int) = {
+    if (rules.isEmpty || terms.isEmpty) {
+      return (terms, positions, terms.length)
+    }
+    val byFirst = rules.groupBy(_.lhs(0))
+    val outT = new scala.collection.mutable.ArrayBuffer[String](terms.length + 8)
+    val outP = new scala.collection.mutable.ArrayBuffer[Int](terms.length + 8)
+    @inline def matchesAt(i: Int, lhs: Array[String]): Boolean = {
+      if (i + lhs.length > terms.length) return false
+      var k = 0
+      while (k < lhs.length) {
+        if (terms(i + k) != lhs(k)) return false
+        // consecutive positions only (a stopword gap breaks the phrase)
+        if (k > 0 && positions(i + k) != positions(i + k - 1) + 1) return false
+        k += 1
+      }
+      true
+    }
+    var i = 0
+    while (i < terms.length) {
+      outT += terms(i); outP += positions(i)
+      var best: SynRule = null
+      byFirst.get(terms(i)) match {
+        case Some(cands) =>
+          cands.foreach { r =>
+            if ((best == null || r.lhs.length > best.lhs.length) &&
+              matchesAt(i, r.lhs)) best = r
+          }
+        case None =>
+      }
+      if (best != null) {
+        val L = best.lhs.length
+        var k = i + 1 // keepOrig: the rest of the matched originals
+        while (k < i + L) { outT += terms(k); outP += positions(k); k += 1 }
+        best.rhs.foreach { alt =>
+          var j = 0
+          while (j < alt.length) {
+            outT += alt(j); outP += positions(i) + j; j += 1
+          }
+        }
+        i += L
+      } else i += 1
+    }
+    val seen = new java.util.HashSet[Integer]()
+    var d = 0
+    var m = 0
+    while (m < outP.length) { if (seen.add(outP(m))) d += 1; m += 1 }
+    (outT.toArray, outP.toArray, d)
+  }
 }

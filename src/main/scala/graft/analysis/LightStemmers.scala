@@ -164,11 +164,310 @@ object LightStemmers {
     if (n == w.length) w else w.substring(0, n)
   }
 
+  // ---- round-3 additions: pt / ru / sv / fi / hu light stemmers ----
+  // (reference analysis/common/.../{pt,ru,sv,fi,hu}/*LightStemmer.java —
+  // the published UniNE / CLEF-2003 / Dolamic-Savoy rule tables; each is
+  // pinned against the reference's FULL golden zip in LightStemSpec.)
+
+  @inline private def ends(s: Array[Char], len: Int, suf: String): Boolean = {
+    val m = suf.length
+    if (len < m) return false
+    var i = 0
+    while (i < m) {
+      if (s(len - m + i) != suf.charAt(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Portuguese light (UniNE, pt/PortugueseLightStemmer.java): plural /
+    * adverb suffixes with orthographic repair (-ões->-ão, -ns->-m,
+    * -eis->-el...), feminine->masculine normalization, final-vowel strip,
+    * then accent fold (incl. ã/õ/ç — folded LAST, the repairs write
+    * accented chars). */
+  def portuguese(w0: String): String = {
+    if (w0.length < 4) return w0
+    val s = w0.toCharArray
+    var len = s.length
+    // removeSuffix
+    if (len > 4 && ends(s, len, "es") &&
+      (s(len - 3) == 'r' || s(len - 3) == 's' || s(len - 3) == 'l' ||
+        s(len - 3) == 'z')) len -= 2
+    else if (len > 3 && ends(s, len, "ns")) { s(len - 2) = 'm'; len -= 1 }
+    else if (len > 4 && (ends(s, len, "eis") || ends(s, len, "éis"))) {
+      s(len - 3) = 'e'; s(len - 2) = 'l'; len -= 1
+    }
+    else if (len > 4 && ends(s, len, "ais")) { s(len - 2) = 'l'; len -= 1 }
+    else if (len > 4 && ends(s, len, "óis")) {
+      s(len - 3) = 'o'; s(len - 2) = 'l'; len -= 1
+    }
+    else if (len > 4 && ends(s, len, "is")) s(len - 1) = 'l'
+    else if (len > 3 && (ends(s, len, "ões") || ends(s, len, "ães"))) {
+      len -= 1; s(len - 2) = 'ã'; s(len - 1) = 'o'
+    }
+    else if (len > 6 && ends(s, len, "mente")) len -= 5
+    else if (len > 3 && s(len - 1) == 's') len -= 1
+    // normFeminine
+    if (len > 3 && s(len - 1) == 'a') {
+      if (len > 7 && (ends(s, len, "inha") || ends(s, len, "iaca") ||
+          ends(s, len, "eira"))) s(len - 1) = 'o'
+      else if (len > 6) {
+        if (ends(s, len, "osa") || ends(s, len, "ica") ||
+          ends(s, len, "ida") || ends(s, len, "ada") ||
+          ends(s, len, "iva") || ends(s, len, "ama")) s(len - 1) = 'o'
+        else if (ends(s, len, "ona")) {
+          s(len - 3) = 'ã'; s(len - 2) = 'o'; len -= 1
+        }
+        else if (ends(s, len, "ora")) len -= 1
+        else if (ends(s, len, "esa")) { s(len - 3) = 'ê'; len -= 1 }
+        else if (ends(s, len, "na")) s(len - 1) = 'o'
+      }
+    }
+    if (len > 4 && (s(len - 1) == 'e' || s(len - 1) == 'a' ||
+      s(len - 1) == 'o')) len -= 1
+    var i = 0
+    while (i < len) {
+      s(i) = s(i) match {
+        case 'à' | 'á' | 'â' | 'ä' | 'ã' => 'a'
+        case 'ò' | 'ó' | 'ô' | 'ö' | 'õ' => 'o'
+        case 'è' | 'é' | 'ê' | 'ë' => 'e'
+        case 'ù' | 'ú' | 'û' | 'ü' => 'u'
+        case 'ì' | 'í' | 'î' | 'ï' => 'i'
+        case 'ç' => 'c'
+        case other => other
+      }
+      i += 1
+    }
+    new String(s, 0, len)
+  }
+
+  private val RuCase3 = Seq("иям", "иях", "оях", "ями", "оям", "оьв", "ами",
+    "его", "ему", "ери", "ими", "ого", "ому", "ыми", "оев")
+  private val RuCase2 = Seq("ая", "яя", "ях", "юю", "ах", "ею", "их", "ия",
+    "ию", "ьв", "ою", "ую", "ям", "ых", "ея", "ам", "ем", "ей", "ём", "ев",
+    "ий", "им", "ое", "ой", "ом", "ов", "ые", "ый", "ым", "ми")
+  private val RuFinal = Set('а', 'е', 'и', 'о', 'у', 'й', 'ы', 'я', 'ь')
+
+  /** Russian light (Dolamic & Savoy "Indexing and Searching Strategies
+    * for the Russian Language", ru/RussianLightStemmer.java): one case
+    * suffix (4/3/2/1 chars) then a soft-sign / -и / -нн normalization. */
+  def russian(w0: String): String = {
+    val s = w0.toCharArray
+    var len = s.length
+    // removeCase
+    if (len > 6 && (ends(s, len, "иями") || ends(s, len, "оями"))) len -= 4
+    else if (len > 5 && RuCase3.exists(ends(s, len, _))) len -= 3
+    else if (len > 4 && RuCase2.exists(ends(s, len, _))) len -= 2
+    else if (len > 3 && RuFinal.contains(s(len - 1))) len -= 1
+    // normalize
+    if (len > 3) {
+      if (s(len - 1) == 'ь' || s(len - 1) == 'и') len -= 1
+      else if (s(len - 1) == 'н' && s(len - 2) == 'н') len -= 1
+    }
+    if (len == w0.length) w0 else new String(s, 0, len)
+  }
+
+  /** Swedish light (CLEF-2003, sv/SwedishLightStemmer.java): optional
+    * final -s, then ONE definite/plural/degree suffix by length. */
+  def swedish(w0: String): String = {
+    val s = w0.toCharArray
+    var len = s.length
+    if (len > 4 && s(len - 1) == 's') len -= 1
+    if (len > 7 && (ends(s, len, "elser") || ends(s, len, "heten"))) len -= 5
+    else if (len > 6 && (ends(s, len, "arne") || ends(s, len, "erna") ||
+      ends(s, len, "ande") || ends(s, len, "else") || ends(s, len, "aste") ||
+      ends(s, len, "orna") || ends(s, len, "aren"))) len -= 4
+    else if (len > 5 && (ends(s, len, "are") || ends(s, len, "ast") ||
+      ends(s, len, "het"))) len -= 3
+    else if (len > 4 && (ends(s, len, "ar") || ends(s, len, "er") ||
+      ends(s, len, "or") || ends(s, len, "en") || ends(s, len, "at") ||
+      ends(s, len, "te") || ends(s, len, "et"))) len -= 2
+    else if (len > 3 && (s(len - 1) == 't' || s(len - 1) == 'a' ||
+      s(len - 1) == 'e' || s(len - 1) == 'n')) len -= 1
+    if (len == w0.length) w0 else new String(s, 0, len)
+  }
+
+  @inline private def fiVowel(c: Char): Boolean = c match {
+    case 'a' | 'e' | 'i' | 'o' | 'u' | 'y' => true
+    case _ => false
+  }
+
+  /** Finnish light (CLEF-2003, fi/FinnishLightStemmer.java): fold ä/å/ö,
+    * strip particles (-kin/-ko, recursively), possessives, one case
+    * ending, then two normalization passes incl. the geminate k/p/t
+    * smoothing. */
+  def finnish(w0: String): String = {
+    if (w0.length < 4) return w0
+    val s = w0.toCharArray
+    var len = s.length
+    var i = 0
+    while (i < len) {
+      s(i) = s(i) match {
+        case 'ä' | 'å' => 'a'
+        case 'ö' => 'o'
+        case other => other
+      }
+      i += 1
+    }
+    // step1 (recursive particle strip)
+    var again = true
+    while (again) {
+      again = false
+      if (len > 8 && ends(s, len, "kin")) { len -= 3; again = true }
+      else if (len > 8 && ends(s, len, "ko")) { len -= 2; again = true }
+    }
+    if (len > 11 && ends(s, len, "dellinen")) len -= 8
+    else if (len > 11 && ends(s, len, "dellisuus")) len -= 9
+    // step2
+    if (len > 5) {
+      if (ends(s, len, "lla") || ends(s, len, "tse") || ends(s, len, "sti"))
+        len -= 3
+      else if (ends(s, len, "ni")) len -= 2
+      else if (ends(s, len, "aa")) len -= 1
+    }
+    // step3
+    if (len > 8 && ends(s, len, "nnen")) { s(len - 4) = 's'; len -= 3 }
+    else if (len > 8 && ends(s, len, "ntena")) { s(len - 5) = 's'; len -= 4 }
+    else if (len > 8 && ends(s, len, "tten")) len -= 4
+    else if (len > 8 && ends(s, len, "eiden")) len -= 5
+    else if (len > 6 && (ends(s, len, "neen") || ends(s, len, "niin") ||
+      ends(s, len, "seen") || ends(s, len, "teen") || ends(s, len, "inen")))
+      len -= 4
+    else if (len > 6 && s(len - 3) == 'h' && fiVowel(s(len - 2)) &&
+      s(len - 1) == 'n') len -= 3
+    else if (len > 6 && ends(s, len, "den")) { s(len - 3) = 's'; len -= 2 }
+    else if (len > 6 && ends(s, len, "ksen")) { s(len - 4) = 's'; len -= 3 }
+    else if (len > 6 && (ends(s, len, "ssa") || ends(s, len, "sta") ||
+      ends(s, len, "lla") || ends(s, len, "lta") || ends(s, len, "tta") ||
+      ends(s, len, "ksi") || ends(s, len, "lle"))) len -= 3
+    else if (len > 5 && (ends(s, len, "na") || ends(s, len, "ne"))) len -= 2
+    else if (len > 5 && ends(s, len, "nei")) len -= 3
+    else if (len > 4 && (ends(s, len, "ja") || ends(s, len, "ta"))) len -= 2
+    else if (len > 4 && s(len - 1) == 'a') len -= 1
+    else if (len > 4 && s(len - 1) == 'n' && fiVowel(s(len - 2))) len -= 2
+    else if (len > 4 && s(len - 1) == 'n') len -= 1
+    // norm1
+    if (len > 5 && ends(s, len, "hde")) {
+      s(len - 3) = 'k'; s(len - 2) = 's'; s(len - 1) = 'i'
+    }
+    if (len > 4 && (ends(s, len, "ei") || ends(s, len, "at"))) len -= 2
+    else if (len > 3 && (s(len - 1) == 't' || s(len - 1) == 's' ||
+      s(len - 1) == 'j' || s(len - 1) == 'e' || s(len - 1) == 'a' ||
+      s(len - 1) == 'i')) len -= 1
+    // norm2
+    if (len > 8 && (s(len - 1) == 'e' || s(len - 1) == 'o' ||
+      s(len - 1) == 'u')) len -= 1
+    if (len > 4) {
+      if (s(len - 1) == 'i') len -= 1
+      if (len > 4) {
+        // geminate k/p/t smoothing: delete the second of a double
+        var ch = s(0)
+        var j = 1
+        while (j < len) {
+          if (s(j) == ch && (ch == 'k' || ch == 'p' || ch == 't')) {
+            System.arraycopy(s, j + 1, s, j, len - j - 1)
+            len -= 1
+          } else {
+            ch = s(j)
+            j += 1
+          }
+        }
+      }
+    }
+    new String(s, 0, len)
+  }
+
+  @inline private def huVowel(c: Char): Boolean = c match {
+    case 'a' | 'e' | 'i' | 'o' | 'u' | 'y' => true
+    case _ => false
+  }
+
+  /** Hungarian light (UniNE, hu/HungarianLightStemmer.java): fold
+    * accents/long vowels, then one case suffix, one possessive suffix,
+    * the -k plural, and a final-vowel normalization. */
+  def hungarian(w0: String): String = {
+    val s = w0.toCharArray
+    var len = s.length
+    var i = 0
+    while (i < len) {
+      s(i) = s(i) match {
+        case 'á' => 'a'
+        case 'ë' | 'é' => 'e'
+        case 'í' => 'i'
+        case 'ó' | 'ő' | 'õ' | 'ö' => 'o'
+        case 'ú' | 'ű' | 'ũ' | 'û' | 'ü' => 'u'
+        case other => other
+      }
+      i += 1
+    }
+    // removeCase
+    if (len > 6 && ends(s, len, "kent")) len -= 4
+    else if (len > 5 && (ends(s, len, "nak") || ends(s, len, "nek") ||
+      ends(s, len, "val") || ends(s, len, "vel") || ends(s, len, "ert") ||
+      ends(s, len, "rol") || ends(s, len, "ban") || ends(s, len, "ben") ||
+      ends(s, len, "bol") || ends(s, len, "nal") || ends(s, len, "nel") ||
+      ends(s, len, "hoz") || ends(s, len, "hez") || ends(s, len, "tol")))
+      len -= 3
+    else if (len > 5 && (ends(s, len, "al") || ends(s, len, "el")) &&
+      !huVowel(s(len - 3)) && s(len - 3) == s(len - 4)) len -= 3
+    else if (len > 4 && (ends(s, len, "at") || ends(s, len, "et") ||
+      ends(s, len, "ot") || ends(s, len, "va") || ends(s, len, "ve") ||
+      ends(s, len, "ra") || ends(s, len, "re") || ends(s, len, "ba") ||
+      ends(s, len, "be") || ends(s, len, "ul") || ends(s, len, "ig")))
+      len -= 2
+    else if (len > 4 && (ends(s, len, "on") || ends(s, len, "en")) &&
+      !huVowel(s(len - 3))) len -= 2
+    else if (len > 4 && (s(len - 1) == 't' || s(len - 1) == 'n')) len -= 1
+    else if (len > 4 && (s(len - 1) == 'a' || s(len - 1) == 'e') &&
+      s(len - 2) == s(len - 3) && !huVowel(s(len - 2))) len -= 2
+    // removePossessive
+    if (len > 6 && !huVowel(s(len - 5)) &&
+      (ends(s, len, "atok") || ends(s, len, "otok") || ends(s, len, "etek")))
+      len -= 4
+    else if (len > 6 && (ends(s, len, "itek") || ends(s, len, "itok")))
+      len -= 4
+    else if (len > 5 && !huVowel(s(len - 4)) &&
+      (ends(s, len, "unk") || ends(s, len, "tok") || ends(s, len, "tek")))
+      len -= 3
+    else if (len > 5 && huVowel(s(len - 4)) && ends(s, len, "juk")) len -= 3
+    else if (len > 5 && ends(s, len, "ink")) len -= 3
+    else if (len > 4 && !huVowel(s(len - 3)) &&
+      (ends(s, len, "am") || ends(s, len, "em") || ends(s, len, "om") ||
+        ends(s, len, "ad") || ends(s, len, "ed") || ends(s, len, "od") ||
+        ends(s, len, "uk"))) len -= 2
+    else if (len > 4 && huVowel(s(len - 3)) &&
+      (ends(s, len, "nk") || ends(s, len, "ja") || ends(s, len, "je")))
+      len -= 2
+    else if (len > 4 && (ends(s, len, "im") || ends(s, len, "id") ||
+      ends(s, len, "ik"))) len -= 2
+    else if (len > 3 && (s(len - 1) == 'a' || s(len - 1) == 'e') &&
+      !huVowel(s(len - 2))) len -= 1
+    else if (len > 3 && (s(len - 1) == 'm' || s(len - 1) == 'd') &&
+      huVowel(s(len - 2))) len -= 1
+    else if (len > 3 && s(len - 1) == 'i') len -= 1
+    // removePlural (reference has an intentional fallthrough: -ak/-ok/-ek
+    // drop 2 only when len > 4, else every -k drops 1)
+    if (len > 3 && s(len - 1) == 'k') {
+      if (len > 4 && (s(len - 2) == 'a' || s(len - 2) == 'o' ||
+        s(len - 2) == 'e')) len -= 2
+      else len -= 1
+    }
+    // normalize
+    if (len > 3 && (s(len - 1) == 'a' || s(len - 1) == 'e' ||
+      s(len - 1) == 'i' || s(len - 1) == 'o')) len -= 1
+    new String(s, 0, len)
+  }
+
   /** Stemmer + ISO code for a configured analyzer name (the language
     * analyzers IndexConfig accepts beyond "standard"/"english"). */
   val byName: Map[String, (String, String => String)] = Map(
     "german" -> (("de", german _)),
     "spanish" -> (("es", spanish _)),
     "italian" -> (("it", italian _)),
-    "french" -> (("fr", french _)))
+    "french" -> (("fr", french _)),
+    "portuguese" -> (("pt", portuguese _)),
+    "russian" -> (("ru", russian _)),
+    "swedish" -> (("sv", swedish _)),
+    "finnish" -> (("fi", finnish _)),
+    "hungarian" -> (("hu", hungarian _)))
 }

@@ -26,6 +26,32 @@ object StopSets {
     * lucene/analysis/common/src/resources/org/apache/lucene/analysis/snowball/italian_stop.txt */
   val italian: Set[String] = Set("ad", "al", "allo", "ai", "agli", "all", "agl", "alla", "alle", "con", "col", "coi", "da", "dal", "dallo", "dai", "dagli", "dall", "dagl", "dalla", "dalle", "di", "del", "dello", "dei", "degli", "dell", "degl", "della", "delle", "in", "nel", "nello", "nei", "negli", "nell", "negl", "nella", "nelle", "su", "sul", "sullo", "sui", "sugli", "sull", "sugl", "sulla", "sulle", "per", "tra", "contro", "io", "tu", "lui", "lei", "noi", "voi", "loro", "mio", "mia", "miei", "mie", "tuo", "tua", "tuoi", "tue", "suo", "sua", "suoi", "sue", "nostro", "nostra", "nostri", "nostre", "vostro", "vostra", "vostri", "vostre", "mi", "ti", "ci", "vi", "lo", "la", "li", "le", "gli", "ne", "il", "un", "uno", "una", "ma", "ed", "se", "perché", "anche", "come", "dov", "dove", "che", "chi", "cui", "non", "più", "quale", "quanto", "quanti", "quanta", "quante", "quello", "quelli", "quella", "quelle", "questo", "questi", "questa", "queste", "si", "tutto", "tutti", "a", "c", "e", "i", "l", "o", "ho", "hai", "ha", "abbiamo", "avete", "hanno", "abbia", "abbiate", "abbiano", "avrò", "avrai", "avrà", "avremo", "avrete", "avranno", "avrei", "avresti", "avrebbe", "avremmo", "avreste", "avrebbero", "avevo", "avevi", "aveva", "avevamo", "avevate", "avevano", "ebbi", "avesti", "ebbe", "avemmo", "aveste", "ebbero", "avessi", "avesse", "avessimo", "avessero", "avendo", "avuto", "avuta", "avuti", "avute", "sono", "sei", "è", "siamo", "siete", "sia", "siate", "siano", "sarò", "sarai", "sarà", "saremo", "sarete", "saranno", "sarei", "saresti", "sarebbe", "saremmo", "sareste", "sarebbero", "ero", "eri", "era", "eravamo", "eravate", "erano", "fui", "fosti", "fu", "fummo", "foste", "furono", "fossi", "fosse", "fossimo", "fossero", "essendo", "faccio", "fai", "facciamo", "fanno", "faccia", "facciate", "facciano", "farò", "farai", "farà", "faremo", "farete", "faranno", "farei", "faresti", "farebbe", "faremmo", "fareste", "farebbero", "facevo", "facevi", "faceva", "facevamo", "facevate", "facevano", "feci", "facesti", "fece", "facemmo", "faceste", "fecero", "facessi", "facesse", "facessimo", "facessero", "facendo", "sto", "stai", "sta", "stiamo", "stanno", "stia", "stiate", "stiano", "starò", "starai", "starà", "staremo", "starete", "staranno", "starei", "staresti", "starebbe", "staremmo", "stareste", "starebbero", "stavo", "stavi", "stava", "stavamo", "stavate", "stavano", "stetti", "stesti", "stette", "stemmo", "steste", "stettero", "stessi", "stesse", "stessimo", "stessero", "stando")
 
+  /** Load a snowball-format stop list shipped as a resource (the
+    * reference's own files, analysis/common/src/resources/.../snowball/
+    * *_stop.txt — verbatim public data like the inline sets above;
+    * format: '|' starts a comment, first whitespace-token of a line is
+    * the stop word). */
+  private def snowball(name: String): Set[String] = {
+    val in = getClass.getResourceAsStream(s"/graft/stop/${name}_stop.txt")
+    require(in != null, s"missing stop resource $name")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines()
+      .map(l => l.indexOf('|') match {
+        case -1 => l.trim
+        case i => l.substring(0, i).trim
+      })
+      .filter(_.nonEmpty)
+      .map(_.split("\\s+")(0))
+      .toSet
+    finally src.close()
+  }
+
+  lazy val portuguese: Set[String] = snowball("portuguese")
+  lazy val russian: Set[String] = snowball("russian")
+  lazy val swedish: Set[String] = snowball("swedish")
+  lazy val finnish: Set[String] = snowball("finnish")
+  lazy val hungarian: Set[String] = snowball("hungarian")
+
   /** lang code -> stop set; unknown langs fall back to English
     * (reference binds analyzers per field type, solr schema.xml style). */
   def forLang(lang: String): Set[String] = lang match {
@@ -33,6 +59,11 @@ object StopSets {
     case "de" => german
     case "es" => spanish
     case "it" => italian
+    case "pt" => portuguese
+    case "ru" => russian
+    case "sv" => swedish
+    case "fi" => finnish
+    case "hu" => hungarian
     case "zh" | "ja" | "ko" => cjk
     case _ => english
   }

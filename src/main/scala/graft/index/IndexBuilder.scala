@@ -80,8 +80,9 @@ object IndexBuilder {
   def invertDoc(docId: Long, docPart: Int, repo: String, path: String,
                 commit: String, lang: String, content: String,
                 maxTokenLength: Int, analyzer: String = "standard",
-                reverseTokens: Boolean = false): SegmentDoc = {
-    val (terms, positions) = analyzer match {
+                reverseTokens: Boolean = false,
+                synRules: Seq[Analyzer.SynRule] = Nil): SegmentDoc = {
+    val (terms0, positions0) = analyzer match {
       case "standard" =>
         Analyzer.analyzeFlat(content, StopSets.forLang(lang), maxTokenLength)
       case "english" =>
@@ -93,22 +94,29 @@ object IndexBuilder {
         Analyzer.analyzeLightFlat(content, StopSets.forLang(iso), stem,
           maxTokenLength)
     }
-    val dl = terms.length
+    // index-time synonym injection (posInc=0 overlaps); dl counts
+    // DISTINCT positions so injected tokens don't inflate the norm
+    val (terms, positions, dl) =
+      if (synRules.isEmpty) (terms0, positions0, terms0.length)
+      else Analyzer.applySynonymsFlat(terms0, positions0, synRules)
     // group by term via an index sort ordered by (term, index) — the
     // index tiebreak makes the order stable, so positions ascend within
     // each term run. Primitive int sort: the previous Integer[] boxing
-    // allocated ~dl objects per doc, pure GC churn at 2M docs/build.
-    val idx = new Array[Int](dl)
+    // allocated ~nTok objects per doc, pure GC churn at 2M docs/build.
+    // nTok = emitted tokens INCLUDING synonym overlaps; dl = distinct
+    // positions (the norm length) — they differ only under synonyms.
+    val nTok = terms.length
+    val idx = new Array[Int](nTok)
     var i = 0
-    while (i < dl) { idx(i) = i; i += 1 }
-    sortIdxByTerm(idx, terms, 0, dl - 1)
+    while (i < nTok) { idx(i) = i; i += 1 }
+    sortIdxByTerm(idx, terms, 0, nTok - 1)
     val postings = new scala.collection.mutable.ArrayBuffer[SegPosting](
-      math.min(dl, 64))
+      math.min(nTok, 64))
     i = 0
-    while (i < dl) {
+    while (i < nTok) {
       val t = terms(idx(i))
       var j = i + 1
-      while (j < dl && terms(idx(j)) == t) j += 1
+      while (j < nTok && terms(idx(j)) == t) j += 1
       // pb = VInt(tf) ++ delta-VByte positions, sized exactly (two cheap
       // passes beat a growable buffer + copy-out in this hot loop)
       val tf = j - i
@@ -264,6 +272,7 @@ object IndexBuilder {
       val maxTok = cfg.maxTokenLength
       val analyzerName = cfg.analyzer
       val revTok = cfg.reverseTokens
+      val synRules = Analyzer.compileSynonyms(cfg.synonyms)
       val nParts = cfg.numDocParts
       val parted = (
         if (input.columns.contains("docPart"))
@@ -288,7 +297,8 @@ object IndexBuilder {
                 s"docPart ${d.docPart} outside [0, $nParts)")
             if (d.docPart != cur) { cur = d.docPart; idx = 0L }
             val sd = invertDoc(Ids.docId(cur, idx), cur, d.repo, d.path,
-              d.commit, d.lang, d.content, maxTok, analyzerName, revTok)
+              d.commit, d.lang, d.content, maxTok, analyzerName, revTok,
+              synRules)
             idx += 1
             sd
           }
@@ -479,11 +489,14 @@ object IndexBuilder {
         .groupBy($"key")
         .agg(sum($"count").as("df"), sum($"sumTf").as("ttf"),
           max($"maxTf").as("maxTf"))
+      // vocab agg is LONG-keyed (radix-friendly) and cached: the clash
+      // probe and the dictionary join are two actions over one pass
       val vocab = segments.select(explode($"postings.term").as("term"))
         .distinct()
         .groupBy(TermKeys.column($"term").as("key"))
         .agg(count(lit(1)).as("nTerms"), min($"term").as("term"),
           max($"term").as("termHi"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val clash = vocab.where($"nTerms" > 1)
         .select($"term", $"termHi").limit(1).collect()
       if (clash.nonEmpty)
@@ -512,6 +525,7 @@ object IndexBuilder {
         .as[TermStats]
         .write.mode("overwrite").option("compression", "zstd")
         .partitionBy("bucket").parquet(s"$dir/termstats")
+      vocab.unpersist()
       writeMarker(dir, "termstats", Map())
     }
 

@@ -115,7 +115,13 @@ final case class IndexConfig(
       * full-dictionary regex scan — the difference between O(matching
       * row groups) and O(vocabulary) at 10^8 terms. Costs one extra
       * posting per content posting. */
-    reverseTokens: Boolean = false) {
+    reverseTokens: Boolean = false,
+    /** Index-time synonym rules (reference synonym/SynonymFilter.java,
+      * keepOrig=true): (lhs text, rhs alternative texts); both sides are
+      * analyzed at build start. Injected tokens share the match-start
+      * position (posInc=0), so phrases/spans match through synonyms on
+      * the indexed side — what query-time expansion can't do. */
+    synonyms: Seq[(String, Seq[String])] = Nil) {
   require(numDocParts > 0 && numBuckets > 0 && waves > 0)
   require(analyzer == "standard" || analyzer == "english" ||
     analyzer == "cjk" ||

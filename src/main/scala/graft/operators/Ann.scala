@@ -71,10 +71,18 @@ object Ann {
     * dequantization. 64-dim int8 dot products are exact in double math,
     * making results bit-reproducible; recall loss is quantization error
     * only. */
-  def int8CosineTopK(emb: DataFrame, queryId: Long, k: Int,
-                     id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    val maxAbs = emb.select(max(aggregate(col(vec), lit(0.0),
+  /** Corpus max|x| — the int8 quantization scale. Compute ONCE per corpus
+    * and persist beside the IVF centroids/assignments (a corpus stat,
+    * like Lucene's per-segment quantile metadata); per-query recomputation
+    * would re-scan the whole corpus for one double. */
+  def corpusMaxAbs(emb: DataFrame, vec: String = "embedding"): Double =
+    emb.select(max(aggregate(col(vec), lit(0.0),
       (a, x) => greatest(a, abs(x.cast("double")))))).head().getDouble(0)
+
+  def int8CosineTopK(emb: DataFrame, queryId: Long, k: Int,
+                     id: String = "vec_id", vec: String = "embedding",
+                     maxAbs0: Option[Double] = None): DataFrame = {
+    val maxAbs = maxAbs0.getOrElse(corpusMaxAbs(emb, vec))
     val sc = 127.0 / maxAbs
     val qz = emb.select(col(id),
       transform(col(vec), x => greatest(lit(-127.0),
@@ -98,8 +106,9 @@ object Ann {
     * candidate set broadcasts. */
   def int8RerankTopK(emb: DataFrame, queryId: Long, candidates: Int,
                      k: Int, id: String = "vec_id",
-                     vec: String = "embedding"): DataFrame = {
-    val coarse = int8CosineTopK(emb, queryId, candidates, id, vec)
+                     vec: String = "embedding",
+                     maxAbs0: Option[Double] = None): DataFrame = {
+    val coarse = int8CosineTopK(emb, queryId, candidates, id, vec, maxAbs0)
       .select(col("id").as("cid"))
     val q = emb.where(col(id) === queryId).select(col(vec).as("qv"))
     emb.join(broadcast(coarse), col(id) === col("cid"))
@@ -147,14 +156,27 @@ object Ann {
     * vectors by id, then `iters` rounds of assign -> element-wise-mean.
     * Returns (cid, cv: array<double>). Deterministic given the data (no
     * RNG; ulp-level nondeterminism of parallel avg cannot flip an argmax
-    * except on exact ties, which break by cid). At 100 TB this runs on a
-    * sample; the full corpus only pays the final broadcast assignment. */
+    * except on exact ties, which break by cid). At 100 TB pass
+    * `sampleFraction`: the Lloyd rounds then iterate only a DETERMINISTIC
+    * multiplicative-hash sample of the corpus (seedless, rerun-stable —
+    * the same scan predicate sample_stratified uses) and only the final
+    * broadcast assignment touches every vector. */
   def kmeansCentroids(emb: DataFrame, k: Int, iters: Int = 2,
                       id: String = "vec_id",
-                      vec: String = "embedding"): DataFrame = {
-    val e = emb.select(col(id).as("id"),
+                      vec: String = "embedding",
+                      sampleFraction: Option[Double] = None): DataFrame = {
+    val all = emb.select(col(id).as("id"),
       col(vec).cast("array<double>").as("v"))
-    var cents = e.where(col("id") < k)
+    val e = sampleFraction match {
+      case Some(f) if f < 1.0 =>
+        val m = 1000000L
+        all.where(pmod(col("id") * lit(2654435761L), lit(m)) <
+          lit(math.round(f * m)))
+      case _ => all
+    }
+    // seeds: the k lowest-id sampled vectors (== `id < k` when unsampled
+    // over dense ids — the oracle's "first n vectors" derivation)
+    var cents = e.orderBy(col("id")).limit(k)
       .select(col("id").as("cid"), col("v").as("cv"))
     var it = 0
     while (it < iters) {

@@ -107,19 +107,7 @@ object TextAnalysis {
     * SQL oracle reproduces it exactly. */
   def winnow(docs: DataFrame, k: Int = 3, w: Int = 4,
              id: String = "doc_id", text: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sh = docs.select(col(id).as("id"),
-        posexplode(TextFns.shingles(TextFns.tokensAll(col(text)), k))
-          .as(Seq("pos", "shingle")))
-      .select(col("id"), col("pos"), TextFns.md5Bits60(col("shingle")).as("h"))
-    val nsh = sh.groupBy("id").agg(count(lit(1)).as("nsh"))
-    val wins = sh
-      .withColumn("wmin", min(col("h")).over(
-        Window.partitionBy("id").orderBy("pos")
-          .rowsBetween(Window.currentRow, w - 1)))
-      .join(nsh, "id")
-      .where(col("pos") <= col("nsh") - w) // complete windows only
-      .select(col("id"), col("wmin")).distinct()
+    val wins = winnowSelected(docs, k, w, id, text)
     docs.select(col(id).as("id"))
       .join(wins.groupBy("id")
         .agg(count(lit(1)).as("n_fp"),
@@ -127,6 +115,26 @@ object TextAnalysis {
             .as("fp")), Seq("id"), "left")
       .select(col("id"), coalesce(col("n_fp"), lit(0L)).as("n_fp"),
         coalesce(col("fp"), lit("")).as("fp"))
+  }
+
+  /** The winnowing SELECTION: distinct (id, wmin) selected-hash rows —
+    * the reusable core of [[winnow]] and of substring-level dedup
+    * (Dedup.substringPairs). Codegen'd columns + one window function. */
+  def winnowSelected(docs: DataFrame, k: Int = 3, w: Int = 4,
+                     id: String = "doc_id",
+                     text: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs.select(col(id).as("id"),
+        posexplode(TextFns.shingles(TextFns.tokensAll(col(text)), k))
+          .as(Seq("pos", "shingle")))
+      .select(col("id"), col("pos"), TextFns.md5Bits60(col("shingle")).as("h"))
+    val nsh = sh.groupBy("id").agg(count(lit(1)).as("nsh"))
+    sh.withColumn("wmin", min(col("h")).over(
+        Window.partitionBy("id").orderBy("pos")
+          .rowsBetween(Window.currentRow, w - 1)))
+      .join(nsh, "id")
+      .where(col("pos") <= col("nsh") - w) // complete windows only
+      .select(col("id"), col("wmin")).distinct()
   }
 
   /** Benchmark decontamination: flag corpus docs sharing any word k-gram
@@ -208,7 +216,8 @@ object TextAnalysis {
     * → broadcast back onto one exploded-token scan; per-doc re-agg is the
     * only data-sized shuffle. */
   def lmLogProb(docs: DataFrame, id: String = "doc_id",
-                text: String = "text"): DataFrame = {
+                text: String = "text",
+                broadcastVocabLimit: Long = 1000000L): DataFrame = {
     val tok = docs.select(col(id).as("id"),
       explode(TextFns.tokensAll(col(text))).as("term"))
     val counts = tok.groupBy("term").agg(count(lit(1)).as("cnt")).cache()
@@ -217,7 +226,13 @@ object TextAnalysis {
     val lm = counts.select(col("term"),
       round(log(col("cnt").cast("double") / total) * 1e6).cast("long")
         .as("micro"))
-    tok.join(broadcast(lm), "term")
+    // broadcast only while the LM fits (results identical either way):
+    // at the 10^8-term vocabulary SCALE.md projects, a vocabulary-sized
+    // broadcast is multi-GB per executor — past the limit this becomes a
+    // plain shuffle hash join on term (the token side is exploded and
+    // shuffling anyway for the per-doc re-agg)
+    val lmSide = if (counts.count() <= broadcastVocabLimit) broadcast(lm) else lm
+    tok.join(lmSide, "term")
       .groupBy("id")
       .agg(count(lit(1)).as("n_tok"), sum("micro").as("sum_micro"))
   }

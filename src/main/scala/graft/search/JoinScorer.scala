@@ -55,6 +55,16 @@ final class JoinScorer(reader: SearchReader) {
         (o, tq, ScoredTerm(t, stats.get(t), b))
       case (o, sq @ SpanNearQ(ts, slop, inOrder), b) =>
         (o, sq, ScoredSpan(ts, slop, ts.map(stats.get), b, inOrder))
+      case (o, sq @ SpanNearMultiQ(legs, slop, inOrder), b) =>
+        // SpanMultiTermQueryWrapper: expand each pattern leg against the
+        // dictionary (TooManyClauses-guarded), then span-near over the
+        // expanded slots
+        val slots = legs.map(expandLegTerms)
+        val slotStats = slots.map { ts =>
+          val st = reader.termStats(ts)
+          ts.map(st.get)
+        }
+        (o, sq, ScoredSpanMulti(slots, slop, inOrder, slotStats, b))
       case (o, sq @ SpanOrQ(ts), b) =>
         (o, sq, ScoredSpanOr(ts, ts.map(stats.get), b))
       case (o, sq @ SpanNotQ(inc, exc, pre, post), b) =>
@@ -93,14 +103,9 @@ final class JoinScorer(reader: SearchReader) {
           .map(ts => ts.term.stripPrefix("rev:").reverse)
         (o, wq, ConstSet(terms, b))
       case (o, wq @ WildcardQ(pat), b) =>
-        val rx = "(?s)" + pat.flatMap {
-          case '*' => ".*"
-          case '?' => "."
-          case c if "\\.[]{}()<>+-=!?^$|".contains(c) => "\\" + c
-          case c => c.toString
-        }
         (o, wq, ConstSet(reader.expandTerms(
-          $"term".rlike("^" + rx + "$") && fieldGuard(pat)).map(_.term), b))
+          $"term".rlike("^" + wildcardRx(pat) + "$") && fieldGuard(pat))
+          .map(_.term), b))
       case (o, fq @ FuzzyQ(t, e), b) =>
         (o, fq, ConstSet(reader.fuzzyTerms(t, e).map(_.term), b))
       case (o, rq @ RangeQ(lo, hi), b) =>
@@ -119,6 +124,30 @@ final class JoinScorer(reader: SearchReader) {
     if (pattern.startsWith("path:")) lit(true)
     else !$"term".startsWith("path:") && !$"term".startsWith("rev:")
 
+  /** Wildcard pattern -> anchored-regex body (the WildcardQuery rewrite). */
+  private def wildcardRx(pat: String): String =
+    "(?s)" + pat.flatMap {
+      case '*' => ".*"
+      case '?' => "."
+      case c if "\\.[]{}()<>+-=!?^$|".contains(c) => "\\" + c
+      case c => c.toString
+    }
+
+  /** Expand one SpanNearMultiQ leg to its dictionary terms. */
+  private def expandLegTerms(q: Query): Seq[String] = q match {
+    case TermQ(t) => Seq(t)
+    case PrefixQ(p) =>
+      reader.expandTerms($"term".startsWith(p) && fieldGuard(p)).map(_.term)
+    case WildcardQ(pat) =>
+      reader.expandTerms(
+        $"term".rlike("^" + wildcardRx(pat) + "$") && fieldGuard(pat)).map(_.term)
+    case RegexpQ(p) =>
+      reader.expandTerms($"term".rlike("^" + p + "$") && fieldGuard(p)).map(_.term)
+    case FuzzyQ(t, e) => reader.fuzzyTerms(t, e).map(_.term)
+    case other => throw new IllegalArgumentException(
+      s"span-near leg must be a term or multi-term pattern: $other")
+  }
+
   sealed trait RewrittenClause
   final case class ScoredTerm(term: String, stats: Option[TermStats],
                               boost: Float = 1f) extends RewrittenClause
@@ -136,6 +165,10 @@ final class JoinScorer(reader: SearchReader) {
   final case class ScoredSpanOr(terms: Seq[String],
                                 stats: Seq[Option[TermStats]],
                                 boost: Float = 1f) extends RewrittenClause
+  final case class ScoredSpanMulti(slots: Seq[Seq[String]], slop: Int,
+                                   inOrder: Boolean,
+                                   stats: Seq[Seq[Option[TermStats]]],
+                                   boost: Float = 1f) extends RewrittenClause
   final case class ScoredSpanNot(include: String, exclude: String,
                                  pre: Int, post: Int,
                                  incStats: Option[TermStats],
@@ -382,6 +415,61 @@ final class JoinScorer(reader: SearchReader) {
     }.filter(h => !java.lang.Float.isNaN(h.score))
   }
 
+  /** Span-near over multi-term slots (SpanMultiTermQueryWrapper inside
+    * SpanNearQuery): a slot's occurrence set is the sorted UNION of its
+    * expanded terms' positions; the near algorithm then runs exactly as
+    * for plain term legs. Blended statistics: idf sums over every matched
+    * term of every slot (SpanOrQuery's UnionPostings posture). */
+  private def spanNearMultiHits(slots: Seq[Seq[String]], slop: Int,
+                                inOrder: Boolean,
+                                stats: Seq[Seq[Option[TermStats]]],
+                                clause: Int, kind: Int,
+                                boost: Float): Dataset[ClauseHit] = {
+    val presentSlots: Seq[Seq[String]] = slots.zip(stats).map { case (ts, st) =>
+      ts.zip(st).collect { case (t, Some(_)) => t }
+    }
+    // a slot with no dictionary match can never occur -> no clause hits
+    if (slots.isEmpty || presentSlots.exists(_.isEmpty))
+      return spark.emptyDataset[ClauseHit]
+    var idfSum = 0f
+    stats.flatten.flatten.foreach(ts =>
+      idfSum += BM25.idf(ts.df, reader.collStats.maxDoc))
+    val wv = BM25.weightValue(idfSum, boost)
+    val nSlots = presentSlots.length
+    val termSlots: Map[String, Seq[Int]] = presentSlots.zipWithIndex
+      .flatMap { case (ts, i) => ts.map(_ -> i) }
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).distinct }
+    val allTerms = termSlots.keys.toSeq
+    val cacheB = spark.sparkContext.broadcast(
+      reader.normCacheFor(IndexBuilder.fieldOfTerm(allTerms.head)))
+    val tIdxB = spark.sparkContext.broadcast(termSlots)
+    reader.blocks(allTerms).flatMap { b =>
+      val idxs = tIdxB.value(b.term)
+      PostingsCodec.decode(graft.codec.PostingBlock(b.term, b.firstDoc,
+        b.lastDoc, b.count, b.maxTf, b.sumTf, b.maxPartial, b.docBytes,
+        b.nrmBytes, b.posBytes)).iterator.flatMap(p =>
+        idxs.map(i => (p.docId, i, p.positions, p.norm)))
+    }.groupByKey(_._1).mapGroups { (docId, it) =>
+      val bySlot = new Array[Array[Int]](nSlots)
+      var norm: Byte = 0
+      it.foreach { case (_, i, pos, n) =>
+        norm = n
+        bySlot(i) =
+          if (bySlot(i) == null) pos
+          else JoinScorer.mergeSorted(bySlot(i), pos)
+      }
+      if (bySlot.exists(_ == null)) ClauseHit(docId, clause, kind, Float.NaN)
+      else {
+        val sf =
+          if (inOrder) JoinScorer.orderedSpanFreq(bySlot, nSlots, slop)
+          else JoinScorer.unorderedSpanFreq(bySlot, nSlots, slop)
+        if (sf == 0) ClauseHit(docId, clause, kind, Float.NaN)
+        else ClauseHit(docId, clause, kind,
+          BM25.score(wv, sf.toFloat, cacheB.value, norm))
+      }
+    }.filter(h => !java.lang.Float.isNaN(h.score))
+  }
+
   /** Span disjunction over terms (SpanOrQuery analog): freq = total
     * occurrences of any clause term, scored once with the summed idf. */
   private def spanOrHits(terms: Seq[String], stats: Seq[Option[TermStats]],
@@ -588,6 +676,8 @@ final class JoinScorer(reader: SearchReader) {
           multiPhraseHits(ss, rel, st, i, kind, b)
         case ScoredSpan(ts, slop, st, b, ord) =>
           spanHits(ts, slop, st, i, kind, b, ord)
+        case ScoredSpanMulti(ss, slop, ord, st, b) =>
+          spanNearMultiHits(ss, slop, ord, st, i, kind, b)
         case ScoredSpanOr(ts, st, b) => spanOrHits(ts, st, i, kind, b)
         case ScoredSpanNot(inc, exc, pre, post, st, ep, b) =>
           spanNotHits(inc, exc, pre, post, st, ep, i, kind, b)
@@ -673,6 +763,55 @@ final class JoinScorer(reader: SearchReader) {
       .orderBy($"score".desc, $"docId".asc).limit(k)
   }
 
+  /** eDisMax `qf` (reference solr/core/.../search/ExtendedDismaxQParser
+    * .java:162 queryFields): ONE user query string scored across several
+    * fields with per-field boosts. Per term, the per-field scores combine
+    * as dismax (max + tie x (sum - max), DisjunctionMaxQuery.java); per
+    * doc, matching terms' dismax values SUM (the eDisMax disjunction,
+    * mm=0). `fields` = (term-key prefix, boost): "" = content,
+    * "path:" = the path field — each side scored with ITS field's
+    * df/avgdl/norms exactly like a fielded term clause. */
+  def topKEdismaxQf(toks: Seq[String], fields: Seq[(String, Float)],
+                    tie: Float, k: Int): DataFrame = {
+    require(toks.nonEmpty && fields.nonEmpty)
+    val nf = fields.length
+    val fieldTerms = for {
+      (t, ti) <- toks.zipWithIndex
+      ((prefix, boost), fi) <- fields.zipWithIndex
+    } yield (prefix + t, ti * nf + fi, boost)
+    val stats = reader.termStats(fieldTerms.map(_._1).distinct)
+    val frames = fieldTerms.map { case (term, slot, boost) =>
+      termHits(term, slot, ClauseKind.Should, stats.get(term), boost)
+    }
+    val nTerms = toks.length
+    val tieV = tie
+    frames.reduce(_ union _).groupByKey(_.docId).mapGroups { (docId, it) =>
+      val bydSlot = new Array[Float](nTerms * nf)
+      java.util.Arrays.fill(bydSlot, Float.NaN)
+      it.foreach(h => bydSlot(h.clause) = h.score)
+      var s = 0f
+      var ti = 0
+      while (ti < nTerms) {
+        var m = Float.NegativeInfinity
+        var sum = 0f
+        var any = false
+        var fi = 0
+        while (fi < nf) {
+          val v = bydSlot(ti * nf + fi)
+          if (!java.lang.Float.isNaN(v)) {
+            any = true; sum += v; if (v > m) m = v
+          }
+          fi += 1
+        }
+        if (any) s += m + tieV * (sum - m)
+        ti += 1
+      }
+      (docId, s)
+    }.toDF("docId", "score")
+      .transform(reader.liveOnly)
+      .orderBy($"score".desc, $"docId".asc).limit(k)
+  }
+
   /** Disjunction-max (reference search/DisjunctionMaxQuery.java): max of
     * clause scores + tieBreakerMultiplier x (sum of the others). */
   def topKDisMax(terms: Seq[String], k: Int, tiebreak: Float = 0f): DataFrame = {
@@ -695,6 +834,20 @@ final class JoinScorer(reader: SearchReader) {
 }
 
 object JoinScorer {
+
+  /** Merge two ascending int arrays (duplicates kept — distinct terms of
+    * one slot can share a position under index-time synonyms). */
+  def mergeSorted(a: Array[Int], b: Array[Int]): Array[Int] = {
+    val out = new Array[Int](a.length + b.length)
+    var i = 0; var j = 0; var k = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) <= b(j)) { out(k) = a(i); i += 1 } else { out(k) = b(j); j += 1 }
+      k += 1
+    }
+    while (i < a.length) { out(k) = a(i); i += 1; k += 1 }
+    while (j < b.length) { out(k) = b(j); j += 1; k += 1 }
+    out
+  }
 
   /** Ordered span-near freq (NearSpansOrdered analog): for each start
     * occurrence of the first term, greedily chain each next term to its

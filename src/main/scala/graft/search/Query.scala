@@ -77,6 +77,16 @@ final case class SpanOrQ(terms: Seq[String]) extends Query
   * of surviving occurrences, scored with include's idf. */
 final case class SpanNotQ(include: String, exclude: String,
                           pre: Int = 0, post: Int = 0) extends Query
+/** Span-near whose legs may be MULTI-TERM patterns (reference
+  * search/spans/SpanMultiTermQueryWrapper.java:50 wrapped in a
+  * SpanNearQuery): each leg rewrites against the term dictionary
+  * (TooManyClauses-guarded) into a span-OR of its matches — a leg's
+  * occurrence set is the union of its expanded terms' positions. Legs may
+  * be TermQ / PrefixQ / WildcardQ / RegexpQ / FuzzyQ. Scored with the
+  * blended (summed-idf) statistics of every matched term, the SpanOr
+  * posture. */
+final case class SpanNearMultiQ(legs: Seq[Query], slop: Int,
+                                inOrder: Boolean = true) extends Query
 /** Span-within (reference search/spans/SpanWithinQuery.java, new in 5.2):
   * occurrences of `little` that lie inside some ordered `big` span
   * (big = span-near over `big` terms with slop `slop`). freq = count of

@@ -47,6 +47,29 @@ class LightStemSpec extends AnyFunSuite {
   test("French minimal: full reference vocabulary (20k pairs)") {
     check("/stems/frminimal.txt", LightStemmers.french, 18000)
   }
+  test("Portuguese light: full reference vocabulary (32k pairs)") {
+    check("/stems/ptlight.txt", LightStemmers.portuguese, 30000)
+  }
+  test("Russian light: full reference vocabulary (49k pairs)") {
+    check("/stems/rulight.txt", LightStemmers.russian, 45000)
+  }
+  test("Swedish light: full reference vocabulary (30k pairs)") {
+    check("/stems/svlight.txt", LightStemmers.swedish, 28000)
+  }
+  test("Finnish light: full reference vocabulary (50k pairs)") {
+    check("/stems/filight.txt", LightStemmers.finnish, 45000)
+  }
+  test("Hungarian light: full reference vocabulary (30k pairs)") {
+    check("/stems/hulight.txt", LightStemmers.hungarian, 28000)
+  }
+  test("snowball stop sets load for the five new languages") {
+    import graft.analysis.StopSets
+    assert(StopSets.forLang("pt").contains("de") && StopSets.forLang("pt").size > 100)
+    assert(StopSets.forLang("ru").contains("и") && StopSets.forLang("ru").size > 100)
+    assert(StopSets.forLang("sv").contains("och"))
+    assert(StopSets.forLang("fi").contains("ja"))
+    assert(StopSets.forLang("hu").contains("és"))
+  }
 
   test("corpus-vocabulary witnesses (the oracle queries' stem families)") {
     assert(LightStemmers.german("order") == "ord")
