@@ -407,6 +407,26 @@ object OracleQueries {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM tokall
          |WHERE term = 'merge' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // Norwegian light: merge -> merg (final -e); only 'merge' in the
+    // corpus vocabulary lands on that stem
+    "ft_stemmed_no" ->
+      s"""WITH $tokAllCte
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM tokall
+         |WHERE term = 'merge' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Czech: value -> valu (final-vowel case strip); unique in the vocab
+    "ft_stemmed_cz" ->
+      s"""WITH $tokAllCte
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM tokall
+         |WHERE term = 'value' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Compound decomposition with dict {"wind"}: each 'window' token
+    // also indexes subword 'wind', so tf(wind) == count('window')
+    "ft_compound_de" ->
+      s"""WITH $tokAllCte
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM tokall
+         |WHERE term = 'window' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // Russian light: Cyrillic-only rules => Latin corpus terms identical
     "ft_stemmed_ru" ->
       s"""WITH $tokAllCte
@@ -671,6 +691,14 @@ object OracleQueries {
       s"""WITH $tokAllCte
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM tokall
          |WHERE term = 'vector' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Double-Metaphone phonetic match for "qwery" (code KR): 'query' is
+    // the only corpus term in that phonetic class (every other vocab word
+    // encodes differently), so the match set is exactly its postings
+    "ft_phonetic_dm" ->
+      s"""WITH $tokAllCte
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM tokall
+         |WHERE term = 'query' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Elevation: doc_ids 7, 3 pinned to ranks 1-2; organic BM25 "spark
     // window" ranking follows, excluding the pinned docs
@@ -1145,6 +1173,27 @@ object OracleQueries {
          |FROM inter i2
          |JOIN sizes sa ON sa.id = i2.a JOIN sizes sb ON sb.id = i2.b
          |WHERE CAST(i2.i AS DOUBLE) / (sa.n + sb.n - i2.i) >= 0.2
+         |ORDER BY a, b""".stripMargin,
+
+    // Substring dedup: pairs sharing >= 3 winnow-selected fingerprints
+    // (k=3, w=4 — same selection as fingerprint_winnow)
+    "dedup_substring" ->
+      s"""WITH $tokAllCte,
+         |kg AS (SELECT a.doc_id AS id, a.pos AS pos,
+         |         ('0x' || substr(md5(a.term || ' ' || b.term || ' ' || c.term), 1, 15))::BIGINT AS h
+         |       FROM tokall a
+         |       JOIN tokall b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |       JOIN tokall c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+         |nsh AS (SELECT id, count(*) AS nsh FROM kg GROUP BY id),
+         |wm AS (SELECT id, pos, min(h) OVER (PARTITION BY id ORDER BY pos
+         |         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+         |       FROM kg),
+         |sel AS (SELECT DISTINCT wm.id, wm.wmin FROM wm
+         |        JOIN nsh ON nsh.id = wm.id WHERE wm.pos <= nsh.nsh - 4)
+         |SELECT x.id AS a, y.id AS b, CAST(count(*) AS BIGINT) AS shared_fps,
+         |       CAST(count(*) + 2 AS BIGINT) AS est_min_overlap
+         |FROM sel x JOIN sel y ON x.wmin = y.wmin AND x.id < y.id
+         |GROUP BY x.id, y.id HAVING count(*) >= 3
          |ORDER BY a, b""".stripMargin,
 
     "dedup_minhash" ->

@@ -208,6 +208,22 @@ object SparkEntry {
       IndexReader(spark, dir, cfg)
     })
 
+  private val compoundReaders = new scala.collection.concurrent.TrieMap[String, IndexReader]
+
+  /** Same corpus indexed with compound decomposition (reference compound/
+    * DictionaryCompoundWordTokenFilter.java): dictionary {"wind"}, so
+    * "window" also indexes the subword "wind" at its position. */
+  def compoundReader(spark: SparkSession, sfDir: String): IndexReader =
+    compoundReaders.getOrElseUpdate(sfDir, {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      val cfg = ftConfig((maxId / DocsPerPart + 1).toInt)
+        .copy(compoundDict = Seq("wind"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-comp").toString
+      IndexBuilder.build(spark, docsAsInput(docs), dir, cfg)
+      IndexReader(spark, dir, cfg)
+    })
+
   private val delReaders =
     new scala.collection.concurrent.TrieMap[String, (IndexReader, IndexReader)]
 
@@ -693,6 +709,23 @@ object SparkEntry {
     "ft_stemmed_pt" -> ((s, dir) =>
       stemTf(s, langReader(s, dir, "portuguese"), "merg")),
 
+    /** Norwegian-light-stemmed search (no/NorwegianLightStemmer.java,
+      * Bokmål): "merge" -> final-e strip -> "merg". */
+    "ft_stemmed_no" -> ((s, dir) =>
+      stemTf(s, langReader(s, dir, "norwegian"), "merg")),
+
+    /** Czech-stemmed search (cz/CzechStemmer.java): "value" -> final
+      * vowel strip -> "valu". */
+    "ft_stemmed_cz" -> ((s, dir) =>
+      stemTf(s, langReader(s, dir, "czech"), "valu")),
+
+    /** Compound-word recall (compound/DictionaryCompoundWordTokenFilter
+      * .java): with dictionary {"wind"}, the subword "wind" indexes at
+      * every "window" occurrence, so the single-constituent query
+      * recalls the compounds. */
+    "ft_compound_de" -> ((s, dir) =>
+      termsTf(s, compoundReader(s, dir), Seq("wind"))),
+
     /** Russian-light-stemmed search: the Dolamic-Savoy rules touch only
       * Cyrillic suffixes, so Latin corpus terms index unchanged — the
       * oracle verifies exactly that identity ("query" postings equal the
@@ -971,6 +1004,23 @@ object SparkEntry {
       val matched = r.expandTerms(
         !col("term").startsWith("path:") &&
           soundex(col("term")) === soundex(lit("vektor"))).map(_.term)
+      termsTf(s, r, matched)
+    }),
+
+    /** Double-Metaphone phonetic match (lucene/analysis/phonetic/
+      * DoubleMetaphoneFilter.java semantics, query-time expansion):
+      * dictionary terms sharing the query's primary code. "qwery"
+      * (misspelling) encodes KR == "query"; the dictionary scan is a
+      * vocabulary-sized pass, TooManyClauses-guarded like every other
+      * multi-term expansion. */
+    "ft_phonetic_dm" -> ((s, dir) => {
+      val r = reader(s, dir)
+      val dmPrimary = udf((t: String) =>
+        graft.analysis.DoubleMetaphone.encodePair(t)._1)
+      val qCode = graft.analysis.DoubleMetaphone.encodePair("qwery")._1
+      val matched = r.expandTerms(
+        !col("term").startsWith("path:") && !col("term").startsWith("rev:") &&
+          dmPrimary(col("term")) === lit(qCode)).map(_.term)
       termsTf(s, r, matched)
     }),
 
@@ -1913,6 +1963,15 @@ object SparkEntry {
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(s.read.parquet(s"$dir/documents.parquet"), 3, 0.2)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("a", "b")),
+
+    /** Substring-level dedup (winnowing pair promotion): pairs sharing
+      * >= 3 selected fingerprints — i.e. evidence of a shared literal
+      * run; candidate generation is an equi-join on the selected hash
+      * (LSH posture), never all-pairs. */
+    "dedup_substring" -> ((s, dir) =>
+      Dedup.substringPairs(s.read.parquet(s"$dir/documents.parquet"),
+          k = 3, w = 4, minShared = 3)
         .orderBy("a", "b")),
 
     "dedup_minhash" -> ((s, dir) =>

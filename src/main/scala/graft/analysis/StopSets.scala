@@ -51,6 +51,28 @@ object StopSets {
   lazy val swedish: Set[String] = snowball("swedish")
   lazy val finnish: Set[String] = snowball("finnish")
   lazy val hungarian: Set[String] = snowball("hungarian")
+  lazy val norwegian: Set[String] = snowball("norwegian")
+
+  /** Per-language stopwords.txt (reference analysis/common/src/resources/
+    * .../{cz,lv,bg,hi,id}/stopwords.txt — '#' comments, one word/line). */
+  private def hashList(code: String): Set[String] = {
+    val in = getClass.getResourceAsStream(s"/graft/stop/${code}_stopwords.txt")
+    require(in != null, s"missing stop resource $code")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines().map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#")).toSet
+    finally src.close()
+  }
+
+  lazy val czech: Set[String] = hashList("cz")
+  lazy val latvian: Set[String] = hashList("lv")
+  lazy val bulgarian: Set[String] = hashList("bg")
+  lazy val hindi: Set[String] = hashList("hi")
+  lazy val indonesian: Set[String] = hashList("id")
+  lazy val arabic: Set[String] = hashList("ar")
+  lazy val sorani: Set[String] = hashList("ckb")
+  lazy val greek: Set[String] = hashList("el")
+  lazy val persianStop: Set[String] = hashList("fa")
 
   /** lang code -> stop set; unknown langs fall back to English
     * (reference binds analyzers per field type, solr schema.xml style). */
@@ -65,6 +87,16 @@ object StopSets {
     case "fi" => finnish
     case "hu" => hungarian
     case "zh" | "ja" | "ko" => cjk
+    case "no" => norwegian
+    case "cz" | "cs" => czech
+    case "lv" => latvian
+    case "bg" => bulgarian
+    case "hi" => hindi
+    case "id" => indonesian
+    case "ar" => arabic
+    case "ckb" => sorani
+    case "el" => greek
+    case "fa" => persianStop
     case _ => english
   }
 }

@@ -81,7 +81,8 @@ object IndexBuilder {
                 commit: String, lang: String, content: String,
                 maxTokenLength: Int, analyzer: String = "standard",
                 reverseTokens: Boolean = false,
-                synRules: Seq[Analyzer.SynRule] = Nil): SegmentDoc = {
+                synRules: Seq[Analyzer.SynRule] = Nil,
+                compoundDict: Set[String] = Set.empty): SegmentDoc = {
     val (terms0, positions0) = analyzer match {
       case "standard" =>
         Analyzer.analyzeFlat(content, StopSets.forLang(lang), maxTokenLength)
@@ -96,9 +97,18 @@ object IndexBuilder {
     }
     // index-time synonym injection (posInc=0 overlaps); dl counts
     // DISTINCT positions so injected tokens don't inflate the norm
-    val (terms, positions, dl) =
+    val (terms1, positions1, dl1) =
       if (synRules.isEmpty) (terms0, positions0, terms0.length)
       else Analyzer.applySynonymsFlat(terms0, positions0, synRules)
+    // compound decomposition injects subwords at the compound's position
+    // under the same overlap contract
+    val (terms, positions, dl) =
+      if (compoundDict.isEmpty) (terms1, positions1, dl1)
+      else {
+        val (t, p, _) = graft.analysis.CompoundWords.applyFlat(
+          terms1, positions1, compoundDict)
+        (t, p, dl1)
+      }
     // group by term via an index sort ordered by (term, index) — the
     // index tiebreak makes the order stable, so positions ascend within
     // each term run. Primitive int sort: the previous Integer[] boxing
@@ -273,6 +283,7 @@ object IndexBuilder {
       val analyzerName = cfg.analyzer
       val revTok = cfg.reverseTokens
       val synRules = Analyzer.compileSynonyms(cfg.synonyms)
+      val compDict = graft.analysis.CompoundWords.compileDict(cfg.compoundDict)
       val nParts = cfg.numDocParts
       val parted = (
         if (input.columns.contains("docPart"))
@@ -298,7 +309,7 @@ object IndexBuilder {
             if (d.docPart != cur) { cur = d.docPart; idx = 0L }
             val sd = invertDoc(Ids.docId(cur, idx), cur, d.repo, d.path,
               d.commit, d.lang, d.content, maxTok, analyzerName, revTok,
-              synRules)
+              synRules, compDict)
             idx += 1
             sd
           }
@@ -489,15 +500,19 @@ object IndexBuilder {
         .groupBy($"key")
         .agg(sum($"count").as("df"), sum($"sumTf").as("ttf"),
           max($"maxTf").as("maxTf"))
-      // vocab agg is LONG-keyed (radix-friendly) and cached: the clash
-      // probe and the dictionary join are two actions over one pass
+      // Term strings come from ONE long-keyed hash agg over the pruned
+      // postings.term column: min/max of the strings per 62-bit key both
+      // recovers the text and audits collisions (min != max <=> two
+      // distinct terms share a key) — no separate string-keyed distinct()
+      // shuffle before it (that pre-pass was ~3/4 of this stage's cost:
+      // a 10^8-row string hash agg vs this vocab-sized one). Cached so
+      // the clash probe and the dictionary join are two actions over one
+      // pass.
       val vocab = segments.select(explode($"postings.term").as("term"))
-        .distinct()
         .groupBy(TermKeys.column($"term").as("key"))
-        .agg(count(lit(1)).as("nTerms"), min($"term").as("term"),
-          max($"term").as("termHi"))
+        .agg(min($"term").as("term"), max($"term").as("termHi"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val clash = vocab.where($"nTerms" > 1)
+      val clash = vocab.where($"term" =!= $"termHi")
         .select($"term", $"termHi").limit(1).collect()
       if (clash.nonEmpty)
         throw new IllegalStateException(

@@ -121,7 +121,13 @@ final case class IndexConfig(
       * analyzed at build start. Injected tokens share the match-start
       * position (posInc=0), so phrases/spans match through synonyms on
       * the indexed side — what query-time expansion can't do. */
-    synonyms: Seq[(String, Seq[String])] = Nil) {
+    synonyms: Seq[(String, Seq[String])] = Nil,
+    /** Compound-decomposition dictionary (reference compound/
+      * DictionaryCompoundWordTokenFilter.java): when non-empty, every
+      * token >= 5 chars also indexes its dictionary subwords at the same
+      * position (posInc=0, keepOrig) — single-constituent queries then
+      * recall German/Dutch/Scandinavian compounds. */
+    compoundDict: Seq[String] = Nil) {
   require(numDocParts > 0 && numBuckets > 0 && waves > 0)
   require(analyzer == "standard" || analyzer == "english" ||
     analyzer == "cjk" ||

@@ -272,4 +272,40 @@ object Dedup {
           (col("x.nrm") * col("y.nrm"))).as("sim"))
       .where(col("sim") >= threshold)
   }
+
+  /** Substring-level dedup via winnowing fingerprints (Schleimer/
+    * Wilkerson/Aiken SIGMOD 2003 — the suffix-array-free route to "these
+    * two docs share a long literal run"). Two documents that share any
+    * token run of length >= w+k-1 are GUARANTEED to share a selected
+    * fingerprint, so the candidate join on the selected-hash value has
+    * the same scale posture as MinHash LSH banding: an equi-join on a
+    * bucket key, never an all-pairs product. Output per (a, b) pair
+    * (a < b): `shared_fps` = distinct co-selected fingerprints, and
+    * `est_min_overlap` = shared_fps + k - 1 — a lower bound on the
+    * shared token mass when the shared grams are one contiguous run
+    * (each extra shared k-gram extends a run by >= 1 token).
+    *
+    * `maxDf` drops fingerprints selected in more than that many docs
+    * before pairing (boilerplate guard — a license-header gram shared by
+    * 10^6 docs would otherwise emit 10^12 pairs). Dropped mass only
+    * lowers shared_fps, never invents a pair. */
+  def substringPairs(docs: DataFrame, k: Int = 3, w: Int = 4,
+                     minShared: Int = 1, maxDf: Int = Int.MaxValue,
+                     id: String = "doc_id",
+                     text: String = "text"): DataFrame = {
+    val sel0 = TextAnalysis.winnowSelected(docs, k, w, id, text)
+    val sel =
+      if (maxDf == Int.MaxValue) sel0
+      else {
+        val hot = sel0.groupBy("wmin").agg(count(lit(1)).as("df"))
+          .where(col("df") > maxDf).select("wmin")
+        sel0.join(hot, Seq("wmin"), "left_anti")
+      }
+    sel.as("x").join(sel.as("y"),
+        col("x.wmin") === col("y.wmin") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .where(col("shared_fps") >= minShared)
+      .withColumn("est_min_overlap", col("shared_fps") + lit(k - 1))
+  }
 }

@@ -62,6 +62,51 @@ class LightStemSpec extends AnyFunSuite {
   test("Hungarian light: full reference vocabulary (30k pairs)") {
     check("/stems/hulight.txt", LightStemmers.hungarian, 28000)
   }
+  test("Norwegian light: reference nb_light.txt golden data") {
+    check("/stems/nolight.txt", LightStemmers.norwegian, 100)
+  }
+  test("Norwegian minimal: reference nb_minimal.txt golden data") {
+    check("/stems/nominimal.txt", LightStemmers.norwegianMinimal, 70)
+  }
+  test("German minimal: full reference vocabulary (35k pairs)") {
+    check("/stems/deminimal.txt", LightStemmers.germanMinimal, 30000)
+  }
+  test("Czech: reference TestCzechStemmer vectors") {
+    check("/stems/czvectors.txt", LightStemmers.czech, 130)
+  }
+  test("Latvian: reference TestLatvianStemmer vectors") {
+    check("/stems/lvvectors.txt", LightStemmers.latvian, 100)
+  }
+  test("Bulgarian: reference TestBulgarianStemmer vectors") {
+    check("/stems/bgvectors.txt", LightStemmers.bulgarian, 90)
+  }
+  test("Hindi: reference TestHindiStemmer vectors") {
+    check("/stems/hivectors.txt", LightStemmers.hindi, 15)
+  }
+  test("Hindi normalizer: reference TestHindiNormalizer vectors") {
+    check("/stems/hinorm.txt", LightStemmers.hindiNormalize, 14)
+  }
+  test("Indonesian: reference TestIndonesianStemmer vectors") {
+    check("/stems/idvectors.txt", LightStemmers.indonesian, 55)
+  }
+  test("Sorani: full reference vocabulary (8k pairs, ckbtestdata.zip)") {
+    check("/stems/ckbstem.txt", LightStemmers.sorani, 8000)
+  }
+  test("Arabic stemmer: reference TestArabicStemFilter vectors") {
+    check("/stems/arstem.txt", LightStemmers.arabicStem, 18)
+  }
+  test("Arabic normalizer: reference TestArabicNormalizationFilter vectors") {
+    check("/stems/arnorm.txt", LightStemmers.arabicNormalize, 12)
+  }
+  test("Persian normalizer: reference TestPersianNormalizationFilter vectors") {
+    check("/stems/fanorm.txt", LightStemmers.persianNormalize, 5)
+  }
+  test("Greek: reference TestGreekStemmer vectors (335 pairs)") {
+    import graft.analysis.GreekStemmer
+    check("/stems/elvectors.txt",
+      w => GreekStemmer.stem(GreekStemmer.lowerCase(w)), 300)
+  }
+
   test("snowball stop sets load for the five new languages") {
     import graft.analysis.StopSets
     assert(StopSets.forLang("pt").contains("de") && StopSets.forLang("pt").size > 100)
