@@ -500,15 +500,17 @@ object IndexBuilder {
         .groupBy($"key")
         .agg(sum($"count").as("df"), sum($"sumTf").as("ttf"),
           max($"maxTf").as("maxTf"))
-      // Term strings come from ONE long-keyed hash agg over the pruned
-      // postings.term column: min/max of the strings per 62-bit key both
-      // recovers the text and audits collisions (min != max <=> two
-      // distinct terms share a key) — no separate string-keyed distinct()
-      // shuffle before it (that pre-pass was ~3/4 of this stage's cost:
-      // a 10^8-row string hash agg vs this vocab-sized one). Cached so
-      // the clash probe and the dictionary join are two actions over one
-      // pass.
+      // Term strings come from the pruned postings.term column. Shape
+      // matters here: distinct() FIRST (HashAggregate with var-length
+      // grouping key and NO aggregation buffers — stays on the fast
+      // unsafe hash-map path, dedup happens map-side), THEN the
+      // vocab-sized key agg whose min/max(term) buffers force the slower
+      // ObjectHashAggregate — measured 2x faster than folding the
+      // min/max into the 10^8-row pass. min != max per key <=> two
+      // distinct terms share a 62-bit key. Cached so the clash probe and
+      // the dictionary join are two actions over one pass.
       val vocab = segments.select(explode($"postings.term").as("term"))
+        .distinct()
         .groupBy(TermKeys.column($"term").as("key"))
         .agg(min($"term").as("term"), max($"term").as("termHi"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -23,7 +23,11 @@ object Plans {
         // no-sort early-terminated top-k, sargable polygon, scan-only
         // repetition stats
         "terms_query", "stats_cardinality", "ft_sorted_early",
-        "geo_polygon", "quality_repetition")
+        "geo_polygon", "quality_repetition",
+        // round-3 additions: winnow-pair equi-join, phonetic-class
+        // dictionary expansion, compound/synonym index recall
+        "dedup_substring", "ft_phonetic_dm", "ft_compound_de",
+        "ft_synonym_index", "ft_edismax_qf")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "8")
