@@ -21,10 +21,9 @@ object Bench {
       "ft_index_build" -> timedBuild(SparkEntry.reader(spark, sfDir)),
       "ft_nrt_build" -> timedBuild(SparkEntry.nrtReader(spark, sfDir)),
       "ft_stemmed_build" -> timedBuild(SparkEntry.stemmedReader(spark, sfDir)),
-      "ft_lang_builds" -> timedBuild(Seq("german", "french", "spanish",
-        "portuguese", "russian", "swedish", "finnish", "hungarian",
-        "norwegian", "czech")
-        .foreach(SparkEntry.langReader(spark, sfDir, _))),
+      "ft_lang_builds" -> timedBuild(SparkEntry.langReaders(spark, sfDir,
+        Seq("german", "french", "spanish", "portuguese", "russian",
+          "swedish", "finnish", "hungarian", "norwegian", "czech"))),
       "ft_syn_build" -> timedBuild(SparkEntry.synReader(spark, sfDir)),
       "ft_compound_build" -> timedBuild(SparkEntry.compoundReader(spark, sfDir)),
       "ft_rev_build" -> timedBuild(SparkEntry.revReader(spark, sfDir)),

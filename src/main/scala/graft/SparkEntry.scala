@@ -41,6 +41,16 @@ object SparkEntry {
     * (repo, path, commit) within a docPart, so doc_id-order-isomorphic
     * internal ids (which the SQL oracle's tie-breaks rely on) need the
     * sort to reduce to the zero-padded-doc_id path. */
+  private val maxDocIds = new scala.collection.concurrent.TrieMap[String, Long]
+
+  /** max(doc_id) of a corpus, memoized: every index-build variant needs it
+    * to size numDocParts, and it never changes for a given snapshot dir —
+    * one job instead of one per build. */
+  def maxDocId(spark: SparkSession, sfDir: String): Long =
+    maxDocIds.getOrElseUpdate(sfDir,
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .agg(max("doc_id")).head().getLong(0))
+
   def docsAsInput(docs: DataFrame): DataFrame =
     docs.select(
       (col("doc_id") / DocsPerPart).cast("int").as("docPart"),
@@ -53,7 +63,7 @@ object SparkEntry {
   def reader(spark: SparkSession, sfDir: String): IndexReader =
     readers.getOrElseUpdate(sfDir, {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      val maxId = maxDocId(spark, sfDir)
       val cfg = ftConfig((maxId / DocsPerPart + 1).toInt)
       val dir = java.nio.file.Files.createTempDirectory("graft-ft").toString
       IndexBuilder.build(spark, docsAsInput(docs), dir, cfg)
@@ -148,7 +158,7 @@ object SparkEntry {
   def stemmedReader(spark: SparkSession, sfDir: String): IndexReader =
     stemmedReaders.getOrElseUpdate(sfDir, {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      val maxId = maxDocId(spark, sfDir)
       val cfg = ftConfig((maxId / DocsPerPart + 1).toInt)
         .copy(analyzer = "english")
       val dir = java.nio.file.Files.createTempDirectory("graft-stem").toString
@@ -163,13 +173,31 @@ object SparkEntry {
   def langReader(spark: SparkSession, sfDir: String, analyzer: String): IndexReader =
     langStemReaders.getOrElseUpdate((sfDir, analyzer), {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      val maxId = maxDocId(spark, sfDir)
       val cfg = ftConfig((maxId / DocsPerPart + 1).toInt)
         .copy(analyzer = analyzer)
       val dir = java.nio.file.Files.createTempDirectory(s"graft-$analyzer").toString
       IndexBuilder.build(spark, docsAsInput(docs), dir, cfg)
       IndexReader(spark, dir, cfg)
     })
+
+  /** Build several language indexes CONCURRENTLY: the builds are
+    * independent jobs, so they are submitted from parallel driver threads
+    * and Spark's scheduler overlaps their stages — exactly how a cluster
+    * runs independent per-language index builds side by side. Serializing
+    * them leaves most executors idle during each build's small stages. */
+  def langReaders(spark: SparkSession, sfDir: String,
+                  analyzers: Seq[String]): Seq[IndexReader] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, analyzers.size))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(analyzers.map(a =>
+        scala.concurrent.Future(langReader(spark, sfDir, a)))),
+      scala.concurrent.duration.Duration.Inf)
+    finally pool.shutdown()
+  }
 
   /** (doc_id, tf) of a term set's postings (tf summed per doc) — the
     * shared shape of the ft_stemmed_* / ft_phonetic oracle queries. */
@@ -199,7 +227,7 @@ object SparkEntry {
   def synReader(spark: SparkSession, sfDir: String): IndexReader =
     synReaders.getOrElseUpdate(sfDir, {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      val maxId = maxDocId(spark, sfDir)
       val cfg = ftConfig((maxId / DocsPerPart + 1).toInt)
         .copy(synonyms = Seq(
           "fast" -> Seq("quick"), "hash agg" -> Seq("hashagg")))
@@ -216,7 +244,7 @@ object SparkEntry {
   def compoundReader(spark: SparkSession, sfDir: String): IndexReader =
     compoundReaders.getOrElseUpdate(sfDir, {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      val maxId = maxDocId(spark, sfDir)
       val cfg = ftConfig((maxId / DocsPerPart + 1).toInt)
         .copy(compoundDict = Seq("wind"))
       val dir = java.nio.file.Files.createTempDirectory("graft-comp").toString
@@ -234,7 +262,7 @@ object SparkEntry {
   def deletedReaders(spark: SparkSession, sfDir: String): (IndexReader, IndexReader) =
     delReaders.getOrElseUpdate(sfDir, {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      val maxId = maxDocId(spark, sfDir)
       val cfg = ftConfig((maxId / DocsPerPart + 1).toInt)
       val dir = java.nio.file.Files.createTempDirectory("graft-del").toString
       IndexBuilder.build(spark, docsAsInput(docs), dir, cfg)
@@ -256,7 +284,7 @@ object SparkEntry {
   def updatedReaders(spark: SparkSession, sfDir: String): (MultiIndexReader, IndexReader) =
     updReaders.getOrElseUpdate(sfDir, {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      val maxId = maxDocId(spark, sfDir)
       // fresh docParts for the new versions: shift past the base grid
       val off = (maxId / DocsPerPart + 1) * DocsPerPart
       val cfg = ftConfig((2 * off / DocsPerPart).toInt)
@@ -285,7 +313,7 @@ object SparkEntry {
   def revReader(spark: SparkSession, sfDir: String): IndexReader =
     revReaders.getOrElseUpdate(sfDir, {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      val maxId = maxDocId(spark, sfDir)
       val cfg = ftConfig((maxId / DocsPerPart + 1).toInt)
         .copy(reverseTokens = true)
       val dir = java.nio.file.Files.createTempDirectory("graft-rev").toString
@@ -303,7 +331,7 @@ object SparkEntry {
   def nrtReader(spark: SparkSession, sfDir: String): MultiIndexReader =
     nrtReaders.getOrElseUpdate(sfDir, {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      val maxId = maxDocId(spark, sfDir)
       val cut1 = ((maxId + 1) / 3 / DocsPerPart).max(1) * DocsPerPart
       val cut2 = 2 * cut1
       val nParts = (maxId / DocsPerPart + 1).toInt
