@@ -2114,6 +2114,17 @@ object OracleQueries {
          |  SELECT doc_id, '2_stop', pos, term FROM tokens WHERE doc_id IN (3, 7))
          |ORDER BY doc_id, stage, pos""".stripMargin,
 
+    // WordDelimiterFilter over "w1-w2's" with Solr defaults +
+    // CATENATE_ALL: [w1, w1||w2, w2] at positions 0, 0, 1
+    "analysis_wdf" ->
+      s"""WITH w AS (SELECT doc_id, split_part(text, ' ', 1) AS w1,
+         |                  split_part(text, ' ', 2) AS w2 FROM documents)
+         |SELECT doc_id, term, pos FROM (
+         |  SELECT doc_id, w1 AS term, CAST(0 AS BIGINT) AS pos FROM w
+         |  UNION ALL SELECT doc_id, w1 || w2, 0 FROM w
+         |  UNION ALL SELECT doc_id, w2, 1 FROM w)
+         |ORDER BY doc_id, pos, term""".stripMargin,
+
     // TextProfileSignature: quantized term-frequency profile md5
     // (ties in the count sort break by term asc — see Dedup scaladoc)
     "dedup_signature" ->

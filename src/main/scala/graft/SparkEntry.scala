@@ -1471,6 +1471,34 @@ object SparkEntry {
         .orderBy("doc_id", "stage", "pos")
     }),
 
+    /** WordDelimiterFilter (reference analysis/common/.../miscellaneous/
+      * WordDelimiterFilter.java:94, WordDelimiterIterator.java:26): each
+      * doc contributes one composite token "w1-w2's" (intra-word delimiter
+      * + English possessive) built from its first two words; flags = Solr
+      * factory defaults + CATENATE_ALL, so the emitted stream is
+      * [w1, w1w2, w2] at positions 0, 0, 1 (catenation injected at the
+      * first subword's position, possessive stripped). */
+    "analysis_wdf" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)]
+        .map { case (id, text) =>
+          val sp1 = text.indexOf(' ')
+          val sp2 = text.indexOf(' ', sp1 + 1)
+          val w2end = if (sp2 < 0) text.length else sp2
+          (id, text.substring(0, sp1) + "-" + text.substring(sp1 + 1, w2end) + "'s")
+        }
+        .flatMap { case (id, composite) =>
+          var pos = -1L
+          graft.analysis.WordDelimiter.filter(
+            Vector(graft.analysis.Token(composite, 0, composite.length, 1, "word")),
+            graft.analysis.WordDelimiter.SolrDefaults |
+              graft.analysis.WordDelimiter.CatenateAll)
+            .map { t => pos += t.posInc; (id, t.term, pos) }
+        }.toDF("doc_id", "term", "pos")
+        .orderBy("doc_id", "pos", "term")
+    }),
+
     /** Composite search handler (solr/.../component/SearchHandler.java —
       * the default /select pipeline): q + fq + paging + highlighting in
       * ONE request: BM25 "spark window", filtered to lang:en BEFORE
