@@ -2125,6 +2125,88 @@ object OracleQueries {
          |  UNION ALL SELECT doc_id, w2, 1 FROM w)
          |ORDER BY doc_id, pos, term""".stripMargin,
 
+    // CommonGrams index/query stages re-derived relationally: grams are
+    // adjacent pairs touching a common word; query-side keeps grams and
+    // drops a unigram only when it is the LEFT word of a gram (the filter
+    // lags one token, so the gram silently replaces it), or when it is
+    // the final token and a gram ends on it. Survivors re-position
+    // 0..n-1 in stream order (gram keyed at its left word's raw pos).
+    "analysis_commongrams" ->
+      s"""WITH d7 AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 7 = 0),
+         |${tokAllCteOver("d7")},
+         |grams AS (
+         |  SELECT a.doc_id, a.pos, a.term || '_' || b.term AS term
+         |  FROM tokall a JOIN tokall b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |  WHERE a.term IN ('the', 'a') OR b.term IN ('the', 'a')),
+         |mx AS (SELECT doc_id, max(pos) AS mxpos FROM tokall GROUP BY doc_id),
+         |qstream AS (
+         |  SELECT doc_id, pos AS k, term FROM grams
+         |  UNION ALL
+         |  SELECT t.doc_id, t.pos, t.term FROM tokall t JOIN mx USING (doc_id)
+         |  WHERE NOT EXISTS (SELECT 1 FROM grams g WHERE g.doc_id = t.doc_id
+         |                    AND g.pos = t.pos)
+         |    AND NOT (t.pos = mx.mxpos AND EXISTS (SELECT 1 FROM grams g
+         |             WHERE g.doc_id = t.doc_id AND g.pos = t.pos - 1)))
+         |SELECT doc_id, stage, pos, term FROM (
+         |  SELECT doc_id, 'index' AS stage, pos, term FROM tokall
+         |  UNION ALL SELECT doc_id, 'index', pos, term FROM grams
+         |  UNION ALL SELECT doc_id, 'query',
+         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY k) - 1 AS BIGINT),
+         |    term FROM qstream)
+         |ORDER BY doc_id, stage, pos, term""".stripMargin,
+
+    // PathHierarchyTokenizer: cumulative prefixes of /lang/srcN/doc_id;
+    // skip=1 keeps the delimiter of each retained component
+    "analysis_pathhier" ->
+      s"""WITH d AS (SELECT doc_id, lang, source, CAST(doc_id AS VARCHAR) AS sid
+         |           FROM documents WHERE doc_id % 11 = 0)
+         |SELECT doc_id, cfg, term FROM (
+         |  SELECT doc_id, 'default' AS cfg, '/' || lang AS term FROM d
+         |  UNION ALL SELECT doc_id, 'default', '/' || lang || '/' || source FROM d
+         |  UNION ALL SELECT doc_id, 'default',
+         |    '/' || lang || '/' || source || '/' || sid FROM d
+         |  UNION ALL SELECT doc_id, 'skip1', '/' || source FROM d
+         |  UNION ALL SELECT doc_id, 'skip1', '/' || source || '/' || sid FROM d)
+         |ORDER BY doc_id, cfg, term""".stripMargin,
+
+    // PatternTokenizer: split mode [lang, w1, w2] / group mode [w1, w2]
+    // over composites built from the doc's first two words
+    "analysis_pattern" ->
+      s"""WITH w AS (SELECT doc_id, lang, split_part(text, ' ', 1) AS w1,
+         |                  split_part(text, ' ', 2) AS w2
+         |           FROM documents WHERE doc_id % 13 = 0)
+         |SELECT doc_id, mode, pos, term FROM (
+         |  SELECT doc_id, 'split' AS mode, CAST(0 AS BIGINT) AS pos, lang AS term FROM w
+         |  UNION ALL SELECT doc_id, 'split', 1, w1 FROM w
+         |  UNION ALL SELECT doc_id, 'split', 2, w2 FROM w
+         |  UNION ALL SELECT doc_id, 'group', 0, w1 FROM w
+         |  UNION ALL SELECT doc_id, 'group', 1, w2 FROM w)
+         |ORDER BY doc_id, mode, pos, term""".stripMargin,
+
+    // Keyword marker + stemmer override: expected surface->stem pairs for
+    // the full English corpus vocabulary, enumerated independently from
+    // English morphology (keyword {query}; overrides customer->client,
+    // merge->combin; Porter for the rest — note line/window/order are
+    // fixed points, table/value/merge lose the trailing e, key->kei by
+    // step 1c's (*v*) Y->I, and query->queri would apply but the keyword
+    // set protects it)
+    "analysis_stemcontrol" ->
+      s"""WITH $tokAllCte,
+         |v AS (SELECT DISTINCT term FROM tokall WHERE lang = 'en'),
+         |m(mterm, mstem) AS (VALUES
+         |  ('a','a'),('agg','agg'),('batch','batch'),('big','big'),
+         |  ('column','column'),('customer','client'),('data','data'),
+         |  ('dup','dup'),('fast','fast'),('filter','filter'),
+         |  ('group','group'),('hash','hash'),('join','join'),('key','kei'),
+         |  ('line','line'),('merge','combin'),('order','order'),
+         |  ('part','part'),('query','query'),('row','row'),('scan','scan'),
+         |  ('slow','slow'),('small','small'),('sort','sort'),
+         |  ('spark','spark'),('stream','stream'),('table','tabl'),
+         |  ('the','the'),('value','valu'),('vector','vector'),
+         |  ('window','window'))
+         |SELECT v.term, m.mstem AS stem FROM v JOIN m ON m.mterm = v.term
+         |ORDER BY v.term""".stripMargin,
+
     // TextProfileSignature: quantized term-frequency profile md5
     // (ties in the count sort break by term asc — see Dedup scaladoc)
     "dedup_signature" ->

@@ -1499,6 +1499,105 @@ object SparkEntry {
         .orderBy("doc_id", "pos", "term")
     }),
 
+    /** CommonGramsFilter + CommonGramsQueryFilter (reference
+      * analysis/common/.../commongrams/CommonGramsFilter.java:51,
+      * CommonGramsQueryFilter.java:58): stage 'index' overlays a
+      * "left_right" gram (posInc 0) after any unigram whose pair touches
+      * a common word; stage 'query' keeps each gram (posInc forced to 1)
+      * and only the unigrams no gram covers. Common set {the, a}; runs on
+      * a 1-in-7 doc sample across all 5 corpus languages. */
+    "analysis_commongrams" -> ((s, dir) => {
+      import s.implicits._
+      val common = Set("the", "a")
+      s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") % 7 === 0)
+        .select("doc_id", "text").as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val toks = graft.analysis.StandardTokenizer.tokenize(text)
+            .map(t => t.copy(term = graft.analysis.Analyzer.lowerCase(t.term)))
+          def positions(ts: Vector[graft.analysis.Token], stage: String) = {
+            var pos = -1L
+            ts.map { t => pos += t.posInc; (id, stage, pos, t.term) }
+          }
+          positions(graft.analysis.CommonGrams.filter(toks, common), "index") ++
+            positions(graft.analysis.CommonGrams.queryFilter(toks, common), "query")
+        }
+        .toDF("doc_id", "stage", "pos", "term")
+        .orderBy("doc_id", "stage", "pos", "term")
+    }),
+
+    /** PathHierarchyTokenizer (reference analysis/common/.../path/
+      * PathHierarchyTokenizer.java:38): each doc's synthetic path
+      * "/lang/srcN/doc_id" emits every cumulative prefix at one position;
+      * cfg 'skip1' drops the leading component (reference skip=1
+      * semantics keep the delimiter: "/a/b/c" -> "/b", "/b/c"). */
+    "analysis_pathhier" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") % 11 === 0)
+        .select("doc_id", "lang", "source").as[(Long, String, String)]
+        .flatMap { case (id, lang, src) =>
+          val path = s"/$lang/$src/$id"
+          graft.analysis.PathHierarchy.tokenize(path)
+            .map(t => (id, "default", t.term)) ++
+            graft.analysis.PathHierarchy.tokenize(path, skip = 1)
+              .map(t => (id, "skip1", t.term))
+        }
+        .toDF("doc_id", "cfg", "term")
+        .orderBy("doc_id", "cfg", "term")
+    }),
+
+    /** PatternTokenizer (reference analysis/common/.../pattern/
+      * PatternTokenizer.java:48): mode 'split' (group=-1, String.split
+      * semantics on "[:\\-]") over "lang:w1-w2", mode 'group' (group=1)
+      * extracting the quoted captures of "'w1' x 'w2'". */
+    "analysis_pattern" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") % 13 === 0)
+        .select("doc_id", "lang", "text").as[(Long, String, String)]
+        .flatMap { case (id, lang, text) =>
+          val sp1 = text.indexOf(' ')
+          val sp2 = text.indexOf(' ', sp1 + 1)
+          val w1 = text.substring(0, sp1)
+          val w2 = text.substring(sp1 + 1, if (sp2 < 0) text.length else sp2)
+          def emit(mode: String, toks: Vector[graft.analysis.Token]) = {
+            var pos = -1L
+            toks.map { t => pos += t.posInc; (id, mode, pos, t.term) }
+          }
+          emit("split", graft.analysis.PatternTokenizer.tokenize(
+            s"$lang:$w1-$w2", "[:\\-]")) ++
+            emit("group", graft.analysis.PatternTokenizer.tokenize(
+              s"'$w1' x '$w2'", "'([^']+)'", group = 1))
+        }
+        .toDF("doc_id", "mode", "pos", "term")
+        .orderBy("doc_id", "mode", "pos", "term")
+    }),
+
+    /** KeywordMarkerFilter + StemmerOverrideFilter (reference
+      * analysis/common/.../miscellaneous/SetKeywordMarkerFilter.java:29,
+      * StemmerOverrideFilter.java:41): the distinct English corpus
+      * vocabulary stemmed under keyword set {query} (protected from the
+      * stemmer) and override map {customer->client, merge->combin}. The
+      * oracle enumerates the expected surface->stem pairs independently
+      * from English morphology. */
+    "analysis_stemcontrol" -> ((s, dir) => {
+      import s.implicits._
+      val keywords = Set("query")
+      val overrides = Map("customer" -> "client", "merge" -> "combin")
+      s.read.parquet(s"$dir/documents.parquet")
+        .where(col("lang") === "en")
+        .select("doc_id", "text").as[(Long, String)]
+        .flatMap { case (_, text) =>
+          graft.analysis.Analyzer.analyzeFlat(text, Set.empty)._1.toSeq
+        }
+        .distinct()
+        .map(t => (t, graft.analysis.StemControl.porterWithControl(
+          t, keywords, overrides)))
+        .toDF("term", "stem")
+        .orderBy("term")
+    }),
+
     /** Composite search handler (solr/.../component/SearchHandler.java —
       * the default /select pipeline): q + fq + paging + highlighting in
       * ONE request: BM25 "spark window", filtered to lang:en BEFORE
