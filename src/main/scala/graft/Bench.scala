@@ -41,10 +41,18 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
       }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver stores only the last ~2000 chars of output, so the ONE
+    // JSON line is laid out to survive a front truncation: per-query
+    // times rounded to ms and sorted ascending (the expensive,
+    // informative entries land at the END), with metric/value/sf as the
+    // final keys.
+    def r3(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.toSeq.sortBy(_._2)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"queries":$qs,"n_queries":${results.size},"unit":"sec","sf":"$sfDir","metric":"total","value":${r3(total)}}""")
     spark.stop()
   }
 }
