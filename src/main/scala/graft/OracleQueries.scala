@@ -2207,6 +2207,74 @@ object OracleQueries {
          |SELECT v.term, m.mstem AS stem FROM v JOIN m ON m.mterm = v.term
          |ORDER BY v.term""".stripMargin,
 
+    // NGramTokenFilter (grams by start offset then length) + streaming
+    // NGramTokenizer (2-grams crossing spaces), re-derived with substr
+    "analysis_ngram" ->
+      s"""WITH w AS (SELECT doc_id, split_part(text, ' ', 1) AS w1,
+         |                  substr(text, 1, 8) AS c8
+         |           FROM documents WHERE doc_id % 9 = 0),
+         |f AS (SELECT doc_id, p, s,
+         |             substr(w1, CAST(p + 1 AS INT), CAST(s AS INT)) AS term
+         |      FROM w, (SELECT unnest(range(32)) AS p) pp,
+         |           (SELECT unnest([2, 3]) AS s) ss
+         |      WHERE p + s <= len(w1)),
+         |tk AS (SELECT doc_id, p, substr(c8, CAST(p + 1 AS INT), 2) AS term
+         |       FROM w, (SELECT unnest(range(7)) AS p) pp
+         |       WHERE p + 2 <= len(c8))
+         |SELECT doc_id, mode, ord, term FROM (
+         |  SELECT doc_id, 'filter' AS mode,
+         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY p, s) - 1
+         |         AS BIGINT) AS ord, term FROM f
+         |  UNION ALL
+         |  SELECT doc_id, 'tokenizer',
+         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY p) - 1
+         |         AS BIGINT), term FROM tk)
+         |ORDER BY doc_id, mode, ord""".stripMargin,
+
+    // EdgeNGramTokenFilter: 1..4-char prefixes of the first two words,
+    // grams of a word share its position
+    "analysis_edgengram" ->
+      s"""WITH w AS (SELECT doc_id, split_part(text, ' ', 1) AS w1,
+         |                  split_part(text, ' ', 2) AS w2
+         |           FROM documents WHERE doc_id % 9 = 0)
+         |SELECT doc_id, pos, term FROM (
+         |  SELECT doc_id, CAST(0 AS BIGINT) AS pos,
+         |         substr(w1, 1, CAST(s AS INT)) AS term
+         |  FROM w, (SELECT unnest(range(1, 5)) AS s) ss WHERE s <= len(w1)
+         |  UNION ALL
+         |  SELECT doc_id, 1, substr(w2, 1, CAST(s AS INT))
+         |  FROM w, (SELECT unnest(range(1, 5)) AS s) ss WHERE s <= len(w2))
+         |ORDER BY doc_id, pos, term""".stripMargin,
+
+    // ShingleFilter over the stop-filtered stream: slot = compressed
+    // position after inserting min(hole, 1) fillers per gap; shingles are
+    // "t1 t2" (adjacent), "t _" (hole follows), "_ t" (at the filler slot
+    // before t). Trailing holes emit nothing (no next real token).
+    "analysis_shingle" ->
+      s"""WITH d5 AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 5 = 1),
+         |${tokensCteOver("d5")},
+         |t AS (SELECT doc_id, term, pos,
+         |        coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), -1) AS ppos
+         |      FROM tokens),
+         |s AS (SELECT doc_id, term, pos,
+         |        LEAST(pos - ppos - 1, 1) AS fill,
+         |        SUM(1 + LEAST(pos - ppos - 1, 1))
+         |          OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS slot
+         |      FROM t),
+         |nx AS (SELECT *,
+         |         lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nterm,
+         |         lead(fill) OVER (PARTITION BY doc_id ORDER BY pos) AS nfill
+         |       FROM s)
+         |SELECT doc_id, pos, kind, term FROM (
+         |  SELECT doc_id, slot AS pos, 'word' AS kind, term FROM s
+         |  UNION ALL
+         |  SELECT doc_id, slot, 'shingle', term || ' _' FROM nx WHERE nfill = 1
+         |  UNION ALL
+         |  SELECT doc_id, slot, 'shingle', term || ' ' || nterm FROM nx WHERE nfill = 0
+         |  UNION ALL
+         |  SELECT doc_id, slot - 1, 'shingle', '_ ' || term FROM s WHERE fill = 1)
+         |ORDER BY doc_id, pos, kind, term""".stripMargin,
+
     // TextProfileSignature: quantized term-frequency profile md5
     // (ties in the count sort break by term asc — see Dedup scaladoc)
     "dedup_signature" ->

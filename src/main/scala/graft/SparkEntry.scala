@@ -1598,6 +1598,85 @@ object SparkEntry {
         .orderBy("term")
     }),
 
+    /** NGramTokenFilter + NGramTokenizer (reference analysis/common/
+      * .../ngram/NGramTokenFilter.java:31, NGramTokenizer.java:30): mode
+      * 'filter' = 2..3-grams of the doc's first word in reference order
+      * (by start offset, then length); mode 'tokenizer' = 2-grams of the
+      * doc's first 8 chars — the streaming tokenizer crosses spaces
+      * (every char is a token char by default). */
+    "analysis_ngram" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") % 9 === 0)
+        .select("doc_id", "text").as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val w1 = text.substring(0, text.indexOf(' '))
+          val f = graft.analysis.NGrams.filter(
+            Vector(graft.analysis.Token(w1, 0, w1.length, 1, "word")), 2, 3)
+            .zipWithIndex.map { case (t, i) => (id, "filter", i.toLong, t.term) }
+          val tk = graft.analysis.NGrams.tokenize(text.substring(0, 8), 2, 2)
+            .zipWithIndex.map { case (t, i) => (id, "tokenizer", i.toLong, t.term) }
+          f ++ tk
+        }
+        .toDF("doc_id", "mode", "ord", "term")
+        .orderBy("doc_id", "mode", "ord")
+    }),
+
+    /** EdgeNGramTokenFilter (reference analysis/common/.../ngram/
+      * EdgeNGramTokenFilter.java:30): 1..4-char front grams of the doc's
+      * first two words; all grams of a word share its position (first
+      * carries the increment). */
+    "analysis_edgengram" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") % 9 === 0)
+        .select("doc_id", "text").as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val sp1 = text.indexOf(' ')
+          val sp2 = text.indexOf(' ', sp1 + 1)
+          val w1 = text.substring(0, sp1)
+          val w2 = text.substring(sp1 + 1, if (sp2 < 0) text.length else sp2)
+          var pos = -1L
+          graft.analysis.NGrams.edgeFilter(Vector(
+            graft.analysis.Token(w1, 0, w1.length, 1, "word"),
+            graft.analysis.Token(w2, sp1 + 1, sp1 + 1 + w2.length, 1, "word")),
+            1, 4)
+            .map { t => pos += t.posInc; (id, pos, t.term) }
+        }
+        .toDF("doc_id", "pos", "term")
+        .orderBy("doc_id", "pos", "term")
+    }),
+
+    /** ShingleFilter (reference analysis/common/.../shingle/
+      * ShingleFilter.java:45): bigram shingles + unigrams over each
+      * doc's stop-filtered token stream — stopword holes become "_"
+      * fillers (capped at maxShingleSize-1 = 1 per hole, so output
+      * positions compress across multi-stopword runs exactly like the
+      * reference). kind column = reference token type (word/shingle). */
+    "analysis_shingle" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") % 5 === 1)
+        .select("doc_id", "lang", "text").as[(Long, String, String)]
+        .flatMap { case (id, lang, text) =>
+          var prev = -1
+          val toks = Analyzer.analyzeLang(text, lang).map { tp =>
+            val inc = tp.position - prev; prev = tp.position
+            graft.analysis.Token(tp.term, 0, 0, inc, "word")
+          }
+          var pos = -1L
+          graft.analysis.Shingles.filter(toks).map { t =>
+            pos += t.posInc
+            (id, pos,
+              if (t.tokenType == graft.analysis.Shingles.ShingleType) "shingle"
+              else "word",
+              t.term)
+          }
+        }
+        .toDF("doc_id", "pos", "kind", "term")
+        .orderBy("doc_id", "pos", "kind", "term")
+    }),
+
     /** Composite search handler (solr/.../component/SearchHandler.java —
       * the default /select pipeline): q + fq + paging + highlighting in
       * ONE request: BM25 "spark window", filtered to lang:en BEFORE
