@@ -2275,6 +2275,28 @@ object OracleQueries {
          |  SELECT doc_id, slot - 1, 'shingle', '_ ' || term FROM s WHERE fill = 1)
          |ORDER BY doc_id, pos, kind, term""".stripMargin,
 
+    // Misc filters: length band / keep set preserve the raw positions
+    // (gaps where tokens dropped), truncate maps all tokens, limit takes
+    // the first 10 positions, elision strips qualifying French articles
+    "analysis_miscfilters" ->
+      s"""WITH d8 AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 8 = 2),
+         |${tokAllCteOver("d8")},
+         |w AS (SELECT doc_id, split_part(text, ' ', 1) AS w1,
+         |             split_part(text, ' ', 2) AS w2,
+         |             split_part(text, ' ', 3) AS w3
+         |      FROM d8)
+         |SELECT doc_id, mode, pos, term FROM (
+         |  SELECT doc_id, 'length26' AS mode, pos, term FROM tokall
+         |  WHERE len(term) BETWEEN 2 AND 6
+         |  UNION ALL SELECT doc_id, 'keep', pos, term FROM tokall
+         |  WHERE term IN ('spark', 'data', 'merge')
+         |  UNION ALL SELECT doc_id, 'trunc4', pos, substr(term, 1, 4) FROM tokall
+         |  UNION ALL SELECT doc_id, 'limit10', pos, term FROM tokall WHERE pos < 10
+         |  UNION ALL SELECT doc_id, 'elision', CAST(0 AS BIGINT), w1 FROM w
+         |  UNION ALL SELECT doc_id, 'elision', 1, w2 FROM w
+         |  UNION ALL SELECT doc_id, 'elision', 2, 'x''' || w3 FROM w)
+         |ORDER BY doc_id, mode, pos, term""".stripMargin,
+
     // TextProfileSignature: quantized term-frequency profile md5
     // (ties in the count sort break by term asc — see Dedup scaladoc)
     "dedup_signature" ->

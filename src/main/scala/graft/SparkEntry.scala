@@ -1677,6 +1677,40 @@ object SparkEntry {
         .orderBy("doc_id", "pos", "kind", "term")
     }),
 
+    /** The small single-purpose filters (reference miscellaneous/
+      * LengthFilter, KeepWordFilter, TruncateTokenFilter,
+      * LimitTokenCountFilter, util/ElisionFilter): one mode per filter
+      * over a 1-in-8 doc sample; 'length26' and 'keep' preserve position
+      * gaps (FilteringTokenFilter), 'elision' runs the French article
+      * strip over synthesized "l'w1 qu'w2 x'w3" composites. */
+    "analysis_miscfilters" -> ((s, dir) => {
+      import s.implicits._
+      import graft.analysis.{MiscFilters, Token => Tok}
+      s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") % 8 === 2)
+        .select("doc_id", "text").as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val toks = Analyzer.analyze(text, Set.empty)
+            .map(tp => Tok(tp.term, 0, 0, 1, "word"))
+          def emit(mode: String, ts: Seq[Tok]) = {
+            var pos = -1L
+            ts.map { t => pos += t.posInc; (id, mode, pos, t.term) }
+          }
+          val words = text.split(' ')
+          val eli = Vector(s"l'${words(0)}", s"qu'${words(1)}", s"x'${words(2)}")
+            .map(w => Tok(MiscFilters.elision(w, MiscFilters.FrenchArticles),
+              0, 0, 1, "word"))
+          emit("length26", MiscFilters.lengthFilter(toks, 2, 6)) ++
+            emit("keep", MiscFilters.keepWords(toks,
+              Set("spark", "data", "merge"))) ++
+            emit("trunc4", MiscFilters.truncate(toks, 4)) ++
+            emit("limit10", MiscFilters.limitTokenCount(toks, 10)) ++
+            emit("elision", eli)
+        }
+        .toDF("doc_id", "mode", "pos", "term")
+        .orderBy("doc_id", "mode", "pos", "term")
+    }),
+
     /** Composite search handler (solr/.../component/SearchHandler.java —
       * the default /select pipeline): q + fq + paging + highlighting in
       * ONE request: BM25 "spark window", filtered to lang:en BEFORE

@@ -250,7 +250,8 @@ object Analyzer {
     * contribute position gaps, as in every reference chain. */
   def analyzeLightFlat(text: String, stopSet: Set[String],
                        stem: String => String,
-                       maxTokenLength: Int = StandardTokenizer.DefaultMaxTokenLength)
+                       maxTokenLength: Int = StandardTokenizer.DefaultMaxTokenLength,
+                       pre: String => String = identity)
       : (Array[String], Array[Int]) = {
     val toks = StandardTokenizer.tokenize(text, maxTokenLength)
     val terms = new Array[String](toks.length)
@@ -261,7 +262,9 @@ object Analyzer {
     while (i < toks.length) {
       val t = toks(i)
       pos += t.posInc
-      val term = lowerCase(t.term)
+      // `pre` runs BEFORE LowerCaseFilter — the reference fr/it/ca/ga
+      // chains put ElisionFilter there (fr/FrenchAnalyzer.java:146-147)
+      val term = lowerCase(pre(t.term))
       if (!stopSet.contains(term)) {
         terms(n) = stem(term); positions(n) = pos; n += 1
       }

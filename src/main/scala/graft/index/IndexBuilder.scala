@@ -92,8 +92,17 @@ object IndexBuilder {
         Analyzer.analyzeCjkFlat(content, Set.empty, maxTokenLength)
       case other =>
         val (iso, stem) = graft.analysis.LightStemmers.byName(other)
+        // fr/it chains run ElisionFilter before lowercase, like the
+        // reference analyzers (no-op on apostrophe-free corpora)
+        val pre: String => String = other match {
+          case "french" => graft.analysis.MiscFilters.elision(_,
+            graft.analysis.MiscFilters.FrenchArticles)
+          case "italian" => graft.analysis.MiscFilters.elision(_,
+            graft.analysis.MiscFilters.ItalianArticles)
+          case _ => identity
+        }
         Analyzer.analyzeLightFlat(content, StopSets.forLang(iso), stem,
-          maxTokenLength)
+          maxTokenLength, pre = pre)
     }
     // index-time synonym injection (posInc=0 overlaps); dl counts
     // DISTINCT positions so injected tokens don't inflate the norm

@@ -1,0 +1,128 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analysis.{Analyzer, MiscFilters, StandardTokenizer, Token}
+
+/** Golden vectors from the reference tests:
+  *  - util/TestElision.java:45-56
+  *  - miscellaneous/TestLengthFilter.java:28-36
+  *  - miscellaneous/TestKeepWordFilter.java:36-48
+  *  - miscellaneous/TestTrimFilter.java:33-50
+  *  - miscellaneous/TestTruncateTokenFilter.java:30-35
+  *  - miscellaneous/TestLimitTokenCountFilter.java:27-34
+  *  - tr/TestApostropheFilter.java:25-30
+  *  - miscellaneous/TestRemoveDuplicatesTokenFilter.java:40-90
+  */
+class MiscFiltersSpec extends AnyFunSuite {
+
+  private def ws(text: String): Vector[Token] = {
+    val out = Vector.newBuilder[Token]
+    var i = 0
+    while (i < text.length) {
+      while (i < text.length && text(i) == ' ') i += 1
+      if (i < text.length) {
+        val start = i
+        while (i < text.length && text(i) != ' ') i += 1
+        out += Token(text.substring(start, i), start, i, 1, "word")
+      }
+    }
+    out.result()
+  }
+
+  private def terms(ts: Seq[Token]) = ts.map(_.term)
+  private def incs(ts: Seq[Token]) = ts.map(_.posInc)
+
+  test("ElisionFilter (testElision vector + default fr articles)") {
+    val toks = StandardTokenizer.tokenize(
+      "Plop, juste pour voir l'embrouille avec O'brian. M'enfin.")
+    val stripped = toks.map(t =>
+      MiscFilters.elision(t.term, Set("l", "m"))) // {l, M} case-insensitive
+    assert(stripped(4) == "embrouille")
+    assert(stripped(6) == "O'brian") // 'O' is not an article
+    assert(stripped(7) == "enfin")
+    // default article set, U+2019 apostrophe, pre-lowercase position
+    assert(MiscFilters.elision("L’avion", MiscFilters.FrenchArticles) == "avion")
+    assert(MiscFilters.elision("jusqu'ici", MiscFilters.FrenchArticles) == "ici")
+    assert(MiscFilters.elision("dell'arte", MiscFilters.ItalianArticles) == "arte")
+  }
+
+  test("french chain applies elision before lowercase+stop+stem") {
+    val (t, _) = Analyzer.analyzeLightFlat("l'Avion", Set.empty,
+      graft.analysis.LightStemmers.french,
+      pre = MiscFilters.elision(_, MiscFilters.FrenchArticles))
+    assert(t.toSeq == Seq(graft.analysis.LightStemmers.french("avion")))
+  }
+
+  test("LengthFilter keeps [min,max] with position gaps (testFilterWithPosIncr)") {
+    val r = MiscFilters.lengthFilter(
+      ws("short toolong evenmuchlongertext a ab toolong foo"), 2, 6)
+    assert(terms(r) == Seq("short", "ab", "foo"))
+    assert(incs(r) == Seq(1, 4, 2))
+    assertThrows[IllegalArgumentException](
+      MiscFilters.lengthFilter(ws("x"), -4, -1))
+  }
+
+  test("KeepWordFilter (testStopAndGo)") {
+    val in = ws("xxx yyy aaa zzz BBB ccc ddd EEE")
+    val r = MiscFilters.keepWords(in, Set("aaa", "bbb"), ignoreCase = true)
+    assert(terms(r) == Seq("aaa", "BBB"))
+    assert(incs(r) == Seq(3, 2))
+    // case-sensitive: BBB no longer matches
+    val cs = MiscFilters.keepWords(in, Set("aaa", "bbb"))
+    assert(terms(cs) == Seq("aaa"))
+  }
+
+  test("TrimFilter strips surrounding whitespace only") {
+    val in = Vector(Token(" a ", 1, 5, 1, "word"), Token("b   ", 6, 10, 1, "word"),
+      Token("cCc", 11, 15, 1, "word"), Token("   ", 16, 20, 1, "word"),
+      Token("", 21, 21, 1, "word"))
+    assert(terms(MiscFilters.trim(in)) == Seq("a", "b", "cCc", "", ""))
+  }
+
+  test("TruncateTokenFilter (testTruncating) + keyword protection") {
+    val r = MiscFilters.truncate(
+      ws("abcdefg 1234567 ABCDEFG abcde abc 12345 123"), 5)
+    assert(terms(r) == Seq("abcde", "12345", "ABCDE", "abcde", "abc", "12345", "123"))
+    val k = MiscFilters.truncate(ws("abcdefg"), 5, keywords = Set("abcdefg"))
+    assert(terms(k) == Seq("abcdefg"))
+    assertThrows[IllegalArgumentException](MiscFilters.truncate(ws("x"), -48))
+  }
+
+  test("LimitTokenCountFilter emits the first N tokens") {
+    assert(terms(MiscFilters.limitTokenCount(ws("A1 B2 C3 D4 E5 F6"), 3)) ==
+      Seq("A1", "B2", "C3"))
+    assertThrows[IllegalArgumentException](
+      MiscFilters.limitTokenCount(ws("x"), -1))
+  }
+
+  test("ApostropheFilter (testApostropheFilter, Turkish)") {
+    val r = ws("türkiye'de 2003'te van gölü'nü gördüm").map(t =>
+      MiscFilters.apostrophe(t.term))
+    assert(r == Seq("türkiye", "2003", "van", "gölü", "gördüm"))
+    assert(MiscFilters.apostrophe("gölü’nü") == "gölü")
+  }
+
+  test("RemoveDuplicatesTokenFilter: same term at same position only") {
+    def tok(inc: Int, term: String) = Token(term, 0, 0, inc, "word")
+    // testNoDups: B at different positions both survive
+    val noDups = Vector(tok(1, "A"), tok(1, "B"), tok(1, "B"), tok(1, "C"),
+      tok(0, "D"), tok(1, "E"))
+    assert(terms(MiscFilters.removeDuplicates(noDups)) ==
+      Seq("A", "B", "B", "C", "D", "E"))
+    // testSimpleDups: overlapping duplicate B dropped
+    val dups = Vector(tok(1, "A"), tok(1, "B"), tok(0, "B"), tok(1, "C"),
+      tok(0, "D"), tok(1, "E"))
+    assert(terms(MiscFilters.removeDuplicates(dups)) ==
+      Seq("A", "B", "C", "D", "E"))
+  }
+
+  test("CodepointCountFilter counts codepoints, not chars") {
+    // "𝄞𝄞" is 2 codepoints / 4 chars
+    val in = Vector(Token("𝄞𝄞", 0, 4, 1, "word"),
+      Token("abc", 5, 8, 1, "word"))
+    assert(terms(MiscFilters.codepointCountFilter(in, 1, 2)) == Seq("𝄞𝄞"))
+    // char-based LengthFilter sees 4 and 3 chars -> both outside [1,2]
+    assert(MiscFilters.lengthFilter(in, 1, 2).isEmpty)
+  }
+}
