@@ -118,6 +118,42 @@ object MiscFilters {
     term
   }
 
+  /** TurkishLowerCaseFilter (tr/TurkishLowerCaseFilter.java:35-95):
+    * I -> ı (dotless) unless a combining-dot-above follows through
+    * non-spacing marks (then I -> i and the dot is removed, mimicking
+    * the composed form); everything else per-codepoint lowercase. */
+  def turkishLowerCase(term: String): String = {
+    val CombiningDotAbove = 0x0307
+    val sb = new java.lang.StringBuilder(term.length)
+    var iOrAfter = false
+    var i = 0
+    def isBeforeDot(from: Int): Boolean = {
+      var j = from
+      while (j < term.length) {
+        val c = term.codePointAt(j)
+        if (Character.getType(c) != Character.NON_SPACING_MARK) return false
+        if (c == CombiningDotAbove) return true
+        j += Character.charCount(c)
+      }
+      false
+    }
+    while (i < term.length) {
+      val ch = term.codePointAt(i)
+      iOrAfter = ch == 'I' ||
+        (iOrAfter && Character.getType(ch) == Character.NON_SPACING_MARK)
+      if (iOrAfter && ch == CombiningDotAbove) {
+        // drop the dot (it composed with the preceding I -> i)
+      } else if (ch == 'I') {
+        if (isBeforeDot(i + 1)) sb.append('i')
+        else { sb.append('ı'); iOrAfter = false }
+      } else {
+        sb.appendCodePoint(Character.toLowerCase(ch))
+      }
+      i += Character.charCount(ch)
+    }
+    sb.toString
+  }
+
   /** RemoveDuplicatesTokenFilter: drop a token when the same term was
     * already emitted at the same position (posInc > 0 clears the set);
     * the dropped overlap contributes no gap (its posInc is 0). */

@@ -117,6 +117,22 @@ class MiscFiltersSpec extends AnyFunSuite {
       Seq("A", "B", "C", "D", "E"))
   }
 
+  test("TurkishLowerCaseFilter (TestTurkishLowerCaseFilter vectors)") {
+    def tlc(s: String) = MiscFilters.turkishLowerCase(s)
+    // composed forms
+    assert(tlc("İSTANBUL") == "istanbul")
+    assert(tlc("İZMİR") == "izmir")
+    assert(tlc("ISPARTA") == "ısparta")
+    // decomposed I + combining dot above
+    assert(tlc("İSTANBUL") == "istanbul")
+    assert(tlc("İZMİR") == "izmir")
+    // other NSMs ride along; the dot still composes through them
+    assert(tlc("İ̖STANBUL") == "i̖stanbul")
+    assert(tlc("I̖SPARTA") == "ı̖sparta")
+    assert(tlc("İ") == "i")
+    assert(tlc("") == "")
+  }
+
   test("CodepointCountFilter counts codepoints, not chars") {
     // "𝄞𝄞" is 2 codepoints / 4 chars
     val in = Vector(Token("𝄞𝄞", 0, 4, 1, "word"),
