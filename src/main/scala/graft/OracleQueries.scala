@@ -2297,6 +2297,34 @@ object OracleQueries {
          |  UNION ALL SELECT doc_id, 'elision', 2, 'x''' || w3 FROM w)
          |ORDER BY doc_id, mode, pos, term""".stripMargin,
 
+    // KStem over vocabulary-derived inflected forms; the expected stems
+    // are copied verbatim from the reference's kstem_examples.txt golden
+    // data (the join keeps exactly the probe forms that file covers)
+    "analysis_kstem" ->
+      s"""WITH $tokAllCte,
+         |v AS (SELECT DISTINCT term FROM tokall WHERE lang = 'en'),
+         |f AS (SELECT term AS form FROM v
+         |      UNION SELECT term || 's' FROM v
+         |      UNION SELECT term || 'ing' FROM v
+         |      UNION SELECT term || 'ed' FROM v
+         |      UNION SELECT term || 'es' FROM v),
+         |m(mform, mstem) AS (VALUES
+         |  ('a','a'),('as','as'),('big','big'),('columns','column'),
+         |  ('customers','customer'),('data','data'),('dupes','dupe'),
+         |  ('fast','fast'),('filter','filter'),('filtered','filter'),
+         |  ('group','group'),('groups','group'),('join','join'),
+         |  ('joined','join'),('joining','join'),('key','key'),
+         |  ('line','line'),('lines','lines'),('order','order'),
+         |  ('ordered','ordered'),('ordering','order'),('orders','orders'),
+         |  ('part','part'),('parts','parts'),('query','query'),
+         |  ('row','row'),('slow','slow'),('small','small'),
+         |  ('sort','sort'),('sorts','sort'),('sparks','sparks'),
+         |  ('stream','stream'),('streamed','stream'),('streaming','stream'),
+         |  ('streams','stream'),('table','table'),('the','the'),
+         |  ('value','value'),('values','value'),('windows','window'))
+         |SELECT f.form, m.mstem AS stem FROM f JOIN m ON m.mform = f.form
+         |ORDER BY f.form""".stripMargin,
+
     // TextProfileSignature: quantized term-frequency profile md5
     // (ties in the count sort break by term asc — see Dedup scaladoc)
     "dedup_signature" ->

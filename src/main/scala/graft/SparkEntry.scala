@@ -1711,6 +1711,36 @@ object SparkEntry {
         .orderBy("doc_id", "mode", "pos", "term")
     }),
 
+    /** KStem (reference en/KStemmer.java:71, Solr KStemFilterFactory):
+      * dictionary-gated stems of the corpus vocabulary's inflected forms
+      * (base, +s, +ing, +ed, +es), restricted to the probe forms the
+      * reference's own golden file covers — so the oracle's expected
+      * stems are verbatim reference data, incl. the dictionary-gated
+      * asymmetries (columns->column but lines->lines, ordering->order
+      * but ordered->ordered). */
+    "analysis_kstem" -> ((s, dir) => {
+      import s.implicits._
+      val probe = Set("a", "as", "big", "columns", "customers", "data",
+        "dupes", "fast", "filter", "filtered", "group", "groups", "join",
+        "joined", "joining", "key", "line", "lines", "order", "ordered",
+        "ordering", "orders", "part", "parts", "query", "row", "slow",
+        "small", "sort", "sorts", "sparks", "stream", "streamed",
+        "streaming", "streams", "table", "the", "value", "values", "windows")
+      s.read.parquet(s"$dir/documents.parquet")
+        .where(col("lang") === "en")
+        .select("doc_id", "text").as[(Long, String)]
+        .flatMap { case (_, text) =>
+          graft.analysis.Analyzer.analyzeFlat(text, Set.empty)._1.toSeq
+        }
+        .distinct()
+        .flatMap(t => Seq(t, t + "s", t + "ing", t + "ed", t + "es")
+          .filter(probe))
+        .distinct()
+        .map(f => (f, graft.analysis.KStem.stem(f)))
+        .toDF("form", "stem")
+        .orderBy("form")
+    }),
+
     /** Composite search handler (solr/.../component/SearchHandler.java —
       * the default /select pipeline): q + fq + paging + highlighting in
       * ONE request: BM25 "spark window", filtered to lang:en BEFORE

@@ -220,7 +220,8 @@ object Analyzer {
   /** Flat-array variant of [[analyzeEnglish]] (indexing hot path, see
     * [[analyzeFlat]]). */
   def analyzeEnglishFlat(text: String, stopSet: Set[String],
-                         maxTokenLength: Int = StandardTokenizer.DefaultMaxTokenLength)
+                         maxTokenLength: Int = StandardTokenizer.DefaultMaxTokenLength,
+                         stem: String => String = PorterStemmer.stem)
       : (Array[String], Array[Int]) = {
     val toks = StandardTokenizer.tokenize(text, maxTokenLength)
     val terms = new Array[String](toks.length)
@@ -233,7 +234,7 @@ object Analyzer {
       pos += t.posInc
       val term = lowerCase(stripPossessive(t.term))
       if (!stopSet.contains(term)) {
-        terms(n) = PorterStemmer.stem(term); positions(n) = pos; n += 1
+        terms(n) = stem(term); positions(n) = pos; n += 1
       }
       i += 1
     }

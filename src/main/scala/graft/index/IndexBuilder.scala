@@ -88,6 +88,10 @@ object IndexBuilder {
         Analyzer.analyzeFlat(content, StopSets.forLang(lang), maxTokenLength)
       case "english" =>
         Analyzer.analyzeEnglishFlat(content, StopSets.forLang("en"), maxTokenLength)
+      case "kstem" => // EnglishAnalyzer shape with KStemFilter (Solr
+        // KStemFilterFactory) instead of PorterStemFilter
+        Analyzer.analyzeEnglishFlat(content, StopSets.forLang("en"),
+          maxTokenLength, stem = graft.analysis.KStem.stem)
       case "cjk" =>
         Analyzer.analyzeCjkFlat(content, Set.empty, maxTokenLength)
       case other =>
