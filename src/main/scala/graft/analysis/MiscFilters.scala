@@ -118,6 +118,169 @@ object MiscFilters {
     term
   }
 
+  /** ScandinavianFoldingFilter (miscellaneous/ScandinavianFoldingFilter
+    * .java:28-137): åÅäæÄÆ->a/A, öÖøØ->o/O, and the double vowels
+    * aa/ae/ao/oe/oo collapse to their first letter. */
+  def scandinavianFold(term: String): String = {
+    val b = term.toCharArray
+    var len = b.length
+    var i = 0
+    def del(at: Int): Unit = {
+      System.arraycopy(b, at + 1, b, at, len - at - 1); len -= 1
+    }
+    while (i < len) {
+      val c = b(i)
+      if (c == 'å' || c == 'ä' || c == 'æ') b(i) = 'a'
+      else if (c == 'Å' || c == 'Ä' || c == 'Æ') b(i) = 'A'
+      else if (c == 'ö' || c == 'ø') b(i) = 'o'
+      else if (c == 'Ö' || c == 'Ø') b(i) = 'O'
+      else if (len - 1 > i) {
+        val n = b(i + 1)
+        if ((c == 'a' || c == 'A') &&
+          (n == 'a' || n == 'A' || n == 'e' || n == 'E' || n == 'o' || n == 'O'))
+          del(i + 1)
+        else if ((c == 'o' || c == 'O') &&
+          (n == 'e' || n == 'E' || n == 'o' || n == 'O'))
+          del(i + 1)
+      }
+      i += 1
+    }
+    new String(b, 0, len)
+  }
+
+  /** ScandinavianNormalizationFilter (miscellaneous/
+    * ScandinavianNormalizationFilter.java:40-110): ä->æ, ö->ø, and the
+    * digraphs aa->å, ae->æ, oe/oo->ø (case-aware) — interchangeable
+    * spellings normalize without the folding filter's destructiveness. */
+  def scandinavianNormalize(term: String): String = {
+    val b = term.toCharArray
+    var len = b.length
+    var i = 0
+    def del(at: Int): Unit = {
+      System.arraycopy(b, at + 1, b, at, len - at - 1); len -= 1
+    }
+    while (i < len) {
+      val c = b(i)
+      if (c == 'ä') b(i) = 'æ'
+      else if (c == 'Ä') b(i) = 'Æ'
+      else if (c == 'ö') b(i) = 'ø'
+      else if (c == 'Ö') b(i) = 'Ø'
+      else if (len - 1 > i) {
+        val n = b(i + 1)
+        if (c == 'a' && (n == 'a' || n == 'o' || n == 'A' || n == 'O')) {
+          del(i + 1); b(i) = 'å'
+        } else if (c == 'A' && (n == 'a' || n == 'A' || n == 'o' || n == 'O')) {
+          del(i + 1); b(i) = 'Å'
+        } else if (c == 'a' && (n == 'e' || n == 'E')) {
+          del(i + 1); b(i) = 'æ'
+        } else if (c == 'A' && (n == 'e' || n == 'E')) {
+          del(i + 1); b(i) = 'Æ'
+        } else if (c == 'o' && (n == 'e' || n == 'E' || n == 'o' || n == 'O')) {
+          del(i + 1); b(i) = 'ø'
+        } else if (c == 'O' && (n == 'e' || n == 'E' || n == 'o' || n == 'O')) {
+          del(i + 1); b(i) = 'Ø'
+        }
+      }
+      i += 1
+    }
+    new String(b, 0, len)
+  }
+
+  /** KeywordRepeatFilter (miscellaneous/KeywordRepeatFilter.java:34-60):
+    * each token twice — first flagged keyword (a keyword-aware stemmer
+    * leaves it), then the stemmable copy at posInc 0. `stem` plays the
+    * downstream keyword-aware stem filter; pair with
+    * [[removeDuplicates]] to drop no-op stems, the reference's
+    * recommended original+stem indexing chain. */
+  def keywordRepeat(toks: IndexedSeq[Token], stem: String => String): Vector[Token] = {
+    val out = Vector.newBuilder[Token]
+    for (t <- toks) {
+      out += t // keyword copy: stemmer skips it
+      out += t.copy(term = stem(t.term), posInc = 0)
+    }
+    out.result()
+  }
+
+  /** CapitalizationFilter (miscellaneous/CapitalizationFilter.java:
+  * 110-170): normalizes capitalization of the token text, treating runs
+  * separated by chars <= ' ' or '.' as words. keep-set words stay as-is
+  * (except a forced first letter), okPrefix words (e.g. "McK") stay,
+  * words shorter than minWordLength stay, and exceeding maxWordCount
+  * restores the whole original token. */
+  def capitalize(term: String,
+                 onlyFirstWord: Boolean = true,
+                 keep: Set[String] = Set.empty,
+                 forceFirstLetter: Boolean = true,
+                 okPrefix: Seq[String] = Nil,
+                 minWordLength: Int = 0,
+                 maxWordCount: Int = Int.MaxValue,
+                 maxTokenLength: Int = Int.MaxValue): String = {
+    if (term.length >= maxTokenLength) return term
+    val b = term.toCharArray
+    var wordCount = 0
+    def processWord(off: Int, len: Int): Unit = {
+      if (len < 1) return
+      val wc = wordCount
+      wordCount += 1
+      if (onlyFirstWord && wc > 0) {
+        var i = 0
+        while (i < len) { b(off + i) = Character.toLowerCase(b(off + i)); i += 1 }
+        return
+      }
+      if (keep.contains(new String(b, off, len))) {
+        if (wc == 0 && forceFirstLetter) b(off) = Character.toUpperCase(b(off))
+        return
+      }
+      if (len < minWordLength) return
+      if (okPrefix.exists(p => len >= p.length &&
+        p.indices.forall(i => p.charAt(i) == b(off + i)))) return
+      b(off) = Character.toUpperCase(b(off))
+      var i = 1
+      while (i < len) { b(off + i) = Character.toLowerCase(b(off + i)); i += 1 }
+    }
+    var lastWordStart = 0
+    var i = 0
+    while (i < b.length) {
+      val c = b(i)
+      if (c <= ' ' || c == '.') {
+        val len = i - lastWordStart
+        if (len > 0) { processWord(lastWordStart, len); lastWordStart = i + 1; i += 1 }
+      }
+      i += 1
+    }
+    if (lastWordStart < b.length) processWord(lastWordStart, b.length - lastWordStart)
+    if (wordCount > maxWordCount) term else new String(b)
+  }
+
+  /** HyphenatedWordsFilter (miscellaneous/HyphenatedWordsFilter.java:
+    * 58-105): a token ending in '-' merges with the following token(s);
+    * the merged token keeps the first part's start offset and posInc and
+    * the last part's end offset. A trailing dangler gets its '-' back. */
+  def hyphenatedWords(toks: IndexedSeq[Token]): Vector[Token] = {
+    val out = Vector.newBuilder[Token]
+    val pending = new java.lang.StringBuilder
+    var first: Token = null
+    var lastEnd = 0
+    for (t <- toks) {
+      lastEnd = t.endOffset
+      if (t.term.nonEmpty && t.term.last == '-') {
+        if (first == null) first = t
+        pending.append(t.term, 0, t.term.length - 1)
+      } else if (first == null) {
+        out += t
+      } else {
+        pending.append(t.term)
+        out += first.copy(term = pending.toString, endOffset = t.endOffset)
+        pending.setLength(0); first = null
+      }
+    }
+    if (first != null) { // stream ended on a hyphen: keep it
+      pending.append('-')
+      out += first.copy(term = pending.toString, endOffset = lastEnd)
+    }
+    out.result()
+  }
+
   /** TurkishLowerCaseFilter (tr/TurkishLowerCaseFilter.java:35-95):
     * I -> ı (dotless) unless a combining-dot-above follows through
     * non-spacing marks (then I -> i and the dot is removed, mimicking

@@ -133,6 +133,89 @@ class MiscFiltersSpec extends AnyFunSuite {
     assert(tlc("") == "")
   }
 
+  test("ScandinavianFoldingFilter (TestScandinavianFoldingFilter vectors)") {
+    def f(s: String) = MiscFilters.scandinavianFold(s)
+    assert(f("aeäaeeea") == "aaaeea")
+    assert(f("aeäaeeeae") == "aaaeea")
+    assert(f("aeaeeeae") == "aaeea")
+    assert(f("bøen") == "boen")
+    assert(f("åene") == "aene")
+    assert(f("räksmörgås") == "raksmorgas")
+    assert(f("ræksmørgås") == "raksmorgas")
+    assert(f("ræksmörgaos") == "raksmorgas")
+    assert(f("aA") == "a")
+    assert(f("aO") == "a")
+    assert(f("blåbærsyltetøj") == "blabarsyltetoj")
+    assert(f("blaabaarsyltetoej") == "blabarsyltetoj")
+    assert(f("raeksmoergaas") == "raksmorgas")
+    assert(f("ab") == "ab")
+    assert(f("ao") == "a")
+    assert(f("aa") == "a")
+    assert(f("oo") == "o")
+    assert(f("AA") == "A")
+    assert(f("Øre") == "Ore")
+  }
+
+  test("ScandinavianNormalizationFilter digraphs") {
+    def n(s: String) = MiscFilters.scandinavianNormalize(s)
+    assert(n("blåbærsyltetøj") == "blåbærsyltetøj")
+    assert(n("blaabaersyltetoej") == "blåbærsyltetøj")
+    assert(n("blåbärsyltetöj") == "blåbærsyltetøj")
+    assert(n("raeksmoergaos") == "ræksmørgås")
+    assert(n("AEskimo") == "Æskimo")
+    assert(n("aoo") == "åo") // aa/ao collapse left to right
+  }
+
+  test("KeywordRepeatFilter + RemoveDuplicates = original and stem overlaid") {
+    val in = ws("customers line")
+    val r = MiscFilters.removeDuplicates(
+      MiscFilters.keywordRepeat(in, graft.analysis.KStem.stem))
+    assert(terms(r) == Seq("customers", "customer", "line"))
+    assert(incs(r) == Seq(1, 0, 1)) // stem overlays; no-op stem deduped
+  }
+
+  test("CapitalizationFilter (TestCapitalizationFilter vectors)") {
+    val keep = Set("and", "the", "it", "BIG")
+    def cap(s: String, onlyFirst: Boolean = true, force: Boolean = true,
+            okPrefix: Seq[String] = Nil, minLen: Int = 0) =
+      MiscFilters.capitalize(s, onlyFirstWord = onlyFirst, keep = keep,
+        forceFirstLetter = force, okPrefix = okPrefix, minWordLength = minLen)
+    assert(cap("kiTTEN") == "Kitten")
+    assert(cap("and") == "And") // keep word, but first letter forced
+    assert(cap("AnD") == "And") // case-sensitive keep: not protected
+    assert(cap("AnD", force = false) == "And")
+    assert(cap("big") == "Big")
+    assert(cap("BIG") == "BIG") // protected by keep
+    assert(cap("Hello thEre my Name is Ryan") == "Hello there my name is ryan")
+    assert("Hello thEre my Name is Ryan".split(' ')
+      .map(w => cap(w, onlyFirst = false)).toSeq ==
+      Seq("Hello", "There", "My", "Name", "Is", "Ryan"))
+    assert("Hello thEre my Name is Ryan".split(' ')
+      .map(w => cap(w, onlyFirst = false, minLen = 3)).toSeq ==
+      Seq("Hello", "There", "my", "Name", "is", "Ryan"))
+    assert(cap("McKinley") == "Mckinley")
+    assert(cap("McKinley", okPrefix = Seq("McK")) == "McKinley")
+    assert("1st 2nd third".split(' ')
+      .map(w => cap(w, onlyFirst = false, force = false)).toSeq ==
+      Seq("1st", "2nd", "Third"))
+    assert(cap("the The the", onlyFirst = false) == "The The the")
+  }
+
+  test("HyphenatedWordsFilter (TestHyphenatedWordsFilter vectors)") {
+    // whitespace tokenization of "ecologi-\r\ncal devel-\r\n\r\nop ..."
+    val in = ws("ecologi- cal devel- op compre-\thensive-hands-on and ecologi- cal")
+      .map(t => t.copy(term = t.term.replace("\t", ""))) // tab inside ws()
+    val toks = Vector("ecologi-", "cal", "devel-", "op",
+      "compre-", "hensive-hands-on", "and", "ecologi-", "cal")
+      .map(w => graft.analysis.Token(w, 0, w.length, 1, "word"))
+    assert(terms(MiscFilters.hyphenatedWords(toks)) ==
+      Seq("ecological", "develop", "comprehensive-hands-on", "and", "ecological"))
+    // trailing dangler keeps its hyphen
+    val dangle = Vector(graft.analysis.Token("eco-", 0, 4, 1, "word"))
+    assert(terms(MiscFilters.hyphenatedWords(dangle)) == Seq("eco-"))
+    assert(in.nonEmpty)
+  }
+
   test("CodepointCountFilter counts codepoints, not chars") {
     // "𝄞𝄞" is 2 codepoints / 4 chars
     val in = Vector(Token("𝄞𝄞", 0, 4, 1, "word"),
