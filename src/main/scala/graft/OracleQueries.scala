@@ -2325,6 +2325,31 @@ object OracleQueries {
          |SELECT f.form, m.mstem AS stem FROM f JOIN m ON m.mform = f.form
          |ORDER BY f.form""".stripMargin,
 
+    // Typed PII redaction: same synthesized text, same pattern order
+    // (email, ssn, phone, ipv4), RE2 'g'-flag replaces + extract_all
+    // counts
+    "scrub_pii" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    split_part(text, ' ', 1) || ' reach ' || split_part(text, ' ', 1)
+         |    || '.' || split_part(text, ' ', 2) || '@mail.example.com or 555-'
+         |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ssn 042-68-'
+         |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' host 10.'
+         |    || CAST(doc_id % 256 AS VARCHAR) || '.0.12 end' AS text
+         |  FROM documents WHERE doc_id % 10 = 4)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '[a-z0-9.]+@[a-z0-9.]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+         |    '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g'),
+         |    '\\b[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g'),
+         |    '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g')
+         |    AS redacted,
+         |  CAST(len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+\\.[a-z]{2,}')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(text, '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS BIGINT) AS n_ssn,
+         |  CAST(len(regexp_extract_all(text, '\\b[0-9]{3}-[0-9]{4}\\b')) AS BIGINT) AS n_phone,
+         |  CAST(len(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS BIGINT) AS n_ipv4
+         |FROM d ORDER BY doc_id""".stripMargin,
+
     // TextProfileSignature: quantized term-frequency profile md5
     // (ties in the count sort break by term asc — see Dedup scaladoc)
     "dedup_signature" ->

@@ -1741,6 +1741,27 @@ object SparkEntry {
         .orderBy("form")
     }),
 
+    /** Typed PII redaction (training-data pipeline pass; the blocklist
+      * scrub's typed sibling): emails / SSNs / phone fragments / IPv4
+      * addresses synthesized deterministically from corpus columns,
+      * replaced by typed placeholders with per-type audit counts. */
+    "scrub_pii" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") % 10 === 4)
+        .select(col("doc_id"),
+          concat(
+            substring_index(col("text"), " ", 1), lit(" reach "),
+            substring_index(col("text"), " ", 1), lit("."),
+            element_at(split(col("text"), " "), 2),
+            lit("@mail.example.com or 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" ssn 042-68-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" host 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0.12 end")).as("text"))
+      graft.operators.TextAnalysis.piiRedact(d).orderBy("doc_id")
+    }),
+
     /** Composite search handler (solr/.../component/SearchHandler.java —
       * the default /select pipeline): q + fq + paging + highlighting in
       * ONE request: BM25 "spark window", filtered to lang:en BEFORE
