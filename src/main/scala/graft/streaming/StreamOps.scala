@@ -149,4 +149,17 @@ object StreamOps {
         min("ts").as("first_ts"), max("ts").as("last_ts"))
       .drop("session_id")
   }
+
+  /** Streaming exact dedup: the first event per key wins, duplicates
+    * arriving later (but within the watermark horizon) are dropped, and
+    * the per-key state is EVICTED once the watermark passes — bounded
+    * state at any stream length, the property a plain
+    * dropDuplicates(keys) on a stream does not have. This is the
+    * streaming face of the batch `dedup_first`/`dedup_exact` operators
+    * (training-data ingestion dedups at the door). */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+                  watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
 }

@@ -78,4 +78,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == exp)
     assert(exp.count(_._1 == 1L) == 2) // gap split sanity
   }
+
+  test("streaming dedup drops cross-batch duplicates within the watermark") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = mem.toDF().toDF("user_id", "ts", "event_type", "value")
+    val q = StreamOps.dedupStream(events, Seq("user_id", "event_type"),
+        watermark = "30 minutes")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    // batch 1: duplicate key (1, view) within the batch
+    mem.addData((1L, ts(0), "view", 1.0), (1L, ts(5), "view", 2.5),
+      (2L, ts(7), "purchase", 10.0))
+    q.processAllAvailable()
+    // batch 2: (1, view) again within the watermark -> dropped;
+    // (3, error) is new -> kept
+    mem.addData((1L, ts(10), "view", 9.9), (3L, ts(11), "error", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup")
+      .select("user_id", "event_type", "value")
+      .orderBy("user_id", "event_type")
+      .as[(Long, String, Double)].collect().toSeq
+    // first event per key wins; the 2.5 and 9.9 duplicates are dropped
+    assert(got == Seq((1L, "view", 1.0), (2L, "purchase", 10.0),
+      (3L, "error", 0.0)))
+  }
 }
