@@ -2350,6 +2350,33 @@ object OracleQueries {
          |  CAST(len(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS BIGINT) AS n_ipv4
          |FROM d ORDER BY doc_id""".stripMargin,
 
+    // Core tokenizers: whitespace keeps "w1-W2"/"w39w1" whole, letter
+    // runs split at the hyphen and digit, lowercase-letter also folds,
+    // keyword passes the composite through; payload mode strips "|p"
+    "analysis_tokenizers" ->
+      s"""WITH w AS (SELECT doc_id, split_part(text, ' ', 1) AS w1,
+         |                  split_part(text, ' ', 2) AS w2,
+         |                  split_part(text, ' ', 3) AS w3
+         |           FROM documents WHERE doc_id % 12 = 5)
+         |SELECT doc_id, mode, pos, term, payload FROM (
+         |  SELECT doc_id, 'ws' AS mode, CAST(0 AS BIGINT) AS pos,
+         |         w1 || '-' || upper(w2) AS term, CAST(NULL AS VARCHAR) AS payload FROM w
+         |  UNION ALL SELECT doc_id, 'ws', 1, w3 || '9' || w1, NULL FROM w
+         |  UNION ALL SELECT doc_id, 'letter', 0, w1, NULL FROM w
+         |  UNION ALL SELECT doc_id, 'letter', 1, upper(w2), NULL FROM w
+         |  UNION ALL SELECT doc_id, 'letter', 2, w3, NULL FROM w
+         |  UNION ALL SELECT doc_id, 'letter', 3, w1, NULL FROM w
+         |  UNION ALL SELECT doc_id, 'lcletter', 0, w1, NULL FROM w
+         |  UNION ALL SELECT doc_id, 'lcletter', 1, w2, NULL FROM w
+         |  UNION ALL SELECT doc_id, 'lcletter', 2, w3, NULL FROM w
+         |  UNION ALL SELECT doc_id, 'lcletter', 3, w1, NULL FROM w
+         |  UNION ALL SELECT doc_id, 'keyword', 0,
+         |    w1 || '-' || upper(w2) || ' ' || w3 || '9' || w1, NULL FROM w
+         |  UNION ALL SELECT doc_id, 'payload', 0, w1, '2.5' FROM w
+         |  UNION ALL SELECT doc_id, 'payload', 1, w2, '7' FROM w
+         |  UNION ALL SELECT doc_id, 'payload', 2, w3, NULL FROM w)
+         |ORDER BY doc_id, mode, pos""".stripMargin,
+
     // TextProfileSignature: quantized term-frequency profile md5
     // (ties in the count sort break by term asc — see Dedup scaladoc)
     "dedup_signature" ->

@@ -1762,6 +1762,38 @@ object SparkEntry {
       graft.operators.TextAnalysis.piiRedact(d).orderBy("doc_id")
     }),
 
+    /** Core character-class tokenizers + DelimitedPayloadTokenFilter
+      * (reference core/WhitespaceTokenizer, LetterTokenizer,
+      * LowerCaseTokenizer, KeywordTokenizer; payloads/
+      * DelimitedPayloadTokenFilter.java:30): one mode per tokenizer over
+      * a per-doc composite "w1-W2 w39w1" (hyphen/digit/case boundaries),
+      * plus payload parsing of "w1|2.5 w2|7 w3". */
+    "analysis_tokenizers" -> ((s, dir) => {
+      import s.implicits._
+      import graft.analysis.Tokenizers
+      s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") % 12 === 5)
+        .select("doc_id", "text").as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val ws = text.split(' ')
+          val (w1, w2, w3) = (ws(0), ws(1), ws(2))
+          val c = s"$w1-${w2.toUpperCase} ${w3}9$w1"
+          def emit(mode: String, toks: Seq[graft.analysis.Token]) =
+            toks.zipWithIndex.map { case (t, i) =>
+              (id, mode, i.toLong, t.term, Option.empty[String])
+            }
+          emit("ws", Tokenizers.whitespace(c)) ++
+            emit("letter", Tokenizers.letter(c)) ++
+            emit("lcletter", Tokenizers.lowerCaseLetter(c)) ++
+            emit("keyword", Tokenizers.keyword(c)) ++
+            Tokenizers.delimitedPayload(
+              Tokenizers.whitespace(s"$w1|2.5 $w2|7 $w3")).zipWithIndex
+              .map { case ((t, pay), i) => (id, "payload", i.toLong, t.term, pay) }
+        }
+        .toDF("doc_id", "mode", "pos", "term", "payload")
+        .orderBy("doc_id", "mode", "pos")
+    }),
+
     /** Composite search handler (solr/.../component/SearchHandler.java —
       * the default /select pipeline): q + fq + paging + highlighting in
       * ONE request: BM25 "spark window", filtered to lang:en BEFORE
