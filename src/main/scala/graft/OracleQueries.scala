@@ -2377,6 +2377,23 @@ object OracleQueries {
          |  UNION ALL SELECT doc_id, 'payload', 2, w3, NULL FROM w)
          |ORDER BY doc_id, mode, pos""".stripMargin,
 
+    // ClassicTokenizer composite: COMPANY, possessive-stripped
+    // APOSTROPHE, dot-stripped ACRONYM, HOST, NUM, underscore split
+    "analysis_classic" ->
+      s"""WITH w AS (SELECT doc_id, split_part(text, ' ', 1) AS w1,
+         |                  split_part(text, ' ', 2) AS w2
+         |           FROM documents WHERE lang = 'en' AND doc_id % 3 = 1)
+         |SELECT doc_id, pos, term, typ FROM (
+         |  SELECT doc_id, CAST(0 AS BIGINT) AS pos, 'at&t' AS term,
+         |         '<COMPANY>' AS typ FROM w
+         |  UNION ALL SELECT doc_id, 1, w1, '<APOSTROPHE>' FROM w
+         |  UNION ALL SELECT doc_id, 2, 'usa', '<ACRONYM>' FROM w
+         |  UNION ALL SELECT doc_id, 3, w2 || '.example.org', '<HOST>' FROM w
+         |  UNION ALL SELECT doc_id, 4, '1-2-3', '<NUM>' FROM w
+         |  UNION ALL SELECT doc_id, 5, w1, '<ALPHANUM>' FROM w
+         |  UNION ALL SELECT doc_id, 6, 'x', '<ALPHANUM>' FROM w)
+         |ORDER BY doc_id, pos""".stripMargin,
+
     // TextProfileSignature: quantized term-frequency profile md5
     // (ties in the count sort break by term asc — see Dedup scaladoc)
     "dedup_signature" ->

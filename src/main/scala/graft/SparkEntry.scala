@@ -1794,6 +1794,30 @@ object SparkEntry {
         .orderBy("doc_id", "mode", "pos")
     }),
 
+    /** ClassicTokenizer + ClassicFilter (reference standard/
+      * ClassicTokenizerImpl.jflex:75, ClassicFilter.java:30): per-doc
+      * composite "AT&T w1's U.S.A. w2.example.org 1-2-3 w1_x" exercises
+      * COMPANY, APOSTROPHE (+possessive strip), ACRONYM (+dot strip),
+      * HOST, NUM, and the underscore split; token types included. */
+    "analysis_classic" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .where(col("lang") === "en" && col("doc_id") % 3 === 1)
+        .select("doc_id", "text").as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val ws = text.split(' ')
+          val c = s"AT&T ${ws(0)}'s U.S.A. ${ws(1)}.example.org 1-2-3 ${ws(0)}_x"
+          var pos = -1L
+          graft.analysis.Classic.filter(graft.analysis.Classic.tokenize(c))
+            .map { t =>
+              pos += t.posInc
+              (id, pos, graft.analysis.Analyzer.lowerCase(t.term), t.tokenType)
+            }
+        }
+        .toDF("doc_id", "pos", "term", "typ")
+        .orderBy("doc_id", "pos")
+    }),
+
     /** Composite search handler (solr/.../component/SearchHandler.java —
       * the default /select pipeline): q + fq + paging + highlighting in
       * ONE request: BM25 "spark window", filtered to lang:en BEFORE
