@@ -27,7 +27,10 @@ object Plans {
         // round-3 additions: winnow-pair equi-join, phonetic-class
         // dictionary expansion, compound/synonym index recall
         "dedup_substring", "ft_phonetic_dm", "ft_compound_de",
-        "ft_synonym_index", "ft_edismax_qf")
+        "ft_synonym_index", "ft_edismax_qf",
+        // round-3 session-3: codegen'd regexp scan, flatMap analysis
+        // chains (single scan + output-order exchange only)
+        "scrub_pii", "analysis_shingle", "analysis_kstem")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "8")
