@@ -301,7 +301,12 @@ object Dedup {
           .where(col("df") > maxDf).select("wmin")
         sel0.join(hot, Seq("wmin"), "left_anti")
       }
-    sel.as("x").join(sel.as("y"),
+    // the self-join consumes the winnowed fingerprints TWICE; without a
+    // persist Spark plans (and executes) the explode+window selection on
+    // both sides — at 100 TB you'd materialize this table to storage
+    // first, which is exactly what the cache stands in for here
+    val fps = sel.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    fps.as("x").join(fps.as("y"),
         col("x.wmin") === col("y.wmin") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("a"), col("y.id").as("b"))
       .agg(count(lit(1)).as("shared_fps"))
