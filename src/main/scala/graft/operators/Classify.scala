@@ -49,6 +49,9 @@ object Classify {
       .flatMap { case (d, t, lang) =>
         Analyzer.analyze(t, StopSets.forLang(lang)).map(tp => (d, tp.term))
       }.toDF(id, "term")
+      // consumed by the class-conditional counts, the vocab count, and
+      // the per-doc term counts — cache so the corpus tokenizes once
+      .cache()
     // model relations: all tiny (classes, classes x vocab, scalars)
     val cls = docs.groupBy(col(classCol).as("c")).agg(count("*").as("nc"))
     val n = docs.count().toDouble
