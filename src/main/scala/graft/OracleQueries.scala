@@ -850,6 +850,34 @@ object OracleQueries {
          |        FROM sc GROUP BY doc_id)
          |${rankSel(15)}""".stripMargin,
 
+    // SweetSpot: Classic TF-IDF with baseline-floored tf (<=2 -> 1.0,
+    // else sqrt(tf-1)) and a flat lengthNorm plateau over the QUANTIZED
+    // dl (nrm.qdl): 1/sqrt(0.5*(|qdl-60|+|qdl-100|-40)+1)
+    "ft_sweetspot" ->
+      s"""WITH $tokensCte,
+         |$dlCsCte,
+         |$normCte,
+         |q(qterm) AS (VALUES ('spark'),('merge'),('window')),
+         |tf AS (SELECT t.doc_id, q.qterm, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tokens t JOIN q ON q.qterm = t.term GROUP BY 1, 2),
+         |dfq AS (SELECT qterm, CAST(count(*) AS BIGINT) AS df,
+         |          1 + ln((SELECT n FROM cs) / (count(*) + 1.0)) AS idf
+         |        FROM tf GROUP BY qterm),
+         |qn AS (SELECT 1 / sqrt(sum(idf * idf)) AS qn FROM dfq),
+         |sc AS (SELECT tf.doc_id,
+         |         (CASE WHEN tf.tf <= 2 THEN 1.0
+         |               ELSE sqrt(tf.tf + 1.0 - 2.0) END)
+         |         * (dfq.idf * dfq.idf) * qn.qn
+         |         * (1 / sqrt(0.5 * (abs(nrm.qdl - 60) + abs(nrm.qdl - 100)
+         |                            - 40) + 1)) AS s
+         |       FROM tf, dfq, dl, nrm, qn
+         |       WHERE dfq.qterm = tf.qterm AND dl.doc_id = tf.doc_id
+         |         AND dl.dl BETWEEN nrm.lo AND nrm.hi),
+         |agg AS (SELECT doc_id,
+         |          sum(s) * (count(*) / 3.0) AS score
+         |        FROM sc GROUP BY doc_id)
+         |${rankSel(15)}""".stripMargin,
+
     "ft_wand_top20" ->
       s"""$bm25OrWith,
          |agg AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id)

@@ -1818,6 +1818,24 @@ object SparkEntry {
         .orderBy("doc_id", "pos")
     }),
 
+    /** SweetSpotSimilarity (reference lucene/misc/.../SweetSpotSimilarity
+      * .java:44): Classic TF-IDF with a flat lengthNorm plateau
+      * (dl in [60,100] -> norm 1.0, steep 0.5 outside) and a
+      * baseline-floored tf (tf<=2 -> 1.0, else sqrt(tf-1)); applied at
+      * query time to the quantized dl from the stored norm byte. */
+    "ft_sweetspot" -> ((s, dir) => {
+      val r = reader(s, dir)
+      new ClassicScorer(r,
+        tfFn = f => graft.search.SweetSpot.baselineTf(f, base = 1.0f, min = 2.0f),
+        normFn = b => graft.search.SweetSpot.computeLengthNorm(
+          graft.codec.SmallFloat.Bm25NormTable(b & 0xFF), min = 60, max = 100))
+        .topK(Seq("spark", "merge", "window"), 15)
+        .join(idMap(r), "docId")
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        .select("rank", "doc_id").orderBy("rank")
+    }),
+
     /** Composite search handler (solr/.../component/SearchHandler.java —
       * the default /select pipeline): q + fq + paging + highlighting in
       * ONE request: BM25 "spark window", filtered to lang:en BEFORE

@@ -13,7 +13,9 @@ import graft.index.SearchReader
   * factors BM25 turns off. Float op order mirrors the reference
   * (TermWeight.normalize -> value = queryWeight * idf).
   */
-final class ClassicScorer(reader: SearchReader) {
+final class ClassicScorer(reader: SearchReader,
+    tfFn: Float => Float = f => math.sqrt(f.toDouble).toFloat,
+    normFn: Byte => Float = SmallFloat.byte315ToFloat) {
   private val spark = reader.spark
   import spark.implicits._
 
@@ -37,6 +39,9 @@ final class ClassicScorer(reader: SearchReader) {
     val maxOverlap = present.length
     val tIdxB = spark.sparkContext.broadcast(tIdx)
     val valuesB = spark.sparkContext.broadcast(values)
+    // local copies: the executor closure must not capture `this`
+    val tfF = tfFn
+    val normF = normFn
     reader.blocks(present).flatMap { b =>
       val i = tIdxB.value(b.term)
       val value = valuesB.value(i)
@@ -44,8 +49,8 @@ final class ClassicScorer(reader: SearchReader) {
         graft.codec.PostingBlock(b.term, b.firstDoc, b.lastDoc, b.count,
           b.maxTf, b.sumTf, b.maxPartial, b.docBytes, b.nrmBytes, b.posBytes))
       (0 until docs.length).iterator.map { j =>
-        val raw = math.sqrt(tfs(j).toDouble).toFloat * value
-        (docs(j), i, raw * SmallFloat.byte315ToFloat(nrms(j)))
+        val raw = tfF(tfs(j).toFloat) * value
+        (docs(j), i, raw * normF(nrms(j)))
       }
     }.groupByKey(_._1).mapGroups { (docId, it) =>
       // deterministic float sum: clause order, left-to-right (the shuffle

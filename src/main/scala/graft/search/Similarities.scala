@@ -69,6 +69,44 @@ object Similarities {
   }
 }
 
+/** SweetSpotSimilarity (reference lucene/misc/src/java/org/apache/
+  * lucene/misc/SweetSpotSimilarity.java:44-230): ClassicSimilarity with
+  * a flat "sweet spot" — lengthNorm is 1.0 on the plateau [min, max] and
+  * decays by `steep` outside it; tf is a baseline-floored sqrt or a
+  * hyperbolic saturation. Engine deviation (an improvement the stored-
+  * norm design buys): the reference bakes lengthNorm into the index at
+  * write time (re-index to tune the spot); here the plateau is applied
+  * at QUERY time to the quantized dl decoded from the stored norm byte,
+  * so the same index serves any sweet-spot setting. */
+object SweetSpot {
+
+  /** 1/sqrt(steep*(|n-min| + |n-max| - (max-min)) + 1): 1.0 inside the
+    * plateau, decaying outside. */
+  def computeLengthNorm(numTerms: Float, min: Int, max: Int,
+                        steep: Float = 0.5f): Float =
+    (1.0 / math.sqrt((steep *
+      (math.abs(numTerms - min) + math.abs(numTerms - max) - (max - min))) +
+      1.0f)).toFloat
+
+  /** Baseline tf: 0 at 0; `base` up to `min`; sqrt(freq + base^2 - min)
+    * beyond (continuous at the knee when base^2 == min). */
+  def baselineTf(freq: Float, base: Float = 0.0f, min: Float = 0.0f): Float =
+    if (freq == 0.0f) 0.0f
+    else if (freq <= min) base
+    else math.sqrt((freq + base * base - min).toDouble).toFloat
+
+  /** Hyperbolic tf: min + (max-min)/2 * (tanh_base(freq - xoffset) + 1) —
+    * saturates between min and max around the xoffset midpoint. */
+  def hyperbolicTf(freq: Float, min: Float = 0.0f, max: Float = 2.0f,
+                   base: Double = 1.3, xoffset: Float = 10.0f): Float = {
+    if (freq == 0.0f) return 0.0f
+    val x = (freq - xoffset).toDouble
+    min + ((max - min) / 2.0f *
+      (((math.pow(base, x) - math.pow(base, -x)) /
+        (math.pow(base, x) + math.pow(base, -x))) + 1.0d)).toFloat
+  }
+}
+
 /** Disjunctive top-k under any per-clause (tf, dl) similarity: decode
   * (docId, tf, norm) from the pruned block scan, score each clause with
   * its closure, sum per doc in clause order (same NaN-slot combine the
