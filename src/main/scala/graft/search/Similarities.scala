@@ -96,14 +96,16 @@ object SweetSpot {
     else math.sqrt((freq + base * base - min).toDouble).toFloat
 
   /** Hyperbolic tf: min + (max-min)/2 * (tanh_base(freq - xoffset) + 1) —
-    * saturates between min and max around the xoffset midpoint. */
+    * saturates between min and max around the xoffset midpoint.
+    * Deviation from the reference: its (b^x - b^-x)/(b^x + b^-x) form
+    * overflows to inf/inf = NaN once x*ln(base) > 709 (its OWN test
+    * range i<=1000 with base=e crosses that); tanh(x*ln(base)) is the
+    * same function and saturates to the correct limit instead. */
   def hyperbolicTf(freq: Float, min: Float = 0.0f, max: Float = 2.0f,
                    base: Double = 1.3, xoffset: Float = 10.0f): Float = {
     if (freq == 0.0f) return 0.0f
     val x = (freq - xoffset).toDouble
-    min + ((max - min) / 2.0f *
-      (((math.pow(base, x) - math.pow(base, -x)) /
-        (math.pow(base, x) + math.pow(base, -x))) + 1.0d)).toFloat
+    min + ((max - min) / 2.0f * (math.tanh(x * math.log(base)) + 1.0d)).toFloat
   }
 }
 
