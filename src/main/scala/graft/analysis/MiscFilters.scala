@@ -317,6 +317,64 @@ object MiscFilters {
     sb.toString
   }
 
+  /** GermanNormalizationFilter (de/GermanNormalizationFilter.java:28-110):
+    * the UniNE "German2" folding as a 3-state FSM — umlauts fold to their
+    * base vowel, 'e' after an a/o/solitary-u state is deleted (so
+    * "flaechen" == "flächen" == "flachen"), ß -> ss. */
+  def germanNormalize(term: String): String = {
+    val N = 0; val V = 1; val U = 2
+    var state = N
+    val b = new java.lang.StringBuilder(term.length + 4)
+    var i = 0
+    while (i < term.length) {
+      val c = term.charAt(i)
+      c match {
+        case 'a' | 'o' => b.append(c); state = U
+        case 'u' => b.append(c); state = if (state == N) U else V
+        case 'e' =>
+          if (state != U) b.append(c) // in U-state the 'e' is deleted
+          state = V
+        case 'i' | 'q' | 'y' => b.append(c); state = V
+        case 'ä' => b.append('a'); state = V
+        case 'ö' => b.append('o'); state = V
+        case 'ü' => b.append('u'); state = V
+        case 'ß' => b.append("ss"); state = N
+        case other => b.append(other); state = N
+      }
+      i += 1
+    }
+    b.toString
+  }
+
+  /** SerbianNormalizationFilter (sr/SerbianNormalizationFilter.java:28):
+    * Cyrillic -> bald Latin, plus Latin diacritics folded (đ->dj, ž->z,
+    * č/ć->c, š->s; љ/њ/џ expand to lj/nj/dz). */
+  def serbianNormalize(term: String): String = {
+    val b = new java.lang.StringBuilder(term.length + 4)
+    term.foreach {
+      case 'а' => b.append('a'); case 'б' => b.append('b')
+      case 'в' => b.append('v'); case 'г' => b.append('g')
+      case 'д' => b.append('d'); case 'ђ' | 'đ' => b.append("dj")
+      case 'е' => b.append('e'); case 'ж' | 'з' | 'ž' => b.append('z')
+      case 'и' => b.append('i'); case 'ј' => b.append('j')
+      case 'к' => b.append('k'); case 'л' => b.append('l')
+      case 'љ' => b.append("lj"); case 'м' => b.append('m')
+      case 'н' => b.append('n'); case 'њ' => b.append("nj")
+      case 'о' => b.append('o'); case 'п' => b.append('p')
+      case 'р' => b.append('r'); case 'с' => b.append('s')
+      case 'т' => b.append('t'); case 'ћ' | 'ц' | 'ч' | 'č' | 'ć' => b.append('c')
+      case 'у' => b.append('u'); case 'ф' => b.append('f')
+      case 'х' => b.append('h'); case 'џ' => b.append("dz")
+      case 'ш' | 'š' => b.append('s')
+      case other => b.append(other)
+    }
+    b.toString
+  }
+
+  /** PersianCharFilter (fa/PersianCharFilter.java:30): zero-width
+    * non-joiner becomes a space before tokenization. */
+  def persianCharFilter(text: String): String = text.replace('\u200C', ' ')
+
   /** RemoveDuplicatesTokenFilter: drop a token when the same term was
     * already emitted at the same position (posInc > 0 clears the set);
     * the dropped overlap contributes no gap (its posInc is 0). */

@@ -301,14 +301,26 @@ object Dedup {
           .where(col("df") > maxDf).select("wmin")
         sel0.join(hot, Seq("wmin"), "left_anti")
       }
-    // the self-join consumes the winnowed fingerprints TWICE; without a
-    // persist Spark plans (and executes) the explode+window selection on
-    // both sides — at 100 TB you'd materialize this table to storage
-    // first, which is exactly what the cache stands in for here
-    val fps = sel.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    fps.as("x").join(fps.as("y"),
-        col("x.wmin") === col("y.wmin") && col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+    // bucket-and-expand instead of a self-join: ONE shuffle of the
+    // fingerprints (the join would hash-partition BOTH sides and run the
+    // winnowing selection twice), then i<j pair expansion inside each
+    // fingerprint bucket — the same candidate set, with bucket width
+    // bounded by the maxDf guard above exactly like an LSH band join
+    val spark = docs.sparkSession
+    import spark.implicits._
+    sel.groupBy("wmin")
+      .agg(collect_list(col("id")).as("ids"))
+      .select("ids").as[Seq[Long]]
+      .flatMap { ids =>
+        val sorted = ids.sorted
+        for {
+          i <- sorted.indices.iterator
+          j <- (i + 1) until sorted.length
+          if sorted(i) != sorted(j) // a doc can select one wmin twice
+        } yield (sorted(i), sorted(j))
+      }
+      .toDF("a", "b")
+      .groupBy("a", "b")
       .agg(count(lit(1)).as("shared_fps"))
       .where(col("shared_fps") >= minShared)
       .withColumn("est_min_overlap", col("shared_fps") + lit(k - 1))

@@ -216,6 +216,29 @@ class MiscFiltersSpec extends AnyFunSuite {
     assert(in.nonEmpty)
   }
 
+  test("GermanNormalizationFilter (TestGermanNormalizationFilter vectors)") {
+    def g(s: String) = MiscFilters.germanNormalize(s)
+    assert(g("Schaltflächen") == "Schaltflachen")
+    assert(g("Schaltflaechen") == "Schaltflachen")
+    assert(g("dauer") == "dauer") // 'ue' after a vowel is NOT folded
+    assert(g("weißbier") == "weissbier")
+    assert(g("") == "")
+  }
+
+  test("SerbianNormalizationFilter (TestSerbianNormalizationFilter vectors)") {
+    def s(x: String) = MiscFilters.serbianNormalize(x)
+    assert(s("абвгдђежзијклљмнњопрстћуфхцчџш") ==
+      "abvgddjezzijklljmnnjoprstcufhccdzs")
+    assert(s("abcčćddžđefghijklljmnnjoprsštuvzž") ==
+      "abcccddzdjefghijklljmnnjoprsstuvzz")
+    assert(s("") == "")
+  }
+
+  test("PersianCharFilter: ZWNJ becomes a space") {
+    assert(MiscFilters.persianCharFilter("ab\u200Ccd") == "ab cd")
+    assert(MiscFilters.persianCharFilter("plain") == "plain")
+  }
+
   test("CodepointCountFilter counts codepoints, not chars") {
     // "𝄞𝄞" is 2 codepoints / 4 chars
     val in = Vector(Token("𝄞𝄞", 0, 4, 1, "word"),
