@@ -375,6 +375,61 @@ object MiscFilters {
     * non-joiner becomes a space before tokenization. */
   def persianCharFilter(text: String): String = text.replace('\u200C', ' ')
 
+  /** CJKWidthFilter (cjk/CJKWidthFilter.java:28-115): fullwidth ASCII
+    * variants fold to basic latin; halfwidth katakana folds to kana,
+    * with the halfwidth voice marks (U+FF9E/FF9F) composing into the
+    * preceding kana where a composed form exists (else they map to the
+    * combining marks U+3099/309A). A practical subset of NFKC. */
+  private val KanaNorm: Array[Char] = Array(
+    0x30fb, 0x30f2, 0x30a1, 0x30a3, 0x30a5, 0x30a7, 0x30a9, 0x30e3, 0x30e5,
+    0x30e7, 0x30c3, 0x30fc, 0x30a2, 0x30a4, 0x30a6, 0x30a8, 0x30aa, 0x30ab,
+    0x30ad, 0x30af, 0x30b1, 0x30b3, 0x30b5, 0x30b7, 0x30b9, 0x30bb, 0x30bd,
+    0x30bf, 0x30c1, 0x30c4, 0x30c6, 0x30c8, 0x30ca, 0x30cb, 0x30cc, 0x30cd,
+    0x30ce, 0x30cf, 0x30d2, 0x30d5, 0x30d8, 0x30db, 0x30de, 0x30df, 0x30e0,
+    0x30e1, 0x30e2, 0x30e4, 0x30e6, 0x30e8, 0x30e9, 0x30ea, 0x30eb, 0x30ec,
+    0x30ed, 0x30ef, 0x30f3, 0x3099, 0x309A).map(_.toChar)
+
+  private val KanaCombineVoiced: Array[Byte] = Array[Byte](
+    78, 0, 0, 0, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1,
+    0, 1, 0, 1, 0, 0, 1, 0, 1, 0, 1, 0, 0, 0, 0, 0, 0, 1, 0, 0, 1, 0, 0, 1,
+    0, 0, 1, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 8, 8, 8, 8, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1)
+
+  private val KanaCombineHalfVoiced: Array[Byte] = Array[Byte](
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 2, 0, 0, 2, 0, 0, 2,
+    0, 0, 2, 0, 0, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+
+  def cjkWidth(term: String): String = {
+    val text = term.toCharArray
+    var length = text.length
+    var i = 0
+    while (i < length) {
+      val ch = text(i)
+      if (ch >= 0xFF01 && ch <= 0xFF5E) {
+        text(i) = (ch - 0xFEE0).toChar // fullwidth ASCII
+      } else if (ch >= 0xFF65 && ch <= 0xFF9F) {
+        val combined = (ch == 0xFF9E || ch == 0xFF9F) && i > 0 && {
+          val prev = text(i - 1)
+          prev >= 0x30A6 && prev <= 0x30FD && {
+            val d = if (ch == 0xFF9F) KanaCombineHalfVoiced(prev - 0x30A6)
+            else KanaCombineVoiced(prev - 0x30A6)
+            text(i - 1) = (prev + d).toChar
+            text(i - 1) != prev
+          }
+        }
+        if (combined) {
+          System.arraycopy(text, i + 1, text, i, length - i - 1)
+          length -= 1
+          i -= 1
+        } else text(i) = KanaNorm(ch - 0xFF65)
+      }
+      i += 1
+    }
+    new String(text, 0, length)
+  }
+
   /** RemoveDuplicatesTokenFilter: drop a token when the same term was
     * already emitted at the same position (posInc > 0 clears the set);
     * the dropped overlap contributes no gap (its posInc is 0). */

@@ -239,6 +239,17 @@ class MiscFiltersSpec extends AnyFunSuite {
     assert(MiscFilters.persianCharFilter("plain") == "plain")
   }
 
+  test("CJKWidthFilter (TestCJKWidthFilter vectors)") {
+    def w(s: String) = MiscFilters.cjkWidth(s)
+    assert(w("Ｔｅｓｔ") == "Test") // fullwidth ASCII
+    assert(w("１２３４") == "1234")
+    assert(w("ｶﾀｶﾅ") == "カタカナ") // halfwidth katakana
+    assert(w("ｳﾞｨｯﾂ") == "ヴィッツ") // voice mark composes ウ -> ヴ
+    assert(w("ﾊﾟﾅｿﾆｯｸ") == "パナソニック") // half-voiced ハ -> パ
+    assert(w("plain") == "plain")
+    assert(w("") == "")
+  }
+
   test("CodepointCountFilter counts codepoints, not chars") {
     // "𝄞𝄞" is 2 codepoints / 4 chars
     val in = Vector(Token("𝄞𝄞", 0, 4, 1, "word"),
