@@ -116,12 +116,12 @@ object Analyzer {
           toks(j).posInc == 1) j += 1
         pos += t.posInc
         if (j - i == 1) {
-          val term = lowerCase(t.term)
+          val term = lowerCase(MiscFilters.cjkWidth(t.term))
           if (!stopSet.contains(term)) out += TermPos(term, pos)
         } else {
           var k = i
           while (k < j - 1) {
-            val term = lowerCase(toks(k).term + toks(k + 1).term)
+            val term = lowerCase(MiscFilters.cjkWidth(toks(k).term + toks(k + 1).term))
             if (!stopSet.contains(term)) out += TermPos(term, pos)
             if (k < j - 2) pos += 1
             k += 1
@@ -130,7 +130,8 @@ object Analyzer {
         i = j
       } else {
         pos += t.posInc
-        val term = lowerCase(t.term)
+        // CJKAnalyzer runs CJKWidthFilter before lowercase (cjk/CJKAnalyzer.java:72)
+        val term = lowerCase(MiscFilters.cjkWidth(t.term))
         if (!stopSet.contains(term)) out += TermPos(term, pos)
         i += 1
       }

@@ -248,6 +248,9 @@ class MiscFiltersSpec extends AnyFunSuite {
     assert(w("ﾊﾟﾅｿﾆｯｸ") == "パナソニック") // half-voiced ハ -> パ
     assert(w("plain") == "plain")
     assert(w("") == "")
+    // reference CJKAnalyzer chain order: width fold before lowercase
+    assert(Analyzer.analyzeCjk("ＴＥＳＴ ｶﾀｶﾅ").map(_.term) ==
+      Seq("test", "カタカナ"))
   }
 
   test("CodepointCountFilter counts codepoints, not chars") {
