@@ -31,6 +31,34 @@ object MiscFilters {
     "c", "l", "all", "dall", "dell", "nell", "sull", "coll", "pell",
     "gl", "agl", "dagl", "degl", "negl", "sugl", "un", "m", "t", "s", "v", "d")
 
+  /** CatalanAnalyzer.DEFAULT_ARTICLES. */
+  val CatalanArticles: Set[String] = Set("d", "l", "m", "n", "s", "t")
+
+  /** IrishAnalyzer.DEFAULT_ARTICLES (its HYPHENATIONS stop set {h, n, t}
+    * runs as a StopFilter BEFORE elision in the reference chain). */
+  val IrishArticles: Set[String] = Set("d", "m", "b")
+
+  /** IrishLowerCaseFilter (ga/IrishLowerCaseFilter.java:28-75): a word
+    * starting n/t before an uppercase vowel (incl. fada accents) is an
+    * inflected eclipsis/t-prothesis — keep it searchable by inserting a
+    * hyphen ("nAthair" -> "n-athair") before lowercasing the rest. */
+  def irishLowerCase(term: String): String = {
+    def isUpperVowel(c: Char) = "AEIOUÁÉÍÓÚ".indexOf(c) >= 0
+    val hyphenate = term.length > 1 &&
+      (term.charAt(0) == 'n' || term.charAt(0) == 't') && isUpperVowel(term.charAt(1))
+    val base = if (hyphenate) term.substring(0, 1) + "-" + term.substring(1) else term
+    val from = if (hyphenate) 2 else 0
+    val sb = new java.lang.StringBuilder(base.length)
+    sb.append(base, 0, from)
+    var i = from
+    while (i < base.length) {
+      val cp = base.codePointAt(i)
+      sb.appendCodePoint(Character.toLowerCase(cp))
+      i += Character.charCount(cp)
+    }
+    sb.toString
+  }
+
   /** ElisionFilter on one term: if the prefix before the FIRST apostrophe
     * (' or U+2019) is an article, strip prefix + apostrophe. */
   def elision(term: String, articles: Set[String]): String = {

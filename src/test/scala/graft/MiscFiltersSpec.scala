@@ -253,6 +253,18 @@ class MiscFiltersSpec extends AnyFunSuite {
       Seq("test", "カタカナ"))
   }
 
+  test("IrishLowerCaseFilter + ga/ca elision article sets") {
+    // TestIrishLowerCaseFilter vector: "nAthair tUISCE hARD"
+    def ir(s: String) = MiscFilters.irishLowerCase(s)
+    assert(ir("nAthair") == "n-athair")
+    assert(ir("tUISCE") == "t-uisce")
+    assert(ir("hARD") == "hard") // h- is handled by the HYPHENATIONS stop
+    assert(ir("TUISCE") == "tuisce")
+    assert(ir("nathair") == "nathair") // lowercase vowel: no eclipsis
+    assert(MiscFilters.elision("d'Athair", MiscFilters.IrishArticles) == "Athair")
+    assert(MiscFilters.elision("l'aigua", MiscFilters.CatalanArticles) == "aigua")
+  }
+
   test("CodepointCountFilter counts codepoints, not chars") {
     // "𝄞𝄞" is 2 codepoints / 4 chars
     val in = Vector(Token("𝄞𝄞", 0, 4, 1, "word"),
