@@ -41,18 +41,30 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
       }
-    // The driver stores only the last ~2000 chars of output, so the ONE
-    // JSON line is laid out to survive a front truncation: per-query
-    // times rounded to ms and sorted ascending (the expensive,
-    // informative entries land at the END), with metric/value/sf as the
-    // final keys.
+    // The driver stores only the last ~2000 chars of output and parses the
+    // JSON line out of that tail; a 230-entry map does not fit, so rounds
+    // 1-3 recorded parsed=null. Emit the full map first (for humans and
+    // BENCH/), then ONE compact final line that is guaranteed to fit: the
+    // slowest entries (the informative ones) capped so the whole line stays
+    // well under the window even with sbt's trailing [success] line.
     def r3(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.toSeq.sortBy(_._2)
-      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"queries":$qs,"n_queries":${results.size},"unit":"sec","sf":"$sfDir","metric":"total","value":${r3(total)}}""")
+    def jsonLine(entries: Seq[(String, Double)], extra: String): String = {
+      val qs = entries.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+        .mkString("{", ",", "}")
+      s"""{"queries":$qs,$extra"n_queries":${results.size},"unit":"sec","sf":"$sfDir","metric":"total","value":${r3(total)}}"""
+    }
+    lazy val total = if (results.nonEmpty) results.values.sum else 0.0
+    val asc = results.toSeq.sortBy(_._2)
+    println("FULL " + jsonLine(asc, ""))
+    // compact: keep appending the slowest entries while the line fits in
+    // ~1500 chars (leaves headroom for sbt's trailing success line)
+    val desc = asc.reverse
+    var keep = desc.length
+    while (keep > 1 && jsonLine(desc.take(keep), "\"truncated\":true,").length > 1500)
+      keep -= 1
+    val extra = if (keep < desc.length) "\"truncated\":true," else ""
+    println(jsonLine(desc.take(keep), extra))
     spark.stop()
   }
 }

@@ -2286,8 +2286,8 @@ object OracleQueries {
          |      FROM tokens),
          |s AS (SELECT doc_id, term, pos,
          |        LEAST(pos - ppos - 1, 1) AS fill,
-         |        SUM(1 + LEAST(pos - ppos - 1, 1))
-         |          OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS slot
+         |        CAST(SUM(1 + LEAST(pos - ppos - 1, 1))
+         |          OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS BIGINT) AS slot
          |      FROM t),
          |nx AS (SELECT *,
          |         lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nterm,

@@ -293,12 +293,19 @@ object Analyzer {
   final case class SynRule(lhs: Array[String], rhs: Array[Array[String]])
 
   /** Compile raw rules (lhs text -> rhs alternative texts) through the
-    * standard chain (no stopwords — synonyms run BEFORE StopFilter in
-    * the reference's canonical chain order). */
-  def compileSynonyms(raw: Seq[(String, Seq[String])]): Seq[SynRule] =
+    * INDEX'S OWN analyzer chain, stopwords off (the reference's
+    * SynonymMap.Builder runs rule text through the chain analyzer,
+    * SynonymMap.java:184-199; synonyms run BEFORE StopFilter in the
+    * canonical chain order). Compiling with a different chain than the
+    * index would leave rules silently inert for stemmed indexes: LHS
+    * 'running' never matches the indexed term 'run'. Default tokenizer =
+    * the standard chain. */
+  def compileSynonyms(raw: Seq[(String, Seq[String])],
+                      tokenize: String => Array[String] =
+                        analyze(_, Set.empty).map(_.term).toArray)
+      : Seq[SynRule] =
     raw.map { case (l, rs) =>
-      SynRule(analyze(l, Set.empty).map(_.term).toArray,
-        rs.map(r => analyze(r, Set.empty).map(_.term).toArray).toArray)
+      SynRule(tokenize(l), rs.map(tokenize).toArray)
     }.filter(r => r.lhs.nonEmpty && r.rhs.forall(_.nonEmpty))
 
   /** Index-time SynonymFilter (reference analysis/common/.../synonym/

@@ -77,20 +77,24 @@ object IndexBuilder {
     * stem, reference en/EnglishAnalyzer.java:101-116); "german" /
     * "spanish" / "italian" / "french" = that language's stop set + light
     * stemmer (reference de/GermanAnalyzer.java etc.). */
-  def invertDoc(docId: Long, docPart: Int, repo: String, path: String,
-                commit: String, lang: String, content: String,
-                maxTokenLength: Int, analyzer: String = "standard",
-                reverseTokens: Boolean = false,
-                synRules: Seq[Analyzer.SynRule] = Nil,
-                compoundDict: Set[String] = Set.empty): SegmentDoc = {
-    val (terms0, positions0) = analyzer match {
+  /** The configured chain as a flat (terms, positions) function.
+    * `noStops` drops stopword filtering — synonym rule compilation runs
+    * the chain WITHOUT stops (the reference's SynonymMap.Builder analyzes
+    * rule text with the index analyzer; rules are matched pre-StopFilter
+    * in the canonical chain order). */
+  def chainFlat(analyzer: String, lang: String, content: String,
+                maxTokenLength: Int,
+                noStops: Boolean = false): (Array[String], Array[Int]) = {
+    @inline def stops(iso: String): Set[String] =
+      if (noStops) Set.empty else StopSets.forLang(iso)
+    analyzer match {
       case "standard" =>
-        Analyzer.analyzeFlat(content, StopSets.forLang(lang), maxTokenLength)
+        Analyzer.analyzeFlat(content, stops(lang), maxTokenLength)
       case "english" =>
-        Analyzer.analyzeEnglishFlat(content, StopSets.forLang("en"), maxTokenLength)
+        Analyzer.analyzeEnglishFlat(content, stops("en"), maxTokenLength)
       case "kstem" => // EnglishAnalyzer shape with KStemFilter (Solr
         // KStemFilterFactory) instead of PorterStemFilter
-        Analyzer.analyzeEnglishFlat(content, StopSets.forLang("en"),
+        Analyzer.analyzeEnglishFlat(content, stops("en"),
           maxTokenLength, stem = graft.analysis.KStem.stem)
       case "cjk" =>
         Analyzer.analyzeCjkFlat(content, Set.empty, maxTokenLength)
@@ -105,9 +109,19 @@ object IndexBuilder {
             graft.analysis.MiscFilters.ItalianArticles)
           case _ => identity
         }
-        Analyzer.analyzeLightFlat(content, StopSets.forLang(iso), stem,
+        Analyzer.analyzeLightFlat(content, stops(iso), stem,
           maxTokenLength, pre = pre)
     }
+  }
+
+  def invertDoc(docId: Long, docPart: Int, repo: String, path: String,
+                commit: String, lang: String, content: String,
+                maxTokenLength: Int, analyzer: String = "standard",
+                reverseTokens: Boolean = false,
+                synRules: Seq[Analyzer.SynRule] = Nil,
+                compoundDict: Set[String] = Set.empty): SegmentDoc = {
+    val (terms0, positions0) =
+      chainFlat(analyzer, lang, content, maxTokenLength)
     // index-time synonym injection (posInc=0 overlaps); dl counts
     // DISTINCT positions so injected tokens don't inflate the norm
     val (terms1, positions1, dl1) =
@@ -122,9 +136,10 @@ object IndexBuilder {
           terms1, positions1, compoundDict)
         (t, p, dl1)
       }
-    // group by term via an index sort ordered by (term, index) — the
-    // index tiebreak makes the order stable, so positions ascend within
-    // each term run. Primitive int sort: the previous Integer[] boxing
+    // group by term via an index sort ordered by (term, position) — the
+    // position tiebreak guarantees positions ascend within each term run
+    // even when synonym/compound injection emits tokens out of position
+    // order. Primitive int sort: the previous Integer[] boxing
     // allocated ~nTok objects per doc, pure GC churn at 2M docs/build.
     // nTok = emitted tokens INCLUDING synonym overlaps; dl = distinct
     // positions (the norm length) — they differ only under synonyms.
@@ -132,7 +147,7 @@ object IndexBuilder {
     val idx = new Array[Int](nTok)
     var i = 0
     while (i < nTok) { idx(i) = i; i += 1 }
-    sortIdxByTerm(idx, terms, 0, nTok - 1)
+    sortIdxByTerm(idx, terms, positions, 0, nTok - 1)
     val postings = new scala.collection.mutable.ArrayBuffer[SegPosting](
       math.min(nTok, 64))
     i = 0
@@ -198,10 +213,19 @@ object IndexBuilder {
     * (unstable) quicksort yields exactly the order the boxed stable sort
     * did. Insertion sort below 16 elements. */
   private def sortIdxByTerm(idx: Array[Int], terms: Array[String],
+                            positions: Array[Int],
                             lo0: Int, hi0: Int): Unit = {
+    // tiebreak by POSITION, not emission index: synonym/compound injection
+    // can emit a term at an earlier position than a later original token
+    // (e.g. usa->"united states of america" then an original "america"),
+    // and the position-delta encoder below requires positions ascending
+    // within each term run — an emission-index tiebreak would write a
+    // negative delta whose VInt round-trips into an unsorted position
+    // array that phrase/span matchers silently mis-handle.
     @inline def less(a: Int, b: Int): Boolean = {
       val c = terms(a).compareTo(terms(b))
-      c < 0 || (c == 0 && a < b)
+      c < 0 || (c == 0 && (positions(a) < positions(b) ||
+        (positions(a) == positions(b) && a < b)))
     }
     var stack = List((lo0, hi0))
     while (stack.nonEmpty) {
@@ -295,7 +319,9 @@ object IndexBuilder {
       val maxTok = cfg.maxTokenLength
       val analyzerName = cfg.analyzer
       val revTok = cfg.reverseTokens
-      val synRules = Analyzer.compileSynonyms(cfg.synonyms)
+      val synRules = Analyzer.compileSynonyms(cfg.synonyms,
+        chainFlat(cfg.analyzer, "en", _, cfg.maxTokenLength,
+          noStops = true)._1)
       val compDict = graft.analysis.CompoundWords.compileDict(cfg.compoundDict)
       val nParts = cfg.numDocParts
       val parted = (

@@ -288,9 +288,13 @@ object Dedup {
     * `maxDf` drops fingerprints selected in more than that many docs
     * before pairing (boilerplate guard — a license-header gram shared by
     * 10^6 docs would otherwise emit 10^12 pairs). Dropped mass only
-    * lowers shared_fps, never invents a pair. */
+    * lowers shared_fps, never invents a pair. The default is FINITE on
+    * purpose: with the bucket-expand below, one unguarded hot fingerprint
+    * would collect_list its whole bucket into a single task and emit an
+    * O(df^2) expansion; 1000 caps any bucket at ~500k pairs. Pass
+    * Int.MaxValue to opt out explicitly. */
   def substringPairs(docs: DataFrame, k: Int = 3, w: Int = 4,
-                     minShared: Int = 1, maxDf: Int = Int.MaxValue,
+                     minShared: Int = 1, maxDf: Int = 1000,
                      id: String = "doc_id",
                      text: String = "text"): DataFrame = {
     val sel0 = TextAnalysis.winnowSelected(docs, k, w, id, text)

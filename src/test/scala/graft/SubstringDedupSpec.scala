@@ -58,4 +58,22 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(Dedup.substringPairs(docs, k = 3, w = 4, maxDf = 2).count() == 0)
     assert(Dedup.substringPairs(docs, k = 3, w = 4).count() == 6) // all pairs
   }
+
+  test("default maxDf is finite: a hot fingerprint is dropped, the rest " +
+    "of the pair multiset is unchanged") {
+    // boiler appears in all 1001+2 docs (df > default 1000); runA only in
+    // the two probe docs. Default must drop the boiler buckets but keep
+    // the probe pair — identical to an explicit tight maxDf.
+    val boiler = "common license header text block repeated verbatim"
+    val runA = "unique payload tokens shared by exactly two documents here"
+    val docs = ((1L to 1001L).map(i => (i, boiler)) ++
+      Seq((2001L, s"x $runA y"), (2002L, s"z $runA w"))).toDF("doc_id", "text")
+    val byDefault = Dedup.substringPairs(docs, k = 3, w = 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val explicit = Dedup.substringPairs(docs, k = 3, w = 4, maxDf = 500)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(byDefault.exists(p => p._1 == 2001L && p._2 == 2002L))
+    assert(!byDefault.exists(p => p._1 <= 1001L || (p._2 <= 1001L)))
+    assert(byDefault == explicit)
+  }
 }

@@ -56,6 +56,56 @@ class SynonymIndexSpec extends AnyFunSuite {
     assert(p.toSeq == Seq(0, 1, 0, 2, 2))
   }
 
+  test("RHS longer than LHS + later original equal to an RHS tail token: " +
+    "encoded per-term positions still ascend") {
+    // usa -> "united states of america" injects america@3; the ORIGINAL
+    // america sits at position 1. Emission order is [.., america@3, america@1,
+    // ..]; the (term, position) sort in invertDoc must still produce an
+    // ascending position array (a negative VInt delta round-trips, so the
+    // bug would be silent and break phrase/span matching).
+    val rules = syn("usa" -> Seq("united states of america"))
+    val sd = IndexBuilder.invertDoc(0L, 0, "r", "p.txt", "c", "en",
+      "usa america trip", 255, "standard", false, rules, Set.empty)
+    def positionsOf(term: String): Seq[Int] = {
+      val sp = sd.postings.find(_.term == term).get
+      val rd = new graft.codec.VByte.Reader(sp.pb)
+      val tf = rd.readVInt()
+      var prev = 0
+      (0 until tf).map { _ => prev += rd.readVInt(); prev }
+    }
+    assert(positionsOf("america") == Seq(1, 3))
+    sd.postings.filterNot(_.term.startsWith("path:")).foreach { sp =>
+      val ps = positionsOf(sp.term)
+      assert(ps == ps.sorted, s"positions of '${sp.term}' must ascend: $ps")
+    }
+  }
+
+  test("synonym rules are compiled through the index's own analyzer chain") {
+    // With analyzer=english, LHS 'running' must match the stemmed index
+    // term 'run', and the injected RHS must be stemmed so stemmed query
+    // terms reach it. (reference: SynonymMap.Builder analyzes rule text
+    // with the chain analyzer, synonym/SynonymMap.java:184-199)
+    val cfgEn = IndexConfig(numDocParts = 2, numBuckets = 4, waves = 1,
+      shufflePartitions = 4, analyzer = "english",
+      synonyms = Seq("running" -> Seq("sprinting")))
+    val docs = Seq(
+      DocInput("r", "a.txt", "c1", "en", "the running fox"),
+      DocInput("r", "b.txt", "c2", "en", "a walking fox")).toDF()
+    val dir = SparkSuite.tmpDir("graft-synstem")
+    IndexBuilder.build(spark, docs, dir, cfgEn)
+    val rd = new IndexReader(spark, dir, cfgEn.numBuckets, cacheData = false)
+    val js = new JoinScorer(rd)
+    def hit(t: String): Set[String] = {
+      val ids = js.scores(BoolQ(Seq((Occur.Must, TermQ(t)))))
+        .map(_._1).collect().toSet
+      rd.docmeta.filter(d => ids.contains(d.docId)).map(_.path).collect().toSet
+    }
+    // 'sprinting' stems to 'sprint'; it must be indexed on a.txt
+    assert(hit("sprint") == Set("a.txt"))
+    // keepOrig: the stemmed original survives
+    assert(hit("run") == Set("a.txt"))
+  }
+
   // ---- end-to-end over a built index ----
 
   private val cfg = IndexConfig(numDocParts = 2, numBuckets = 4, waves = 1,
