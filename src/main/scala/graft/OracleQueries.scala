@@ -420,6 +420,30 @@ object OracleQueries {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM tokall
          |WHERE term = 'value' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // Dutch snowball: table -> tabl (e-ending); unique preimage
+    "ft_stemmed_nl" ->
+      s"""WITH $tokAllCte
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM tokall
+         |WHERE term = 'table' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Danish snowball: customer -> custom (main suffix er); unique
+    "ft_stemmed_da" ->
+      s"""WITH $tokAllCte
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM tokall
+         |WHERE term = 'customer' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Romanian snowball: data -> dat (RV final vowel); unique preimage
+    "ft_stemmed_ro" ->
+      s"""WITH $tokAllCte
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM tokall
+         |WHERE term = 'data' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Turkish snowball: data -> da (locative -ta, back harmony); unique
+    "ft_stemmed_tr" ->
+      s"""WITH $tokAllCte
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM tokall
+         |WHERE term = 'data' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // Compound decomposition with dict {"wind"}: each 'window' token
     // also indexes subword 'wind', so tf(wind) == count('window')
     "ft_compound_de" ->

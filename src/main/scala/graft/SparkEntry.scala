@@ -747,6 +747,28 @@ object SparkEntry {
     "ft_stemmed_cz" -> ((s, dir) =>
       stemTf(s, langReader(s, dir, "czech"), "valu")),
 
+    /** Dutch-Snowball-stemmed search (nl/DutchAnalyzer.java ->
+      * ext/DutchStemmer.java): e-ending in R1 after a consonant drops,
+      * "table" -> "tabl". */
+    "ft_stemmed_nl" -> ((s, dir) =>
+      stemTf(s, langReader(s, dir, "dutch"), "tabl")),
+
+    /** Danish-Snowball-stemmed search (da -> ext/DanishStemmer.java):
+      * main-suffix "er" in R1 drops, "customer" -> "custom". */
+    "ft_stemmed_da" -> ((s, dir) =>
+      stemTf(s, langReader(s, dir, "danish"), "custom")),
+
+    /** Romanian-Snowball-stemmed search (ro -> ext/RomanianStemmer.java):
+      * final vowel "a" in RV drops, "data" -> "dat". */
+    "ft_stemmed_ro" -> ((s, dir) =>
+      stemTf(s, langReader(s, dir, "romanian"), "dat")),
+
+    /** Turkish-Snowball-stemmed search (tr -> ext/TurkishStemmer.java):
+      * the locative -DA drops after back-vowel harmony,
+      * "data" -> "da". */
+    "ft_stemmed_tr" -> ((s, dir) =>
+      stemTf(s, langReader(s, dir, "turkish"), "da")),
+
     /** Compound-word recall (compound/DictionaryCompoundWordTokenFilter
       * .java): with dictionary {"wind"}, the subword "wind" indexes at
       * every "window" occurrence, so the single-constituent query
@@ -1290,10 +1312,9 @@ object SparkEntry {
       val js = new JoinScorer(r)
       val q = should("spark", "vector", "window")
       val top = js.topK(q, 1).as[(Long, Float)].collect().head._1
-      val perTerm = Seq("spark", "vector", "window").flatMap { t =>
-        js.scores(should(t)).filter(_._1 == top).collect()
-          .map { case (_, sc) => (t, sc) }
-      }
+      // One block-pruned job for all three terms (decodes only the blocks
+      // covering `top`) instead of three full-postings scoring scans.
+      val perTerm = js.explainDoc(Seq("spark", "vector", "window"), top)
       val docIdCol = idMap(r).where(col("docId") === top)
         .select("doc_id").head().getLong(0)
       perTerm.sortBy { case (t, sc) => (-sc, t) }.zipWithIndex

@@ -1024,5 +1024,20 @@ object LightStemmers {
     "arabic" -> (("ar", arabic _)),
     "persian" -> (("fa", persian _)),
     "greek" -> (("el", (w: String) =>
-      GreekStemmer.stem(GreekStemmer.lowerCase(w)))))
+      GreekStemmer.stem(GreekStemmer.lowerCase(w)))),
+    // Snowball-backed analyzers (reference nl/da/ro/tr *Analyzer.java ->
+    // org.tartarus generated stemmers). Dutch applies the analyzer's
+    // built-in stem-override dictionary first (DutchAnalyzer.java:82-86:
+    // fiets/bromfiets keep themselves, ei -> eier, kind -> kinder).
+    "dutch" -> (("nl", (w: String) => dutchStemDict.getOrElse(
+      w.toLowerCase(java.util.Locale.ROOT),
+      SnowballStemmers.dutch(w)))),
+    "danish" -> (("da", SnowballStemmers.danish _)),
+    "romanian" -> (("ro", SnowballStemmers.romanian _)),
+    "turkish" -> (("tr", SnowballStemmers.turkish _)))
+
+  /** DutchAnalyzer's DEFAULT_STEM_DICT (StemmerOverrideFilter entries). */
+  private val dutchStemDict: Map[String, String] = Map(
+    "fiets" -> "fiets", "bromfiets" -> "bromfiets",
+    "ei" -> "eier", "kind" -> "kinder")
 }

@@ -1,0 +1,863 @@
+package graft.analysis
+
+import java.util.Locale
+
+/** Snowball stemmers for the languages whose reference analyzers delegate to
+  * org.tartarus generated code rather than a hand-written light stemmer:
+  * Dutch (reference `nl/DutchAnalyzer.java:56` -> snowball `ext/DutchStemmer
+  * .java`), Danish (`da/DanishAnalyzer.java` -> `ext/DanishStemmer.java`),
+  * Romanian (`ro/RomanianAnalyzer.java` -> `ext/RomanianStemmer.java`) and
+  * Turkish (`tr/TurkishAnalyzer.java` -> `ext/TurkishStemmer.java`).
+  *
+  * These are fresh Scala implementations of the published Snowball
+  * algorithms (snowballstem.org); suffix tables and conditions follow the
+  * published scripts, verified token-for-token against the reference's own
+  * golden vocabularies (`analysis/snowball/TestSnowballVocabData.zip`,
+  * 23k-96k word pairs per language) in SnowballStemSpec. Instead of a
+  * cursor-machine runtime, each algorithm is direct string code: a suffix
+  * either lies inside R1/R2 (index arithmetic) or it doesn't.
+  */
+object SnowballStemmers {
+
+  /** Longest suffix of `w` drawn from `sufs` whose start index is >= `from`
+    * (i.e. the suffix lies entirely within the region), or null. */
+  private def longestIn(w: String, from: Int, sufs: Array[String]): String = {
+    var best: String = null
+    var i = 0
+    while (i < sufs.length) {
+      val s = sufs(i)
+      if ((best == null || s.length > best.length) &&
+          w.length - s.length >= from && w.endsWith(s)) best = s
+      i += 1
+    }
+    best
+  }
+
+  /** Plain longest suffix match (no region constraint), or null. */
+  private def longest(w: String, sufs: Array[String]): String =
+    longestIn(w, 0, sufs)
+
+  /** Standard Snowball R-region: index just past the first non-vowel that
+    * follows a vowel, or length if none. */
+  private def region(w: String, from: Int, isV: Char => Boolean): Int = {
+    val n = w.length
+    var i = from
+    while (i < n && !isV(w(i))) i += 1
+    while (i < n && isV(w(i))) i += 1
+    if (i >= n) n else i + 1
+  }
+
+  // ------------------------------------------------------------------
+  // Danish (reference ext/DanishStemmer.java; published danish.sbl)
+  // ------------------------------------------------------------------
+
+  private val daV = "aeiouyåæø".toSet
+  private val daSEnding = "abcdfghjklmnoprtvyzå".toSet
+  private val daMain = Array(
+    "hed", "ethed", "ered", "e", "erede", "ende", "erende", "ene", "erne",
+    "ere", "en", "heden", "eren", "er", "heder", "erer", "s", "heds", "es",
+    "endes", "erendes", "enes", "ernes", "eres", "ens", "hedens", "erens",
+    "ers", "ets", "erets", "et", "eret")
+  private val daOther = Array("ig", "lig", "elig", "els", "løst")
+  private val daPairs = Array("gd", "dt", "gt", "kt")
+
+  /** R1 with the Scandinavian "at least three letters before R1" rule
+    * (hop 3 in the script); words shorter than 3 have an empty R1. */
+  private def r1min3(w: String, isV: Char => Boolean): Int = {
+    if (w.length < 3) return w.length
+    val p = region(w, 0, isV)
+    if (p >= w.length) w.length else math.max(p, 3)
+  }
+
+  private def daConsonantPair(w: String, p1: Int): String =
+    if (longestIn(w, p1, daPairs) != null) w.substring(0, w.length - 1) else w
+
+  /** Danish Snowball stemmer. Input is lowercased first (the reference
+    * chain puts LowerCaseFilter before SnowballFilter). */
+  def danish(word: String): String = {
+    var w = word.toLowerCase(Locale.ROOT)
+    val p1 = r1min3(w, daV)
+    // main_suffix: longest R1 suffix; plain delete, or conditional "s"
+    val m = longestIn(w, p1, daMain)
+    if (m == "s") {
+      if (w.length >= 2 && daSEnding(w(w.length - 2)))
+        w = w.substring(0, w.length - 1)
+    } else if (m != null) w = w.substring(0, w.length - m.length)
+    // consonant_pair: gd/dt/gt/kt in R1 -> drop one letter
+    w = daConsonantPair(w, p1)
+    // other_suffix: igst loses st unconditionally, then R1 adjectives
+    if (w.endsWith("igst")) w = w.substring(0, w.length - 2)
+    val o = longestIn(w, p1, daOther)
+    if (o == "løst") w = w.substring(0, w.length - 1)
+    else if (o != null) {
+      w = w.substring(0, w.length - o.length)
+      w = daConsonantPair(w, p1)
+    }
+    // undouble: final double consonant with its last copy in R1
+    if (w.length >= 2 && w.length - 1 >= p1 && !daV(w.last) &&
+        w(w.length - 2) == w.last) w = w.substring(0, w.length - 1)
+    w
+  }
+
+  // ------------------------------------------------------------------
+  // Dutch (reference ext/DutchStemmer.java; published dutch.sbl)
+  // ------------------------------------------------------------------
+
+  private val nlV = "aeiouyè".toSet
+  // step-4 last-char group: vowels plus the consonant-marked 'I'
+  private val nlVI = nlV + 'I'
+  private val nlVj = nlV + 'j'
+  private val nlStep1 = Array("heden", "ene", "en", "se", "s")
+  private val nlStep3b = Array("end", "ing", "ig", "lijk", "baar", "bar")
+
+  private def nlUndouble(w: String): String =
+    if (w.endsWith("dd") || w.endsWith("kk") || w.endsWith("tt"))
+      w.substring(0, w.length - 1)
+    else w
+
+  /** en/ene ending: suffix in R1, preceded by a non-vowel that is not part
+    * of a final "gem"; delete + undouble. Returns w unchanged if blocked. */
+  private def nlEnEnding(w: String, p1: Int, suf: String): String = {
+    val at = w.length - suf.length
+    if (at < p1 || at == 0 || nlV(w(at - 1))) return w
+    if (at >= 3 && w.substring(at - 3, at) == "gem") return w
+    nlUndouble(w.substring(0, at))
+  }
+
+  /** Dutch Snowball stemmer (lowercases first). */
+  def dutch(word: String): String = {
+    var w = word.toLowerCase(Locale.ROOT)
+    // prelude: fold umlauts/acutes, then consonant-mark y and i
+    w = w.map {
+      case 'á' | 'ä' => 'a'
+      case 'é' | 'ë' => 'e'
+      case 'í' | 'ï' => 'i'
+      case 'ó' | 'ö' => 'o'
+      case 'ú' | 'ü' => 'u'
+      case c                   => c
+    }
+    val sb = new java.lang.StringBuilder(w)
+    if (sb.length > 0 && sb.charAt(0) == 'y') sb.setCharAt(0, 'Y')
+    var i = 0
+    while (i < sb.length - 1) {
+      if (nlV(sb.charAt(i))) {
+        val c = sb.charAt(i + 1)
+        if (c == 'i' && i + 2 < sb.length && nlV(sb.charAt(i + 2)))
+          sb.setCharAt(i + 1, 'I')
+        else if (c == 'y') sb.setCharAt(i + 1, 'Y')
+      }
+      i += 1
+    }
+    w = sb.toString
+    val p1raw = region(w, 0, nlV)
+    // R1 starts no earlier than position 3 (dutch.sbl: try(p1 < 3 -> p1 = 3))
+    val r1 = if (p1raw >= w.length) w.length else math.max(p1raw, 3)
+    val r2 = math.min(region(w, p1raw, nlV), w.length)
+
+    var eFound = false
+    // step 1
+    longestIn(w, 0, nlStep1) match {
+      case "heden" =>
+        if (w.length - 5 >= r1) w = w.substring(0, w.length - 5) + "heid"
+      case "ene" => w = nlEnEnding(w, r1, "ene")
+      case "en"  => w = nlEnEnding(w, r1, "en")
+      case s @ ("se" | "s") =>
+        val at = w.length - s.length
+        if (at >= r1 && at > 0 && !nlVj(w(at - 1))) w = w.substring(0, at)
+      case _ =>
+    }
+    // step 2: e-ending
+    if (w.endsWith("e") && w.length - 1 >= r1 && w.length >= 2 &&
+        !nlV(w(w.length - 2))) {
+      w = nlUndouble(w.substring(0, w.length - 1))
+      eFound = true
+    }
+    // step 3a: heid
+    if (w.endsWith("heid") && w.length - 4 >= r2 &&
+        (w.length == 4 || w(w.length - 5) != 'c')) {
+      w = w.substring(0, w.length - 4)
+      if (w.endsWith("en")) w = nlEnEnding(w, r1, "en")
+    }
+    // step 3b: d/k suffixes (R2)
+    longestIn(w, 0, nlStep3b) match {
+      case s @ ("end" | "ing") if w.length - s.length >= r2 =>
+        w = w.substring(0, w.length - s.length)
+        if (w.endsWith("ig") && w.length - 2 >= r2 &&
+            (w.length < 3 || w(w.length - 3) != 'e'))
+          w = w.substring(0, w.length - 2)
+        else w = nlUndouble(w)
+      case "ig" if w.length - 2 >= r2 &&
+          (w.length < 3 || w(w.length - 3) != 'e') =>
+        w = w.substring(0, w.length - 2)
+      case "lijk" if w.length - 4 >= r2 =>
+        w = w.substring(0, w.length - 4)
+        if (w.endsWith("e") && w.length - 1 >= r1 && w.length >= 2 &&
+            !nlV(w(w.length - 2)))
+          w = nlUndouble(w.substring(0, w.length - 1))
+      case "baar" if w.length - 4 >= r2 =>
+        w = w.substring(0, w.length - 4)
+      case "bar" if w.length - 3 >= r2 && eFound =>
+        w = w.substring(0, w.length - 3)
+      case _ =>
+    }
+    // step 4: undouble vowel (CVVd -> CVd, VV in {aa,ee,oo,uu})
+    val n = w.length
+    if (n >= 4 && !nlVI(w(n - 1)) && !nlV(w(n - 4)) &&
+        w(n - 2) == w(n - 3) && "aeou".indexOf(w(n - 2)) >= 0)
+      w = w.substring(0, n - 2) + w(n - 1)
+    // postlude: unmark
+    w.map { case 'I' => 'i'; case 'Y' => 'y'; case c => c }
+  }
+
+  // ------------------------------------------------------------------
+  // Romanian (reference ext/RomanianStemmer.java; published romanian.sbl)
+  // ------------------------------------------------------------------
+
+  private val roV = "aeiouâîă".toSet
+
+  /** Longest suffix of `w` among the table keys whose start is >= `from`;
+    * returns the (suffix, replacement) pair or null. */
+  private def longestPair(w: String, from: Int,
+                          table: Array[(String, String)]): (String, String) = {
+    var best: (String, String) = null
+    var i = 0
+    while (i < table.length) {
+      val s = table(i)._1
+      if ((best == null || s.length > best._1.length) &&
+          w.length - s.length >= from && w.endsWith(s)) best = table(i)
+      i += 1
+    }
+    best
+  }
+
+  private val roStep0: Array[(String, String)] = Array(
+    "ul" -> "", "ului" -> "", "aua" -> "a", "ea" -> "e", "ele" -> "e",
+    "elor" -> "e", "ii" -> "i", "iua" -> "i", "iei" -> "i", "iile" -> "i",
+    "ilor" -> "i", "iilor" -> "i", "ile" -> "i", "atei" -> "at",
+    "aţia" -> "aţi", "aţie" -> "aţi")
+
+  private val roCombo: Array[(String, String)] = Array(
+    "abilitate" -> "abil", "abilitati" -> "abil", "abilităi" -> "abil",
+    "abilităţi" -> "abil", "ibilitate" -> "ibil",
+    "ivitate" -> "iv", "ivitati" -> "iv", "ivităi" -> "iv", "ivităţi" -> "iv",
+    "icala" -> "ic", "iciva" -> "ic", "icale" -> "ic", "icali" -> "ic",
+    "icitate" -> "ic", "icitati" -> "ic", "icive" -> "ic", "icivi" -> "ic",
+    "icităi" -> "ic", "icităţi" -> "ic", "ical" -> "ic", "icator" -> "ic",
+    "icatori" -> "ic", "iciv" -> "ic", "icală" -> "ic", "icivă" -> "ic",
+    "ativa" -> "at", "ative" -> "at", "ativi" -> "at", "ativă" -> "at",
+    "ativ" -> "at", "aţiune" -> "at", "atoare" -> "at", "ator" -> "at",
+    "atori" -> "at", "ătoare" -> "at", "ător" -> "at", "ători" -> "at",
+    "itiva" -> "it", "itive" -> "it", "itivi" -> "it", "itivă" -> "it",
+    "itiv" -> "it", "iţiune" -> "it", "itoare" -> "it", "itor" -> "it",
+    "itori" -> "it")
+
+  private val roStdDelete = Array(
+    "ica", "abila", "ibila", "oasa", "ata", "ita", "anta", "uta", "iva",
+    "ic", "ice", "abile", "ibile", "oase", "ate", "itate", "ite", "ante",
+    "ute", "ive", "ici", "abili", "ibili", "atori", "osi", "ati", "itati",
+    "iti", "anti", "uti", "ivi", "ităi", "oşi", "ităţi", "abil", "ibil",
+    "ator", "os", "at", "it", "ant", "ut", "iv", "ică", "abilă", "ibilă",
+    "oasă", "ată", "ită", "antă", "ută", "ivă")
+  private val roStdIst = Array(
+    "ista", "isme", "iste", "isti", "işti", "ism", "ist", "istă")
+  private val roStdAll: Array[(String, String)] =
+    roStdDelete.map(_ -> "") ++ roStdIst.map(_ -> "ist") ++
+      Array("iune" -> " ", "iuni" -> " ")
+
+  // verb suffixes: value 1 = delete when preceded (inside RV) by a
+  // consonant or 'u'; value 2 = delete unconditionally
+  private val roVerb1 = Array(
+    "ea", "ia", "esc", "ăsc", "ind", "ând", "are", "ere", "ire", "âre",
+    "ase", "ise", "use", "âse", "eşte", "ăşte", "eze", "ai", "eai", "iai",
+    "eşti", "ăşti", "ui", "ezi", "âi", "aşi", "aseşi", "iseşi", "useşi",
+    "âseşi", "işi", "uşi", "âşi", "eaţi", "iaţi", "arăţi", "aserăţi",
+    "iserăţi", "userăţi", "âserăţi", "irăţi", "urăţi", "ârăţi", "am", "eam",
+    "iam", "asem", "isem", "usem", "âsem", "arăm", "aserăm", "iserăm",
+    "userăm", "âserăm", "irăm", "urăm", "ârăm", "au", "eau", "iau", "indu",
+    "ându", "ez", "ească", "ară", "aseră", "iseră", "useră", "âseră",
+    "iră", "ură", "âră", "ează")
+  private val roVerb2 = Array(
+    "se", "sese", "sei", "seşi", "seseşi", "aţi", "eţi", "iţi", "âţi",
+    "serăţi", "seserăţi", "em", "sesem", "im", "âm", "ăm", "serăm",
+    "seserăm", "seră", "seseră")
+  private val roVerbAll: Array[(String, String)] =
+    roVerb1.map(_ -> "1") ++ roVerb2.map(_ -> "2")
+
+  private val roFinalVowel = Array("a", "e", "ie", "i", "ă")
+
+  /** RV for Romance-language Snowball stemmers: after the first
+    * vowel-consonant transition depending on the word's first two letters. */
+  private def romanceRV(w: String, isV: Char => Boolean): Int = {
+    val n = w.length
+    if (n < 3) return n
+    if (isV(w(0))) {
+      if (!isV(w(1))) { // V C ... : after the next vowel
+        var i = 2; while (i < n && !isV(w(i))) i += 1
+        if (i < n) i + 1 else n
+      } else {          // V V ... : after the next consonant
+        var i = 2; while (i < n && isV(w(i))) i += 1
+        if (i < n) i + 1 else n
+      }
+    } else {
+      if (!isV(w(1))) { // C C ... : after the next vowel
+        var i = 2; while (i < n && !isV(w(i))) i += 1
+        if (i < n) i + 1 else n
+      } else 3          // C V ... : after the third letter
+    }
+  }
+
+  /** Romanian Snowball stemmer (lowercases first). */
+  def romanian(word: String): String = {
+    var w = word.toLowerCase(Locale.ROOT)
+    // prelude: consonant-mark u/i between vowels
+    val sb = new java.lang.StringBuilder(w)
+    var i = 0
+    while (i < sb.length - 1) {
+      if (roV(sb.charAt(i)) && i + 2 < sb.length && roV(sb.charAt(i + 2))) {
+        val c = sb.charAt(i + 1)
+        if (c == 'u') sb.setCharAt(i + 1, 'U')
+        else if (c == 'i') sb.setCharAt(i + 1, 'I')
+      }
+      i += 1
+    }
+    w = sb.toString
+    val rv = romanceRV(w, roV)
+    val r1 = region(w, 0, roV)
+    val r2 = region(w, r1, roV)
+
+    // Snowball among semantics: the LONGEST matching suffix is chosen with
+    // an unbounded backward scan, and only then is its region condition
+    // tested — a long match that fails R1/R2 does NOT fall back to a
+    // shorter one. (verb_suffix is the exception: its scan runs inside
+    // `setlimit tomark pV`, so there the region bounds the match itself.)
+
+    // step 0: articles/plurals (condition R1)
+    longestPair(w, 0, roStep0) match {
+      case null =>
+      case (s, _) if w.length - s.length < r1 =>
+      case ("ile", _) =>
+        val at = w.length - 3
+        if (at < 2 || w.substring(at - 2, at) != "ab")
+          w = w.substring(0, at) + "i"
+      case (s, r) => w = w.substring(0, w.length - s.length) + r
+    }
+    // standard suffixes: repeat combo (R1), then the R2 table
+    var removed = false
+    var changed = true
+    while (changed) {
+      changed = false
+      longestPair(w, 0, roCombo) match {
+        case (s, r) if w.length - s.length >= r1 =>
+          w = w.substring(0, w.length - s.length) + r
+          removed = true; changed = true
+        case _ =>
+      }
+    }
+    longestPair(w, 0, roStdAll) match {
+      case null =>
+      case (s, _) if w.length - s.length < r2 =>
+      case (s, " ") => // iune/iuni: only as ţiune/ţiuni -> t
+        val at = w.length - s.length
+        if (at > 0 && w(at - 1) == 'ţ') {
+          w = w.substring(0, at - 1) + "t"
+          removed = true
+        }
+      case (s, r) =>
+        w = w.substring(0, w.length - s.length) + r
+        removed = true
+    }
+    // verb suffixes (RV-bounded scan) only when no standard suffix removed
+    if (!removed) longestPair(w, rv, roVerbAll) match {
+      case null =>
+      case (s, "1") =>
+        val at = w.length - s.length
+        if (at > rv && !"aeioâîă".contains(w(at - 1)))
+          w = w.substring(0, at)
+      case (s, _) => w = w.substring(0, w.length - s.length)
+    }
+    // final vowel (unbounded scan, RV condition)
+    val fv = longest(w, roFinalVowel)
+    if (fv != null && w.length - fv.length >= rv)
+      w = w.substring(0, w.length - fv.length)
+    // postlude: unmark
+    w.map { case 'I' => 'i'; case 'U' => 'u'; case c => c }
+  }
+
+  // ------------------------------------------------------------------
+  // Turkish (reference ext/TurkishStemmer.java; published turkish.sbl,
+  // algorithm by Evren (Kapusuz) Cilden)
+  // ------------------------------------------------------------------
+
+  private val trVowel = "aeıioöuü".toSet
+  private val trU = "ıiuü".toSet
+  // harmony classes: the vowel of a suffix must be preceded (anywhere
+  // further left) by a vowel of its own front/back + rounded class
+  private val trHarmony: Map[Char, Set[Char]] = Map(
+    'a' -> "aıou".toSet, 'e' -> "eiöü".toSet, 'ı' -> "aı".toSet,
+    'i' -> "ei".toSet, 'o' -> "ou".toSet, 'ö' -> "öü".toSet,
+    'u' -> "ou".toSet, 'ü' -> "öü".toSet)
+
+  /** Minimal backward cursor machine for the Turkish algorithm, mirroring
+    * the Snowball string-command semantics the published script relies on:
+    * marks move the cursor without editing; slices edit [bra, ket);
+    * positions are saved as distances from the right end so they survive
+    * suffix deletions; a failed alternative restores the cursor but never
+    * undoes a slice. */
+  private final class TrBuf(var w: String) {
+    var c: Int = w.length
+    var bra: Int = 0
+    var ket: Int = 0
+    def save: Int = w.length - c
+    def restore(v: Int): Unit = c = w.length - v
+    def eqSB(s: String): Boolean =
+      if (c >= s.length && w.startsWith(s, c - s.length)) { c -= s.length; true }
+      else false
+    /** Longest suffix from `sufs` ending at the cursor; consumes it. */
+    def among(sufs: Array[String]): Boolean = {
+      var best: String = null
+      var i = 0
+      while (i < sufs.length) {
+        val s = sufs(i)
+        if ((best == null || s.length > best.length) &&
+            c >= s.length && w.startsWith(s, c - s.length)) best = s
+        i += 1
+      }
+      if (best == null) false else { c -= best.length; true }
+    }
+    def sliceDel(): Unit = {
+      if (bra < ket) { w = w.substring(0, bra) + w.substring(ket); c = bra }
+    }
+    /** check_vowel_harmony: last vowel left of the cursor must have a
+      * harmonizing vowel somewhere further left. Cursor is untouched. */
+    def harmony(): Boolean = {
+      var j = c - 1
+      while (j >= 0 && !trVowel(w(j))) j -= 1
+      if (j < 0) return false
+      val cls = trHarmony(w(j))
+      var k = j - 1
+      while (k >= 0 && !cls(w(k))) k -= 1
+      k >= 0
+    }
+    /** mark_suffix_with_optional_X_consonant: if the char before the cursor
+      * is `x` and a vowel precedes it, consume the x; otherwise require a
+      * non-x char before the cursor with a vowel before that. */
+    def optionalConsonant(x: Char): Boolean = {
+      if (c > 0 && w(c - 1) == x) {
+        if (c - 1 > 0 && trVowel(w(c - 2))) { c -= 1; true } else false
+      } else c > 0 && c - 1 > 0 && trVowel(w(c - 2))
+    }
+    /** mark_suffix_with_optional_U_vowel: mirror image for the buffer
+      * vowel — consume a U preceded by a consonant, or require a
+      * non-U char preceded by a consonant. */
+    def optionalU(): Boolean = {
+      if (c > 0 && trU(w(c - 1))) {
+        if (c - 1 > 0 && !trVowel(w(c - 2))) { c -= 1; true } else false
+      } else c > 0 && c - 1 > 0 && !trVowel(w(c - 2))
+    }
+  }
+
+  private val trPoss = Array("m", "n", "miz", "niz", "muz", "nuz",
+    "müz", "nüz", "mız", "nız")
+  private val trLArI = Array("leri", "ları")
+  private val trNU = Array("ni", "nu", "nü", "nı")
+  private val trNUn = Array("in", "un", "ün", "ın")
+  private val trYA = Array("a", "e")
+  private val trNA = Array("na", "ne")
+  private val trDA = Array("da", "ta", "de", "te")
+  private val trNdA = Array("nda", "nde")
+  private val trDAn = Array("dan", "tan", "den", "ten")
+  private val trNdAn = Array("ndan", "nden")
+  private val trYlA = Array("la", "le")
+  private val trNcA = Array("ca", "ce")
+  private val trYUm = Array("im", "um", "üm", "ım")
+  private val trSUn = Array("sin", "sun", "sün", "sın")
+  private val trYUz = Array("iz", "uz", "üz", "ız")
+  private val trSUnUz = Array("siniz", "sunuz", "sünüz", "sınız")
+  private val trLAr = Array("lar", "ler")
+  private val trNUz = Array("niz", "nuz", "nüz", "nız")
+  private val trDUr = Array("dir", "tir", "dur", "tur", "dür", "tür",
+    "dır", "tır")
+  private val trCAsInA = Array("casına", "cesine")
+  private val trYDU = Array(
+    "di", "ti", "dik", "tik", "duk", "tuk", "dük", "tük", "dık", "tık",
+    "dim", "tim", "dum", "tum", "düm", "tüm", "dım", "tım", "din", "tin",
+    "dun", "tun", "dün", "tün", "dın", "tın", "du", "tu", "dü", "tü",
+    "dı", "tı")
+  private val trYsA = Array("sa", "se", "sak", "sek", "sam", "sem",
+    "san", "sen")
+  private val trYmUs = Array("miş", "muş", "müş", "mış")
+
+  private def mPossessives(b: TrBuf) = b.among(trPoss) && b.optionalU()
+  private def mSU(b: TrBuf) =
+    b.harmony() && { if (b.c > 0 && trU(b.w(b.c - 1))) { b.c -= 1; true }
+                     else false } && b.optionalConsonant('s')
+  private def mLArI(b: TrBuf) = b.among(trLArI)
+  private def mYU(b: TrBuf) =
+    b.harmony() && { if (b.c > 0 && trU(b.w(b.c - 1))) { b.c -= 1; true }
+                     else false } && b.optionalConsonant('y')
+  private def mNU(b: TrBuf) = b.harmony() && b.among(trNU)
+  private def mNUn(b: TrBuf) =
+    b.harmony() && b.among(trNUn) && b.optionalConsonant('n')
+  private def mYA(b: TrBuf) =
+    b.harmony() && b.among(trYA) && b.optionalConsonant('y')
+  private def mNA(b: TrBuf) = b.harmony() && b.among(trNA)
+  private def mDA(b: TrBuf) = b.harmony() && b.among(trDA)
+  private def mNdA(b: TrBuf) = b.harmony() && b.among(trNdA)
+  private def mDAn(b: TrBuf) = b.harmony() && b.among(trDAn)
+  private def mNdAn(b: TrBuf) = b.harmony() && b.among(trNdAn)
+  private def mYlA(b: TrBuf) =
+    b.harmony() && b.among(trYlA) && b.optionalConsonant('y')
+  private def mKi(b: TrBuf) = b.eqSB("ki")
+  private def mNcA(b: TrBuf) =
+    b.harmony() && b.among(trNcA) && b.optionalConsonant('n')
+  private def mYUm(b: TrBuf) =
+    b.harmony() && b.among(trYUm) && b.optionalConsonant('y')
+  private def mSUn(b: TrBuf) = b.harmony() && b.among(trSUn)
+  private def mYUz(b: TrBuf) =
+    b.harmony() && b.among(trYUz) && b.optionalConsonant('y')
+  private def mSUnUz(b: TrBuf) = b.among(trSUnUz)
+  private def mLAr(b: TrBuf) = b.harmony() && b.among(trLAr)
+  private def mNUz(b: TrBuf) = b.harmony() && b.among(trNUz)
+  private def mDUr(b: TrBuf) = b.harmony() && b.among(trDUr)
+  private def mCAsInA(b: TrBuf) = b.among(trCAsInA)
+  private def mYDU(b: TrBuf) =
+    b.harmony() && b.among(trYDU) && b.optionalConsonant('y')
+  private def mYsA(b: TrBuf) = b.among(trYsA) && b.optionalConsonant('y')
+  private def mYmUs(b: TrBuf) =
+    b.harmony() && b.among(trYmUs) && b.optionalConsonant('y')
+  private def mYken(b: TrBuf) = b.eqSB("ken") && b.optionalConsonant('y')
+
+  /** Try `f`; on failure restore the cursor (Snowball `or` alternative —
+    * slices, if any happened, are NOT undone). */
+  private def alt(b: TrBuf)(f: => Boolean): Boolean = {
+    val v = b.save
+    if (f) true else { b.restore(v); false }
+  }
+
+  /** stem_nominal_verb_suffixes: strips chained verb endings; clears the
+    * continue flag when a bare -lAr (plural verb) was found. Returns the
+    * continue_stemming_noun_suffixes flag. */
+  private def trNominalVerb(b: TrBuf): Boolean = {
+    b.ket = b.c
+    var cont = true
+    val done =
+      alt(b) { alt(b)(mYmUs(b)) || alt(b)(mYDU(b)) || alt(b)(mYsA(b)) ||
+        mYken(b) } ||
+      alt(b) {
+        mCAsInA(b) && {
+          val _ = alt(b)(mSUnUz(b)) || alt(b)(mLAr(b)) || alt(b)(mYUm(b)) ||
+            alt(b)(mSUn(b)) || alt(b)(mYUz(b))
+          mYmUs(b)
+        }
+      } ||
+      alt(b) {
+        mLAr(b) && {
+          b.bra = b.c; b.sliceDel()
+          val v = b.save
+          b.ket = b.c
+          if (!(alt(b)(mDUr(b)) || alt(b)(mYDU(b)) || alt(b)(mYsA(b)) ||
+                mYmUs(b))) b.restore(v)
+          cont = false
+          true
+        }
+      } ||
+      alt(b) { mNUz(b) && (alt(b)(mYDU(b)) || mYsA(b)) } ||
+      alt(b) {
+        (alt(b)(mSUnUz(b)) || alt(b)(mYUz(b)) || alt(b)(mSUn(b)) ||
+          mYUm(b)) && {
+          b.bra = b.c; b.sliceDel()
+          val v = b.save
+          b.ket = b.c
+          if (!mYmUs(b)) b.restore(v)
+          true
+        }
+      } ||
+      alt(b) {
+        mDUr(b) && {
+          b.bra = b.c; b.sliceDel()
+          val v = b.save
+          b.ket = b.c
+          val _ = alt(b)(mSUnUz(b)) || alt(b)(mLAr(b)) || alt(b)(mYUm(b)) ||
+            alt(b)(mSUn(b)) || alt(b)(mYUz(b))
+          if (!mYmUs(b)) b.restore(v)
+          true
+        }
+      }
+    if (done) { b.bra = b.c; b.sliceDel() }
+    cont
+  }
+
+  /** stem_suffix_chain_before_ki: recursive -ki chain
+    * (evdekiler -> ev ...). */
+  private def trChainKi(b: TrBuf): Boolean = {
+    b.ket = b.c
+    if (!mKi(b)) return false
+    alt(b) {
+      mDA(b) && {
+        b.bra = b.c; b.sliceDel()
+        val v2 = b.save
+        b.ket = b.c
+        val ok =
+          alt(b) {
+            mLAr(b) && {
+              b.bra = b.c; b.sliceDel()
+              val v4 = b.save
+              if (!trChainKi(b)) b.restore(v4)
+              true
+            }
+          } || {
+            if (mPossessives(b)) {
+              b.bra = b.c; b.sliceDel()
+              val v5 = b.save
+              b.ket = b.c
+              if (!(mLAr(b) && { b.bra = b.c; b.sliceDel(); trChainKi(b) }))
+                b.restore(v5)
+              true
+            } else false
+          }
+        if (!ok) b.restore(v2)
+        true
+      }
+    } ||
+    alt(b) {
+      mNUn(b) && {
+        b.bra = b.c; b.sliceDel()
+        val v6 = b.save
+        b.ket = b.c
+        val ok =
+          alt(b) { mLArI(b) && { b.bra = b.c; b.sliceDel(); true } } ||
+          alt(b) {
+            b.ket = b.c
+            (alt(b)(mPossessives(b)) || mSU(b)) && {
+              b.bra = b.c; b.sliceDel()
+              val v9 = b.save
+              b.ket = b.c
+              if (!(mLAr(b) && { b.bra = b.c; b.sliceDel(); trChainKi(b) }))
+                b.restore(v9)
+              true
+            }
+          } ||
+          trChainKi(b)
+        if (!ok) b.restore(v6)
+        true
+      }
+    } || {
+      mNdA(b) && {
+        alt(b) { mLArI(b) && { b.bra = b.c; b.sliceDel(); true } } ||
+        alt(b) {
+          mSU(b) && {
+            b.bra = b.c; b.sliceDel()
+            val v11 = b.save
+            b.ket = b.c
+            if (!(mLAr(b) && { b.bra = b.c; b.sliceDel(); trChainKi(b) }))
+              b.restore(v11)
+            true
+          }
+        } ||
+        trChainKi(b)
+      }
+    }
+  }
+
+  /** stem_noun_suffixes: case/possessive/plural chains. */
+  private def trNounSuffixes(b: TrBuf): Boolean = {
+    alt(b) {
+      b.ket = b.c
+      mLAr(b) && {
+        b.bra = b.c; b.sliceDel()
+        val v = b.save
+        if (!trChainKi(b)) b.restore(v)
+        true
+      }
+    } ||
+    alt(b) {
+      b.ket = b.c
+      mNcA(b) && {
+        b.bra = b.c; b.sliceDel()
+        val v3 = b.save
+        val ok =
+          alt(b) { b.ket = b.c; mLArI(b) && { b.bra = b.c; b.sliceDel(); true } } ||
+          alt(b) {
+            b.ket = b.c
+            (alt(b)(mPossessives(b)) || mSU(b)) && {
+              b.bra = b.c; b.sliceDel()
+              val v6 = b.save
+              b.ket = b.c
+              if (!(mLAr(b) && { b.bra = b.c; b.sliceDel(); trChainKi(b) }))
+                b.restore(v6)
+              true
+            }
+          } ||
+          { b.ket = b.c
+            mLAr(b) && { b.bra = b.c; b.sliceDel(); trChainKi(b) } }
+        if (!ok) b.restore(v3)
+        true
+      }
+    } ||
+    alt(b) {
+      b.ket = b.c
+      (alt(b)(mNdA(b)) || mNA(b)) && {
+        alt(b) { mLArI(b) && { b.bra = b.c; b.sliceDel(); true } } ||
+        alt(b) {
+          mSU(b) && {
+            b.bra = b.c; b.sliceDel()
+            val v9 = b.save
+            b.ket = b.c
+            if (!(mLAr(b) && { b.bra = b.c; b.sliceDel(); trChainKi(b) }))
+              b.restore(v9)
+            true
+          }
+        } ||
+        trChainKi(b)
+      }
+    } ||
+    alt(b) {
+      b.ket = b.c
+      (alt(b)(mNdAn(b)) || mNU(b)) && {
+        alt(b) {
+          mSU(b) && {
+            b.bra = b.c; b.sliceDel()
+            val v12 = b.save
+            b.ket = b.c
+            if (!(mLAr(b) && { b.bra = b.c; b.sliceDel(); trChainKi(b) }))
+              b.restore(v12)
+            true
+          }
+        } ||
+        mLArI(b) // published quirk: this path marks but never deletes
+      }
+    } ||
+    alt(b) {
+      b.ket = b.c
+      mDAn(b) && {
+        b.bra = b.c; b.sliceDel()
+        val v13 = b.save
+        b.ket = b.c
+        val ok =
+          alt(b) {
+            mPossessives(b) && {
+              b.bra = b.c; b.sliceDel()
+              val v15 = b.save
+              b.ket = b.c
+              if (!(mLAr(b) && { b.bra = b.c; b.sliceDel(); trChainKi(b) }))
+                b.restore(v15)
+              true
+            }
+          } ||
+          alt(b) {
+            mLAr(b) && {
+              b.bra = b.c; b.sliceDel()
+              val v16 = b.save
+              if (!trChainKi(b)) b.restore(v16)
+              true
+            }
+          } ||
+          trChainKi(b)
+        if (!ok) b.restore(v13)
+        true
+      }
+    } ||
+    alt(b) {
+      b.ket = b.c
+      (alt(b)(mNUn(b)) || mYlA(b)) && {
+        b.bra = b.c; b.sliceDel()
+        val v18 = b.save
+        val ok =
+          alt(b) {
+            b.ket = b.c
+            mLAr(b) && { b.bra = b.c; b.sliceDel(); trChainKi(b) }
+          } ||
+          alt(b) {
+            b.ket = b.c
+            (alt(b)(mPossessives(b)) || mSU(b)) && {
+              b.bra = b.c; b.sliceDel()
+              val v21 = b.save
+              b.ket = b.c
+              if (!(mLAr(b) && { b.bra = b.c; b.sliceDel(); trChainKi(b) }))
+                b.restore(v21)
+              true
+            }
+          } ||
+          trChainKi(b)
+        if (!ok) b.restore(v18)
+        true
+      }
+    } ||
+    alt(b) { b.ket = b.c; mLArI(b) && { b.bra = b.c; b.sliceDel(); true } } ||
+    alt(b) { trChainKi(b) } ||
+    alt(b) {
+      b.ket = b.c
+      (alt(b)(mDA(b)) || alt(b)(mYU(b)) || mYA(b)) && {
+        b.bra = b.c; b.sliceDel()
+        val v23 = b.save
+        b.ket = b.c
+        val got =
+          alt(b) {
+            mPossessives(b) && {
+              b.bra = b.c; b.sliceDel()
+              val v25 = b.save
+              b.ket = b.c
+              if (!mLAr(b)) b.restore(v25)
+              true
+            }
+          } || mLAr(b)
+        if (got) {
+          b.bra = b.c; b.sliceDel()
+          b.ket = b.c
+          if (!trChainKi(b)) b.restore(v23)
+        } else b.restore(v23)
+        true
+      }
+    } || {
+      b.ket = b.c
+      (alt(b)(mPossessives(b)) || mSU(b)) && {
+        b.bra = b.c; b.sliceDel()
+        val v27 = b.save
+        b.ket = b.c
+        if (!(mLAr(b) && { b.bra = b.c; b.sliceDel(); trChainKi(b) }))
+          b.restore(v27)
+        true
+      }
+    }
+  }
+
+  /** Turkish Snowball stemmer. Words with fewer than two vowels are
+    * returned untouched (more_than_one_syllable_word); the reserved words
+    * ad/soyad skip the postlude. Lowercases with the Turkish dotted/dotless
+    * i rule first (the reference chain runs TurkishLowerCaseFilter). */
+  def turkish(word: String): String = {
+    val w = MiscFilters.turkishLowerCase(word)
+    if (w.count(trVowel) < 2) return w
+    val b = new TrBuf(w)
+    val v1 = b.save
+    val cont = trNominalVerb(b)
+    b.restore(v1)
+    if (!cont) return b.w
+    val v2 = b.save
+    trNounSuffixes(b)
+    b.restore(v2)
+    // postlude
+    if (b.w == "ad" || b.w == "soyad") return b.w
+    // append_U_to_stems_ending_with_d_or_g: harmony vowel after final d/g
+    if (b.w.nonEmpty && (b.w.last == 'd' || b.w.last == 'g')) {
+      var j = b.w.length - 1
+      while (j >= 0 && !trVowel(b.w(j))) j -= 1
+      if (j >= 0) b.w(j) match {
+        case 'a' | 'ı' => b.w += "ı"
+        case 'e' | 'i' => b.w += "i"
+        case 'o' | 'u' => b.w += "u"
+        case 'ö' | 'ü' => b.w += "ü"
+        case _ =>
+      }
+    }
+    // post_process_last_consonants: devoice/restore the final consonant
+    if (b.w.nonEmpty) b.w.last match {
+      case 'b' => b.w = b.w.dropRight(1) + "p"
+      case 'c' => b.w = b.w.dropRight(1) + "ç"
+      case 'd' => b.w = b.w.dropRight(1) + "t"
+      case 'ğ' => b.w = b.w.dropRight(1) + "k"
+      case _ =>
+    }
+    b.w
+  }
+}

@@ -47,6 +47,8 @@ object StopSets {
   }
 
   lazy val portuguese: Set[String] = snowball("portuguese")
+  lazy val dutch: Set[String] = snowball("dutch")
+  lazy val danish: Set[String] = snowball("danish")
   lazy val russian: Set[String] = snowball("russian")
   lazy val swedish: Set[String] = snowball("swedish")
   lazy val finnish: Set[String] = snowball("finnish")
@@ -73,6 +75,8 @@ object StopSets {
   lazy val sorani: Set[String] = hashList("ckb")
   lazy val greek: Set[String] = hashList("el")
   lazy val persianStop: Set[String] = hashList("fa")
+  lazy val romanian: Set[String] = hashList("ro")
+  lazy val turkish: Set[String] = hashList("tr")
 
   /** lang code -> stop set; unknown langs fall back to English
     * (reference binds analyzers per field type, solr schema.xml style). */
@@ -97,6 +101,10 @@ object StopSets {
     case "ckb" => sorani
     case "el" => greek
     case "fa" => persianStop
+    case "nl" => dutch
+    case "da" => danish
+    case "ro" => romanian
+    case "tr" => turkish
     case _ => english
   }
 }

@@ -131,14 +131,18 @@ final class IndexReader(val spark: SparkSession, val dir: String,
     val k2t: Map[Long, String] =
       terms.distinct.map(t => TermKeys.of(t) -> t).toMap
     val keys = k2t.keys.toSeq
+    // Column-level term reattachment (element_at over a literal map) keeps
+    // the scan -> filter -> project inside whole-stage codegen; the previous
+    // typed .as[BlockRowK].map{..} deserialized every block row and broke
+    // the columnar-batch filter path (round-3 verdict, query-p50 doubling).
     postingsDf
       .where($"key".isin(keys: _*))
-      .as[BlockRowK]
-      .map { r =>
-        BlockRow(0 /* bucket: dictionary-only concept now */,
-          k2t(r.key), r.firstDoc, r.lastDoc, r.count,
-          r.maxTf, r.sumTf, r.maxPartial, r.docBytes, r.nrmBytes, r.posBytes)
-      }
+      .select(
+        lit(0).as("bucket") /* bucket: dictionary-only concept now */,
+        element_at(typedLit(k2t), $"key").as("term"),
+        $"firstDoc", $"lastDoc", $"count", $"maxTf", $"sumTf", $"maxPartial",
+        $"docBytes", $"nrmBytes", $"posBytes")
+      .as[BlockRow]
   }
 }
 

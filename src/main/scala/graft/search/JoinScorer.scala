@@ -218,6 +218,40 @@ final class JoinScorer(reader: SearchReader) {
     }
   }
 
+  /** Per-term score contributions of ONE document (reference
+    * search/Explanation.java, Weight.explain): a single job that prunes
+    * each term's blocks to the one(s) whose [firstDoc, lastDoc] range
+    * covers the target docId and decodes only those — instead of scoring
+    * every term's entire postings to keep one row. Returns (term, score)
+    * for each term present in the doc. */
+  def explainDoc(terms: Seq[String], docId: Long): Seq[(String, Float)] = {
+    val stats = reader.termStats(terms)
+    val present = terms.distinct.filter(stats.contains)
+    if (present.isEmpty) return Nil
+    val maxDoc = reader.collStats.maxDoc
+    val wv: Map[String, Float] = present.map(t =>
+      t -> BM25.weightValue(BM25.idf(stats(t).df, maxDoc), 1f)).toMap
+    val caches: Map[String, Array[Float]] = present.map(t =>
+      t -> reader.normCacheFor(IndexBuilder.fieldOfTerm(t))).toMap
+    val target = docId
+    val wvB = spark.sparkContext.broadcast(wv)
+    val cachesB = spark.sparkContext.broadcast(caches)
+    reader.blocks(present)
+      .where($"firstDoc" <= target && $"lastDoc" >= target)
+      .flatMap { b =>
+        val (docs, tfs, nrms) = PostingsCodec.decodeDocs(
+          graft.codec.PostingBlock(b.term, b.firstDoc, b.lastDoc, b.count,
+            b.maxTf, b.sumTf, b.maxPartial, b.docBytes, b.nrmBytes,
+            b.posBytes))
+        val i = java.util.Arrays.binarySearch(docs, target)
+        if (i >= 0)
+          Iterator.single((b.term,
+            BM25.score(wvB.value(b.term), tfs(i).toFloat,
+              cachesB.value(b.term), nrms(i))))
+        else Iterator.empty
+      }.collect().toSeq
+  }
+
   /** Constant-score set (multi-term rewrite): score = boost per match. */
   private def constHits(terms: Seq[String], clause: Int, kind: Int,
                         boost: Float = 1f): Dataset[ClauseHit] = {
