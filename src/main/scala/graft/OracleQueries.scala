@@ -2431,6 +2431,38 @@ object OracleQueries {
 
     // ClassicTokenizer composite: COMPANY, possessive-stripped
     // APOSTROPHE, dot-stripped ACRONYM, HOST, NUM, underscore split
+    // Hunspell simple.aff fixture: mahoute->mahout, solr->olr (prefix),
+    // foos->foo, lucene->{lucene,lucen} (homonym stem + affix stem), and
+    // the out-of-dictionary corpus word passes through
+    "analysis_hunspell" ->
+      s"""WITH w AS (SELECT doc_id, split_part(text, ' ', 1) AS w1
+         |           FROM documents WHERE lang = 'en' AND doc_id % 7 = 3)
+         |SELECT doc_id, pos, term FROM (
+         |  SELECT doc_id, CAST(0 AS BIGINT) AS pos, 'mahout' AS term FROM w
+         |  UNION ALL SELECT doc_id, 1, 'olr' FROM w
+         |  UNION ALL SELECT doc_id, 2, 'foo' FROM w
+         |  UNION ALL SELECT doc_id, 3, 'lucene' FROM w
+         |  UNION ALL SELECT doc_id, 3, 'lucen' FROM w
+         |  UNION ALL SELECT doc_id, 4, w1 FROM w
+         |) ORDER BY doc_id, pos, term""".stripMargin,
+
+    // Thai segmentation of the fixed sentence is the reference's
+    // TestThaiAnalyzer vector; the trailing corpus word lands at pos 8
+    "analysis_thai" ->
+      s"""WITH w AS (SELECT doc_id, split_part(text, ' ', 1) AS w1
+         |           FROM documents WHERE lang = 'en' AND doc_id % 5 = 2)
+         |SELECT doc_id, pos, term FROM (
+         |  SELECT doc_id, CAST(0 AS BIGINT) AS pos, 'การ' AS term FROM w
+         |  UNION ALL SELECT doc_id, 1, 'ที่' FROM w
+         |  UNION ALL SELECT doc_id, 2, 'ได้' FROM w
+         |  UNION ALL SELECT doc_id, 3, 'ต้อง' FROM w
+         |  UNION ALL SELECT doc_id, 4, 'แสดง' FROM w
+         |  UNION ALL SELECT doc_id, 5, 'ว่า' FROM w
+         |  UNION ALL SELECT doc_id, 6, 'งาน' FROM w
+         |  UNION ALL SELECT doc_id, 7, 'ดี' FROM w
+         |  UNION ALL SELECT doc_id, 8, w1 FROM w
+         |) ORDER BY doc_id, pos""".stripMargin,
+
     "analysis_classic" ->
       s"""WITH w AS (SELECT doc_id, split_part(text, ' ', 1) AS w1,
          |                  split_part(text, ' ', 2) AS w2

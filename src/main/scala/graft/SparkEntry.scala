@@ -1820,6 +1820,41 @@ object SparkEntry {
       * composite "AT&T w1's U.S.A. w2.example.org 1-2-3 w1_x" exercises
       * COMPANY, APOSTROPHE (+possessive strip), ACRONYM (+dot strip),
       * HOST, NUM, and the underscore split; token types included. */
+    /** Hunspell affix stemming (hunspell/Stemmer.java, HunspellStemFilter
+      * .java:48) with the reference's own simple.aff/simple.dic fixture:
+      * suffix strip, prefix strip, homonym multi-stem, and pass-through
+      * for out-of-dictionary corpus words. */
+    "analysis_hunspell" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .where(col("lang") === "en" && col("doc_id") % 7 === 3)
+        .select("doc_id", "text").as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val w1 = text.split(' ')(0)
+          val toks = Seq("mahoute", "solr", "foos", "lucene", w1)
+          toks.zipWithIndex.flatMap { case (t, pos) =>
+            graft.analysis.Hunspell.filterToken(graft.analysis.Hunspell.simple, t)
+              .map(st => (id, pos.toLong, st))
+          }
+        }.toDF("doc_id", "pos", "term").orderBy("doc_id", "pos", "term")
+    }),
+
+    /** Thai dictionary segmentation (th/ThaiTokenizer.java:36): the fixed
+      * sentence splits into the reference's 8 words (TestThaiAnalyzer
+      * vector), then the corpus word follows at position 8. */
+    "analysis_thai" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .where(col("lang") === "en" && col("doc_id") % 5 === 2)
+        .select("doc_id", "text").as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val w1 = text.split(' ')(0)
+          val c = s"การที่ได้ต้องแสดงว่างานดี $w1"
+          val (terms, positions) = graft.analysis.Thai.analyzeFlat(c, Set.empty)
+          terms.indices.map(i => (id, positions(i).toLong, terms(i)))
+        }.toDF("doc_id", "pos", "term").orderBy("doc_id", "pos")
+    }),
+
     "analysis_classic" -> ((s, dir) => {
       import s.implicits._
       s.read.parquet(s"$dir/documents.parquet")

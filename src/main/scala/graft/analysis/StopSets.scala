@@ -77,6 +77,7 @@ object StopSets {
   lazy val persianStop: Set[String] = hashList("fa")
   lazy val romanian: Set[String] = hashList("ro")
   lazy val turkish: Set[String] = hashList("tr")
+  lazy val thai: Set[String] = hashList("th")
 
   /** lang code -> stop set; unknown langs fall back to English
     * (reference binds analyzers per field type, solr schema.xml style). */
@@ -105,6 +106,7 @@ object StopSets {
     case "da" => danish
     case "ro" => romanian
     case "tr" => turkish
+    case "th" => thai
     case _ => english
   }
 }

@@ -98,6 +98,9 @@ object IndexBuilder {
           maxTokenLength, stem = graft.analysis.KStem.stem)
       case "cjk" =>
         Analyzer.analyzeCjkFlat(content, Set.empty, maxTokenLength)
+      case "thai" => // dictionary BreakIterator segmentation (th has no
+        // word delimiters; reference th/ThaiAnalyzer.java:101)
+        graft.analysis.Thai.analyzeFlat(content, stops("th"))
       case other =>
         val (iso, stem) = graft.analysis.LightStemmers.byName(other)
         // fr/it chains run ElisionFilter before lowercase, like the
