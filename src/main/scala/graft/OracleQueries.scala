@@ -2431,6 +2431,25 @@ object OracleQueries {
 
     // ClassicTokenizer composite: COMPANY, possessive-stripped
     // APOSTROPHE, dot-stripped ACRONYM, HOST, NUM, underscore split
+    // Hyphenation-grammar compounds: only læsehest decomposes (læse +
+    // hest at its position); everything else passes through
+    "ft_compound_hyph" ->
+      s"""WITH w AS (SELECT doc_id, split_part(text, ' ', 1) AS w1
+         |           FROM documents WHERE lang = 'en' AND doc_id % 7 = 4)
+         |SELECT doc_id, pos, term FROM (
+         |  SELECT doc_id, CAST(0 AS BIGINT) AS pos, 'min' AS term FROM w
+         |  UNION ALL SELECT doc_id, 1, 'veninde' FROM w
+         |  UNION ALL SELECT doc_id, 2, 'som' FROM w
+         |  UNION ALL SELECT doc_id, 3, 'er' FROM w
+         |  UNION ALL SELECT doc_id, 4, 'lidt' FROM w
+         |  UNION ALL SELECT doc_id, 5, 'af' FROM w
+         |  UNION ALL SELECT doc_id, 6, 'en' FROM w
+         |  UNION ALL SELECT doc_id, 7, 'læsehest' FROM w
+         |  UNION ALL SELECT doc_id, 7, 'læse' FROM w
+         |  UNION ALL SELECT doc_id, 7, 'hest' FROM w
+         |  UNION ALL SELECT doc_id, 8, w1 FROM w
+         |) ORDER BY doc_id, pos, term""".stripMargin,
+
     // Hunspell simple.aff fixture: mahoute->mahout, solr->olr (prefix),
     // foos->foo, lucene->{lucene,lucen} (homonym stem + affix stem), and
     // the out-of-dictionary corpus word passes through

@@ -1820,6 +1820,27 @@ object SparkEntry {
       * composite "AT&T w1's U.S.A. w2.example.org 1-2-3 w1_x" exercises
       * COMPANY, APOSTROPHE (+possessive strip), ACRONYM (+dot strip),
       * HOST, NUM, and the underscore split; token types included. */
+    /** Grammar-based compound decomposition (compound/
+      * HyphenationCompoundWordTokenFilter.java:36, da_UTF8.xml grammar):
+      * the reference's own test sentence decomposes læsehest -> læse +
+      * hest at the compound's position; other tokens pass through. */
+    "ft_compound_hyph" -> ((s, dir) => {
+      import s.implicits._
+      val dict = Set("læse", "hest")
+      s.read.parquet(s"$dir/documents.parquet")
+        .where(col("lang") === "en" && col("doc_id") % 7 === 4)
+        .select("doc_id", "text").as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val w1 = text.split(' ')(0)
+          val toks = "min veninde som er lidt af en læsehest".split(' ') :+ w1
+          toks.zipWithIndex.flatMap { case (t, pos) =>
+            (t +: graft.analysis.Hyphenation.decompose(
+              graft.analysis.Hyphenation.danish, t, dict))
+              .map(st => (id, pos.toLong, st))
+          }
+        }.toDF("doc_id", "pos", "term").orderBy("doc_id", "pos", "term")
+    }),
+
     /** Hunspell affix stemming (hunspell/Stemmer.java, HunspellStemFilter
       * .java:48) with the reference's own simple.aff/simple.dic fixture:
       * suffix strip, prefix strip, homonym multi-stem, and pass-through
