@@ -2431,6 +2431,30 @@ object OracleQueries {
 
     // ClassicTokenizer composite: COMPANY, possessive-stripped
     // APOSTROPHE, dot-stripped ACRONYM, HOST, NUM, underscore split
+    // SmartCN segmentation of the fixed sentence is the reference's
+    // TestSmartChineseAnalyzer vector; the stopped '。' delimiter leaves a
+    // position gap, then the doc_id digits token follows at pos 7
+    "analysis_smartcn" ->
+      s"""WITH w AS (SELECT doc_id FROM documents
+         |           WHERE lang = 'en' AND doc_id % 7 = 5)
+         |SELECT doc_id, pos, term FROM (
+         |  SELECT doc_id, CAST(0 AS BIGINT) AS pos, '我' AS term FROM w
+         |  UNION ALL SELECT doc_id, 1, '购买' FROM w
+         |  UNION ALL SELECT doc_id, 2, '了' FROM w
+         |  UNION ALL SELECT doc_id, 3, '道具' FROM w
+         |  UNION ALL SELECT doc_id, 4, '和' FROM w
+         |  UNION ALL SELECT doc_id, 5, '服装' FROM w
+         |  UNION ALL SELECT doc_id, 7, CAST(doc_id AS VARCHAR) FROM w
+         |) ORDER BY doc_id, pos""".stripMargin,
+
+    // Segmented-token statistics: k repeats of the 6-word sentence
+    "zh_token_stats" ->
+      s"""SELECT doc_id,
+         |       CAST(6 * (doc_id % 3 + 1) AS BIGINT) AS n_tokens,
+         |       CAST(6 AS BIGINT) AS n_distinct
+         |FROM documents WHERE lang = 'en' AND doc_id % 11 = 6
+         |ORDER BY doc_id""".stripMargin,
+
     // Hyphenation-grammar compounds: only læsehest decomposes (læse +
     // hest at its position); everything else passes through
     "ft_compound_hyph" ->

@@ -1820,6 +1820,39 @@ object SparkEntry {
       * composite "AT&T w1's U.S.A. w2.example.org 1-2-3 w1_x" exercises
       * COMPANY, APOSTROPHE (+possessive strip), ACRONYM (+dot strip),
       * HOST, NUM, and the underscore split; token types included. */
+    /** Chinese word segmentation over the reference's SmartCN lexicon
+      * (smartcn/HMMChineseTokenizer.java:38; unigram-DP on coredict.mem):
+      * the reference test sentence segments into its 6 words; the corpus
+      * word follows after a stopped-delimiter position gap. */
+    "analysis_smartcn" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .where(col("lang") === "en" && col("doc_id") % 7 === 5)
+        .select("doc_id").as[Long]
+        .flatMap { id =>
+          // trailing digits: Porter-neutral per-doc variation
+          val (terms, positions) =
+            graft.analysis.SmartChinese.analyzeFlat(s"我购买了道具和服装。$id")
+          terms.indices.map(i => (id, positions(i).toLong, terms(i)))
+        }.toDF("doc_id", "pos", "term").orderBy("doc_id", "pos")
+    }),
+
+    /** Token statistics on SEGMENTED Chinese (the LLM-pipeline integration
+      * the bigram tokens could not give): n_tokens / n_distinct over the
+      * lexicon-segmented text, repeat count varying per doc. */
+    "zh_token_stats" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .where(col("lang") === "en" && col("doc_id") % 11 === 6)
+        .select("doc_id").as[Long]
+        .map { id =>
+          val k = (id % 3 + 1).toInt
+          val zh = Array.fill(k)("我购买了道具和服装").mkString("。")
+          val toks = graft.analysis.SmartChinese.analyzeFlat(zh)._1
+          (id, toks.length.toLong, toks.distinct.length.toLong)
+        }.toDF("doc_id", "n_tokens", "n_distinct").orderBy("doc_id")
+    }),
+
     /** Grammar-based compound decomposition (compound/
       * HyphenationCompoundWordTokenFilter.java:36, da_UTF8.xml grammar):
       * the reference's own test sentence decomposes læsehest -> læse +

@@ -101,6 +101,10 @@ object IndexBuilder {
       case "thai" => // dictionary BreakIterator segmentation (th has no
         // word delimiters; reference th/ThaiAnalyzer.java:101)
         graft.analysis.Thai.analyzeFlat(content, stops("th"))
+      case "smartcn" => // lexicon-DP Chinese word segmentation (reference
+        // smartcn/SmartChineseAnalyzer.java chain)
+        graft.analysis.SmartChinese.analyzeFlat(content,
+          if (noStops) Set.empty else graft.analysis.SmartChinese.stopSet)
       case other =>
         val (iso, stem) = graft.analysis.LightStemmers.byName(other)
         // fr/it chains run ElisionFilter before lowercase, like the
