@@ -24,7 +24,8 @@ object Bench {
       "ft_lang_builds" -> timedBuild(SparkEntry.langReaders(spark, sfDir,
         Seq("german", "french", "spanish", "portuguese", "russian",
           "swedish", "finnish", "hungarian", "norwegian", "czech",
-          "dutch", "danish", "romanian", "turkish"))),
+          "dutch", "danish", "romanian", "turkish", "galician",
+          "portuguese_rslp"))),
       "ft_syn_build" -> timedBuild(SparkEntry.synReader(spark, sfDir)),
       "ft_compound_build" -> timedBuild(SparkEntry.compoundReader(spark, sfDir)),
       "ft_rev_build" -> timedBuild(SparkEntry.revReader(spark, sfDir)),

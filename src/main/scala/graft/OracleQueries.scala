@@ -438,6 +438,18 @@ object OracleQueries {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM tokall
          |WHERE term = 'data' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // Galician RSLP: vector -> vec; unique preimage
+    "ft_stemmed_gl" ->
+      s"""WITH $tokAllCte
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM tokall
+         |WHERE term = 'vector' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Portuguese RSLP: stream -> stre; unique preimage
+    "ft_stemmed_ptrslp" ->
+      s"""WITH $tokAllCte
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM tokall
+         |WHERE term = 'stream' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // Turkish snowball: data -> da (locative -ta, back harmony); unique
     "ft_stemmed_tr" ->
       s"""WITH $tokAllCte

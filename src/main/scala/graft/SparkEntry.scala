@@ -763,6 +763,17 @@ object SparkEntry {
     "ft_stemmed_ro" -> ((s, dir) =>
       stemTf(s, langReader(s, dir, "romanian"), "dat")),
 
+    /** Galician RSLP-stemmed search (gl/GalicianStemmer.java:50, rule
+      * file galician.rslp): noun-suffix chain, "vector" -> "vec". */
+    "ft_stemmed_gl" -> ((s, dir) =>
+      stemTf(s, langReader(s, dir, "galician"), "vec")),
+
+    /** Portuguese RSLP-stemmed search (pt/PortugueseStemmer.java:48 —
+      * the full Orengo flow, vs the light stemmer's ft_stemmed_pt):
+      * "stream" -> "stre". */
+    "ft_stemmed_ptrslp" -> ((s, dir) =>
+      stemTf(s, langReader(s, dir, "portuguese_rslp"), "stre")),
+
     /** Turkish-Snowball-stemmed search (tr -> ext/TurkishStemmer.java):
       * the locative -DA drops after back-vowel harmony,
       * "data" -> "da". */

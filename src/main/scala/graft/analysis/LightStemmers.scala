@@ -1034,7 +1034,12 @@ object LightStemmers {
       SnowballStemmers.dutch(w)))),
     "danish" -> (("da", SnowballStemmers.danish _)),
     "romanian" -> (("ro", SnowballStemmers.romanian _)),
-    "turkish" -> (("tr", SnowballStemmers.turkish _)))
+    "turkish" -> (("tr", SnowballStemmers.turkish _)),
+    // RSLP rule-file stemmers (reference gl/GalicianAnalyzer.java,
+    // gl/GalicianMinimalStemFilter.java, pt/PortugueseStemFilter.java)
+    "galician" -> (("gl", Rslp.galician _)),
+    "galician_minimal" -> (("gl", Rslp.galicianMinimal _)),
+    "portuguese_rslp" -> (("pt", Rslp.portuguese _)))
 
   /** DutchAnalyzer's DEFAULT_STEM_DICT (StemmerOverrideFilter entries). */
   private val dutchStemDict: Map[String, String] = Map(

@@ -78,6 +78,7 @@ object StopSets {
   lazy val romanian: Set[String] = hashList("ro")
   lazy val turkish: Set[String] = hashList("tr")
   lazy val thai: Set[String] = hashList("th")
+  lazy val galician: Set[String] = hashList("gl")
 
   /** lang code -> stop set; unknown langs fall back to English
     * (reference binds analyzers per field type, solr schema.xml style). */
@@ -107,6 +108,7 @@ object StopSets {
     case "ro" => romanian
     case "tr" => turkish
     case "th" => thai
+    case "gl" => galician
     case _ => english
   }
 }
