@@ -438,6 +438,12 @@ object OracleQueries {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM tokall
          |WHERE term = 'data' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // German2 snowball: customer -> custom; unique preimage
+    "ft_stemmed_de2" ->
+      s"""WITH $tokAllCte
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM tokall
+         |WHERE term = 'customer' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // Galician RSLP: vector -> vec; unique preimage
     "ft_stemmed_gl" ->
       s"""WITH $tokAllCte

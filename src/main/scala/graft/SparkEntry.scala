@@ -763,6 +763,12 @@ object SparkEntry {
     "ft_stemmed_ro" -> ((s, dir) =>
       stemTf(s, langReader(s, dir, "romanian"), "dat")),
 
+    /** German2-Snowball-stemmed search (ext/German2Stemmer.java — the
+      * umlaut-spelling variant, vs the light stemmer's ft_stemmed_de):
+      * step-1 "er" drops in R1, "customer" -> "custom". */
+    "ft_stemmed_de2" -> ((s, dir) =>
+      stemTf(s, langReader(s, dir, "german2"), "custom")),
+
     /** Galician RSLP-stemmed search (gl/GalicianStemmer.java:50, rule
       * file galician.rslp): noun-suffix chain, "vector" -> "vec". */
     "ft_stemmed_gl" -> ((s, dir) =>

@@ -1035,6 +1035,11 @@ object LightStemmers {
     "danish" -> (("da", SnowballStemmers.danish _)),
     "romanian" -> (("ro", SnowballStemmers.romanian _)),
     "turkish" -> (("tr", SnowballStemmers.turkish _)),
+    "german_snowball" -> (("de", SnowballStemmers.german _)),
+    "german2" -> (("de", SnowballStemmers.german2 _)),
+    // Lovins English stemmer (Solr SnowballPorterFilterFactory
+    // language="Lovins"; reference ext/LovinsStemmer.java)
+    "lovins" -> (("en", LovinsStemmer.stem _)),
     // RSLP rule-file stemmers (reference gl/GalicianAnalyzer.java,
     // gl/GalicianMinimalStemFilter.java, pt/PortugueseStemFilter.java)
     "galician" -> (("gl", Rslp.galician _)),

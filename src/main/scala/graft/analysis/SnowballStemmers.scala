@@ -384,6 +384,123 @@ object SnowballStemmers {
   }
 
   // ------------------------------------------------------------------
+  // German + German2 (reference ext/GermanStemmer.java and
+  // ext/German2Stemmer.java; published german.sbl / german2.sbl — the
+  // variants differ only in the prelude: german2 additionally folds
+  // ae/oe/ue to umlauts, protecting 'qu')
+  // ------------------------------------------------------------------
+
+  private val deV = "aeiouyäöü".toSet
+  private val deSEnd = "bdfghklmnrt".toSet
+  private val deStEnd = "bdfghklmnt".toSet
+  private val deStep1 = Array("e", "em", "en", "ern", "er", "s", "es")
+  private val deStep2 = Array("en", "er", "st", "est")
+  private val deStep3 = Array("end", "ig", "ung", "lich", "isch", "ik",
+    "heit", "keit")
+
+  /** Consonant-mark u and y between vowels (shared prelude step). */
+  private def germanMark(w0: String): String = {
+    val sb = new java.lang.StringBuilder(w0)
+    var i = 0
+    while (i < sb.length - 1) {
+      if (deV(sb.charAt(i))) {
+        val c = sb.charAt(i + 1)
+        if ((c == 'u' || c == 'y') && i + 2 < sb.length &&
+            deV(sb.charAt(i + 2)))
+          sb.setCharAt(i + 1, if (c == 'u') 'U' else 'Y')
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  private def germanSteps(w0: String): String = {
+    var w = w0
+    val p1raw = region(w, 0, deV)
+    val short = w.length < 3
+    val r1 = if (short || p1raw >= w.length) w.length else math.max(p1raw, 3)
+    val r2 = if (short) w.length else math.min(region(w, p1raw, deV), w.length)
+    // step 1: noun endings (R1 condition on the longest match, no fallback)
+    longest(w, deStep1) match {
+      case null =>
+      case s if w.length - s.length < r1 =>
+      case "s" =>
+        if (w.length >= 2 && deSEnd(w(w.length - 2)))
+          w = w.substring(0, w.length - 1)
+      case s => w = w.substring(0, w.length - s.length)
+    }
+    // step 2: verb endings; "st" needs an st-ending letter with >= 3
+    // letters before it
+    longest(w, deStep2) match {
+      case null =>
+      case s if w.length - s.length < r1 =>
+      case "st" =>
+        val at = w.length - 2
+        if (at >= 1 && deStEnd(w(at - 1)) && at >= 4)
+          w = w.substring(0, at)
+      case s => w = w.substring(0, w.length - s.length)
+    }
+    // step 3: derivational suffixes (R2)
+    longest(w, deStep3) match {
+      case null =>
+      case s if w.length - s.length < r2 =>
+      case s @ ("end" | "ung") =>
+        w = w.substring(0, w.length - s.length)
+        if (w.endsWith("ig") && w.length - 2 >= r2 &&
+            (w.length < 3 || w(w.length - 3) != 'e'))
+          w = w.substring(0, w.length - 2)
+      case s @ ("ig" | "ik" | "isch") =>
+        val at = w.length - s.length
+        if (at == 0 || w(at - 1) != 'e') w = w.substring(0, at)
+      case s @ ("lich" | "heit") =>
+        w = w.substring(0, w.length - s.length)
+        val t = longest(w, Array("er", "en"))
+        if (t != null && w.length - 2 >= r1)
+          w = w.substring(0, w.length - 2)
+      case "keit" =>
+        w = w.substring(0, w.length - 4)
+        val t = longest(w, Array("ig", "lich"))
+        if (t != null && w.length - t.length >= r2)
+          w = w.substring(0, w.length - t.length)
+      case _ =>
+    }
+    // postlude: unmark and fold umlauts
+    w.map {
+      case 'U' => 'u'; case 'Y' => 'y'
+      case 'ä' => 'a'; case 'ö' => 'o'; case 'ü' => 'u'
+      case c => c
+    }
+  }
+
+  /** German Snowball stemmer (lowercases first). */
+  def german(word: String): String = {
+    val w = word.toLowerCase(Locale.ROOT).replace("ß", "ss")
+    germanSteps(germanMark(w))
+  }
+
+  /** German2 Snowball variant: marks u/y first, then folds ae/oe/ue to
+    * umlauts (skipping after 'q') and ß to ss. */
+  def german2(word: String): String = {
+    val w = germanMark(word.toLowerCase(Locale.ROOT))
+    val sb = new java.lang.StringBuilder(w.length)
+    var i = 0
+    while (i < w.length) {
+      if (w.startsWith("qu", i)) {
+        // 'qu' hops the following TWO chars untouched (german2.sbl
+        // protects 'que'/'qua' sequences from the ue/ae folds)
+        val end = math.min(w.length, i + 4)
+        sb.append(w, i, end); i = end
+      }
+      else if (w.startsWith("ae", i)) { sb.append('ä'); i += 2 }
+      else if (w.startsWith("oe", i)) { sb.append('ö'); i += 2 }
+      else if (w.startsWith("ue", i)) { sb.append('ü'); i += 2 }
+      else if (w.charAt(i) == 'ß') { sb.append("ss"); i += 1 }
+      else { sb.append(w.charAt(i)); i += 1 }
+    }
+    germanSteps(sb.toString)
+  }
+
+  // ------------------------------------------------------------------
   // Turkish (reference ext/TurkishStemmer.java; published turkish.sbl,
   // algorithm by Evren (Kapusuz) Cilden)
   // ------------------------------------------------------------------

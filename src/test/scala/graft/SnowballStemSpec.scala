@@ -46,4 +46,13 @@ class SnowballStemSpec extends AnyFunSuite {
   test("Turkish snowball: full reference vocabulary (96k pairs)") {
     check("/stems/trsnow.txt", SnowballStemmers.turkish, 90000)
   }
+  test("German snowball: full reference vocabulary (35k pairs)") {
+    check("/stems/germansnow.txt", SnowballStemmers.german, 30000)
+  }
+  test("German2 snowball: full reference vocabulary (35k pairs)") {
+    check("/stems/german2snow.txt", SnowballStemmers.german2, 30000)
+  }
+  test("Lovins: full reference vocabulary (30k pairs)") {
+    check("/stems/lovinssnow.txt", graft.analysis.LovinsStemmer.stem, 25000)
+  }
 }
