@@ -2449,6 +2449,20 @@ object OracleQueries {
 
     // ClassicTokenizer composite: COMPANY, possessive-stripped
     // APOSTROPHE, dot-stripped ACRONYM, HOST, NUM, underscore split
+    // UTR#30 folding of the reference's own test vectors
+    "analysis_icufold" ->
+      s"""WITH w AS (SELECT doc_id, split_part(text, ' ', 1) AS w1
+         |           FROM documents WHERE lang = 'en' AND doc_id % 11 = 7)
+         |SELECT doc_id, pos, term FROM (
+         |  SELECT doc_id, CAST(0 AS BIGINT) AS pos, 'russ' AS term FROM w
+         |  UNION ALL SELECT doc_id, 1, 'μαιοσ' FROM w
+         |  UNION ALL SELECT doc_id, 2, 'resume' FROM w
+         |  UNION ALL SELECT doc_id, 3, '706' FROM w
+         |  UNION ALL SELECT doc_id, 4, 'craezy' FROM w
+         |  UNION ALL SELECT doc_id, 5, 'elif' FROM w
+         |  UNION ALL SELECT doc_id, 6, w1 FROM w
+         |) ORDER BY doc_id, pos""".stripMargin,
+
     // SmartCN segmentation of the fixed sentence is the reference's
     // TestSmartChineseAnalyzer vector; the stopped '。' delimiter leaves a
     // position gap, then the doc_id digits token follows at pos 7

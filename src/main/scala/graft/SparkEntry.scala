@@ -1837,6 +1837,24 @@ object SparkEntry {
       * composite "AT&T w1's U.S.A. w2.example.org 1-2-3 w1_x" exercises
       * COMPANY, APOSTROPHE (+possessive strip), ACRONYM (+dot strip),
       * HOST, NUM, and the underscore split; token types included. */
+    /** UTR#30 character folding (icu/ICUFoldingFilter.java:63): Greek
+      * case+accent folds, digit folding, Latin diacritic folds — the
+      * reference's own test vectors, plus the (already-folded) corpus
+      * word passing through. */
+    "analysis_icufold" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .where(col("lang") === "en" && col("doc_id") % 11 === 7)
+        .select("doc_id", "text").as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val w1 = text.split(' ')(0)
+          Seq("Ruß", "ΜΆΪΟΣ", "résumé", "৭০৬", "cræzy", "ELİF", w1)
+            .zipWithIndex.map { case (t, pos) =>
+              (id, pos.toLong, graft.analysis.IcuFolding.fold(t))
+            }
+        }.toDF("doc_id", "pos", "term").orderBy("doc_id", "pos")
+    }),
+
     /** Chinese word segmentation over the reference's SmartCN lexicon
       * (smartcn/HMMChineseTokenizer.java:38; unigram-DP on coredict.mem):
       * the reference test sentence segments into its 6 words; the corpus
