@@ -2449,6 +2449,17 @@ object OracleQueries {
 
     // ClassicTokenizer composite: COMPANY, possessive-stripped
     // APOSTROPHE, dot-stripped ACRONYM, HOST, NUM, underscore split
+    // Passage highlighting: the two hit-bearing sentences win, at fixed
+    // offsets relative to the leading corpus word
+    "ft_highlight_postings" ->
+      s"""WITH w AS (SELECT doc_id FROM documents
+         |           WHERE lang = 'en' AND doc_id % 11 = 8)
+         |SELECT doc_id, pos, snippet FROM (
+         |  SELECT doc_id, CAST(12 AS BIGINT) AS pos,
+         |         '<b>Vector</b> beta <b>vector</b>.' AS snippet FROM w
+         |  UNION ALL SELECT doc_id, 45, '<b>Vector</b> epsilon.' FROM w
+         |) ORDER BY doc_id, pos""".stripMargin,
+
     // UTR#30 folding of the reference's own test vectors
     "analysis_icufold" ->
       s"""WITH w AS (SELECT doc_id, split_part(text, ' ', 1) AS w1

@@ -1837,6 +1837,34 @@ object SparkEntry {
       * composite "AT&T w1's U.S.A. w2.example.org 1-2-3 w1_x" exercises
       * COMPANY, APOSTROPHE (+possessive strip), ACRONYM (+dot strip),
       * HOST, NUM, and the underscore split; token types included. */
+    /** Passage-model highlighting (postingshighlight/PostingsHighlighter
+      * .java:97): sentence passages scored norm*sum(weight*tf); the
+      * double-hit sentence and the single-hit sentence win over the
+      * no-hit ones, formatted with <b> match wrapping. Offsets are
+      * computed by the analyzer over the stored text (this engine's
+      * postings store positions; the passage model is the reference's). */
+    "ft_highlight_postings" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .where(col("lang") === "en" && col("doc_id") % 11 === 8)
+        .select("doc_id").as[Long]
+        .flatMap { id =>
+          val content =
+            s"Doc $id alpha. Vector beta vector. Gamma delta. Vector epsilon."
+          val lower = content.toLowerCase(java.util.Locale.ROOT)
+          val offs = Iterator.iterate(lower.indexOf("vector"))(i =>
+            lower.indexOf("vector", i + 1)).takeWhile(_ >= 0)
+            .map(i => (i, i + 6)).toArray
+          graft.search.PostingsHighlight
+            .highlight(content, Map("vector" -> offs), 2)
+            .map { p =>
+              (id, (p.start - id.toString.length).toLong,
+                graft.search.PostingsHighlight.format(content, p)
+                  .replaceAll("\\s+$", ""))
+            }
+        }.toDF("doc_id", "pos", "snippet").orderBy("doc_id", "pos")
+    }),
+
     /** UTR#30 character folding (icu/ICUFoldingFilter.java:63): Greek
       * case+accent folds, digit folding, Latin diacritic folds — the
       * reference's own test vectors, plus the (already-folded) corpus
