@@ -462,6 +462,18 @@ object OracleQueries {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM tokall
          |WHERE term = 'data' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // Catalan snowball: vector -> vect (standard suffix -or); unique
+    "ft_stemmed_ca" ->
+      s"""WITH $tokAllCte
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM tokall
+         |WHERE term = 'vector' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Basque snowball: merge -> mer (izenak -ge); unique preimage
+    "ft_stemmed_eu" ->
+      s"""WITH $tokAllCte
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM tokall
+         |WHERE term = 'merge' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // Compound decomposition with dict {"wind"}: each 'window' token
     // also indexes subword 'wind', so tf(wind) == count('window')
     "ft_compound_de" ->

@@ -786,6 +786,18 @@ object SparkEntry {
     "ft_stemmed_tr" -> ((s, dir) =>
       stemTf(s, langReader(s, dir, "turkish"), "da")),
 
+    /** Catalan-Snowball-stemmed search (ca/CatalanAnalyzer.java ->
+      * ext/CatalanStemmer.java): standard-suffix "or" in R1 drops,
+      * "vector" -> "vect" (unique preimage in the corpus vocab). */
+    "ft_stemmed_ca" -> ((s, dir) =>
+      stemTf(s, langReader(s, dir, "catalan"), "vect")),
+
+    /** Basque-Snowball-stemmed search (eu/BasqueAnalyzer.java ->
+      * ext/BasqueStemmer.java): izenak noun suffix "ge" in RV drops,
+      * "merge" -> "mer" (unique preimage). */
+    "ft_stemmed_eu" -> ((s, dir) =>
+      stemTf(s, langReader(s, dir, "basque"), "mer")),
+
     /** Compound-word recall (compound/DictionaryCompoundWordTokenFilter
       * .java): with dictionary {"wind"}, the subword "wind" indexes at
       * every "window" occurrence, so the single-constituent query

@@ -1044,7 +1044,13 @@ object LightStemmers {
     // gl/GalicianMinimalStemFilter.java, pt/PortugueseStemFilter.java)
     "galician" -> (("gl", Rslp.galician _)),
     "galician_minimal" -> (("gl", Rslp.galicianMinimal _)),
-    "portuguese_rslp" -> (("pt", Rslp.portuguese _)))
+    "portuguese_rslp" -> (("pt", Rslp.portuguese _)),
+    // hy/eu/ca Snowball analyzers (reference hy/ArmenianAnalyzer.java,
+    // eu/BasqueAnalyzer.java, ca/CatalanAnalyzer.java; catalan's
+    // ElisionFilter runs pre-lowercase in IndexBuilder.chainFlat)
+    "armenian" -> (("hy", SnowballStemmers2.armenian _)),
+    "basque" -> (("eu", SnowballStemmers2.basque _)),
+    "catalan" -> (("ca", SnowballStemmers2.catalan _)))
 
   /** DutchAnalyzer's DEFAULT_STEM_DICT (StemmerOverrideFilter entries). */
   private val dutchStemDict: Map[String, String] = Map(

@@ -79,6 +79,9 @@ object StopSets {
   lazy val turkish: Set[String] = hashList("tr")
   lazy val thai: Set[String] = hashList("th")
   lazy val galician: Set[String] = hashList("gl")
+  lazy val catalan: Set[String] = hashList("ca")
+  lazy val basque: Set[String] = hashList("eu")
+  lazy val armenian: Set[String] = hashList("hy")
 
   /** lang code -> stop set; unknown langs fall back to English
     * (reference binds analyzers per field type, solr schema.xml style). */
@@ -109,6 +112,9 @@ object StopSets {
     case "tr" => turkish
     case "th" => thai
     case "gl" => galician
+    case "ca" => catalan
+    case "eu" => basque
+    case "hy" => armenian
     case _ => english
   }
 }

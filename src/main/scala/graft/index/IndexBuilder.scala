@@ -114,6 +114,8 @@ object IndexBuilder {
             graft.analysis.MiscFilters.FrenchArticles)
           case "italian" => graft.analysis.MiscFilters.elision(_,
             graft.analysis.MiscFilters.ItalianArticles)
+          case "catalan" => graft.analysis.MiscFilters.elision(_,
+            graft.analysis.MiscFilters.CatalanArticles)
           case _ => identity
         }
         Analyzer.analyzeLightFlat(content, stops(iso), stem,
