@@ -754,6 +754,20 @@ object OracleQueries {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM tokall
          |WHERE term = 'query' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // Beider-Morse phonetic match for "vektor": 'vector' is the only
+    // corpus term sharing a BM alternate (viktor); match set = postings
+    "ft_phonetic_bm" ->
+      s"""WITH $tokAllCte
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM tokall
+         |WHERE term = 'vector' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Daitch-Mokotoff Soundex match for "vektor" (753900): 'vector'
+    // {743900, 753900} is the only corpus term intersecting
+    "ft_phonetic_dmx" ->
+      s"""WITH $tokAllCte
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM tokall
+         |WHERE term = 'vector' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // Elevation: doc_ids 7, 3 pinned to ranks 1-2; organic BM25 "spark
     // window" ranking follows, excluding the pinned docs
     "ft_elevate" ->

@@ -1103,6 +1103,38 @@ object SparkEntry {
       termsTf(s, r, matched)
     }),
 
+    /** Beider-Morse phonetic match (lucene/analysis/phonetic/
+      * BeiderMorseFilter.java:37 wrapping commons-codec PhoneticEngine,
+      * query-time expansion, APPROX rules like the factory default):
+      * dictionary terms whose alternate sets intersect the query's.
+      * "vektor" and "vector" share the alternate "viktor"; no other
+      * corpus term does (t:PhoneticCodecSpec pins the property). */
+    "ft_phonetic_bm" -> ((s, dir) => {
+      val r = reader(s, dir)
+      val qSet = graft.analysis.Phonetic.beiderMorse("vektor", exact = false).toSet
+      val bmHit = udf((t: String) =>
+        graft.analysis.Phonetic.beiderMorse(t, exact = false).exists(qSet))
+      val matched = r.expandTerms(
+        !col("term").startsWith("path:") && !col("term").startsWith("rev:") &&
+          bmHit(col("term"))).map(_.term)
+      termsTf(s, r, matched)
+    }),
+
+    /** Daitch-Mokotoff Soundex phonetic match (lucene/analysis/phonetic/
+      * DaitchMokotoffSoundexFilter.java:37, query-time expansion over the
+      * branching codes): "vektor" (753900) intersects "vector"
+      * {743900, 753900} and nothing else in the corpus vocabulary. */
+    "ft_phonetic_dmx" -> ((s, dir) => {
+      val r = reader(s, dir)
+      val qSet = graft.analysis.Phonetic.dmSoundex("vektor").toSet
+      val dmHit = udf((t: String) =>
+        graft.analysis.Phonetic.dmSoundex(t).exists(qSet))
+      val matched = r.expandTerms(
+        !col("term").startsWith("path:") && !col("term").startsWith("rev:") &&
+          dmHit(col("term"))).map(_.term)
+      termsTf(s, r, matched)
+    }),
+
     /** Query elevation (Solr QueryElevationComponent): doc_ids 7 and 3
       * pinned to ranks 1-2 for "spark window"; organic BM25 ranking
       * follows, excluding the pinned docs. */
