@@ -178,6 +178,13 @@ object OracleQueries {
          |        HAVING count(*) = 2)
          |${rankSel(10)}""".stripMargin,
 
+    // Auto stopwords at 40% df: of "dup spark window" only 'dup'
+    // (df 5% of docs) survives; spark/window exceed the line
+    "ft_autostop" ->
+      s"""${bm25With("('dup')")},
+         |agg AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id)
+         |${rankSel(10)}""".stripMargin,
+
     "ft_bm25_filter" ->
       s"""${bm25With("('spark')")},
          |filt AS (SELECT DISTINCT doc_id FROM tokens WHERE term = 'vector'),

@@ -627,6 +627,24 @@ object SparkEntry {
     "ft_bm25_conj" -> ((s, dir) =>
       rankedTopK(s, dir, must("small", "value"), 10)),
 
+    /** Query-time auto stopwords (reference query/
+      * QueryAutoStopWordAnalyzer.java:47, default maxPercentDocs=0.4):
+      * query terms whose df exceeds numDocs*0.4 are dropped before
+      * scoring. The reference precomputes the full high-df set with a
+      * term-dict scan; only query-term membership is ever consumed, so
+      * this does the equivalent per-term stats lookups (bounded by
+      * query size, not vocabulary size). On this corpus every vocab
+      * term except the rare "dup" crosses the 40% line, so
+      * "dup spark window" scores "dup" alone. */
+    "ft_autostop" -> ((s, dir) => {
+      val r = reader(s, dir)
+      val maxDf = (r.collStats.maxDoc * 0.4).toInt
+      val qTerms = Seq("dup", "spark", "window")
+      val stats = r.termStats(qTerms)
+      val kept = qTerms.filter(t => stats.get(t).forall(_.df <= maxDf))
+      rankedTopK(s, dir, should(kept: _*), 10)
+    }),
+
     "ft_bm25_filter" -> ((s, dir) => rankedTopK(s, dir, BoolQ(Seq(
       (Occur.Must, TermQ("spark")), (Occur.Filter, TermQ("vector")))), 10)),
 
