@@ -804,6 +804,26 @@ object OracleQueries {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM tok
          |WHERE term = 'flink' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // WikipediaTokenizer over "[[Category:<lang> docs]] ''intro'' <text>
+    // [http://example.org/<lang> here]": category words at pos 0-1,
+    // italic intro at 2, text tokens (all ALPHANUM) at raw pos + 3, then
+    // the URL and its first link word SHARING position ntok+3 (the
+    // tokenizer emits the first external-link word at posInc 0)
+    "analysis_wikipedia" ->
+      s"""WITH d7 AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 7 = 5),
+         |${tokAllCteOver("d7")},
+         |n AS (SELECT doc_id, max(pos) + 1 AS ntok FROM tokall GROUP BY doc_id)
+         |SELECT doc_id, CAST(pos AS BIGINT) AS pos, type, term FROM (
+         |  SELECT doc_id, 0 AS pos, 'c' AS type, lang AS term FROM d7
+         |  UNION ALL SELECT doc_id, 1, 'c', 'docs' FROM d7
+         |  UNION ALL SELECT doc_id, 2, 'i', 'intro' FROM d7
+         |  UNION ALL SELECT doc_id, pos + 3, '<ALPHANUM>', term FROM tokall
+         |  UNION ALL SELECT d7.doc_id, ntok + 3, 'elu',
+         |    'http://example.org/' || lang FROM d7 JOIN n USING (doc_id)
+         |  UNION ALL SELECT d7.doc_id, ntok + 3, 'el', 'here'
+         |    FROM d7 JOIN n USING (doc_id))
+         |ORDER BY doc_id, pos, type, term""".stripMargin,
+
     // HTML strip: the scaffold is fixed, so the oracle can CONSTRUCT the
     // expected stripped string — <html><body><p> are block (-> \n each),
     // </p>+script -> \n\n, <b></b> inline (removed), &amp; &#33; &Gamma;

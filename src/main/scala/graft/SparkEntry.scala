@@ -1199,6 +1199,29 @@ object SparkEntry {
       * semantically-expected output from the same parts, so the strip is
       * verified byte-for-byte per row; the reference's own test vectors
       * (incl. malformed HTML) live in HtmlStripSpec. */
+    /** WikipediaTokenizer over synthesized markup (reference wikipedia/
+      * WikipediaTokenizerImpl.jflex, t:WikipediaSpec carries the full
+      * reference vectors): each doc's text is wrapped in a category, an
+      * italic intro and an external link; positions accumulate posInc
+      * (the link's first word shares the URL's position). One codegen'd
+      * scan + per-row tokenization, no shuffle. */
+    "analysis_wikipedia" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") % 7 === 5)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .as[(Long, String, String)]
+        .flatMap { case (id, lang, text) =>
+          val wiki = s"[[Category:$lang docs]] ''intro'' $text" +
+            s" [http://example.org/$lang here]"
+          var p = -1L
+          graft.analysis.Wikipedia.tokenize(wiki).map { t =>
+            p += t.posInc; (id, p, t.tpe, t.term)
+          }
+        }.toDF("doc_id", "pos", "type", "term")
+        .orderBy("doc_id", "pos", "type", "term")
+    }),
+
     "charfilter_html" -> ((s, dir) => {
       import s.implicits._
       s.read.parquet(s"$dir/documents.parquet")
