@@ -481,6 +481,12 @@ object OracleQueries {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM tokall
          |WHERE term = 'merge' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // Brazilian: filter -> filt (step2 verb -er in RV); unique preimage
+    "ft_stemmed_br" ->
+      s"""WITH $tokAllCte
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM tokall
+         |WHERE term = 'filter' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // Compound decomposition with dict {"wind"}: each 'window' token
     // also indexes subword 'wind', so tf(wind) == count('window')
     "ft_compound_de" ->
@@ -1025,6 +1031,8 @@ object OracleQueries {
          |SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tokens
          |WHERE term IN ('merge','window','stream')""".stripMargin,
 
+    // MatchAllDocsQuery: every indexed doc matches; the index holds one
+    // row per documents row
     "ft_matchall_count" ->
       "SELECT CAST(count(*) AS BIGINT) AS n FROM documents",
 

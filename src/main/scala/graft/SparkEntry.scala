@@ -816,6 +816,13 @@ object SparkEntry {
     "ft_stemmed_eu" -> ((s, dir) =>
       stemTf(s, langReader(s, dir, "basque"), "mer")),
 
+    /** Brazilian-Portuguese-stemmed search (br/BrazilianAnalyzer.java:123
+      * -> br/BrazilianStemmer.java, the deaccent-first non-Snowball pt
+      * stemmer): step2 verb suffix "er" in RV drops, "filter" -> "filt"
+      * (unique preimage in the corpus vocabulary). */
+    "ft_stemmed_br" -> ((s, dir) =>
+      stemTf(s, langReader(s, dir, "brazilian"), "filt")),
+
     /** Compound-word recall (compound/DictionaryCompoundWordTokenFilter
       * .java): with dictionary {"wind"}, the subword "wind" indexes at
       * every "window" occurrence, so the single-constituent query
@@ -1457,7 +1464,7 @@ object SparkEntry {
       val r = reader(s, dir)
       val n = new JoinScorer(r)
         .scores(BoolQ(Seq((Occur.Should, MatchAllQ)))).count()
-      Seq(n).toDF("n")
+      Seq(n).toDF("n").select(col("n").cast("long").as("n"))
     }),
 
     /** CheckIndex validation job (index/CheckIndex.java analog + north
