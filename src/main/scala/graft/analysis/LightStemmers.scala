@@ -1050,7 +1050,11 @@ object LightStemmers {
     // ElisionFilter runs pre-lowercase in IndexBuilder.chainFlat)
     "armenian" -> (("hy", SnowballStemmers2.armenian _)),
     "basque" -> (("eu", SnowballStemmers2.basque _)),
-    "catalan" -> (("ca", SnowballStemmers2.catalan _)))
+    "catalan" -> (("ca", SnowballStemmers2.catalan _)),
+    // Brazilian Portuguese (reference br/BrazilianAnalyzer.java:123-136:
+    // StandardTokenizer -> lowercase -> stop -> BrazilianStemFilter);
+    // deaccents before stemming, unlike Snowball pt
+    "brazilian" -> (("br", BrazilianStemmer.filter _)))
 
   /** DutchAnalyzer's DEFAULT_STEM_DICT (StemmerOverrideFilter entries). */
   private val dutchStemDict: Map[String, String] = Map(

@@ -82,6 +82,7 @@ object StopSets {
   lazy val catalan: Set[String] = hashList("ca")
   lazy val basque: Set[String] = hashList("eu")
   lazy val armenian: Set[String] = hashList("hy")
+  lazy val brazilian: Set[String] = hashList("br")
 
   /** lang code -> stop set; unknown langs fall back to English
     * (reference binds analyzers per field type, solr schema.xml style). */
@@ -115,6 +116,7 @@ object StopSets {
     case "ca" => catalan
     case "eu" => basque
     case "hy" => armenian
+    case "br" => brazilian
     case _ => english
   }
 }
