@@ -65,6 +65,18 @@ object OracleQueries {
          |  AND abs(b.pos - a.pos - 1) <= 1
          |WHERE a.term = 'spark' ORDER BY 1""".stripMargin,
 
+    // n-term sloppy: exists one occurrence per slot whose offset-adjusted
+    // spread (greatest - least) fits the slop
+    "ft_phrase_sloppy3" ->
+      s"""WITH $tokensCte
+         |SELECT DISTINCT a.doc_id FROM tokens a
+         |JOIN tokens b ON b.doc_id = a.doc_id AND b.term = 'table'
+         |JOIN tokens c ON c.doc_id = a.doc_id AND c.term = 'hash'
+         |WHERE a.term = 'stream'
+         |  AND greatest(a.pos, b.pos - 1, c.pos - 2) -
+         |      least(a.pos, b.pos - 1, c.pos - 2) <= 3
+         |ORDER BY 1""".stripMargin,
+
     "ft_regexp" ->
       s"""WITH $tokensCte
          |SELECT DISTINCT doc_id FROM tokens
@@ -486,6 +498,12 @@ object OracleQueries {
       s"""WITH $tokAllCte
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM tokall
          |WHERE term = 'filter' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Polish stempel: column -> columna (patch-trie); unique preimage
+    "ft_stemmed_pl" ->
+      s"""WITH $tokAllCte
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM tokall
+         |WHERE term = 'column' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Compound decomposition with dict {"wind"}: each 'window' token
     // also indexes subword 'wind', so tf(wind) == count('window')

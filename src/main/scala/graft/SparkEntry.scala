@@ -437,6 +437,14 @@ object SparkEntry {
     "ft_phrase_sloppy" -> ((s, dir) => matchedDocs(s, dir, BoolQ(Seq(
       (Occur.Must, SloppyPhraseQ(Seq("spark", "vector"), Seq(0, 1), 1)))))),
 
+    /** n-term sloppy phrase (search/SloppyPhraseScorer.java via
+      * SloppyMatch): doc matches iff some one-occurrence-per-slot window
+      * has adjusted spread <= slop — SQL-expressible as a
+      * greatest-least join over the three position lists. */
+    "ft_phrase_sloppy3" -> ((s, dir) => matchedDocs(s, dir, BoolQ(Seq(
+      (Occur.Must, SloppyPhraseQ(Seq("stream", "table", "hash"),
+        Seq(0, 1, 2), 3)))))),
+
     "ft_regexp" -> ((s, dir) => matchedDocs(s, dir,
       BoolQ(Seq((Occur.Should, RegexpQ("s[pt][a-z]*m")))))),
 
@@ -822,6 +830,13 @@ object SparkEntry {
       * (unique preimage in the corpus vocabulary). */
     "ft_stemmed_br" -> ((s, dir) =>
       stemTf(s, langReader(s, dir, "brazilian"), "filt")),
+
+    /** Polish Stempel-stemmed search (stempel/.../PolishAnalyzer.java:139
+      * -> the Egothor patch-command trie over stemmer_20000.tbl): the
+      * table's statistical patch maps "column" -> "columna" (unique
+      * preimage in the corpus vocabulary). */
+    "ft_stemmed_pl" -> ((s, dir) =>
+      stemTf(s, langReader(s, dir, "polish"), "columna")),
 
     /** Compound-word recall (compound/DictionaryCompoundWordTokenFilter
       * .java): with dictionary {"wind"}, the subword "wind" indexes at

@@ -281,6 +281,8 @@ final class JoinScorer(reader: SearchReader) {
     // a term can occur at several phrase slots ("a b a")
     val termIdx: Map[String, Seq[Int]] =
       terms.zipWithIndex.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2) }
+    val rptSlots: Array[Array[Int]] =
+      termIdx.valuesIterator.filter(_.length > 1).map(_.toArray).toArray
     val cacheB = spark.sparkContext.broadcast(
       reader.normCacheFor(IndexBuilder.fieldOfTerm(terms.head)))
     val tIdxB = spark.sparkContext.broadcast(termIdx)
@@ -297,42 +299,26 @@ final class JoinScorer(reader: SearchReader) {
       var norm: Byte = 0
       it.foreach { case (_, i, pos, n) => byTerm(i) = pos; norm = n }
       if (byTerm.exists(_ == null)) ClauseHit(docId, clause, kind, Float.NaN)
-      else {
+      else if (slop > 0) {
+        // sloppy: the reference pq-walk over adjusted cursors — freq is
+        // the sum of 1/(1+matchLength) over encountered matches
+        // (search/SloppyPhraseScorer.java:96-135 via SloppyMatch)
+        val f = SloppyMatch.freq(byTerm, relArr, slop, rptSlots)
+        if (f == 0f) ClauseHit(docId, clause, kind, Float.NaN)
+        else ClauseHit(docId, clause, kind,
+          BM25.score(wv, f, cacheB.value, norm))
+      } else {
         // count first-term positions where every term aligns at rel offset
-        // (slop > 0: total displacement sum_j min_p |p - rel_j - o| <= slop,
-        // Lucene's movement cost for 2-term phrases,
-        // search/SloppyPhraseScorer.java)
         var pf = 0
         val base = byTerm(0)
         var i = 0
         while (i < base.length) {
           val p0 = base(i) - relArr(0)
           var ok = true
-          if (slop == 0) {
-            var j = 1
-            while (ok && j < nTerms) {
-              ok = java.util.Arrays.binarySearch(byTerm(j), p0 + relArr(j)) >= 0
-              j += 1
-            }
-          } else {
-            var cost = 0
-            var j = 1
-            while (ok && j < nTerms) {
-              val want = p0 + relArr(j)
-              val arr = byTerm(j)
-              val at = java.util.Arrays.binarySearch(arr, want)
-              val d =
-                if (at >= 0) 0
-                else {
-                  val ins = -at - 1
-                  val dLeft = if (ins > 0) want - arr(ins - 1) else Int.MaxValue
-                  val dRight = if (ins < arr.length) arr(ins) - want else Int.MaxValue
-                  math.min(dLeft, dRight)
-                }
-              cost += d
-              ok = cost <= slop
-              j += 1
-            }
+          var j = 1
+          while (ok && j < nTerms) {
+            ok = java.util.Arrays.binarySearch(byTerm(j), p0 + relArr(j)) >= 0
+            j += 1
           }
           if (ok) pf += 1
           i += 1

@@ -74,9 +74,13 @@ object Percolator {
         posLists.indices.forall(i =>
           posLists(i).contains(p0 - rel(0) + rel(i))))
     case SloppyPhraseQ(ts, rel, slop) =>
-      val a = ix.getOrElse(ts.head, Vector.empty)
-      val b = ix.getOrElse(ts(1), Vector.empty)
-      a.exists(pa => b.exists(pb => math.abs(pb - pa - rel(1)) <= slop))
+      // existence via the same reference walk the scored path uses
+      val byTerm = ts.map(t => ix.getOrElse(t, Vector.empty).toArray).toArray
+      byTerm.forall(_.nonEmpty) && {
+        val rptSlots = ts.zipWithIndex.groupBy(_._1).valuesIterator
+          .filter(_.length > 1).map(_.map(_._2).toArray).toArray
+        SloppyMatch.freq(byTerm, rel.toArray, slop, rptSlots) > 0f
+      }
     case b: BoolQ => matchesBool(ix, b)
     case other =>
       throw new IllegalArgumentException(

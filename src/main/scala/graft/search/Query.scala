@@ -40,19 +40,14 @@ final case class RangeQ(lo: String, hi: String) extends Query
   * rewrites to a constant-score term set like the other multi-term
   * queries). Pattern is anchored (must match the whole term). */
 final case class RegexpQ(pattern: String) extends Query
-/** Sloppy phrase (reference search/SloppyPhraseScorer.java): matches when
-  * the terms can be aligned with total positional displacement <= slop
-  * (sum over terms of the distance each must move from its expected slot;
-  * exactly Lucene's movement cost for two-term phrases). */
+/** Sloppy phrase (reference search/SloppyPhraseScorer.java): n terms, any
+  * slop. Matching and freq follow the reference's pq-walk exactly (see
+  * [[SloppyMatch]]): a match is a minimized window of one occurrence per
+  * slot with (max - min) adjusted spread <= slop; phrase freq accumulates
+  * 1/(1+matchLength) per encountered match, repeats resolved by the
+  * repeat-group collision rules. */
 final case class SloppyPhraseQ(terms: Seq[String], rel: Seq[Int],
-                               slop: Int) extends Query {
-  // our displacement-sum equals Lucene's movement cost ONLY for 2-term
-  // phrases (terms may not share one occurrence position in Lucene's
-  // alignment); refuse the >2-term case rather than ship divergent ranks
-  require(terms.length <= 2,
-    s"sloppy phrases support at most 2 terms (got ${terms.length}); " +
-      "use SpanNearQ for longer proximity queries")
-}
+                               slop: Int) extends Query
 /** Query-time boost (reference Query.setBoost; BM25 folds it into the
   * weight: weightValue = idf * boost * (k1+1), BM25Similarity.java:289-293). */
 final case class BoostQ(q: Query, boost: Float) extends Query
@@ -257,13 +252,7 @@ object QueryParser {
       val base = terms.head.position
       val (ts, rel) = (terms.map(_.term), terms.map(_.position - base))
       return Some(boosted(
-        if (slop > 0 && ts.length > 2)
-          // SloppyPhraseQ refuses >2 terms (its displacement sum matches
-          // Lucene's movement cost only pairwise); the classic parser
-          // degrades to unordered span-near instead of throwing the
-          // case-class require at the user's query string
-          SpanNearQ(ts, slop, inOrder = false)
-        else if (slop > 0) SloppyPhraseQ(ts, rel, slop)
+        if (slop > 0) SloppyPhraseQ(ts, rel, slop)
         else PhraseQ(ts, rel)))
     }
     if (body.length > 2 && body.startsWith("/") && body.endsWith("/"))

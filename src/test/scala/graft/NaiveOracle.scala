@@ -67,24 +67,19 @@ object NaiveOracle {
           else Some(id -> BM25.score(wv, pf.toFloat, cache, norm(id)))
         }.toMap
       case SloppyPhraseQ(terms, rel, slop) =>
-        // independent brute force: an alignment at offset o costs, per
-        // term j, the distance from o+rel(j) to its NEAREST position;
-        // match iff total cost <= slop (engine-equal for 2 terms)
+        // independent re-derivation of the reference pq-walk
+        // (SloppyPhraseScorer.phraseFreq) with scan-min instead of a heap;
+        // freq = sum of 1/(1+matchLength) over encountered matches
         if (terms.exists(df(_) == 0L)) return Map.empty
         var idfSum = 0f
         terms.foreach(t => idfSum += BM25.idf(df(t), maxDoc))
         val wv = BM25.weightValue(idfSum, boost)
         val docsWithAll = terms.map(t => postings(t).keySet).reduce(_ intersect _)
         docsWithAll.iterator.flatMap { id =>
-          val pf = postings(terms.head)(id).count { p0 =>
-            val o = p0 - rel.head
-            val cost = terms.indices.drop(1).map { j =>
-              postings(terms(j))(id).map(p => math.abs(p - (o + rel(j)))).min
-            }.sum
-            cost <= slop
-          }
-          if (pf == 0) None
-          else Some(id -> BM25.score(wv, pf.toFloat, cache, norm(id)))
+          val f = sloppyWalkFreq(terms, rel,
+            t => postings(t)(id), slop)
+          if (f == 0f) None
+          else Some(id -> BM25.score(wv, f, cache, norm(id)))
         }.toMap
       case MultiPhraseQ(slots, rel) =>
         // per-slot union of alternatives' positions; blended idf over all
@@ -214,5 +209,84 @@ object NaiveOracle {
       scores(q).toSeq
         .filter { case (id, s) => s < s0 || (s == s0 && id > d0) }
         .sortBy { case (id, s) => (-s, id) }.take(k)
+  }
+
+  /** The reference sloppy-phrase walk (SloppyPhraseScorer.phraseFreq),
+    * re-derived with per-step scan-min instead of a heap: each slot holds a
+    * cursor over its term's positions adjusted by the slot offset; advance
+    * the least slot, and each time it crosses the next-least, score the
+    * minimized window (end - min) when <= slop as 1/(1+len). Repeated
+    * terms: the j-th same-term slot (by offset order) starts at the term's
+    * j-th occurrence, and a collision after an advance (two slots on one
+    * doc occurrence) advances the lesser slot until resolved. */
+  def sloppyWalkFreq(terms: Seq[String], rel: Seq[Int],
+                     pos: String => Vector[Int], slop: Int): Float = {
+    val n = terms.length
+    val relA = rel.toArray
+    val lists = terms.map(pos).toArray
+    val idx = Array.fill(n)(0)
+    def adj(i: Int) = lists(i)(idx(i)) - relA(i)
+    def tp(i: Int) = lists(i)(idx(i))
+
+    val groups: Array[Array[Int]] = terms.zipWithIndex.groupBy(_._1)
+      .valuesIterator.filter(_.length > 1)
+      .map(_.map(_._2).sortBy(relA).toArray).toArray
+    val groupOf = Array.fill(n)(-1)
+    for (g <- groups.indices; s <- groups(g)) groupOf(s) = g
+    // init: j-th group member starts at the term's j-th occurrence
+    for (g <- groups; j <- g.indices) {
+      if (j >= lists(g(j)).length) return 0f
+      idx(g(j)) = j
+    }
+
+    var end = (0 until n).map(adj).max
+    def lesser(a: Int, b: Int): Int =
+      if (adj(a) < adj(b) || (adj(a) == adj(b) && relA(a) < relA(b))) a else b
+    def collide(s: Int): Int =
+      groups(groupOf(s)).find(o => o != s && tp(o) == tp(s)).getOrElse(-1)
+    // advance a slot; false when its positions are exhausted
+    def advance(s: Int): Boolean = {
+      idx(s) += 1
+      if (idx(s) >= lists(s).length) return false
+      if (adj(s) > end) end = adj(s)
+      true
+    }
+    def resolve(s0: Int): Boolean = {
+      var s = s0
+      if (groupOf(s) < 0) return true
+      var k = collide(s)
+      while (k >= 0) {
+        s = lesser(s, k)
+        if (!advance(s)) return false
+        k = collide(s)
+      }
+      true
+    }
+
+    val inQueue = scala.collection.mutable.Set.from(0 until n)
+    def popMin(): Int = {
+      val m = inQueue.minBy(i => (adj(i), relA(i), i))
+      inQueue -= m; m
+    }
+    var pp = popMin()
+    var matchLength = end - adj(pp)
+    var next = inQueue.iterator.map(adj).min
+    var freq = 0f
+    var done = false
+    while (!done) {
+      if (!advance(pp) || (groups.nonEmpty && !resolve(pp))) done = true
+      else if (adj(pp) > next) { // done minimizing the current window
+        if (matchLength <= slop) freq += 1f / (matchLength + 1)
+        inQueue += pp
+        pp = popMin()
+        next = inQueue.iterator.map(adj).min
+        matchLength = end - adj(pp)
+      } else {
+        val ml2 = end - adj(pp)
+        if (ml2 < matchLength) matchLength = ml2
+      }
+    }
+    if (matchLength <= slop) freq += 1f / (matchLength + 1)
+    freq
   }
 }

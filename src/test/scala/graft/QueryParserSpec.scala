@@ -7,9 +7,8 @@ import graft.search._
 /** Classic-parser regressions from the round-2 advice: explicit
   * `content:` prefixes must analyze exactly like unfielded terms
   * (synonyms + ASCII folding forwarded through the recursion), and a
-  * >2-term quoted sloppy phrase must degrade to unordered span-near
-  * instead of surfacing SloppyPhraseQ's constructor require as an
-  * unhandled exception on a user query string. */
+  * quoted sloppy phrase of ANY length parses to SloppyPhraseQ with its
+  * rel offsets preserved (the n-term SloppyPhraseScorer walk). */
 class QueryParserSpec extends AnyFunSuite {
 
   test("content: prefix forwards foldAscii (café == content:café)") {
@@ -33,13 +32,20 @@ class QueryParserSpec extends AnyFunSuite {
     assert(q.clauses == Seq((Occur.Should, BoostQ(TermQ("cafe"), 2f))))
   }
 
-  test(">2-term sloppy phrase parses to unordered span-near, not a throw") {
+  test(">2-term sloppy phrase parses to SloppyPhraseQ with rel preserved") {
     val q = QueryParser.parse("\"alpha beta gamma\"~2")
     assert(q.clauses == Seq((Occur.Should,
-      SpanNearQ(Seq("alpha", "beta", "gamma"), 2, inOrder = false))))
-    // 2-term sloppy phrases keep the exact movement-cost scorer
+      SloppyPhraseQ(Seq("alpha", "beta", "gamma"), Seq(0, 1, 2), 2))))
     val q2 = QueryParser.parse("\"alpha beta\"~2")
     assert(q2.clauses == Seq((Occur.Should,
       SloppyPhraseQ(Seq("alpha", "beta"), Seq(0, 1), 2))))
+  }
+
+  test("sloppy phrase rel offsets keep stopword gaps") {
+    // "the" is a stopword: analyzed positions are 0 and 2, and the parser
+    // must NOT collapse the gap (reference position-increment semantics)
+    val q = QueryParser.parse("\"alpha the beta\"~1", lang = "en")
+    assert(q.clauses == Seq((Occur.Should,
+      SloppyPhraseQ(Seq("alpha", "beta"), Seq(0, 2), 1))))
   }
 }

@@ -95,10 +95,20 @@ class RankIdentitySpec extends AnyFunSuite {
       Occur.Should -> TermQ("merge"))))
   }
 
-  test("q7c: sloppy phrase (displacement-sum slop)") {
+  test("q7c: sloppy phrase (reference pq-walk freq)") {
     val q = QueryParser.parse("\"import spark\"~2")
     assert(q.clauses.head._2.isInstanceOf[SloppyPhraseQ])
     checkQuery(q)
+  }
+
+  test("q7c2: 3-term sloppy phrase (n-term walk)") {
+    checkQuery(BoolQ(Seq(Occur.Must ->
+      SloppyPhraseQ(Seq("import", "spark", "merge"), Seq(0, 1, 2), 3))))
+  }
+
+  test("q7c3: sloppy phrase with a repeated term (repeat groups)") {
+    checkQuery(BoolQ(Seq(Occur.Must ->
+      SloppyPhraseQ(Seq("import", "spark", "import"), Seq(0, 1, 2), 4))))
   }
 
   test("q7d: regexp + range multi-term rewrites (const score)") {
@@ -135,11 +145,6 @@ class RankIdentitySpec extends AnyFunSuite {
     checkQuery(qc)
   }
 
-  test("3-term sloppy phrase is refused (2-term movement cost only)") {
-    intercept[IllegalArgumentException] {
-      SloppyPhraseQ(Seq("a", "b", "c"), Seq(0, 1, 2), 2)
-    }
-  }
 
   test("multi-term rewrite beyond maxClauseCount raises TooManyClauses") {
     // the corpus has ~1000 idNNN terms + numbers; a tiny limit must throw
@@ -225,6 +230,9 @@ class RankIdentitySpec extends AnyFunSuite {
       case 0 => PhraseQ(Seq(term(), term()), Seq(0, 1))
       case 1 => PrefixQ(Seq("im", "pri", "id0", "da")(rng.nextInt(4)))
       case 2 => BoostQ(TermQ(term()), 1f + rng.nextInt(3).toFloat / 2f)
+      case 3 => // n-term sloppy phrase, repeats allowed (pq-walk semantics)
+        val k = 2 + rng.nextInt(3)
+        SloppyPhraseQ(Seq.fill(k)(term()), 0 until k, 1 + rng.nextInt(4))
       case _ => TermQ(term())
     }
     def occur(): Occur = rng.nextInt(20) match {
