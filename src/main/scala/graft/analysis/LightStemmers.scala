@@ -1054,7 +1054,11 @@ object LightStemmers {
     // Brazilian Portuguese (reference br/BrazilianAnalyzer.java:123-136:
     // StandardTokenizer -> lowercase -> stop -> BrazilianStemFilter);
     // deaccents before stemming, unlike Snowball pt
-    "brazilian" -> (("br", BrazilianStemmer.filter _)))
+    "brazilian" -> (("br", BrazilianStemmer.filter _)),
+    // Polish via the Stempel patch-command trie (reference
+    // stempel/.../pl/PolishAnalyzer.java:139-148 + the published
+    // stemmer_20000.tbl)
+    "polish" -> (("pl", Stempel.filter _)))
 
   /** DutchAnalyzer's DEFAULT_STEM_DICT (StemmerOverrideFilter entries). */
   private val dutchStemDict: Map[String, String] = Map(

@@ -83,6 +83,7 @@ object StopSets {
   lazy val basque: Set[String] = hashList("eu")
   lazy val armenian: Set[String] = hashList("hy")
   lazy val brazilian: Set[String] = hashList("br")
+  lazy val polish: Set[String] = hashList("pl")
 
   /** lang code -> stop set; unknown langs fall back to English
     * (reference binds analyzers per field type, solr schema.xml style). */
@@ -117,6 +118,7 @@ object StopSets {
     case "eu" => basque
     case "hy" => armenian
     case "br" => brazilian
+    case "pl" => polish
     case _ => english
   }
 }
