@@ -2553,6 +2553,50 @@ object OracleQueries {
          |  UNION ALL SELECT doc_id, 6, w1 FROM w
          |) ORDER BY doc_id, pos""".stripMargin,
 
+    // ICU nfkc_cf normalization (reference TestICUNormalizer2Filter
+    // vectors; corpus word is already normal)
+    "analysis_icunorm" ->
+      s"""WITH w AS (SELECT doc_id, split_part(text, ' ', 1) AS w1
+         |           FROM documents WHERE lang = 'en' AND doc_id % 11 = 7)
+         |SELECT doc_id, pos, term FROM (
+         |  SELECT doc_id, CAST(0 AS BIGINT) AS pos, 'this' AS term FROM w
+         |  UNION ALL SELECT doc_id, 1, 'russ' FROM w
+         |  UNION ALL SELECT doc_id, 2, 'μάϊοσ' FROM w
+         |  UNION ALL SELECT doc_id, 3, 'طمطمطم' FROM w
+         |  UNION ALL SELECT doc_id, 4, w1 FROM w
+         |) ORDER BY doc_id, pos""".stripMargin,
+
+    // ICU transliteration (reference TestICUTransformFilter vectors;
+    // Any-Latin on an ASCII corpus word is identity)
+    "analysis_icutransform" ->
+      s"""WITH w AS (SELECT doc_id, split_part(text, ' ', 1) AS w1
+         |           FROM documents WHERE lang = 'en' AND doc_id % 11 = 7)
+         |SELECT doc_id, pos, term FROM (
+         |  SELECT doc_id, CAST(0 AS BIGINT) AS pos, '简化字' AS term FROM w
+         |  UNION ALL SELECT doc_id, 1, 'ひらがな' FROM w
+         |  UNION ALL SELECT doc_id, 2, 'Alphabētikós' FROM w
+         |  UNION ALL SELECT doc_id, 3, 'Alphabetikos' FROM w
+         |  UNION ALL SELECT doc_id, 4, 'zhōng guó' FROM w
+         |  UNION ALL SELECT doc_id, 5, w1 FROM w
+         |) ORDER BY doc_id, pos""".stripMargin,
+
+    // ICU UAX#29 word segmentation with dictionary breaks: Thai splits
+    // into words, CJK runs split, apostrophe words stay whole
+    "analysis_icutokenize" ->
+      s"""WITH w AS (SELECT doc_id, split_part(text, ' ', 1) AS w1
+         |           FROM documents WHERE lang = 'en' AND doc_id % 11 = 7)
+         |SELECT doc_id, pos, term FROM (
+         |  SELECT doc_id, CAST(0 AS BIGINT) AS pos, w1 AS term FROM w
+         |  UNION ALL SELECT doc_id, 1, 'คน' FROM w
+         |  UNION ALL SELECT doc_id, 2, 'ที่' FROM w
+         |  UNION ALL SELECT doc_id, 3, 'ไป' FROM w
+         |  UNION ALL SELECT doc_id, 4, 'โรงเรียน' FROM w
+         |  UNION ALL SELECT doc_id, 5, '1234' FROM w
+         |  UNION ALL SELECT doc_id, 6, '日本語' FROM w
+         |  UNION ALL SELECT doc_id, 7, 'テキスト' FROM w
+         |  UNION ALL SELECT doc_id, 8, 'don''t' FROM w
+         |) ORDER BY doc_id, pos""".stripMargin,
+
     // SmartCN segmentation of the fixed sentence is the reference's
     // TestSmartChineseAnalyzer vector; the stopped '。' delimiter leaves a
     // position gap, then the doc_id digits token follows at pos 7

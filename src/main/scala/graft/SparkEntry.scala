@@ -1990,6 +1990,61 @@ object SparkEntry {
         }.toDF("doc_id", "pos", "term").orderBy("doc_id", "pos")
     }),
 
+    /** ICUNormalizer2Filter (icu/ICUNormalizer2Filter.java:51, default
+      * nfkc_cf) over ICU4J itself — the reference's own test vectors
+      * (TestICUNormalizer2Filter.java:56-72) plus a corpus word. */
+    "analysis_icunorm" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .where(col("lang") === "en" && col("doc_id") % 11 === 7)
+        .select("doc_id", "text").as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val w1 = text.split(' ')(0)
+          Seq("This", "Ruß", "ΜΆΪΟΣ", "ﴳﴺﰧ", w1)
+            .zipWithIndex.map { case (t, pos) =>
+              (id, pos.toLong, graft.analysis.IcuText.normalize(t))
+            }
+        }.toDF("doc_id", "pos", "term").orderBy("doc_id", "pos")
+    }),
+
+    /** ICUTransformFilter (icu/ICUTransformFilter.java:60) — system
+      * transliterators over the reference's basic-functionality vectors
+      * (TestICUTransformFilter.java:38-51). */
+    "analysis_icutransform" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .where(col("lang") === "en" && col("doc_id") % 11 === 7)
+        .select("doc_id", "text").as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val w1 = text.split(' ')(0)
+          Seq("Traditional-Simplified" -> "簡化字",
+            "Katakana-Hiragana" -> "ヒラガナ",
+            "Any-Latin" -> "Αλφαβητικός",
+            "NFD; [:Nonspacing Mark:] Remove" -> "Alphabētikós",
+            "Han-Latin" -> "中国",
+            "Any-Latin" -> w1)
+            .zipWithIndex.map { case ((tr, t), pos) =>
+              (id, pos.toLong, graft.analysis.IcuText.transform(tr, t))
+            }
+        }.toDF("doc_id", "pos", "term").orderBy("doc_id", "pos")
+    }),
+
+    /** ICUTokenizer segmentation (icu/segmentation/ICUTokenizer.java:49):
+      * UAX#29 words + ICU dictionary breaks — Thai and CJK runs split
+      * into words, positions assigned in reading order. */
+    "analysis_icutokenize" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .where(col("lang") === "en" && col("doc_id") % 11 === 7)
+        .select("doc_id", "text").as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val w1 = text.split(' ')(0)
+          graft.analysis.IcuText
+            .tokenize(s"$w1 คนที่ไปโรงเรียน 1234 日本語テキスト don't")
+            .map { case (t, pos) => (id, pos.toLong, t) }
+        }.toDF("doc_id", "pos", "term").orderBy("doc_id", "pos")
+    }),
+
     /** Chinese word segmentation over the reference's SmartCN lexicon
       * (smartcn/HMMChineseTokenizer.java:38; unigram-DP on coredict.mem):
       * the reference test sentence segments into its 6 words; the corpus
