@@ -2553,6 +2553,28 @@ object OracleQueries {
          |  UNION ALL SELECT doc_id, 6, w1 FROM w
          |) ORDER BY doc_id, pos""".stripMargin,
 
+    // Payload filters: numeric (3.0f on <NUM> = 40400000), offset
+    // (%08x start ++ %08x end), type-as-payload (UTF-8 hex of the type)
+    "analysis_payloads" ->
+      s"""WITH w AS (SELECT doc_id, split_part(text, ' ', 1) AS w1,
+         |                  split_part(text, ' ', 2) AS w2
+         |           FROM documents WHERE doc_id % 12 = 5)
+         |SELECT doc_id, mode, pos, term, payload FROM (
+         |  SELECT doc_id, 'numeric' AS mode, CAST(0 AS BIGINT) AS pos,
+         |         w1 AS term, CAST(NULL AS VARCHAR) AS payload FROM w
+         |  UNION ALL SELECT doc_id, 'numeric', 1, '42', '40400000' FROM w
+         |  UNION ALL SELECT doc_id, 'numeric', 2, w2, NULL FROM w
+         |  UNION ALL SELECT doc_id, 'offset', 0, w1,
+         |    printf('%08x%08x', 0, len(w1)) FROM w
+         |  UNION ALL SELECT doc_id, 'offset', 1, '42',
+         |    printf('%08x%08x', len(w1) + 1, len(w1) + 3) FROM w
+         |  UNION ALL SELECT doc_id, 'offset', 2, w2,
+         |    printf('%08x%08x', len(w1) + 4, len(w1) + 4 + len(w2)) FROM w
+         |  UNION ALL SELECT doc_id, 'type', 0, w1, lower(hex('<ALPHANUM>')) FROM w
+         |  UNION ALL SELECT doc_id, 'type', 1, '42', lower(hex('<NUM>')) FROM w
+         |  UNION ALL SELECT doc_id, 'type', 2, w2, lower(hex('<ALPHANUM>')) FROM w
+         |) ORDER BY doc_id, mode, pos""".stripMargin,
+
     // ICU nfkc_cf normalization (reference TestICUNormalizer2Filter
     // vectors; corpus word is already normal)
     "analysis_icunorm" ->

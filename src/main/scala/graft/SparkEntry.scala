@@ -1939,6 +1939,37 @@ object SparkEntry {
         .orderBy("doc_id", "mode", "pos")
     }),
 
+    /** Payload token filters (payloads/NumericPayloadTokenFilter.java:33,
+      * TokenOffsetPayloadTokenFilter.java:36, TypeAsPayloadTokenFilter
+      * .java:36 + PayloadHelper.java:26-44 big-endian encodings): payloads
+      * rendered as lowercase hex for the comparison. */
+    "analysis_payloads" -> ((s, dir) => {
+      import s.implicits._
+      import graft.analysis.Tokenizers
+      s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") % 12 === 5)
+        .select("doc_id", "text").as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val ws = text.split(' ')
+          val (w1, w2) = (ws(0), ws(1))
+          // StandardTokenizer types the words <ALPHANUM> and 42 <NUM>
+          val toks = graft.analysis.StandardTokenizer.tokenize(s"$w1 42 $w2")
+          def hex(b: Array[Byte]) = b.map(x => f"$x%02x").mkString
+          val base = toks.map(t => (t, Option.empty[Array[Byte]]))
+          Tokenizers.numericPayload(base, 3.0f, "<NUM>").zipWithIndex.map {
+            case ((t, p), i) => (id, "numeric", i.toLong, t.term, p.map(hex))
+          } ++
+            Tokenizers.tokenOffsetPayload(toks).zipWithIndex.map {
+              case ((t, p), i) => (id, "offset", i.toLong, t.term, Some(hex(p)))
+            } ++
+            Tokenizers.typeAsPayload(base).zipWithIndex.map {
+              case ((t, p), i) => (id, "type", i.toLong, t.term, p.map(hex))
+            }
+        }
+        .toDF("doc_id", "mode", "pos", "term", "payload")
+        .orderBy("doc_id", "mode", "pos")
+    }),
+
     /** ClassicTokenizer + ClassicFilter (reference standard/
       * ClassicTokenizerImpl.jflex:75, ClassicFilter.java:30): per-doc
       * composite "AT&T w1's U.S.A. w2.example.org 1-2-3 w1_x" exercises

@@ -82,4 +82,46 @@ object Tokenizers {
       else (t.copy(term = t.term.substring(0, i)),
         Some(t.term.substring(i + 1)))
     }.toVector
+
+  /** PayloadHelper.encodeInt/encodeFloat (payloads/PayloadHelper.java:26-44):
+    * big-endian 4-byte encodings; float goes through floatToIntBits. */
+  def encodeInt(v: Int): Array[Byte] =
+    Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+  def encodeFloat(v: Float): Array[Byte] =
+    encodeInt(java.lang.Float.floatToIntBits(v))
+  def decodeInt(b: Array[Byte], off: Int = 0): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+  def decodeFloat(b: Array[Byte], off: Int = 0): Float =
+    java.lang.Float.intBitsToFloat(decodeInt(b, off))
+
+  /** NumericPayloadTokenFilter (payloads/NumericPayloadTokenFilter.java:
+    * 33-61): tokens whose type equals `typeMatch` carry the
+    * encodeFloat(payload) bytes; others keep their current payload. */
+  def numericPayload(toks: IndexedSeq[(Token, Option[Array[Byte]])],
+                     payload: Float, typeMatch: String): Vector[(Token, Option[Array[Byte]])] = {
+    require(typeMatch != null, "typeMatch cannot be null")
+    val bytes = encodeFloat(payload)
+    toks.iterator.map { case (t, p) =>
+      if (t.tokenType == typeMatch) (t, Some(bytes)) else (t, p)
+    }.toVector
+  }
+
+  /** TokenOffsetPayloadTokenFilter (payloads/TokenOffsetPayloadTokenFilter
+    * .java:36-56): every token's payload becomes 8 bytes — encodeInt(start)
+    * then encodeInt(end). */
+  def tokenOffsetPayload(toks: IndexedSeq[Token]): Vector[(Token, Array[Byte])] =
+    toks.iterator.map { t =>
+      (t, encodeInt(t.startOffset) ++ encodeInt(t.endOffset))
+    }.toVector
+
+  /** TypeAsPayloadTokenFilter (payloads/TypeAsPayloadTokenFilter.java:
+    * 36-57): payload = the type's UTF-8 bytes; null/empty types leave the
+    * existing payload untouched. */
+  def typeAsPayload(toks: IndexedSeq[(Token, Option[Array[Byte]])]): Vector[(Token, Option[Array[Byte]])] =
+    toks.iterator.map { case (t, p) =>
+      if (t.tokenType != null && t.tokenType.nonEmpty)
+        (t, Some(t.tokenType.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      else (t, p)
+    }.toVector
 }

@@ -55,4 +55,40 @@ class TokenizersSpec extends AnyFunSuite {
     val multi = Tokenizers.delimitedPayload(Tokenizers.whitespace("a|b|c"))
     assert(multi == Vector((Token("a", 0, 5, 1, "word"), Some("b|c"))))
   }
+
+  test("PayloadHelper big-endian encode/decode round-trips") {
+    assert(Tokenizers.encodeFloat(3.0f).toSeq ==
+      Seq(0x40.toByte, 0x40.toByte, 0, 0))
+    for (v <- Seq(0, 1, -1, 42, Int.MaxValue, Int.MinValue))
+      assert(Tokenizers.decodeInt(Tokenizers.encodeInt(v)) == v)
+    for (v <- Seq(0f, 1.5f, -3.25f, Float.MaxValue))
+      assert(Tokenizers.decodeFloat(Tokenizers.encodeFloat(v)) == v)
+  }
+
+  test("NumericPayloadTokenFilter: only matching type gets the payload") {
+    // TestNumericPayloadTokenFilter shape: 'dogs' typed D carries 3.0f
+    val toks = Tokenizers.whitespace("the quick red fox jumped over the lazy brown dogs")
+      .map(t => if (t.term == "dogs") t.copy(tokenType = "D") else t)
+    val out = Tokenizers.numericPayload(toks.map((_, None)), 3.0f, "D")
+    out.foreach { case (t, p) =>
+      if (t.term == "dogs") assert(p.exists(Tokenizers.decodeFloat(_) == 3.0f))
+      else assert(p.isEmpty)
+    }
+  }
+
+  test("TokenOffsetPayloadTokenFilter: payload = start ++ end") {
+    val out = Tokenizers.tokenOffsetPayload(Tokenizers.whitespace("ab cdef"))
+    assert(out.map { case (t, p) =>
+      (t.term, Tokenizers.decodeInt(p, 0), Tokenizers.decodeInt(p, 4))
+    } == Vector(("ab", 0, 2), ("cdef", 3, 7)))
+  }
+
+  test("TypeAsPayloadTokenFilter: payload = UTF-8 type bytes") {
+    val toks = Tokenizers.whitespace("x y").map((_, None))
+    val out = Tokenizers.typeAsPayload(toks)
+    assert(out.forall(_._2.exists(b => new String(b, "UTF-8") == "word")))
+    // empty type leaves the payload untouched
+    val noType = Vector((Token("z", 0, 1, 1, ""), None))
+    assert(Tokenizers.typeAsPayload(noType).head._2.isEmpty)
+  }
 }
