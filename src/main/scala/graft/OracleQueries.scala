@@ -2553,6 +2553,30 @@ object OracleQueries {
          |  UNION ALL SELECT doc_id, 6, w1 FROM w
          |) ORDER BY doc_id, pos""".stripMargin,
 
+    // Tee/sink routing: pass = all 5 tokens; dates = the two MM/dd/yyyy
+    // parses; range = stream positions [1,3); types = whitespace 'word's
+    "analysis_sinks" ->
+      s"""WITH w AS (SELECT doc_id, split_part(text, ' ', 1) AS w1,
+         |                  split_part(text, ' ', 2) AS w2,
+         |                  split_part(text, ' ', 3) AS w3
+         |           FROM documents WHERE doc_id % 12 = 5)
+         |SELECT doc_id, sink, pos, term FROM (
+         |  SELECT doc_id, 'pass' AS sink, CAST(0 AS BIGINT) AS pos, w1 AS term FROM w
+         |  UNION ALL SELECT doc_id, 'pass', 1, '7/11/2006' FROM w
+         |  UNION ALL SELECT doc_id, 'pass', 2, w2 FROM w
+         |  UNION ALL SELECT doc_id, 'pass', 3, w3 FROM w
+         |  UNION ALL SELECT doc_id, 'pass', 4, '8/09/2010' FROM w
+         |  UNION ALL SELECT doc_id, 'dates', 0, '7/11/2006' FROM w
+         |  UNION ALL SELECT doc_id, 'dates', 1, '8/09/2010' FROM w
+         |  UNION ALL SELECT doc_id, 'range', 0, '7/11/2006' FROM w
+         |  UNION ALL SELECT doc_id, 'range', 1, w2 FROM w
+         |  UNION ALL SELECT doc_id, 'types', 0, w1 FROM w
+         |  UNION ALL SELECT doc_id, 'types', 1, '7/11/2006' FROM w
+         |  UNION ALL SELECT doc_id, 'types', 2, w2 FROM w
+         |  UNION ALL SELECT doc_id, 'types', 3, w3 FROM w
+         |  UNION ALL SELECT doc_id, 'types', 4, '8/09/2010' FROM w
+         |) ORDER BY doc_id, sink, pos""".stripMargin,
+
     // Payload filters: numeric (3.0f on <NUM> = 40400000), offset
     // (%08x start ++ %08x end), type-as-payload (UTF-8 hex of the type)
     "analysis_payloads" ->

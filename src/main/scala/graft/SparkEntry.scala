@@ -1939,6 +1939,31 @@ object SparkEntry {
         .orderBy("doc_id", "mode", "pos")
     }),
 
+    /** Tee/sink routing (sinks/TeeSinkTokenFilter.java:46 + the three
+      * SinkFilters): one analysis pass feeds date-recognizer, token-range
+      * and token-type sinks; passthrough unchanged. */
+    "analysis_sinks" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") % 12 === 5)
+        .select("doc_id", "text").as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val ws = text.split(' ')
+          val (w1, w2, w3) = (ws(0), ws(1), ws(2))
+          val toks = graft.analysis.Tokenizers.whitespace(
+            s"$w1 7/11/2006 $w2 $w3 8/09/2010")
+          val (pass, sunk) = graft.analysis.Sinks.tee(toks, Seq(
+            graft.analysis.Sinks.dateRecognizer("MM/dd/yyyy"),
+            graft.analysis.Sinks.tokenRange(1, 3),
+            graft.analysis.Sinks.tokenType("word")))
+          def emit(sink: String, ts: Seq[graft.analysis.Token]) =
+            ts.zipWithIndex.map { case (t, i) => (id, sink, i.toLong, t.term) }
+          emit("pass", pass) ++ emit("dates", sunk(0)) ++
+            emit("range", sunk(1)) ++ emit("types", sunk(2))
+        }.toDF("doc_id", "sink", "pos", "term")
+        .orderBy("doc_id", "sink", "pos")
+    }),
+
     /** Payload token filters (payloads/NumericPayloadTokenFilter.java:33,
       * TokenOffsetPayloadTokenFilter.java:36, TypeAsPayloadTokenFilter
       * .java:36 + PayloadHelper.java:26-44 big-endian encodings): payloads
