@@ -25,7 +25,8 @@ object Bench {
         Seq("german", "french", "spanish", "portuguese", "russian",
           "swedish", "finnish", "hungarian", "norwegian", "czech",
           "dutch", "danish", "romanian", "turkish", "galician",
-          "portuguese_rslp", "catalan", "basque", "brazilian", "polish"))),
+          "portuguese_rslp", "catalan", "basque", "brazilian", "polish",
+          "irish"))),
       "ft_syn_build" -> timedBuild(SparkEntry.synReader(spark, sfDir)),
       "ft_compound_build" -> timedBuild(SparkEntry.compoundReader(spark, sfDir)),
       "ft_rev_build" -> timedBuild(SparkEntry.revReader(spark, sfDir)),

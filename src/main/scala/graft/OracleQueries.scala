@@ -505,6 +505,12 @@ object OracleQueries {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM tokall
          |WHERE term = 'column' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // Irish snowball: the -> te (initial_morph th lenition); unique
+    "ft_stemmed_ga" ->
+      s"""WITH $tokAllCte
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM tokall
+         |WHERE term = 'the' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // Compound decomposition with dict {"wind"}: each 'window' token
     // also indexes subword 'wind', so tf(wind) == count('window')
     "ft_compound_de" ->

@@ -838,6 +838,13 @@ object SparkEntry {
     "ft_stemmed_pl" -> ((s, dir) =>
       stemTf(s, langReader(s, dir, "polish"), "columna")),
 
+    /** Irish-Snowball-stemmed search (ga/IrishAnalyzer.java:150 ->
+      * ext/IrishStemmer.java): initial_morph treats "th" as a lenition
+      * prefix, "the" -> "te" (unique preimage in the corpus vocabulary;
+      * "the" is not in the ga stop set). */
+    "ft_stemmed_ga" -> ((s, dir) =>
+      stemTf(s, langReader(s, dir, "irish"), "te")),
+
     /** Compound-word recall (compound/DictionaryCompoundWordTokenFilter
       * .java): with dictionary {"wind"}, the subword "wind" indexes at
       * every "window" occurrence, so the single-constituent query

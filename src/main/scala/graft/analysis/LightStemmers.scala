@@ -1058,7 +1058,10 @@ object LightStemmers {
     // Polish via the Stempel patch-command trie (reference
     // stempel/.../pl/PolishAnalyzer.java:139-148 + the published
     // stemmer_20000.tbl)
-    "polish" -> (("pl", Stempel.filter _)))
+    "polish" -> (("pl", Stempel.filter _)),
+    // Irish (reference ga/IrishAnalyzer.java:150 -> ext/IrishStemmer.java;
+    // the chain's elision + IrishLowerCase run as `pre` in IndexBuilder)
+    "irish" -> (("ga", SnowballStemmers2.irish _)))
 
   /** DutchAnalyzer's DEFAULT_STEM_DICT (StemmerOverrideFilter entries). */
   private val dutchStemDict: Map[String, String] = Map(

@@ -618,4 +618,94 @@ object SnowballStemmers2 {
     ("\u00F3", 1)
   )
 
+  // ------------------------------------------------------------------
+  // Irish (reference ga/IrishAnalyzer.java:150 -> ext/IrishStemmer.java;
+  // published irish.sbl by Jim O'Regan)
+  // ------------------------------------------------------------------
+
+  private val gaV: Set[Char] = "aeiou\u00E1\u00E9\u00ED\u00F3\u00FA".toSet
+
+  /** initial_morph prefix table (IrishStemmer.java a_0): eclipsis /
+    * lenition / elision markers at the word START; "" = delete. Longest
+    * prefix wins (find_among forward at cursor 0). */
+  private val gaPre: Array[(String, String)] = Array(
+    ("b'", ""), ("bh", "b"), ("bhf", "f"), ("bp", "p"), ("ch", "c"),
+    ("d'", ""), ("d'fh", "f"), ("dh", "d"), ("dt", "t"), ("fh", "f"),
+    ("gc", "c"), ("gh", "g"), ("h-", ""), ("m'", ""), ("mb", "b"),
+    ("mh", "m"), ("n-", ""), ("nd", "d"), ("ng", "g"), ("ph", "p"),
+    ("sh", "s"), ("t-", ""), ("th", "t"), ("ts", "s"))
+
+  /** noun_sfx (a_1): 1 = R1-gated delete, 2 = R2-gated delete. */
+  private val ga1: Array[(String, Int)] = Array(
+    ("\u00EDochta", 1), ("a\u00EDochta", 1), ("ire", 2), ("aire", 2),
+    ("abh", 1), ("eabh", 1), ("ibh", 1), ("aibh", 1), ("amh", 1),
+    ("eamh", 1), ("imh", 1), ("aimh", 1), ("\u00EDocht", 1),
+    ("a\u00EDocht", 1), ("ir\u00ED", 2), ("air\u00ED", 2))
+
+  /** deriv (a_2): 1 = R2-gated delete; 2.."arc" 3.."gin" 4.."graf"
+    * 5.."paite" 6.."\u00F3id" replacements, ungated. */
+  private val ga2: Array[(String, Int)] = Array(
+    ("\u00F3ideacha", 6), ("patacha", 5), ("achta", 1), ("arcachta", 2),
+    ("eachta", 1), ("grafa\u00EDochta", 4), ("paite", 5), ("ach", 1),
+    ("each", 1), ("\u00F3ideach", 6), ("gineach", 3), ("patach", 5),
+    ("grafa\u00EDoch", 4), ("pataigh", 5), ("\u00F3idigh", 6),
+    ("acht\u00FAil", 1), ("eacht\u00FAil", 1), ("gineas", 3),
+    ("ginis", 3), ("acht", 1), ("arcacht", 2), ("eacht", 1),
+    ("grafa\u00EDocht", 4), ("arcachta\u00ED", 2),
+    ("grafa\u00EDochta\u00ED", 4))
+
+  private val ga2Repl = Map(2 -> "arc", 3 -> "gin", 4 -> "graf",
+    5 -> "paite", 6 -> "\u00F3id")
+
+  /** verb_sfx (a_3): 1 = RV-gated delete, 2 = R1-gated delete. */
+  private val ga3: Array[(String, Int)] = Array(
+    ("imid", 1), ("aimid", 1), ("\u00EDmid", 1), ("a\u00EDmid", 1),
+    ("adh", 2), ("eadh", 2), ("faidh", 1), ("fidh", 1), ("\u00E1il", 2),
+    ("ain", 2), ("tear", 2), ("tar", 2))
+
+  /** Irish Snowball stemmer (IrishStemmer.java stem()): initial_morph
+    * prefix rewrite, regions marked on the REWRITTEN word, then three
+    * independent backward rules (noun, deriv, verb), each longest-match
+    * with a region gate that fails the whole rule. Runs after the ga
+    * chain's IrishLowerCaseFilter. */
+  def irish(word: String): String = {
+    var w = word.toLowerCase(Locale.ROOT)
+    // initial_morph: longest matching prefix
+    var best = -1
+    var bestRepl = ""
+    var i = 0
+    while (i < gaPre.length) {
+      val (p, r) = gaPre(i)
+      if (p.length > best && w.startsWith(p)) { best = p.length; bestRepl = r }
+      i += 1
+    }
+    if (best > 0) w = bestRepl + w.substring(best)
+    // mark_regions on the rewritten word
+    val n0 = w.length
+    var j = 0
+    while (j < n0 && !gaV(w(j))) j += 1
+    val pV = if (j >= n0) n0 else j + 1
+    val (p1, p2) = r1r2(w, gaV)
+    // backward rules, each tried once against the current end
+    def applyB(tbl: Array[(String, Int)],
+               act: (Int, Int) => Option[String]): Unit = {
+      val m = longestB(w, w.length, 0, tbl)
+      if (m != null) act(m._1, m._2).foreach { repl =>
+        w = w.substring(0, m._1) + repl
+      }
+    }
+    applyB(ga1, (st, code) => code match {
+      case 1 => if (st >= p1) Some("") else None
+      case _ => if (st >= p2) Some("") else None
+    })
+    applyB(ga2, (st, code) => code match {
+      case 1 => if (st >= p2) Some("") else None
+      case c => Some(ga2Repl(c))
+    })
+    applyB(ga3, (st, code) => code match {
+      case 1 => if (st >= pV) Some("") else None
+      case _ => if (st >= p1) Some("") else None
+    })
+    w
+  }
 }

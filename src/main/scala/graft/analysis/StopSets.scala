@@ -84,6 +84,7 @@ object StopSets {
   lazy val armenian: Set[String] = hashList("hy")
   lazy val brazilian: Set[String] = hashList("br")
   lazy val polish: Set[String] = hashList("pl")
+  lazy val irishStop: Set[String] = hashList("ga")
 
   /** lang code -> stop set; unknown langs fall back to English
     * (reference binds analyzers per field type, solr schema.xml style). */
@@ -119,6 +120,7 @@ object StopSets {
     case "hy" => armenian
     case "br" => brazilian
     case "pl" => polish
+    case "ga" => irishStop
     case _ => english
   }
 }

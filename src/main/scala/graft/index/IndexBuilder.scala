@@ -108,7 +108,9 @@ object IndexBuilder {
       case other =>
         val (iso, stem) = graft.analysis.LightStemmers.byName(other)
         // fr/it chains run ElisionFilter before lowercase, like the
-        // reference analyzers (no-op on apostrophe-free corpora)
+        // reference analyzers (no-op on apostrophe-free corpora); the ga
+        // chain adds IrishLowerCaseFilter and the HYPHENATIONS {h,n,t}
+        // stray-token stop set (ga/IrishAnalyzer.java:142-150)
         val pre: String => String = other match {
           case "french" => graft.analysis.MiscFilters.elision(_,
             graft.analysis.MiscFilters.FrenchArticles)
@@ -116,9 +118,15 @@ object IndexBuilder {
             graft.analysis.MiscFilters.ItalianArticles)
           case "catalan" => graft.analysis.MiscFilters.elision(_,
             graft.analysis.MiscFilters.CatalanArticles)
+          case "irish" => t => graft.analysis.MiscFilters.irishLowerCase(
+            graft.analysis.MiscFilters.elision(t,
+              graft.analysis.MiscFilters.IrishArticles))
           case _ => identity
         }
-        Analyzer.analyzeLightFlat(content, stops(iso), stem,
+        val stopSet =
+          if (other == "irish" && !noStops) stops(iso) ++ Set("h", "n", "t")
+          else stops(iso)
+        Analyzer.analyzeLightFlat(content, stopSet, stem,
           maxTokenLength, pre = pre)
     }
   }
