@@ -757,10 +757,11 @@ object LightStemmers {
     if (len == w.length) new String(s) else new String(s, 0, len)
   }
 
-  /** Full Hindi chain step (normalize + stem, the HindiAnalyzer order;
-    * IndicNormalizer's cross-script folding is a no-op for native
-    * Devanagari text). */
-  def hindiChain(w: String): String = hindi(hindiNormalize(w))
+  /** Full Hindi chain step (the HindiAnalyzer order, hi/HindiAnalyzer
+    * .java:126-133: IndicNormalizationFilter -> HindiNormalizationFilter
+    * -> HindiStemFilter). */
+  def hindiChain(w: String): String =
+    hindi(hindiNormalize(IndicNormalizer.normalize(w)))
 
   /** Indonesian (id/IndonesianStemmer.java — Asian/Tahaghoghi/Williams'
     * published algorithm, stemDerivational=true): particle and
