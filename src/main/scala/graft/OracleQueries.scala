@@ -65,6 +65,15 @@ object OracleQueries {
          |  AND abs(b.pos - a.pos - 1) <= 1
          |WHERE a.term = 'spark' ORDER BY 1""".stripMargin,
 
+    // SimpleQueryParser: spark AND (vector OR window) AND NOT dup
+    "ft_simpleq" ->
+      s"""WITH $tokensCte
+         |SELECT DISTINCT doc_id FROM tokens WHERE term = 'spark'
+         |AND doc_id IN (SELECT doc_id FROM tokens
+         |               WHERE term IN ('vector', 'window'))
+         |AND doc_id NOT IN (SELECT doc_id FROM tokens WHERE term = 'dup')
+         |ORDER BY 1""".stripMargin,
+
     // n-term sloppy: exists one occurrence per slot whose offset-adjusted
     // spread (greatest - least) fits the slop
     "ft_phrase_sloppy3" ->

@@ -445,6 +445,15 @@ object SparkEntry {
       (Occur.Must, SloppyPhraseQ(Seq("stream", "table", "hash"),
         Seq(0, 1, 2), 3)))))),
 
+    /** SimpleQueryParser end-to-end (queryparser/simple/SimpleQueryParser
+      * .java:99): "spark+(vector|window) -dup" with default operator AND
+      * parses to a NESTED boolean — MUST(spark, SHOULD(vector, window),
+      * (MUST_NOT dup, SHOULD MatchAll)) — evaluated by the recursive
+      * scores() tree combiner. */
+    "ft_simpleq" -> ((s, dir) => matchedDocs(s, dir,
+      graft.search.SimpleParser.parse("spark+(vector|window) -dup",
+        defaultOperator = Occur.Must).asInstanceOf[BoolQ])),
+
     "ft_regexp" -> ((s, dir) => matchedDocs(s, dir,
       BoolQ(Seq((Occur.Should, RegexpQ("s[pt][a-z]*m")))))),
 

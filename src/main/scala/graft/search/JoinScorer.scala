@@ -682,11 +682,33 @@ final class JoinScorer(reader: SearchReader) {
                            boost: Float = 1f): Dataset[ClauseHit] =
     reader.docmeta.map(d => ClauseHit(d.docId, clause, kind, boost))
 
+  /** A nested boolean clause, possibly boost-wrapped (BooleanQuery inside
+    * BooleanQuery — reference queries nest freely; the boost multiplies
+    * the inner query's combined score, Query.setBoost semantics). */
+  private def nestedBool(qq: Query, b: Float = 1f): Option[(BoolQ, Float)] =
+    qq match {
+      case inner: BoolQ => Some((inner, b))
+      case BoostQ(inner, bb) => nestedBool(inner, b * bb)
+      case _ => None
+    }
+
   /** Score a boolean query -> (docId, score) with exact reference
-    * semantics (score = left-to-right float sum of scoring clauses). */
+    * semantics (score = left-to-right float sum of scoring clauses).
+    * Clauses may themselves be BoolQ (nested): each nested clause scores
+    * recursively into its own (docId, score) frame; leaf clauses keep
+    * the single batched term-stats rewrite. */
   def scores(q: BoolQ): Dataset[(Long, Float)] = {
-    val rewritten = rewrite(q)
-    val frames = rewritten.zipWithIndex.map { case ((o, _, rc), i) =>
+    val withIdx = q.clauses.zipWithIndex
+    val leaves = withIdx.filter { case ((_, sub), _) => nestedBool(sub).isEmpty }
+    val rewritten = rewrite(BoolQ(leaves.map(_._1), q.minShouldMatch))
+    val nestedFrames: Seq[Dataset[ClauseHit]] =
+      withIdx.flatMap { case ((o, sub), i) =>
+        nestedBool(sub).map { case (b, bst) =>
+          val kind = kindOf(o)
+          scores(b).map(t => ClauseHit(t._1, i, kind, t._2 * bst))
+        }
+      }
+    val frames = nestedFrames ++ rewritten.zip(leaves.map(_._2)).map { case ((o, _, rc), i) =>
       val kind = kindOf(o)
       rc match {
         case ScoredTerm(t, st, b) => termHits(t, i, kind, st, b)
@@ -711,14 +733,14 @@ final class JoinScorer(reader: SearchReader) {
     }
     if (frames.isEmpty) return spark.emptyDataset[(Long, Float)]
     val all = frames.reduce(_ union _)
-    val nMust = rewritten.count(c => c._1 == Occur.Must) +
-      rewritten.count(c => c._1 == Occur.Filter)
-    val nShould = rewritten.count(c => c._1 == Occur.Should)
+    val nMust = q.clauses.count(c => c._1 == Occur.Must) +
+      q.clauses.count(c => c._1 == Occur.Filter)
+    val nShould = q.clauses.count(c => c._1 == Occur.Should)
     val effMsm =
       if (q.minShouldMatch > 0) q.minShouldMatch
       else if (nMust == 0 && nShould > 0) 1
       else 0
-    val nClauses = rewritten.length
+    val nClauses = q.clauses.length
     val matched = all.groupByKey(_.docId).mapGroups { (docId, it) =>
       val scoresByClause = new Array[Float](nClauses)
       java.util.Arrays.fill(scoresByClause, Float.NaN)

@@ -121,7 +121,8 @@ object NaiveOracle {
         constSet(allTerms.filter(t => rx.findFirstIn(t).isDefined), boost)
       case FuzzyQ(t, e) => constSet(allTerms.filter(c => lev(c, t) <= e), boost)
       case MatchAllQ => dl.keys.map(_ -> boost).toMap
-      case b: BoolQ => sys.error("nested bool not supported")
+      case b: BoolQ => // nested boolean: recurse, boost scales the sum
+        scores(b).map { case (id, s) => id -> s * boost }
     }
 
     /** Greedy minimal-end ordered big spans of one doc (the

@@ -111,6 +111,30 @@ class RankIdentitySpec extends AnyFunSuite {
       SloppyPhraseQ(Seq("import", "spark", "import"), Seq(0, 1, 2), 4))))
   }
 
+  test("q7h: nested boolean clauses (BooleanQuery in BooleanQuery)") {
+    // MUST( SHOULD(import, println), merge ) — SimpleParser's tree shape
+    checkQuery(BoolQ(Seq(
+      Occur.Must -> BoolQ(Seq(Occur.Should -> TermQ("import"),
+        Occur.Should -> TermQ("println"))),
+      Occur.Must -> TermQ("merge"))))
+    // negation wrapper: SHOULD(spark), (MUST_NOT(void) SHOULD(MatchAll))
+    checkQuery(BoolQ(Seq(
+      Occur.Must -> TermQ("spark"),
+      Occur.Must -> BoolQ(Seq(Occur.MustNot -> TermQ("void"),
+        Occur.Should -> MatchAllQ)))))
+    // boosted nested subquery scales the inner sum
+    checkQuery(BoolQ(Seq(
+      Occur.Should -> BoostQ(BoolQ(Seq(Occur.Should -> TermQ("import"),
+        Occur.Should -> TermQ("merge"))), 2.5f),
+      Occur.Should -> TermQ("spark"))))
+  }
+
+  test("q7i: SimpleParser end-to-end rank identity") {
+    val q = graft.search.SimpleParser
+      .parse("import+(merge|println) -void").asInstanceOf[BoolQ]
+    checkQuery(q)
+  }
+
   test("q7d: regexp + range multi-term rewrites (const score)") {
     checkQuery(BoolQ(Seq(Occur.Should -> RegexpQ("im.*t"),
       Occur.Should -> RangeQ("print", "publir"))))
