@@ -259,7 +259,7 @@ object QueryParser {
       return Some(boosted(RegexpQ(body.substring(1, body.length - 1))))
     val fuzzyAt = body.lastIndexOf('~')
     if (fuzzyAt > 0) {
-      val term = Analyzer.lowerCase(body.substring(0, fuzzyAt))
+      val term = Analyzer.lowerCase(fold(body.substring(0, fuzzyAt)))
       val edits = body.substring(fuzzyAt + 1) match {
         case "" => 2
         case s => s.toIntOption.getOrElse(2).min(2)
@@ -267,9 +267,12 @@ object QueryParser {
       return Some(boosted(FuzzyQ(term, edits)))
     }
     if (body.endsWith("*") && !body.dropRight(1).exists(c => c == '*' || c == '?'))
-      return Some(boosted(PrefixQ(Analyzer.lowerCase(body.dropRight(1)))))
+      // AnalyzingQueryParser semantics (queryparser/analyzing/
+      // AnalyzingQueryParser.java:63): multi-term text runs through the
+      // chain's folding too, so café* finds the folded index term cafe
+      return Some(boosted(PrefixQ(Analyzer.lowerCase(fold(body.dropRight(1))))))
     if (body.exists(c => c == '*' || c == '?'))
-      return Some(boosted(WildcardQ(Analyzer.lowerCase(body))))
+      return Some(boosted(WildcardQ(Analyzer.lowerCase(fold(body)))))
     // plain term: run through analysis; stopword-only -> no clause.
     // Synonym expansion (query-time): term + synonyms as a span-OR
     // scored with blended statistics.

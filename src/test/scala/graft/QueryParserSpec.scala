@@ -41,6 +41,17 @@ class QueryParserSpec extends AnyFunSuite {
       SloppyPhraseQ(Seq("alpha", "beta"), Seq(0, 1), 2))))
   }
 
+  test("multi-term text analyzes through folding (AnalyzingQueryParser)") {
+    // reference queryparser/analyzing/AnalyzingQueryParser.java:63:
+    // wildcard/prefix/fuzzy parts pass through the chain too
+    assert(QueryParser.parse("café*", foldAscii = true).clauses ==
+      Seq((Occur.Should, PrefixQ("cafe"))))
+    assert(QueryParser.parse("ca?é", foldAscii = true).clauses ==
+      Seq((Occur.Should, WildcardQ("ca?e"))))
+    assert(QueryParser.parse("café~1", foldAscii = true).clauses ==
+      Seq((Occur.Should, FuzzyQ("cafe", 1))))
+  }
+
   test("sloppy phrase rel offsets keep stopword gaps") {
     // "the" is a stopword: analyzed positions are 0 and 2, and the parser
     // must NOT collapse the gap (reference position-increment semantics)
