@@ -162,6 +162,22 @@ class SimpleParserSpec extends AnyFunSuite {
       assert(p(s) === c05, s"input: <$s>")
   }
 
+  test("never throws on random garbage (testRandomQueries/testRandomQueries2)") {
+    val rng = new scala.util.Random(20260819L)
+    val opChars = "+-|\"()\\*~ \t\n".toCharArray
+    for (i <- 1 to 2000) {
+      val len = rng.nextInt(24)
+      val sb = new StringBuilder
+      for (_ <- 0 until len)
+        sb += (if (rng.nextBoolean()) opChars(rng.nextInt(opChars.length))
+               else (33 + rng.nextInt(94)).toChar)
+      val s = sb.toString
+      val q = parse(s, analyze = wsLower)                       // must not throw
+      parse(s, flags = rng.nextInt(), analyze = wsLower)        // any flag set
+      assert(q != null)
+    }
+  }
+
   test("flags disable operators") {
     // with NOT disabled, '-' is part of the term
     assert(parse("-star", flags = SimpleParser.ALL_OPERATORS & ~SimpleParser.NOT_OPERATOR,
