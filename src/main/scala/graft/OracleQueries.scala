@@ -1109,6 +1109,14 @@ object OracleQueries {
          |WHERE l_quantity > 45 GROUP BY l_returnflag
          |ORDER BY cnt DESC, l_returnflag""".stripMargin,
 
+    // sampled facets: deterministic 1-in-7 hash bin + amortized estimate
+    "facet_sampled" ->
+      s"""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS sampled,
+         |       CAST(count(*) * 7 AS BIGINT) AS est
+         |FROM lineitem WHERE l_quantity > 45
+         |  AND (l_orderkey * 2654435761 + l_linenumber) % 7 = 3
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "facet_range" ->
       s"""SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
          |       CAST(count(*) AS BIGINT) AS cnt

@@ -2398,6 +2398,23 @@ object SparkEntry {
         .groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("l_returnflag"))),
 
+    /** Sampled facet counts (facet/RandomSamplingFacetsCollector.java:44:
+      * one doc per bin of 1/rate matched docs, counts amortized by the
+      * sampling rate). The reference walks hits SEQUENTIALLY and draws a
+      * random index per bin — order-dependent, so irreproducible on a
+      * distributed scan; the Spark-first substitution is a DETERMINISTIC
+      * per-row hash bin (membership depends only on the row's key), same
+      * 1-in-k rate, same amortized estimate, stable under any partitioning
+      * or scan order at 100 TB. */
+    "facet_sampled" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_quantity") > 45)
+        .where((col("l_orderkey") * lit(2654435761L) + col("l_linenumber")) % 7 === 3)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("sampled"),
+          (count(lit(1)) * 7).cast("long").as("est"))
+        .orderBy("l_returnflag")),
+
     "facet_range" -> ((s, dir) =>
       s.read.parquet(s"$dir/orders.parquet")
         .groupBy(floor(col("o_totalprice") / 50000).cast("long").as("bucket"))
