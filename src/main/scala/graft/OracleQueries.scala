@@ -193,6 +193,35 @@ object OracleQueries {
          |agg AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id)
          |${rankSel(20)}""".stripMargin,
 
+    // DiversifiedTopDocs: per-lang cap 2, then global re-rank top 10
+    "ft_diversified" ->
+      s"""$bm25OrWith,
+         |agg AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id),
+         |keyed AS (SELECT a.doc_id, a.score,
+         |            row_number() OVER (PARTITION BY d.lang
+         |              ORDER BY round(a.score, 9) DESC, a.doc_id) AS rn
+         |          FROM agg a JOIN documents d USING (doc_id)),
+         |capped AS (SELECT doc_id, score FROM keyed WHERE rn <= 2)
+         |SELECT CAST(row_number() OVER (
+         |         ORDER BY round(score, 9) DESC, doc_id) AS BIGINT) AS rank,
+         |       doc_id
+         |FROM capped ORDER BY round(score, 9) DESC, doc_id LIMIT 10""".stripMargin,
+
+    // HighFreqTerms: top-10 dictionary terms by df (ttf carried)
+    "ft_highfreq_terms" ->
+      s"""WITH $tokensCte
+         |SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+         |       CAST(count(*) AS BIGINT) AS ttf
+         |FROM tokens GROUP BY term ORDER BY df DESC, term LIMIT 10""".stripMargin,
+
+    // DuplicateFilter (first occurrence per lang, intersected with matches)
+    "ft_duplicate_filter" ->
+      s"""WITH $tokensCte,
+         |firsts AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY lang)
+         |SELECT f.doc_id FROM firsts f
+         |WHERE f.doc_id IN (SELECT doc_id FROM tokens WHERE term = 'spark')
+         |ORDER BY f.doc_id""".stripMargin,
+
     "ft_bm25_conj" ->
       s"""${bm25With("('small'),('value')")},
          |agg AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id

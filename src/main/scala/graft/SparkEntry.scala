@@ -3034,6 +3034,54 @@ object SparkEntry {
         .select("lang", "rk", "doc_id").orderBy("lang", "rk")
     }),
 
+    /** DiversifiedTopDocsCollector (lucene/misc/.../search/
+      * DiversifiedTopDocsCollector.java:57): global top-k where no key
+      * (here: lang) contributes more than maxHitsPerKey=2 hits — greedy
+      * skip of over-cap docs == per-key rank cap then global re-rank. */
+    "ft_diversified" -> ((s, dir) => {
+      val r = reader(s, dir)
+      new JoinScorer(r).scores(QueryParser.parse("spark vector window"))
+        .toDF("docId", "score")
+        .join(r.docmeta.toDF().select("docId", "lang"), "docId")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("lang")
+            .orderBy(round(col("score"), 9).desc, col("docId").asc)))
+        .where(col("rn") <= 2)
+        .join(idMap(r), "docId")
+        .withColumn("rank", row_number().over(
+          Window.orderBy(round(col("score"), 9).desc, col("doc_id").asc))
+          .cast("long"))
+        .where(col("rank") <= 10)
+        .select("rank", "doc_id").orderBy("rank")
+    }),
+
+    /** HighFreqTerms (lucene/misc/.../misc/HighFreqTerms.java:41): the
+      * top-N dictionary terms by document frequency (with total term
+      * freq carried along) — a pure term-dictionary scan, no postings. */
+    "ft_highfreq_terms" -> ((s, dir) => {
+      val r = reader(s, dir)
+      r.termStatsDf.toDF()
+        .where(!col("term").startsWith("path:") && !col("term").startsWith("rev:"))
+        .select(col("term"), col("df"), col("ttf"))
+        .orderBy(col("df").desc, col("term")).limit(10)
+    }),
+
+    /** DuplicateFilter (lucene/sandbox/.../queries/DuplicateFilter.java:36,
+      * KM_USE_FIRST_OCCURRENCE): query matches intersected with the per-key
+      * (lang) FIRST document of the whole index — the filter computes
+      * first-occurrence bits over the index independent of the query. */
+    "ft_duplicate_filter" -> ((s, dir) => {
+      val r = reader(s, dir)
+      val firstPerKey = r.docmeta.toDF()
+        .groupBy("lang").agg(min("docId").as("docId"))
+        .select("docId")
+      new JoinScorer(r).scores(QueryParser.parse("spark"))
+        .toDF("docId", "score")
+        .join(firstPerKey, "docId")
+        .join(idMap(r), "docId")
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     "ann_knn" -> ((s, dir) =>
       Ann.knnJoin(s.read.parquet(s"$dir/embeddings.parquet"), 3, 3)
         .select(col("qid"), col("rank").cast("long").as("rank"), col("id"))
