@@ -193,6 +193,31 @@ object OracleQueries {
          |agg AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id)
          |${rankSel(20)}""".stripMargin,
 
+    // FuzzyLikeThis: variants by similarity > 0.5, boost=(sim-0.5)*2,
+    // constant score boost^2*idf(avg variant df), per-doc sum, top 10
+    "ft_fuzzylike" ->
+      s"""WITH $tokensCte,
+         |cs AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |vocab AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |          FROM tokens GROUP BY term),
+         |seeds(seed) AS (VALUES ('sparc'), ('windoe')),
+         |acc AS (SELECT s.seed, v.term, v.df,
+         |          1.0 - CAST(levenshtein(v.term, s.seed) AS DOUBLE) /
+         |            least(len(v.term), len(s.seed)) AS sim
+         |        FROM seeds s JOIN vocab v
+         |          ON levenshtein(v.term, s.seed) <= 2
+         |        WHERE 1.0 - CAST(levenshtein(v.term, s.seed) AS DOUBLE) /
+         |            least(len(v.term), len(s.seed)) > 0.5),
+         |dfu AS (SELECT seed, sum(df) // count(*) AS df_used FROM acc GROUP BY seed),
+         |scored AS (SELECT a.term,
+         |             ((a.sim - 0.5) * 2) * ((a.sim - 0.5) * 2) *
+         |             ln(1 + (cs.n - d.df_used + 0.5) / (d.df_used + 0.5)) AS sv
+         |           FROM acc a JOIN dfu d ON d.seed = a.seed, cs),
+         |agg AS (SELECT t.doc_id, sum(sv) AS score
+         |        FROM (SELECT DISTINCT doc_id, term FROM tokens) t
+         |        JOIN scored ON scored.term = t.term GROUP BY t.doc_id)
+         |${rankSel(10)}""".stripMargin,
+
     // DiversifiedTopDocs: per-lang cap 2, then global re-rank top 10
     "ft_diversified" ->
       s"""$bm25OrWith,

@@ -3034,6 +3034,59 @@ object SparkEntry {
         .select("lang", "rk", "doc_id").orderBy("lang", "rk")
     }),
 
+    /** FuzzyLikeThisQuery (sandbox/queries/FuzzyLikeThisQuery.java:193-258
+      * + SlowFuzzyTermsEnum.java:136-142,250): per seed term, dictionary
+      * variants with similarity = 1 - d/min(len) above minSimilarity=0.5
+      * get boost (sim-minSim)*2; per-variant constant score ("ignoreTF")
+      * = boost^2 * idf(df(seed), or the int-division average variant df
+      * when the seed is unindexed); docs score the SUM of their present
+      * variants' constants; rank top 10. Seeds "sparc" and "windoe". */
+    "ft_fuzzylike" -> ((s, dir) => {
+      import s.implicits._
+      val r = reader(s, dir)
+      val seeds = Seq("sparc", "windoe")
+      val minSim = 0.5f
+      val levDist = org.apache.commons.text.similarity.LevenshteinDistance
+        .getDefaultInstance
+      val variantScores: Seq[(String, Float)] = seeds.flatMap { seed =>
+        val acc = r.fuzzyTerms(seed, 2).flatMap { ts =>
+          val d = levDist.apply(ts.term, seed).intValue
+          val sim = 1.0f - d.toFloat / math.min(ts.term.length, seed.length)
+          if (sim > minSim) Some((ts, (sim - minSim) * 2f)) else None
+        }
+        if (acc.isEmpty) Nil
+        else {
+          val dfSeed = r.termStats(Seq(seed)).get(seed).map(_.df).getOrElse(0L)
+          val dfUsed =
+            if (dfSeed > 0) dfSeed else acc.map(_._1.df).sum / acc.length
+          acc.sortBy { case (t, b) => (-b, t.term) }.take(10)
+            .map { case (t, b) =>
+              t.term -> b * b * graft.search.BM25.idf(dfUsed, r.collStats.maxDoc)
+            }
+        }
+      }
+      if (variantScores.isEmpty)
+        Seq.empty[(Long, Long)].toDF("rank", "doc_id")
+      else {
+        val wvB = s.sparkContext.broadcast(variantScores.toMap)
+        r.blocks(variantScores.map(_._1))
+          .flatMap { b =>
+            val (docs, _, _) = graft.codec.PostingsCodec.decodeDocs(
+              graft.codec.PostingBlock(b.term, b.firstDoc, b.lastDoc, b.count,
+                b.maxTf, b.sumTf, b.maxPartial, b.docBytes, b.nrmBytes,
+                b.posBytes))
+            docs.iterator.map(d => (d, wvB.value(b.term)))
+          }.toDF("docId", "s")
+          .groupBy("docId").agg(sum("s").as("score"))
+          .join(idMap(r), "docId")
+          .withColumn("rank", row_number().over(
+            Window.orderBy(round(col("score"), 9).desc, col("doc_id").asc))
+            .cast("long"))
+          .where(col("rank") <= 10)
+          .select("rank", "doc_id").orderBy("rank")
+      }
+    }),
+
     /** DiversifiedTopDocsCollector (lucene/misc/.../search/
       * DiversifiedTopDocsCollector.java:57): global top-k where no key
       * (here: lang) contributes more than maxHitsPerKey=2 hits — greedy
