@@ -26,7 +26,7 @@ object Bench {
           "swedish", "finnish", "hungarian", "norwegian", "czech",
           "dutch", "danish", "romanian", "turkish", "galician",
           "portuguese_rslp", "catalan", "basque", "brazilian", "polish",
-          "irish"))),
+          "irish", "german2"))),
       "ft_syn_build" -> timedBuild(SparkEntry.synReader(spark, sfDir)),
       "ft_compound_build" -> timedBuild(SparkEntry.compoundReader(spark, sfDir)),
       "ft_rev_build" -> timedBuild(SparkEntry.revReader(spark, sfDir)),
