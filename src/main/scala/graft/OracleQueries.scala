@@ -2409,6 +2409,35 @@ object OracleQueries {
          |  UNION ALL SELECT doc_id, 'group', 1, w2 FROM w)
          |ORDER BY doc_id, mode, pos, term""".stripMargin,
 
+    // PatternReplaceFilter (all/first), PatternReplaceCharFilter ('a'->'aa'
+    // over "w1 w2"; off = corrected token start, which maps back to the
+    // ORIGINAL text: 0 and len(w1)+1), PatternCaptureGroupTokenFilter
+    // (vowel runs of w1, original when no run)
+    "analysis_patternreplace" ->
+      s"""WITH w AS (SELECT doc_id, split_part(text, ' ', 1) AS w1,
+         |                  split_part(text, ' ', 2) AS w2
+         |           FROM documents WHERE doc_id % 17 = 0),
+         |caps AS (SELECT doc_id, w1,
+         |                regexp_extract_all(w1, '[aeiou]+') AS runs FROM w)
+         |SELECT doc_id, mode, ord, off, term FROM (
+         |  SELECT doc_id, 'replace_all' AS mode, CAST(0 AS BIGINT) AS ord,
+         |         CAST(0 AS BIGINT) AS off,
+         |         regexp_replace(w1, '[aeiou]', '_', 'g') AS term FROM w
+         |  UNION ALL SELECT doc_id, 'replace_all', CAST(1 AS BIGINT),
+         |    CAST(0 AS BIGINT), regexp_replace(w2, '[aeiou]', '_', 'g') FROM w
+         |  UNION ALL SELECT doc_id, 'replace_first', CAST(0 AS BIGINT),
+         |    CAST(0 AS BIGINT), regexp_replace(w1, '[aeiou]', '_') FROM w
+         |  UNION ALL SELECT doc_id, 'charfilter', CAST(0 AS BIGINT),
+         |    CAST(0 AS BIGINT), regexp_replace(w1, 'a', 'aa', 'g') FROM w
+         |  UNION ALL SELECT doc_id, 'charfilter', CAST(1 AS BIGINT),
+         |    CAST(len(w1) + 1 AS BIGINT), regexp_replace(w2, 'a', 'aa', 'g') FROM w
+         |  UNION ALL SELECT doc_id, 'capture',
+         |    CAST(generate_subscripts(runs, 1) - 1 AS BIGINT),
+         |    CAST(0 AS BIGINT), unnest(runs) FROM caps
+         |  UNION ALL SELECT doc_id, 'capture', CAST(0 AS BIGINT),
+         |    CAST(0 AS BIGINT), w1 FROM caps WHERE len(runs) = 0)
+         |ORDER BY doc_id, mode, ord""".stripMargin,
+
     // Keyword marker + stemmer override: expected surface->stem pairs for
     // the full English corpus vocabulary, enumerated independently from
     // English morphology (keyword {query}; overrides customer->client,

@@ -1735,6 +1735,58 @@ object SparkEntry {
         .orderBy("doc_id", "mode", "pos", "term")
     }),
 
+    /** PatternReplaceFilter (pattern/PatternReplaceFilter.java:40,
+      * first/all), PatternReplaceCharFilter (PatternReplaceCharFilter.java:50
+      * — pre-tokenization replace with offset correction back into the
+      * original text; `off` carries the corrected token start) and
+      * PatternCaptureGroupTokenFilter (PatternCaptureGroupTokenFilter.java:94
+      * — vowel-run captures, original kept when no group matches) over the
+      * doc's first two words. */
+    "analysis_patternreplace" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") % 17 === 0)
+        .select("doc_id", "text").as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val sp1 = text.indexOf(' ')
+          val sp2 = text.indexOf(' ', sp1 + 1)
+          val w1 = text.substring(0, sp1)
+          val w2 = text.substring(sp1 + 1, if (sp2 < 0) text.length else sp2)
+          val toks = Vector(
+            graft.analysis.Token(w1, 0, w1.length, 1, "word"),
+            graft.analysis.Token(w2, w1.length + 1, w1.length + 1 + w2.length, 1, "word"))
+          val repAll = graft.analysis.PatternFilters.replace(toks, "[aeiou]", "_")
+            .zipWithIndex.map { case (t, i) => (id, "replace_all", i.toLong, 0L, t.term) }
+          val repFirst = graft.analysis.PatternFilters.replace(
+            toks.take(1), "[aeiou]", "_", all = false)
+            .map(t => (id, "replace_first", 0L, 0L, t.term))
+          val (cfOut, correct) = graft.analysis.PatternFilters.replaceCharFilter(
+            s"$w1 $w2", "a", "aa")
+          val cfToks = {
+            val out = Vector.newBuilder[graft.analysis.Token]
+            var i = 0
+            while (i < cfOut.length) {
+              while (i < cfOut.length && cfOut(i) == ' ') i += 1
+              if (i < cfOut.length) {
+                val st = i
+                while (i < cfOut.length && cfOut(i) != ' ') i += 1
+                out += graft.analysis.Token(cfOut.substring(st, i), st, i, 1, "word")
+              }
+            }
+            out.result()
+          }
+          val cf = cfToks.zipWithIndex.map { case (t, i) =>
+            (id, "charfilter", i.toLong, correct(t.startOffset).toLong, t.term)
+          }
+          val cap = graft.analysis.PatternFilters.captureGroups(
+            toks.take(1), preserveOriginal = false, "([aeiou]+)")
+            .zipWithIndex.map { case (t, i) => (id, "capture", i.toLong, 0L, t.term) }
+          repAll ++ repFirst ++ cf ++ cap
+        }
+        .toDF("doc_id", "mode", "ord", "off", "term")
+        .orderBy("doc_id", "mode", "ord")
+    }),
+
     /** KeywordMarkerFilter + StemmerOverrideFilter (reference
       * analysis/common/.../miscellaneous/SetKeywordMarkerFilter.java:29,
       * StemmerOverrideFilter.java:41): the distinct English corpus
