@@ -2183,6 +2183,56 @@ object OracleQueries {
          |        GROUP BY b.term)
          |SELECT term, freq FROM big ORDER BY freq DESC, term LIMIT 5""".stripMargin,
 
+    // ---------- AnalyzingSuggester (analyzed-key prefix completion) ----
+    // akey = stop-dropped tokens joined by US (chr 31); lookup 'the que'
+    // analyzes to 'que'; exact-analyzed matches first, then weight desc
+    "suggest_analyzing" ->
+      s"""WITH p AS (SELECT split_part(text, ' ', 1) || ' ' ||
+         |                  split_part(text, ' ', 2) AS surface,
+         |                  CAST(count(*) AS BIGINT) AS weight
+         |           FROM documents GROUP BY 1),
+         |d AS (SELECT surface, weight,
+         |             array_to_string(list_filter(string_split(surface, ' '),
+         |               x -> x NOT IN ('the', 'a', 'of', 'to', 'and')),
+         |               chr(31)) AS akey
+         |      FROM p)
+         |SELECT surface, weight FROM d WHERE akey LIKE 'que%'
+         |ORDER BY (akey = 'que') DESC, weight DESC, akey, surface
+         |LIMIT 5""".stripMargin,
+
+    // ---------- WFSTCompletionLookup (surface-prefix completion) -------
+    "suggest_wfst" ->
+      s"""WITH d AS (SELECT split_part(text, ' ', 1) AS surface,
+         |                  CAST(count(*) AS BIGINT) AS weight
+         |           FROM documents GROUP BY 1)
+         |SELECT surface, weight FROM d WHERE surface LIKE 's%'
+         |ORDER BY (surface = 's') DESC, weight DESC, surface LIMIT 5""".stripMargin,
+
+    // ---------- BlendedInfixSuggester (position-blended weights) -------
+    // candidates = top n*numFactor (100) by raw weight, then score =
+    // trunc(weight * 1/(1+first-match-pos)); startsWith keeps coef 1
+    "suggest_blended" ->
+      s"""WITH p AS (SELECT split_part(text, ' ', 1) AS w1,
+         |                  split_part(text, ' ', 2) AS w2,
+         |                  split_part(text, ' ', 3) AS w3,
+         |                  CAST(count(*) AS BIGINT) AS weight
+         |           FROM documents GROUP BY 1, 2, 3),
+         |m AS (SELECT w1 || ' ' || w2 || ' ' || w3 AS surface, weight,
+         |             CASE WHEN w1 LIKE 'query%' THEN 0
+         |                  WHEN w2 LIKE 'query%' THEN 1
+         |                  WHEN w3 LIKE 'query%' THEN 2 END AS pos
+         |      FROM p
+         |      WHERE w1 LIKE 'query%' OR w2 LIKE 'query%' OR w3 LIKE 'query%'),
+         |cand AS (SELECT * FROM m ORDER BY weight DESC, surface LIMIT 100),
+         |b AS (SELECT surface,
+         |             CAST(trunc(weight * (CASE WHEN surface LIKE 'query%'
+         |                                       THEN 1.0
+         |                                       ELSE 1.0 / (1 + pos) END))
+         |                  AS BIGINT) AS score
+         |      FROM cand)
+         |SELECT surface, score FROM b ORDER BY score DESC, surface
+         |LIMIT 10""".stripMargin,
+
     // ---------- WordBreakSpellChecker: breaks ----------
     "spellcheck_wordbreak" ->
       s"""WITH $tokensCte,

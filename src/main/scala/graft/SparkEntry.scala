@@ -3554,6 +3554,62 @@ object SparkEntry {
         .orderBy(col("freq").desc, col("term")).limit(5)
     }),
 
+    /** AnalyzingSuggester (lucene/suggest/.../analyzing/AnalyzingSuggester
+      * .java:68): dictionary = the corpus's two-word phrase prefixes with
+      * their occurrence counts as weights; keys are the stop-dropped
+      * analyzed forms (PRESERVE_SEP  join), lookups match the
+      * ANALYZED prefix and return the SURFACE form, exact-first. The
+      * lookup "the que" analyzes to "que", so it completes phrases whose
+      * first non-stop token starts with "que" even though none begin with
+      * "the". */
+    "suggest_analyzing" -> ((s, dir) => {
+      import s.implicits._
+      val stop = Set("the", "a", "of", "to", "and")
+      val akeyOf = (surface: String) => graft.operators.Suggest.analyzedKey(
+        surface.split(' ').filterNot(stop).toSeq)
+      val dict = s.read.parquet(s"$dir/documents.parquet")
+        .select("text").as[String]
+        .map { text =>
+          val ws = text.split(' ')
+          ws(0) + " " + ws(1)
+        }
+        .groupByKey(identity).count()
+        .map { case (surface, w) => (surface, akeyOf(surface), w) }
+        .toDF("surface", "akey", "weight")
+      graft.operators.Suggest.analyzing(dict, akeyOf("the que"), 5)
+    }),
+
+    /** WFSTCompletionLookup (lucene/suggest/.../fst/WFSTCompletionLookup
+      * .java:63): surface-prefix completion over the first-word
+      * dictionary, weight desc (= FST cost asc), exact match first. */
+    "suggest_wfst" -> ((s, dir) => {
+      import s.implicits._
+      val dict = s.read.parquet(s"$dir/documents.parquet")
+        .select(split(col("text"), " ").getItem(0).as("surface"))
+        .groupBy("surface").agg(count(lit(1)).as("weight"))
+      graft.operators.Suggest.wfst(dict, "s", 5)
+    }),
+
+    /** BlendedInfixSuggester (lucene/suggest/.../analyzing/
+      * BlendedInfixSuggester.java:83): infix match over three-word phrase
+      * surfaces, candidates = top n*numFactor by raw weight, weight
+      * blended by the first matched token position (POSITION_RECIPROCAL
+      * w/(1+p); startsWith keeps the raw weight). */
+    "suggest_blended" -> ((s, dir) => {
+      import s.implicits._
+      val dict = s.read.parquet(s"$dir/documents.parquet")
+        .select("text").as[String]
+        .map { text =>
+          val ws = text.split(' ')
+          (ws(0) + " " + ws(1) + " " + ws(2), Seq(ws(0), ws(1), ws(2)))
+        }
+        .groupByKey(identity).count()
+        .map { case ((surface, toks), w) => (surface, toks, w) }
+        .toDF("surface", "toks", "weight")
+      graft.operators.Suggest.blendedInfix(dict, "query", Seq("query"), 10,
+        graft.operators.Suggest.PositionReciprocal, numFactor = 10)
+    }),
+
     /** WordBreakSpellChecker.suggestWordBreaks (lucene/suggest/.../spell/
       * WordBreakSpellChecker.java): split an out-of-dictionary run-on
       * term at every point where both halves are dictionary words, ranked
