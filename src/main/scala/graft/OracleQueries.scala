@@ -2329,6 +2329,34 @@ object OracleQueries {
          |FROM orders GROUP BY 1
          |ORDER BY cnt DESC, o_orderpriority LIMIT 3 OFFSET 1""".stripMargin,
 
+    // DrillSideways: each drilled dim counts against the OTHER drills;
+    // the non-drilled size dim counts over the full drill-down set
+    "facet_drillsideways" ->
+      s"""WITH d AS (SELECT lang, source,
+         |                  CAST(floor(n_chars / 200) AS BIGINT) AS size
+         |           FROM documents)
+         |SELECT dim, label, cnt FROM (
+         |  SELECT 'lang' AS dim, lang AS label, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM d WHERE source IN ('src3', 'src7') GROUP BY 2
+         |  UNION ALL
+         |  SELECT 'source', source, CAST(count(*) AS BIGINT)
+         |  FROM d WHERE lang IN ('en', 'de') GROUP BY 2
+         |  UNION ALL
+         |  SELECT 'size', CAST(size AS VARCHAR), CAST(count(*) AS BIGINT)
+         |  FROM d WHERE lang IN ('en', 'de') AND source IN ('src3', 'src7')
+         |  GROUP BY 2)
+         |ORDER BY dim, cnt DESC, label""".stripMargin,
+
+    // Taxonomy child counts: root level (per lang) + under path [en]
+    "facet_taxonomy" ->
+      s"""SELECT level, label, cnt FROM (
+         |  SELECT 'root' AS level, lang AS label, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM documents GROUP BY 2
+         |  UNION ALL
+         |  SELECT 'en', source, CAST(count(*) AS BIGINT)
+         |  FROM documents WHERE lang = 'en' GROUP BY 2)
+         |ORDER BY level, cnt DESC, label""".stripMargin,
+
     "facet_prefix" ->
       s"""SELECT p_type, CAST(count(*) AS BIGINT) AS cnt FROM part
          |WHERE p_type LIKE 'S%' GROUP BY 1

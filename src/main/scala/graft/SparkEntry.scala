@@ -3040,6 +3040,35 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    /** DrillDownQuery + DrillSideways (lucene/facet/DrillSideways.java:30):
+      * drills lang IN (en, de) and source IN (src3, src7); each drilled
+      * dimension's counts are computed against the OTHER drills only
+      * (near-misses keep sibling values visible), the non-drilled size
+      * dimension counts over the full drill-down set. One scan, one
+      * (dim,label) shuffle — not one collector per drill-down. */
+    "facet_drillsideways" -> ((s, dir) => {
+      val dims = Map(
+        "lang" -> col("lang"),
+        "source" -> col("source"),
+        "size" -> floor(col("n_chars") / 200).cast("long"))
+      graft.operators.Facets.drillSideways(
+        s.read.parquet(s"$dir/documents.parquet"), dims,
+        Seq(graft.operators.Facets.DrillDown("lang", Seq("en", "de")),
+          graft.operators.Facets.DrillDown("source", Seq("src3", "src7"))))
+    }),
+
+    /** Taxonomy facet counts over a hierarchical dim (facet/taxonomy/,
+      * TestTaxonomyFacetCounts.java:118-129): children one level below a
+      * path — root (per-lang) and under path [en] (per-source). */
+    "facet_taxonomy" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val path = Seq(col("lang"), col("source"))
+      graft.operators.Facets.pathChildren(docs, path, Nil)
+        .select(lit("root").as("level"), col("label"), col("cnt"))
+        .unionAll(graft.operators.Facets.pathChildren(docs, path, Seq("en"))
+          .select(lit("en").as("level"), col("label"), col("cnt")))
+    }),
+
     /** facet.offset + facet.limit (SimpleFacets bucket paging): the
       * count-ordered priority facet, buckets 2-4. */
     "facet_offset" -> ((s, dir) =>
