@@ -2329,6 +2329,15 @@ object OracleQueries {
          |FROM orders GROUP BY 1
          |ORDER BY cnt DESC, o_orderpriority LIMIT 3 OFFSET 1""".stripMargin,
 
+    // JS expression sort: sqrt + modulo + conditional + min/ln re-derived
+    "expr_sort" ->
+      s"""SELECT doc_id,
+         |       round(sqrt(n_chars) + (n_chars % 7) * 0.5 +
+         |             (CASE WHEN n_chars > 500 THEN 2 ELSE 0 END) +
+         |             least(ln(n_chars), 6), 6) AS score
+         |FROM documents
+         |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
     // DrillSideways: each drilled dim counts against the OTHER drills;
     // the non-drilled size dim counts over the full drill-down set
     "facet_drillsideways" ->

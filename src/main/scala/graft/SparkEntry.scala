@@ -3069,6 +3069,20 @@ object SparkEntry {
           .select(lit("en").as("level"), col("label"), col("cnt")))
     }),
 
+    /** The expressions module (lucene/expressions/.../js/Javascript.g,
+      * JavascriptCompiler.java; Solr sort-by-expression): a JS arithmetic
+      * expression compiled to one Catalyst Column — codegen'd in the scan,
+      * no bytecode, no UDF — used as a function-query sort key. */
+    "expr_sort" -> ((s, dir) => {
+      val e = graft.functions.JsExpr.compile(
+        "sqrt(n_chars) + (n_chars % 7) * 0.5 + (n_chars > 500 ? 2 : 0) + min(ln(n_chars), 6)",
+        Map("n_chars" -> col("n_chars")))
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), round(e, 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(15)
+    }),
+
     /** facet.offset + facet.limit (SimpleFacets bucket paging): the
       * count-ordered priority facet, buckets 2-4. */
     "facet_offset" -> ((s, dir) =>
