@@ -2496,6 +2496,24 @@ object OracleQueries {
          |  UNION ALL SELECT doc_id, 'group', 1, w2 FROM w)
          |ORDER BY doc_id, mode, pos, term""".stripMargin,
 
+    // UAX29URLEmailTokenizer over per-doc composites: the w1.com/w2 URL
+    // and w1@w2.org EMAIL tokenize as single typed tokens, words pass the
+    // UAX#29 rules
+    "analysis_urlemail" ->
+      s"""WITH w AS (SELECT doc_id, split_part(text, ' ', 1) AS w1,
+         |                  split_part(text, ' ', 2) AS w2
+         |           FROM documents WHERE lang = 'en' AND doc_id % 7 = 0)
+         |SELECT doc_id, pos, term, type FROM (
+         |  SELECT doc_id, CAST(0 AS BIGINT) AS pos, 'visit' AS term,
+         |         '<ALPHANUM>' AS type FROM w
+         |  UNION ALL SELECT doc_id, CAST(1 AS BIGINT),
+         |    w1 || '.com/' || w2, '<URL>' FROM w
+         |  UNION ALL SELECT doc_id, CAST(2 AS BIGINT), 'mail', '<ALPHANUM>' FROM w
+         |  UNION ALL SELECT doc_id, CAST(3 AS BIGINT),
+         |    w1 || '@' || w2 || '.org', '<EMAIL>' FROM w
+         |  UNION ALL SELECT doc_id, CAST(4 AS BIGINT), 'end', '<ALPHANUM>' FROM w)
+         |ORDER BY doc_id, pos""".stripMargin,
+
     // PatternReplaceFilter (all/first), PatternReplaceCharFilter ('a'->'aa'
     // over "w1 w2"; off = corrected token start, which maps back to the
     // ORIGINAL text: 0 and len(w1)+1), PatternCaptureGroupTokenFilter

@@ -1735,6 +1735,26 @@ object SparkEntry {
         .orderBy("doc_id", "mode", "pos", "term")
     }),
 
+    /** UAX29URLEmailTokenizer (standard/UAX29URLEmailTokenizerImpl.jflex:
+      * 85-155): URL + EMAIL maximal-munch rules over the UAX#29 word
+      * grammar — verified at full golden parity (643 URLs / 265 emails) in
+      * t:UrlEmailSpec; here over per-doc composites so the oracle can
+      * re-derive the expected stream. */
+    "analysis_urlemail" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .where(col("lang") === "en" && col("doc_id") % 7 === 0)
+        .select("doc_id", "text").as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val ws = text.split(' ')
+          val composite = s"visit ${ws(0)}.com/${ws(1)} mail ${ws(0)}@${ws(1)}.org end"
+          graft.analysis.UrlEmail.tokenize(composite)
+            .zipWithIndex.map { case (t, pos) => (id, pos.toLong, t.term, t.tokenType) }
+        }
+        .toDF("doc_id", "pos", "term", "type")
+        .orderBy("doc_id", "pos")
+    }),
+
     /** PatternReplaceFilter (pattern/PatternReplaceFilter.java:40,
       * first/all), PatternReplaceCharFilter (PatternReplaceCharFilter.java:50
       * — pre-tokenization replace with offset correction back into the
