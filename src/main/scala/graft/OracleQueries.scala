@@ -51,6 +51,20 @@ object OracleQueries {
          |  WHERE term IN ('merge','window','stream') GROUP BY doc_id)
          |WHERE c >= 2 ORDER BY doc_id""".stripMargin,
 
+    // XML-parsed boolean: (spark OR stream) AND NOT dup AND an ordered
+    // span-near(merge, sort) with slop 2 (window width - 2 <= 2)
+    "ft_xmlquery" ->
+      s"""WITH $tokensCte
+         |SELECT d.doc_id FROM documents d
+         |WHERE (${boolDoc("spark")} OR ${boolDoc("stream")})
+         |  AND NOT ${boolDoc("dup")}
+         |  AND EXISTS (SELECT 1 FROM tokens a
+         |              JOIN tokens b ON b.doc_id = a.doc_id AND b.pos > a.pos
+         |                AND (b.pos - a.pos + 1) - 2 <= 2
+         |              WHERE a.doc_id = d.doc_id
+         |                AND a.term = 'merge' AND b.term = 'sort')
+         |ORDER BY doc_id""".stripMargin,
+
     "ft_phrase" ->
       s"""WITH $tokensCte
          |SELECT DISTINCT a.doc_id FROM tokens a

@@ -427,6 +427,25 @@ object SparkEntry {
       (Occur.Must, TermQ("spark")), (Occur.Must, TermQ("vector")),
       (Occur.MustNot, TermQ("dup")))))),
 
+    /** XML query parser (lucene/queryparser/.../xml/CoreParser.java +
+      * builders/): the XML syntax parses into the engine's Query AST and
+      * evaluates identically to the hand-built tree — here a BooleanQuery
+      * of TermsQuery / TermQuery / SpanNear clauses. t:XmlQuerySpec holds
+      * the reference .xml test-file tree assertions. */
+    "ft_xmlquery" -> ((s, dir) => {
+      val xml =
+        """<BooleanQuery fieldName="contents">
+          |  <Clause occurs="must"><TermsQuery>spark stream</TermsQuery></Clause>
+          |  <Clause occurs="mustnot"><TermQuery>dup</TermQuery></Clause>
+          |  <Clause occurs="filter">
+          |    <SpanNear slop="2" inOrder="true">
+          |      <SpanTerm>merge</SpanTerm><SpanTerm>sort</SpanTerm>
+          |    </SpanNear>
+          |  </Clause>
+          |</BooleanQuery>""".stripMargin
+      matchedDocs(s, dir, graft.search.XmlQuery.parseQuery(xml).asInstanceOf[BoolQ])
+    }),
+
     "ft_bool_or_msm2" -> ((s, dir) => matchedDocs(s, dir, BoolQ(Seq(
       (Occur.Should, TermQ("merge")), (Occur.Should, TermQ("window")),
       (Occur.Should, TermQ("stream"))), minShouldMatch = 2))),
