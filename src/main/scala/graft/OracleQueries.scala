@@ -2343,6 +2343,18 @@ object OracleQueries {
          |FROM orders GROUP BY 1
          |ORDER BY cnt DESC, o_orderpriority LIMIT 3 OFFSET 1""".stripMargin,
 
+    // Solr function queries: recip/linear/scale/map re-derived; scale's
+    // min/max over the corpus as a scalar subquery
+    "func_query" ->
+      s"""WITH mm AS (SELECT CAST(min(n_chars) AS DOUBLE) AS lo,
+         |                   CAST(max(n_chars) AS DOUBLE) AS hi FROM documents)
+         |SELECT doc_id,
+         |  round(100000.0 / (1.0 * (2.0 * n_chars + 0.0) + 1000.0), 6) AS r,
+         |  round((n_chars - lo) * (100.0 - 0.0) / (hi - lo) + 0.0, 6) AS s,
+         |  round(CASE WHEN n_chars >= 0 AND n_chars <= 300 THEN 0.0
+         |             ELSE CAST(n_chars AS DOUBLE) END, 6) AS m
+         |FROM documents, mm ORDER BY doc_id""".stripMargin,
+
     // JS expression sort: sqrt + modulo + conditional + min/ln re-derived
     "expr_sort" ->
       s"""SELECT doc_id,

@@ -3108,6 +3108,21 @@ object SparkEntry {
           .select(lit("en").as("level"), col("label"), col("cnt")))
     }),
 
+    /** Solr function queries as parsed syntax (solr/.../search/
+      * ValueSourceParser.java): recip/linear/scale/map compiled to one
+      * Catalyst Column each; scale()'s corpus min/max walk is one
+      * distributed agg (the reference's ScaleFloatFunction full pass). */
+    "func_query" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val fields = Map("n_chars" -> col("n_chars"))
+      def f(src: String) = graft.functions.FuncQuery.compile(src, fields, docs)
+      docs.select(col("doc_id"),
+        round(f("recip(linear(n_chars,2,0),1,100000,1000)"), 6).as("r"),
+        round(f("scale(n_chars,0,100)"), 6).as("s"),
+        round(f("map(n_chars,0,300,0,n_chars)"), 6).as("m"))
+        .orderBy("doc_id")
+    }),
+
     /** The expressions module (lucene/expressions/.../js/Javascript.g,
       * JavascriptCompiler.java; Solr sort-by-expression): a JS arithmetic
       * expression compiled to one Catalyst Column — codegen'd in the scan,
