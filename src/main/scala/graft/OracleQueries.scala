@@ -2343,6 +2343,18 @@ object OracleQueries {
          |FROM orders GROUP BY 1
          |ORDER BY cnt DESC, o_orderpriority LIMIT 3 OFFSET 1""".stripMargin,
 
+    // StringDistance family over corpus word pairs: DuckDB's levenshtein /
+    // damerau_levenshtein / jaro_winkler_similarity as the independent
+    // re-derivations (the corpus vocabulary stays inside the regime where
+    // the reference's uncapped-prefix JW quirk coincides with standard JW)
+    "spellcheck_distances" ->
+      s"""WITH p AS (SELECT DISTINCT split_part(text, ' ', 1) AS s,
+         |                           split_part(text, ' ', 2) AS t
+         |            FROM documents WHERE lang = 'en')
+         |SELECT s, t, CAST(levenshtein(s, t) AS BIGINT) AS lev,
+         |       round(jaro_winkler_similarity(s, t), 3) AS jw
+         |FROM p ORDER BY s, t""".stripMargin,
+
     // Solr function queries: recip/linear/scale/map re-derived; scale's
     // min/max over the corpus as a scalar subquery
     "func_query" ->

@@ -3108,6 +3108,32 @@ object SparkEntry {
           .select(lit("en").as("level"), col("label"), col("cnt")))
     }),
 
+    /** The spell package's StringDistance family (suggest/.../spell/
+      * {Levenstein,LuceneLevenshtein,JaroWinkler,NGram}Distance.java) over
+      * corpus word pairs: raw edit / transposition-aware distances as
+      * integers, Jaro-Winkler rounded; NGramDistance is t:-verified only
+      * (no independent SQL analog). */
+    "spellcheck_distances" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .where(col("lang") === "en")
+        .select(split(col("text"), " ").getItem(0).as("s"),
+          split(col("text"), " ").getItem(1).as("t"))
+        .distinct().as[(String, String)]
+        .map { case (a, b) =>
+          val lev = math.round((1f - graft.search.StringDistances.levenshtein(a, b))
+            * math.max(a.length, b.length))
+          // LuceneLevenshtein (OSA transpositions) and NGramDistance have
+          // no independent SQL analog (DuckDB's damerau_levenshtein is the
+          // UNRESTRICTED variant) -- both stay t:-verified only
+          val jw = graft.search.StringDistances.jaroWinkler(a, b)
+          (a, b, lev.toLong,
+            BigDecimal(jw.toDouble).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+        .toDF("s", "t", "lev", "jw")
+        .orderBy("s", "t")
+    }),
+
     /** Solr function queries as parsed syntax (solr/.../search/
       * ValueSourceParser.java): recip/linear/scale/map compiled to one
       * Catalyst Column each; scale()'s corpus min/max walk is one
