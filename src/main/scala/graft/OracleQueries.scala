@@ -423,6 +423,29 @@ object OracleQueries {
          |        FROM cand c LEFT JOIN sec ON sec.doc_id = c.doc_id)
          |${rankSel(10)}""".stripMargin,
 
+    // Solr ReRank: top-30 main, first 20 rescored (+3*window score) and
+    // re-sorted, ranks 21-30 keep main ordering (the combined page)
+    "ft_rerank" ->
+      s"""${bm25With("('spark'),('vector'),('window')")},
+         |base AS (SELECT doc_id, sum(s) AS score FROM sc
+         |         WHERE qterm <> 'window' GROUP BY doc_id),
+         |mainq AS (SELECT doc_id, score,
+         |            row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS mrank
+         |          FROM base),
+         |sec AS (SELECT doc_id, sum(s) AS s2 FROM sc
+         |        WHERE qterm = 'window' GROUP BY doc_id),
+         |resc AS (SELECT m.doc_id, m.score + 3.0 * coalesce(sec.s2, 0) AS comb
+         |         FROM mainq m LEFT JOIN sec ON sec.doc_id = m.doc_id
+         |         WHERE m.mrank <= 20)
+         |SELECT rank, doc_id FROM (
+         |  SELECT CAST(row_number() OVER (
+         |      ORDER BY round(comb, 9) DESC, doc_id) AS BIGINT) AS rank,
+         |    doc_id FROM resc
+         |  UNION ALL
+         |  SELECT CAST(mrank AS BIGINT), doc_id FROM mainq
+         |  WHERE mrank > 20 AND mrank <= 30)
+         |ORDER BY rank""".stripMargin,
+
     "ft_mlt" ->
       s"""WITH $tokensCte,
          |$dlCsCte,
@@ -2392,6 +2415,21 @@ object OracleQueries {
          |  SELECT 'size', CAST(size AS VARCHAR), CAST(count(*) AS BIGINT)
          |  FROM d WHERE lang IN ('en', 'de') AND source IN ('src3', 'src7')
          |  GROUP BY 2)
+         |ORDER BY dim, cnt DESC, label""".stripMargin,
+
+    // Multi-select faceting (tagged filter exclusion): q=spark, each
+    // facet's domain keeps the OTHER dimension's filter only
+    "facet_multiselect" ->
+      s"""WITH $tokensCte,
+         |m AS (SELECT d.doc_id, d.lang, d.source FROM documents d
+         |      WHERE EXISTS(SELECT 1 FROM tokens t
+         |                   WHERE t.doc_id = d.doc_id AND t.term = 'spark'))
+         |SELECT dim, label, cnt FROM (
+         |  SELECT 'lang' AS dim, lang AS label, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM m WHERE source IN ('src3', 'src7') GROUP BY 2
+         |  UNION ALL
+         |  SELECT 'source', source, CAST(count(*) AS BIGINT)
+         |  FROM m WHERE lang IN ('en', 'de') GROUP BY 2)
          |ORDER BY dim, cnt DESC, label""".stripMargin,
 
     // Taxonomy child counts: root level (per lang) + under path [en]

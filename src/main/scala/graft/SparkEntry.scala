@@ -702,6 +702,39 @@ object SparkEntry {
         .select("rank", "doc_id").orderBy("rank")
     }),
 
+    /** Solr ReRank (solr/core/.../search/ReRankQParserPlugin.java:98,
+      * 269-320, `rq={!rerank reRankQuery=.. reRankDocs=20 reRankWeight=3}`):
+      * the main query collects top max(reRankDocs, start+rows); the FIRST
+      * reRankDocs of them are rescored as main + weight*rerankScore
+      * (additive only on second-pass match, QueryRescorer combine at
+      * :205-214) and re-sorted, while candidates PAST reRankDocs keep
+      * their original main-order positions behind the reranked block
+      * (the reference's combined-page arraycopy at :311-318) — the
+      * behavior plain QueryRescorer (q:ft_rescore) lacks. The rerank
+      * scores join only the bounded candidate slice, so the second pass
+      * never reorders anything outside the top reRankDocs. */
+    "ft_rerank" -> ((s, dir) => {
+      val r = reader(s, dir)
+      val js = new JoinScorer(r)
+      val (reRankDocs, length, w) = (20, 30, 3.0)
+      val mainTop = js.topK(should("spark", "vector"), math.max(reRankDocs, length))
+        .withColumn("mrank", row_number().over(
+          Window.orderBy(col("score").desc, col("docId").asc)))
+      val sec = js.scores(should("window")).toDF("docId", "s2")
+      val head = mainTop.where(col("mrank") <= reRankDocs)
+        .join(sec, Seq("docId"), "left")
+        .withColumn("comb", col("score").cast("double") +
+          lit(w) * coalesce(col("s2").cast("double"), lit(0.0)))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("comb").desc, col("docId").asc)).cast("long"))
+        .select("docId", "rank")
+      val tail = mainTop.where(col("mrank") > reRankDocs)
+        .select(col("docId"), col("mrank").cast("long").as("rank"))
+      head.unionByName(tail).where(col("rank") <= length)
+        .join(idMap(r), "docId")
+        .select("rank", "doc_id").orderBy("rank")
+    }),
+
     /** MoreLikeThis (reference lucene/queries/.../mlt/MoreLikeThis.java):
       * representative terms of doc 0 — by (tf desc, df asc, term asc),
       * df >= 2, top 5; integer-only ordering so the SQL oracle reproduces
@@ -3092,6 +3125,28 @@ object SparkEntry {
         "size" -> floor(col("n_chars") / 200).cast("long"))
       graft.operators.Facets.drillSideways(
         s.read.parquet(s"$dir/documents.parquet"), dims,
+        Seq(graft.operators.Facets.DrillDown("lang", Seq("en", "de")),
+          graft.operators.Facets.DrillDown("source", Seq("src3", "src7"))))
+    }),
+
+    /** Multi-select faceting via tagged filter exclusion (Solr
+      * `fq={!tag=t}...` + `facet.field={!ex=t}field`): SimpleFacets
+      * rebuilds each excluding facet's base DocSet from the main query
+      * plus every filter whose tag is NOT excluded
+      * (solr/.../request/SimpleFacets.java:199-238) — so a drilled
+      * dimension still shows its sibling counts. Here q=spark (an
+      * index-backed match set, unlike the metadata-only
+      * q:facet_drillsideways), fq={!tag=l}lang:(en de),
+      * fq={!tag=s}source:(src3 src7), and each facet field excludes its
+      * own tag. One postings-driven match set, one exploded (dim,label)
+      * aggregation — facet width, not corpus size, is the shuffle. */
+    "facet_multiselect" -> ((s, dir) => {
+      val r = reader(s, dir)
+      val base = new JoinScorer(r).scores(should("spark")).toDF("docId", "sc")
+        .join(idMap(r), "docId").select("doc_id")
+      val m = s.read.parquet(s"$dir/documents.parquet").join(base, "doc_id")
+      graft.operators.Facets.drillSideways(m,
+        Map("lang" -> col("lang"), "source" -> col("source")),
         Seq(graft.operators.Facets.DrillDown("lang", Seq("en", "de")),
           graft.operators.Facets.DrillDown("source", Seq("src3", "src7"))))
     }),
