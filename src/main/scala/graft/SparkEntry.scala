@@ -715,22 +715,9 @@ object SparkEntry {
       * never reorders anything outside the top reRankDocs. */
     "ft_rerank" -> ((s, dir) => {
       val r = reader(s, dir)
-      val js = new JoinScorer(r)
-      val (reRankDocs, length, w) = (20, 30, 3.0)
-      val mainTop = js.topK(should("spark", "vector"), math.max(reRankDocs, length))
-        .withColumn("mrank", row_number().over(
-          Window.orderBy(col("score").desc, col("docId").asc)))
-      val sec = js.scores(should("window")).toDF("docId", "s2")
-      val head = mainTop.where(col("mrank") <= reRankDocs)
-        .join(sec, Seq("docId"), "left")
-        .withColumn("comb", col("score").cast("double") +
-          lit(w) * coalesce(col("s2").cast("double"), lit(0.0)))
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("comb").desc, col("docId").asc)).cast("long"))
-        .select("docId", "rank")
-      val tail = mainTop.where(col("mrank") > reRankDocs)
-        .select(col("docId"), col("mrank").cast("long").as("rank"))
-      head.unionByName(tail).where(col("rank") <= length)
+      new JoinScorer(r)
+        .reRank(should("spark", "vector"), should("window"),
+          reRankDocs = 20, reRankWeight = 3.0, length = 30)
         .join(idMap(r), "docId")
         .select("rank", "doc_id").orderBy("rank")
     }),

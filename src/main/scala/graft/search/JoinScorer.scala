@@ -805,6 +805,36 @@ final class JoinScorer(reader: SearchReader) {
       .orderBy($"score".desc, $"docId".asc).limit(k)
   }
 
+  /** Solr ReRank (solr/core/.../search/ReRankQParserPlugin.java:98,269-320,
+    * `rq={!rerank reRankQuery=.. reRankDocs=N reRankWeight=W}`): the main
+    * query collects top max(reRankDocs, length); the FIRST reRankDocs are
+    * rescored as main + W*second (additive only when the rerank query
+    * matches — QueryRescorer.combine at :205-214) and re-sorted, while
+    * candidates PAST reRankDocs keep their original main-order positions
+    * behind the reranked block (the combined-page arraycopy at :311-318)
+    * — the behavior plain `rescore` lacks. Returns (docId, rank). The
+    * rerank scores join only the bounded candidate slice, so the second
+    * pass never reorders anything outside the top reRankDocs; the windows
+    * below run over <= max(reRankDocs, length) rows, never the corpus. */
+  def reRank(main: BoolQ, second: BoolQ, reRankDocs: Int,
+             reRankWeight: Double, length: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mainTop = topK(main, math.max(reRankDocs, length))
+      .withColumn("mrank", row_number().over(
+        Window.orderBy($"score".desc, $"docId".asc)))
+    val sec = scores(second).toDF("docId", "s2")
+    val head = mainTop.where($"mrank" <= reRankDocs)
+      .join(sec, Seq("docId"), "left")
+      .withColumn("comb", $"score".cast("double") +
+        lit(reRankWeight) * coalesce($"s2".cast("double"), lit(0.0)))
+      .withColumn("rank", row_number().over(
+        Window.orderBy($"comb".desc, $"docId".asc)).cast("long"))
+      .select($"docId", $"rank")
+    val tail = mainTop.where($"mrank" > reRankDocs)
+      .select($"docId", $"mrank".cast("long").as("rank"))
+    head.unionByName(tail).where($"rank" <= length)
+  }
+
   /** eDisMax `qf` (reference solr/core/.../search/ExtendedDismaxQParser
     * .java:162 queryFields): ONE user query string scored across several
     * fields with per-field boosts. Per term, the per-field scores combine

@@ -225,6 +225,31 @@ class RankIdentitySpec extends AnyFunSuite {
     assert(page1.map(_._1).toSet.intersect(got.map(_._1).toSet).isEmpty)
   }
 
+  test("reRank combined page == oracle (head re-sorted, tail keeps main order)") {
+    val main = BoolQ(Seq(Occur.Should -> TermQ("import"),
+      Occur.Should -> TermQ("spark")))
+    val second = BoolQ(Seq(Occur.Should -> TermQ("merge")))
+    val (rrDocs, len, w) = (8, 14, 3.0)
+    // naive re-derivation of ReRankQParserPlugin's collector: top
+    // max(rrDocs, len) by (score desc, docId), first rrDocs rescored
+    // main + w*second and re-sorted, the rest appended in main order
+    val ms = oracle.scores(main).toSeq
+      .sortBy { case (d, s) => (-s, d) }.take(math.max(rrDocs, len))
+    val ss = oracle.scores(second)
+    val head = ms.take(rrDocs)
+      .map { case (d, s) => (d, s.toDouble + w * ss.getOrElse(d, 0f).toDouble) }
+      .sortBy { case (d, c) => (-c, d) }.map(_._1)
+    val exp = (head ++ ms.drop(rrDocs).map(_._1)).take(len)
+      .zipWithIndex.map { case (d, i) => ((i + 1).toLong, d) }
+    val got = joiner.reRank(main, second, rrDocs, w, len)
+      .select($"rank", $"docId").orderBy($"rank")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == exp)
+    // the tail is main-ordered, not score-ordered: rescoring must have
+    // actually permuted the head for the combined-page case to be tested
+    assert(head != ms.take(rrDocs).map(_._1), "rerank permuted nothing")
+  }
+
   test("WAND path == join path == oracle (OR)") {
     for (terms <- Seq(Seq("import"), Seq("import", "spark"),
       Seq("spark", "println", "merge"), Seq("id001", "import", "dataset"))) {
