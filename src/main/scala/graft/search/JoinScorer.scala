@@ -819,20 +819,24 @@ final class JoinScorer(reader: SearchReader) {
   def reRank(main: BoolQ, second: BoolQ, reRankDocs: Int,
              reRankWeight: Double, length: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val mainTop = topK(main, math.max(reRankDocs, length))
+    // ONE pass over the candidate frame (no head/tail union — a union of
+    // two filters of the same top-k would re-execute the main query's
+    // postings scan twice): head ranks come from a window partitioned on
+    // the head flag, tail ranks are the main ranks unchanged.
+    topK(main, math.max(reRankDocs, length))
       .withColumn("mrank", row_number().over(
         Window.orderBy($"score".desc, $"docId".asc)))
-    val sec = scores(second).toDF("docId", "s2")
-    val head = mainTop.where($"mrank" <= reRankDocs)
-      .join(sec, Seq("docId"), "left")
-      .withColumn("comb", $"score".cast("double") +
-        lit(reRankWeight) * coalesce($"s2".cast("double"), lit(0.0)))
-      .withColumn("rank", row_number().over(
-        Window.orderBy($"comb".desc, $"docId".asc)).cast("long"))
+      .join(scores(second).toDF("docId", "s2"), Seq("docId"), "left")
+      .withColumn("ishead", $"mrank" <= reRankDocs)
+      .withColumn("comb", when($"ishead",
+        $"score".cast("double") +
+          lit(reRankWeight) * coalesce($"s2".cast("double"), lit(0.0))))
+      .withColumn("rank", when($"ishead", row_number().over(
+          Window.partitionBy($"ishead")
+            .orderBy($"comb".desc_nulls_last, $"docId".asc)))
+        .otherwise($"mrank").cast("long"))
+      .where($"rank" <= length)
       .select($"docId", $"rank")
-    val tail = mainTop.where($"mrank" > reRankDocs)
-      .select($"docId", $"mrank".cast("long").as("rank"))
-    head.unionByName(tail).where($"rank" <= length)
   }
 
   /** eDisMax `qf` (reference solr/core/.../search/ExtendedDismaxQParser
