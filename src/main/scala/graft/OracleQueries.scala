@@ -1994,6 +1994,37 @@ object OracleQueries {
          |        CROSS JOIN cs)
          |${rankSel(15)}""".stripMargin,
 
+    // TermAutomatonQuery "stream table hash"|"stream hash": freq = long
+    // path occurrences + short path occurrences (distinct accepting
+    // entries), idf blended over the whole alphabet
+    "ft_term_automaton" ->
+      s"""${bm25With("('stream'),('table'),('hash')")},
+         |m1 AS (SELECT a.doc_id, CAST(count(*) AS BIGINT) AS c
+         |       FROM tokens a
+         |       JOIN tokens b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |         AND b.term = 'table'
+         |       JOIN tokens c2 ON c2.doc_id = a.doc_id AND c2.pos = a.pos + 2
+         |         AND c2.term = 'hash'
+         |       WHERE a.term = 'stream' GROUP BY a.doc_id),
+         |m2 AS (SELECT a.doc_id, CAST(count(*) AS BIGINT) AS c
+         |       FROM tokens a
+         |       JOIN tokens b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |         AND b.term = 'hash'
+         |       WHERE a.term = 'stream' GROUP BY a.doc_id),
+         |wf AS (SELECT doc_id, sum(c) AS f FROM
+         |         (SELECT * FROM m1 UNION ALL SELECT * FROM m2)
+         |       GROUP BY doc_id),
+         |pidf AS (SELECT sum(ln(1 + (cs.n - df + 0.5) / (df + 0.5))) AS v
+         |         FROM dfq, cs),
+         |agg AS (SELECT w2.doc_id,
+         |          (SELECT v FROM pidf) * 2.2 * w2.f /
+         |          (w2.f + 1.2 * (0.25 + 0.75 * nrm.qdl /
+         |             (CAST(cs.sumdl AS DOUBLE) / cs.n))) AS score
+         |        FROM wf w2 JOIN dl ON dl.doc_id = w2.doc_id
+         |        JOIN nrm ON dl.dl BETWEEN nrm.lo AND nrm.hi
+         |        CROSS JOIN cs)
+         |${rankSel(10)}""".stripMargin,
+
     // complexphrase "s* table": the wildcard slot re-derived as the
     // DISTINCT dictionary terms with the prefix, blended idf over
     // slot-terms + 'table', adjacency alignment count as phrase tf

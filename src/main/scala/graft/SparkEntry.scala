@@ -3589,6 +3589,20 @@ object SparkEntry {
       rankedTopK(s, dir, q, 15)
     }),
 
+    /** TermAutomatonQuery (lucene/sandbox/.../search/TermAutomatonQuery
+      * .java:70): a token automaton accepting per-slot alternatives of
+      * DIFFERENT lengths — "stream table hash" | "stream hash" — which
+      * MultiPhraseQuery cannot express. Blended idf over the alphabet,
+      * freq = accepting state entries (TermAutomatonScorer.countMatches);
+      * one bucket-pruned postings pass + per-doc DFA walk. */
+    "ft_term_automaton" -> ((s, dir) => {
+      val q = BoolQ(Seq((Occur.Must,
+        TermAutomatonQ(4, Set(3),
+          Seq((0, 1, "stream"), (1, 2, "table"), (2, 3, "hash"),
+            (1, 3, "hash")))): (Occur, Query)))
+      rankedTopK(s, dir, q, 10)
+    }),
+
     /** ComplexPhraseQueryParser ({!complexphrase} — lucene/queryparser/
       * complexPhrase/ComplexPhraseQueryParser.java): a wildcard INSIDE a
       * phrase — "s* table" — expands against the term dictionary

@@ -48,6 +48,7 @@ final class JoinScorer(reader: SearchReader) {
       case (_, SpanNotQ(inc, exc, _, _), _) => Seq(inc, exc)
       case (_, SpanWithinQ(l, bg, _), _) => l +: bg
       case (_, SpanContainingQ(l, bg, _), _) => l +: bg
+      case (_, TermAutomatonQ(_, _, trs, _), _) => trs.map(_._3)
       case (_, SpanFirstQ(t, _), _) => Seq(t) }.flatten
     val stats = reader.termStats(termQs.distinct)
     flat.map {
@@ -84,6 +85,9 @@ final class JoinScorer(reader: SearchReader) {
         (o, pq, ScoredPhrase(ts, rel, ts.map(stats.get), slop, b))
       case (o, mq @ MultiPhraseQ(ss, rel), b) =>
         (o, mq, ScoredMultiPhrase(ss, rel, ss.map(_.map(stats.get)), b))
+      case (o, tq: TermAutomatonQ, b) =>
+        val ts = tq.transitions.map(_._3).distinct.sorted
+        (o, tq, ScoredAutomaton(tq, ts.map(stats.get), b))
       case (o, rq @ RegexpQ(pat), b) =>
         (o, rq, ConstSet(reader.expandTerms(
           $"term".rlike("^" + pat + "$") && fieldGuard(pat)).map(_.term), b))
@@ -182,6 +186,9 @@ final class JoinScorer(reader: SearchReader) {
                                      littleStats: Option[TermStats],
                                      bigStats: Seq[Option[TermStats]],
                                      boost: Float = 1f) extends RewrittenClause
+  final case class ScoredAutomaton(q: TermAutomatonQ,
+                                   stats: Seq[Option[TermStats]],
+                                   boost: Float = 1f) extends RewrittenClause
   /** Constant-score set: every matching doc scores `boost` (reference
     * ConstantScoreQuery multiplies 1.0 by the query boost,
     * search/ConstantScoreQuery.java). */
@@ -391,6 +398,46 @@ final class JoinScorer(reader: SearchReader) {
         else ClauseHit(docId, clause, kind,
           BM25.score(wv, pf.toFloat, cacheB.value, norm))
       }
+    }.filter(h => !java.lang.Float.isNaN(h.score))
+  }
+
+  /** Term-automaton hits (reference sandbox TermAutomatonQuery/Scorer):
+    * one bucket-pruned postings pass over the automaton's alphabet, then
+    * a per-doc DFA walk (see [[TermAutomatonDfa.countMatches]]).
+    * Statistics blend every distinct alphabet term's idf
+    * (TermAutomatonWeight computeWeight over allTermStats); tf = counted
+    * accepting state entries. */
+  private def termAutomatonHits(taq: TermAutomatonQ,
+                                stats: Seq[Option[TermStats]],
+                                clause: Int, kind: Int,
+                                boost: Float): Dataset[ClauseHit] = {
+    val dfa = TermAutomatonDfa.compile(taq)
+    if (dfa.terms.isEmpty || stats.forall(_.isEmpty))
+      return spark.emptyDataset[ClauseHit]
+    var idfSum = 0f
+    stats.flatten.foreach(ts =>
+      idfSum += BM25.idf(ts.df, reader.collStats.maxDoc))
+    val wv = BM25.weightValue(idfSum, boost)
+    val cacheB = spark.sparkContext.broadcast(
+      reader.normCacheFor(IndexBuilder.fieldOfTerm(dfa.terms.head)))
+    val dfaB = spark.sparkContext.broadcast(dfa)
+    val tIdxB = spark.sparkContext.broadcast(dfa.terms.zipWithIndex.toMap)
+    reader.blocks(dfa.terms.toSeq).flatMap { b =>
+      val tid = tIdxB.value(b.term)
+      PostingsCodec.decode(graft.codec.PostingBlock(b.term, b.firstDoc,
+        b.lastDoc, b.count, b.maxTf, b.sumTf, b.maxPartial, b.docBytes,
+        b.nrmBytes, b.posBytes)).iterator
+        .map(p => (p.docId, tid, p.positions, p.norm))
+    }.groupByKey(_._1).mapGroups { (docId, it) =>
+      val pairs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var norm: Byte = 0
+      it.foreach { case (_, tid, pos, n) =>
+        pos.foreach(p => pairs += ((p, tid))); norm = n }
+      val freq = TermAutomatonDfa.countMatches(dfaB.value,
+        pairs.sortInPlaceBy(x => (x._1, x._2)).toSeq)
+      if (freq == 0) ClauseHit(docId, clause, kind, Float.NaN)
+      else ClauseHit(docId, clause, kind,
+        BM25.score(wv, freq.toFloat, cacheB.value, norm))
     }.filter(h => !java.lang.Float.isNaN(h.score))
   }
 
@@ -716,6 +763,8 @@ final class JoinScorer(reader: SearchReader) {
           phraseHits(ts, rel, st, i, kind, slop, b)
         case ScoredMultiPhrase(ss, rel, st, b) =>
           multiPhraseHits(ss, rel, st, i, kind, b)
+        case ScoredAutomaton(tq, st, b) =>
+          termAutomatonHits(tq, st, i, kind, b)
         case ScoredSpan(ts, slop, st, b, ord) =>
           spanHits(ts, slop, st, i, kind, b, ord)
         case ScoredSpanMulti(ss, slop, ord, st, b) =>

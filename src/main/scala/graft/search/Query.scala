@@ -96,6 +96,20 @@ final case class SpanWithinQ(little: String, big: Seq[String],
 final case class SpanContainingQ(little: String, big: Seq[String],
                                  slop: Int) extends Query
 case object MatchAllQ extends Query
+/** Token-automaton query (reference lucene/sandbox/.../search/
+  * TermAutomatonQuery.java:70): states 0..numStates-1 (0 initial),
+  * term-labelled transitions plus ANY arcs matching any single token.
+  * Accepts docs where some automaton path consumes consecutive token
+  * positions — expresses what MultiPhraseQ cannot: per-slot alternatives
+  * of DIFFERENT lengths ("sea biscuit" | "seabiscuit"). `finish()`
+  * rewrites ANY arcs to the whole alphabet and determinizes
+  * (TermAutomatonQuery.java:146-210); matching/freq follow
+  * TermAutomatonScorer.countMatches (see [[TermAutomatonDfa]]);
+  * statistics blend every distinct term's idf (TermAutomatonWeight). */
+final case class TermAutomatonQ(numStates: Int, accept: Set[Int],
+                                transitions: Seq[(Int, Int, String)],
+                                anyTransitions: Seq[(Int, Int)] = Nil)
+  extends Query
 final case class BoolQ(clauses: Seq[(Occur, Query)],
                        minShouldMatch: Int = 0) extends Query
 
