@@ -71,6 +71,32 @@ object TermAutomatonDfa {
     Dfa(terms, rows.toArray, accept)
   }
 
+  /** TokenStreamToTermAutomatonQuery (reference sandbox
+    * TokenStreamToTermAutomatonQuery.java:37-115): build a
+    * [[TermAutomatonQ]] from a token graph of (term, posInc, posLength)
+    * — one automaton state per token-graph position, each token an arc
+    * from its position to position+posLength, the literal term "*" an
+    * ANY arc, the last created state the sole accept. posInc > 1 (holes)
+    * is rejected like the reference ("to accept any term, use '*'"). */
+  def fromTokens(tokens: Seq[(String, Int, Int)]): TermAutomatonQ = {
+    require(tokens.nonEmpty, "empty token stream")
+    var pos = -1
+    var maxState = -1
+    val trans = mutable.ArrayBuffer.empty[(Int, Int, String)]
+    val anyTrans = mutable.ArrayBuffer.empty[(Int, Int)]
+    tokens.foreach { case (term, posInc, posLen) =>
+      require(pos > -1 || posInc > 0, "first token must advance position")
+      require(posInc <= 1,
+        "cannot handle holes; to accept any term, use '*' term")
+      if (posInc > 0) pos += posInc
+      val endPos = pos + posLen
+      maxState = math.max(maxState, endPos)
+      if (term == "*") anyTrans += ((pos, endPos))
+      else trans += ((pos, endPos, term))
+    }
+    TermAutomatonQ(maxState + 1, Set(maxState), trans.toSeq, anyTrans.toSeq)
+  }
+
   /** Per-doc freq walk over `tokens` = (position, termId) ascending by
     * (position, termId); termId is the index into `dfa.terms`. */
   def countMatches(dfa: Dfa, tokens: Seq[(Int, Int)]): Int = {
