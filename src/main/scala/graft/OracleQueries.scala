@@ -2977,6 +2977,21 @@ object OracleQueries {
          |  UNION ALL SELECT doc_id, 7, CAST(doc_id AS VARCHAR) FROM w
          |) ORDER BY doc_id, pos""".stripMargin,
 
+    // Japanese chain: reference segmentation of testDecomposition2's
+    // sentence, ja stop set gaps (の@1, は@3, ば@7, なら@8, ない@9
+    // stopped), per-doc digits at pos 10
+    "analysis_japanese" ->
+      s"""WITH w AS (SELECT doc_id FROM documents
+         |           WHERE lang = 'en' AND doc_id % 9 = 4)
+         |SELECT doc_id, pos, term FROM (
+         |  SELECT doc_id, CAST(0 AS BIGINT) AS pos, '麻薬' AS term FROM w
+         |  UNION ALL SELECT doc_id, 2, '密売' FROM w
+         |  UNION ALL SELECT doc_id, 4, '根こそぎ' FROM w
+         |  UNION ALL SELECT doc_id, 5, '絶やさ' FROM w
+         |  UNION ALL SELECT doc_id, 6, 'なけれ' FROM w
+         |  UNION ALL SELECT doc_id, 10, CAST(doc_id AS VARCHAR) FROM w
+         |) ORDER BY doc_id, pos""".stripMargin,
+
     // Segmented-token statistics: k repeats of the 6-word sentence
     "zh_token_stats" ->
       s"""SELECT doc_id,

@@ -2245,6 +2245,24 @@ object SparkEntry {
         }.toDF("doc_id", "pos", "term").orderBy("doc_id", "pos")
     }),
 
+    /** Japanese lexicon-DP segmentation chain (reference kuromoji
+      * JapaneseAnalyzer minus the cost-table stages — analysis/Japanese):
+      * TestJapaneseTokenizer.testDecomposition2's sentence segments at
+      * reference parity; the chain's ja stop set then removes
+      * の/は/ば/なら/ない with position gaps; a per-doc digit suffix
+      * varies the last token. */
+    "analysis_japanese" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .where(col("lang") === "en" && col("doc_id") % 9 === 4)
+        .select("doc_id").as[Long]
+        .flatMap { id =>
+          val (terms, positions) = graft.analysis.Japanese.analyzeFlat(
+            s"麻薬の密売は根こそぎ絶やさなければならない$id")
+          terms.indices.map(i => (id, positions(i).toLong, terms(i)))
+        }.toDF("doc_id", "pos", "term").orderBy("doc_id", "pos")
+    }),
+
     /** Token statistics on SEGMENTED Chinese (the LLM-pipeline integration
       * the bigram tokens could not give): n_tokens / n_distinct over the
       * lexicon-segmented text, repeat count varying per doc. */

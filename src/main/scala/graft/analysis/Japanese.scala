@@ -1,0 +1,190 @@
+package graft.analysis
+
+/** Japanese word segmentation over kuromoji's own shipped surface
+  * lexicon (reference analysis/kuromoji/.../ja/JapaneseTokenizer.java:72
+  * is the behavioral target; the lexicon is the module's
+  * TokenInfoDictionary FST — 325,871 surface forms — decoded by
+  * [[LuceneFst]] from `TokenInfoDictionary$fst.dat`, shipped verbatim as
+  * a resource).
+  *
+  * DOCUMENTED DEVIATION: the per-word Viterbi cost table
+  * (`TokenInfoDictionary$buffer.dat`) is absent from this checkout
+  * (SURVEY.md "known environmental limit"), so lattice paths are scored
+  * by (fewest tokens, fewest unknown tokens, then longest token at each
+  * position) instead of cost-exact Viterbi. Unambiguous dictionary
+  * segmentations match the reference (JapaneseSpec pins the
+  * TestJapaneseTokenizer vectors that hold); cost-dependent ambiguous
+  * splits can differ and are not claimed.
+  *
+  * Unknown words mirror CharacterDefinition grouping
+  * (kuromoji/.../dict/CharacterDefinition.java + UnknownDictionary):
+  * KATAKANA / ALPHA / NUMERIC are isGroup classes (a run becomes one
+  * token); unknown KANJI and HIRAGANA emit per character.
+  *
+  * Analyzer chain (reference ja/JapaneseAnalyzer.java:60-80, minus the
+  * base-form and part-of-speech stages that require the cost table's
+  * per-word metadata): tokenizer (punctuation discarded, the tokenizer's
+  * default) -> CJKWidthFilter -> StopFilter (the module's stopwords.txt,
+  * position gaps) -> JapaneseKatakanaStemFilter (drop a trailing U+30FC
+  * from an all-katakana token of length >= 4,
+  * JapaneseKatakanaStemFilter.java:35-75) -> LowerCaseFilter.
+  */
+object Japanese {
+
+  /** Surface lexicon + max word length, decoded from the module FST. */
+  lazy val (lexicon: java.util.HashSet[String], maxWordLen: Int) = {
+    val fst = LuceneFst.load(
+      getClass.getResourceAsStream("/graft/kuromoji/tokeninfo_fst.dat"))
+    val set = new java.util.HashSet[String](524288)
+    var maxLen = 1
+    fst.foreachEntry { (s, _) =>
+      set.add(s)
+      if (s.length > maxLen) maxLen = s.length
+    }
+    (set, maxLen)
+  }
+
+  /** The module's stopword set (kuromoji/stopwords.txt, `#` comments). */
+  lazy val stopSet: Set[String] = {
+    val in = getClass.getResourceAsStream("/graft/kuromoji/stopwords.txt")
+    require(in != null, "missing kuromoji stopwords")
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toSet
+    finally in.close()
+  }
+
+  private def isKatakanaChar(c: Char): Boolean =
+    Character.UnicodeBlock.of(c) == Character.UnicodeBlock.KATAKANA
+  private def isHiraganaChar(c: Char): Boolean =
+    Character.UnicodeBlock.of(c) == Character.UnicodeBlock.HIRAGANA
+  private def isKanjiChar(c: Char): Boolean =
+    Character.UnicodeScript.of(c) == Character.UnicodeScript.HAN
+  /** JapaneseTokenizer.isPunctuation (ja/JapaneseTokenizer.java:1042-1066):
+    * separators/control/format + punctuation + symbol categories. The
+    * katakana block's middle dot U+30FB is OTHER_PUNCTUATION and must
+    * break runs (testDecomposition3's マシュー・ホプキンス); the prolonged
+    * sound mark U+30FC is MODIFIER_LETTER and must not. */
+  private def isPunct(c: Char): Boolean = Character.getType(c) match {
+    case Character.SPACE_SEPARATOR | Character.LINE_SEPARATOR |
+         Character.PARAGRAPH_SEPARATOR | Character.CONTROL |
+         Character.FORMAT | Character.DASH_PUNCTUATION |
+         Character.START_PUNCTUATION | Character.END_PUNCTUATION |
+         Character.CONNECTOR_PUNCTUATION | Character.OTHER_PUNCTUATION |
+         Character.MATH_SYMBOL | Character.CURRENCY_SYMBOL |
+         Character.MODIFIER_SYMBOL | Character.OTHER_SYMBOL |
+         Character.INITIAL_QUOTE_PUNCTUATION |
+         Character.FINAL_QUOTE_PUNCTUATION => true
+    case _ => false
+  }
+
+  private def isJa(c: Char): Boolean =
+    (isKatakanaChar(c) || isHiraganaChar(c) || isKanjiChar(c)) && !isPunct(c)
+
+  /** Minimum-cost segmentation of a Japanese-script run: cost =
+    * (tokens, unknown tokens), ties to the longest token at each
+    * position; unknown candidates follow the grouping classes (katakana
+    * run = one token, kanji/hiragana = one char). */
+  def segmentJa(s: String): Vector[String] = {
+    val n = s.length
+    if (n == 0) return Vector.empty
+    // dp(i) = (tokens, unknowns) of best split of s[i..); len(i) = chosen
+    // token length; unk(i) = chosen token is unknown
+    val dpTok = new Array[Int](n + 1)
+    val dpUnk = new Array[Int](n + 1)
+    val len = new Array[Int](n + 1)
+    var i = n - 1
+    while (i >= 0) {
+      // unknown candidate: grouped katakana run, else single char
+      val unkLen =
+        if (isKatakanaChar(s(i))) {
+          var j = i + 1
+          while (j < n && isKatakanaChar(s(j))) j += 1
+          j - i
+        } else 1
+      var bestTok = 1 + dpTok(i + unkLen)
+      var bestUnk = 1 + dpUnk(i + unkLen)
+      var bestLen = unkLen
+      var bestIsUnk = true
+      val maxL = math.min(maxWordLen, n - i)
+      var l = 1
+      while (l <= maxL) {
+        if (lexicon.contains(s.substring(i, i + l))) {
+          val t = 1 + dpTok(i + l)
+          val u = dpUnk(i + l)
+          if (t < bestTok || (t == bestTok && u < bestUnk) ||
+            (t == bestTok && u == bestUnk && (l > bestLen || bestIsUnk))) {
+            bestTok = t; bestUnk = u; bestLen = l; bestIsUnk = false
+          }
+        }
+        l += 1
+      }
+      dpTok(i) = bestTok; dpUnk(i) = bestUnk; len(i) = bestLen
+      i -= 1
+    }
+    val out = Vector.newBuilder[String]
+    var p = 0
+    while (p < n) { out += s.substring(p, p + len(p)); p += len(p) }
+    out.result()
+  }
+
+  /** Tokenize mixed text: Japanese-script runs through the lexicon DP,
+    * ASCII letter and digit runs one token each, other-script letters
+    * per char, punctuation/whitespace discarded (the tokenizer's
+    * discardPunctuation=true default — no position holes). */
+  def tokenize(text: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    val n = text.length
+    var i = 0
+    while (i < n) {
+      val c = text(i)
+      if (isJa(c)) {
+        val run = new StringBuilder
+        while (i < n && isJa(text(i))) { run += text(i); i += 1 }
+        out ++= segmentJa(run.result())
+      } else if (c.isLetter && c < 128) {
+        val run = new StringBuilder
+        while (i < n && text(i).isLetter && text(i) < 128) {
+          run += text(i); i += 1
+        }
+        out += run.result()
+      } else if (c.isDigit) {
+        val run = new StringBuilder
+        while (i < n && text(i).isDigit) { run += text(i); i += 1 }
+        out += run.result()
+      } else if (Character.isLetter(c)) {
+        out += String.valueOf(c); i += 1
+      } else i += 1 // punctuation / whitespace: discarded, no position
+    }
+    out.result()
+  }
+
+  /** JapaneseKatakanaStemFilter.stem (:50-70): all-katakana token of
+    * length >= 4 drops a trailing prolonged sound mark U+30FC. */
+  def katakanaStem(term: String, minimumLength: Int = 4): String =
+    if (term.length >= minimumLength && term.forall(isKatakanaChar) &&
+      term.last == 'ー') term.dropRight(1)
+    else term
+
+  /** Full chain as flat (terms, positions): width fold -> stop (gaps) ->
+    * katakana stem -> lowercase. */
+  def analyzeFlat(text: String,
+                  stops: Set[String] = stopSet): (Array[String], Array[Int]) = {
+    val toks = tokenize(text)
+    val terms = new Array[String](toks.length)
+    val positions = new Array[Int](toks.length)
+    var n = 0
+    var pos = -1
+    toks.foreach { t =>
+      pos += 1
+      val folded = MiscFilters.cjkWidth(t)
+      if (!stops.contains(folded)) {
+        terms(n) = Analyzer.lowerCase(katakanaStem(folded))
+        positions(n) = pos
+        n += 1
+      }
+    }
+    if (n == toks.length) (terms, positions)
+    else (java.util.Arrays.copyOf(terms, n),
+      java.util.Arrays.copyOf(positions, n))
+  }
+}

@@ -105,6 +105,11 @@ object IndexBuilder {
         // smartcn/SmartChineseAnalyzer.java chain)
         graft.analysis.SmartChinese.analyzeFlat(content,
           if (noStops) Set.empty else graft.analysis.SmartChinese.stopSet)
+      case "japanese" => // lexicon-DP Japanese word segmentation over the
+        // kuromoji FST surface lexicon (reference ja/JapaneseAnalyzer
+        // chain minus the cost-table stages — see analysis/Japanese)
+        graft.analysis.Japanese.analyzeFlat(content,
+          if (noStops) Set.empty else graft.analysis.Japanese.stopSet)
       case other =>
         val (iso, stem) = graft.analysis.LightStemmers.byName(other)
         // fr/it chains run ElisionFilter before lowercase, like the

@@ -129,10 +129,11 @@ final case class IndexConfig(
       * recall German/Dutch/Scandinavian compounds. */
     compoundDict: Seq[String] = Nil) {
   require(numDocParts > 0 && numBuckets > 0 && waves > 0)
-  require(analyzer == "standard" || analyzer == "english" ||
-    analyzer == "cjk" ||
+  require(Set("standard", "english", "cjk", "kstem", "thai", "smartcn",
+    "japanese").contains(analyzer) ||
     graft.analysis.LightStemmers.byName.contains(analyzer),
-    s"unknown analyzer '$analyzer' (standard | english | cjk | " +
+    s"unknown analyzer '$analyzer' (standard | english | cjk | kstem | " +
+      "thai | smartcn | japanese | " +
       graft.analysis.LightStemmers.byName.keys.toSeq.sorted.mkString(" | ") + ")")
 }
 
