@@ -2980,6 +2980,20 @@ object OracleQueries {
     // Japanese chain: reference segmentation of testDecomposition2's
     // sentence, ja stop set gaps (の@1, は@3, ば@7, なら@8, ない@9
     // stopped), per-doc digits at pos 10
+    // Iteration-mark normalization: 時々->時時 (kanji, variant 0 only),
+    // おゝの->おおの, ところゞゝゝ->ところどころ (kana, both variants)
+    "analysis_ja_itermark" ->
+      s"""WITH w AS (SELECT doc_id FROM documents
+         |           WHERE lang = 'en' AND doc_id % 11 = 3)
+         |SELECT doc_id, variant, norm FROM (
+         |  SELECT doc_id, CAST(0 AS BIGINT) AS variant,
+         |         '時時、おおの' || CAST(doc_id AS VARCHAR) ||
+         |         '。ところどころ。' AS norm FROM w
+         |  UNION ALL SELECT doc_id, 1,
+         |         '時々、おおの' || CAST(doc_id AS VARCHAR) ||
+         |         '。ところどころ。' FROM w
+         |) ORDER BY doc_id, variant""".stripMargin,
+
     "analysis_japanese" ->
       s"""WITH w AS (SELECT doc_id FROM documents
          |           WHERE lang = 'en' AND doc_id % 9 = 4)

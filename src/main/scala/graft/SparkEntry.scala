@@ -2251,6 +2251,24 @@ object SparkEntry {
       * reference parity; the chain's ja stop set then removes
       * の/は/ば/なら/ない with position gaps; a per-doc digit suffix
       * varies the last token. */
+    /** Japanese iteration-mark (odoriji) normalization (reference
+      * kuromoji JapaneseIterationMarkCharFilter — analysis/Japanese
+      * .iterationMarkNormalize): variant 0 = kanji+kana, variant 1 =
+      * kana-only; per-doc digit suffix varies the row. */
+    "analysis_ja_itermark" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .where(col("lang") === "en" && col("doc_id") % 11 === 3)
+        .select("doc_id").as[Long]
+        .flatMap { id =>
+          val src = s"時々、おゝの$id。ところゞゝゝ。"
+          Seq(
+            (id, 0L, graft.analysis.Japanese.iterationMarkNormalize(src)),
+            (id, 1L, graft.analysis.Japanese.iterationMarkNormalize(
+              src, normalizeKanji = false)))
+        }.toDF("doc_id", "variant", "norm").orderBy("doc_id", "variant")
+    }),
+
     "analysis_japanese" -> ((s, dir) => {
       import s.implicits._
       s.read.parquet(s"$dir/documents.parquet")

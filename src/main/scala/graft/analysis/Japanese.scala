@@ -158,6 +158,85 @@ object Japanese {
     out.result()
   }
 
+  // --- JapaneseIterationMarkCharFilter (kuromoji/.../ja/
+  // JapaneseIterationMarkCharFilter.java:46-462) -------------------------
+  // Hiragana dakuten map, indexed by (char - 0x304b); entries that map to
+  // themselves are already-voiced forms (the ゝ unvoiced mark then emits
+  // char-1). Verbatim table from the reference's static block (:86-136).
+  private val H2D: Array[Char] = {
+    val m = new Array[Char](50)
+    for (i <- m.indices) m(i) = (0x304b + i).toChar // default: self
+    val voiced = Seq(
+      0 -> 'が', 1 -> 'が', 2 -> 'ぎ', 3 -> 'ぎ', 4 -> 'ぐ', 5 -> 'ぐ',
+      6 -> 'げ', 7 -> 'げ', 8 -> 'ご', 9 -> 'ご', 10 -> 'ざ', 11 -> 'ざ',
+      12 -> 'じ', 13 -> 'じ', 14 -> 'ず', 15 -> 'ず', 16 -> 'ぜ',
+      17 -> 'ぜ', 18 -> 'ぞ', 19 -> 'ぞ', 20 -> 'だ', 21 -> 'だ',
+      22 -> 'ぢ', 23 -> 'ぢ', 25 -> 'づ', 26 -> 'づ', 27 -> 'で',
+      28 -> 'で', 29 -> 'ど', 30 -> 'ど', 36 -> 'ば', 37 -> 'ば',
+      39 -> 'び', 40 -> 'び', 42 -> 'ぶ', 43 -> 'ぶ', 45 -> 'べ',
+      46 -> 'べ', 48 -> 'ぼ', 49 -> 'ぼ')
+    voiced.foreach { case (i, c) => m(i) = c }
+    m
+  }
+  // Katakana map = hiragana map shifted by カ-か (:139-143)
+  private val K2D: Array[Char] = H2D.map(c => (c + ('カ' - 'か')).toChar)
+
+  private def dakutenLookup(c: Char, map: Array[Char], off: Char): Char =
+    if (c >= off && c < off + map.length) map(c - off) else c
+  private def isDakuten(c: Char, map: Array[Char], off: Char): Boolean =
+    c >= off && c < off + map.length && dakutenLookup(c, map, off) == c
+
+  /** Normalize horizontal iteration marks (odoriji) to their expanded
+    * form — string port of the reference's rolling-buffer char filter
+    * (JapaneseIterationMarkCharFilter.java): spans of marks repeat the
+    * same-length source run before them; a mark at the previous span's
+    * end (or at stream start / after 。 or a surrogate) is illegal and
+    * emitted as-is; ゝ/ヽ devoice an already-voiced source, ゞ/ヾ voice
+    * via the dakuten maps; kanji 々 copies the source char. The filter
+    * is length-preserving (correct() is identity, :458-461). */
+  def iterationMarkNormalize(s: String, normalizeKanji: Boolean = true,
+                             normalizeKana: Boolean = true): String = {
+    def isKanaMark(c: Char): Boolean = normalizeKana &&
+      (c == 'ゝ' || c == 'ゞ' || c == 'ヽ' || c == 'ヾ')
+    def isMark(c: Char): Boolean =
+      (normalizeKanji && c == '々') || isKanaMark(c)
+    def normalize(src: Char, m: Char): Char = m match {
+      case 'ゝ' => if (isDakuten(src, H2D, 'か')) (src - 1).toChar else src
+      case 'ゞ' => dakutenLookup(src, H2D, 'か')
+      case 'ヽ' => if (isDakuten(src, K2D, 'カ')) (src - 1).toChar else src
+      case 'ヾ' => dakutenLookup(src, K2D, 'カ')
+      case _ => src // kanji 々: plain repeat
+    }
+    val n = s.length
+    if (n == 0) return s
+    val out = new Array[Char](n)
+    var spanEnd = 0 // iterationMarkSpanEndPosition
+    var spanSize = 0 // iterationMarksSpanSize
+    var i = 0
+    while (i < n) {
+      var c = s(i)
+      if (Character.isHighSurrogate(c) || Character.isLowSurrogate(c) ||
+        c == '。') spanEnd = i + 1
+      if (isMark(c)) {
+        if (i < spanEnd) { // inside the current span
+          c = normalize(s(i - spanSize), c)
+        } else if (i == spanEnd) { // back-to-back span start: illegal
+          spanEnd += 1
+        } else { // new span
+          var sz = 0
+          while (i + sz < n && isMark(s(i + sz))) sz += 1
+          if (i - sz < spanEnd) sz = i - spanEnd
+          spanSize = sz
+          spanEnd = i + sz
+          c = normalize(s(i - spanSize), c)
+        }
+      }
+      out(i) = c
+      i += 1
+    }
+    new String(out)
+  }
+
   /** JapaneseKatakanaStemFilter.stem (:50-70): all-katakana token of
     * length >= 4 drops a trailing prolonged sound mark U+30FC. */
   def katakanaStem(term: String, minimumLength: Int = 4): String =

@@ -124,6 +124,71 @@ class JapaneseSpec extends AnyFunSuite {
       .map(_.path).collect().toSet == Set("a.txt"))
   }
 
+  test("iteration marks: TestJapaneseIterationMarkCharFilter vectors") {
+    val f = (s: String) => Japanese.iterationMarkNormalize(s)
+    // kanji (testKanji)
+    assert(f("時々") == "時時")
+    assert(f("馬鹿々々しい") == "馬鹿馬鹿しい")
+    // katakana (testKatakana)
+    assert(f("ミスヾ") == "ミスズ")
+    // hiragana (testHiragana)
+    assert(f("おゝの") == "おおの")
+    assert(f("みすゞ") == "みすず")
+    assert(f("じゞ") == "じじ")
+    assert(f("じゝ") == "じし")
+    assert(f("ところゞゝゝ") == "ところどころ")
+    // malformed (testMalformed)
+    assert(f("abcところゝゝゝゝ") == "abcところcところ")
+    assert(f("abcところゞゝゝゝ") == "abcところcところ")
+    assert(f("ところゞゝゝゞゝゞ") ==
+      "ところどころゞゝゞ")
+    assert(f("々") == "々")
+    assert(f("ゞ") == "ゞ")
+    assert(f("ゞゝ") == "ゞゝ")
+    assert(f("。ゝ") == "。ゝ")
+    assert(f("。。ゝゝ") == "。。ゝゝ")
+    assert(f("？ゝ") == "？？")
+    assert(f("ねやぽゞつむぴ") ==
+      "ねやぽぽつむぴ")
+    assert(f("ねやぽゝつむぴ") ==
+      "ねやぽぽつむぴ")
+    // empty + full stops (testEmpty, testFullStop)
+    assert(f("") == "")
+    assert(f("。") == "。")
+    assert(f("。。。") == "。。。")
+    // kanji-only / kana-only / none flags (testKanjiOnly/KanaOnly/None)
+    val sent = "時々、おゝのさんと一緒にお寿司が" +
+      "食べたいです。abcところゞゝゝ。"
+    assert(Japanese.iterationMarkNormalize(sent,
+      normalizeKanji = true, normalizeKana = false) ==
+      "時時、おゝのさんと一緒にお寿司が" +
+        "食べたいです。abcところゞゝゝ。")
+    assert(Japanese.iterationMarkNormalize(sent,
+      normalizeKanji = false, normalizeKana = true) ==
+      "時々、おおのさんと一緒にお寿司が" +
+        "食べたいです。abcところどころ。")
+    assert(Japanese.iterationMarkNormalize(sent,
+      normalizeKanji = false, normalizeKana = false) == sent)
+    // testCombinations
+    assert(f("時々、おゝのさんと一緒にお寿司を" +
+      "食べに行きます。") ==
+      "時時、おおのさんと一緒にお寿司を" +
+        "食べに行きます。")
+  }
+
+  test("iteration marks: full hiragana/katakana coverage sweeps") {
+    val f = (s: String) => Japanese.iterationMarkNormalize(s)
+    // testHiraganaCoverage: every unvoiced mark pair
+    assert(f("かゝがゝきゝぎゝくゝぐゝけゝげゝこゝごゝさゝざゝしゝじゝすゝずゝせゝぜゝそゝぞゝたゝだゝちゝぢゝつゝづゝてゝでゝとゝどゝはゝばゝひゝびゝふゝぶゝへゝべゝほゝぼゝ") ==
+      "かかがかききぎきくくぐくけけげけここごこささざさししじしすすずすせせぜせそそぞそたただたちちぢちつつづつててでてととどとははばはひひびひふふぶふへへべへほほぼほ")
+    // ... and every voiced mark pair
+    assert(f("かゞがゞきゞぎゞくゞぐゞけゞげゞこゞごゞさゞざゞしゞじゞすゞずゞせゞぜゞそゞぞゞたゞだゞちゞぢゞつゞづゞてゞでゞとゞどゞはゞばゞひゞびゞふゞぶゞへゞべゞほゞぼゞ") ==
+      "かがががきぎぎぎくぐぐぐけげげげこごごごさざざざしじじじすずずずせぜぜぜそぞぞぞただだだちぢぢぢつづづづてでででとどどどはばばばひびびびふぶぶぶへべべべほぼぼぼ")
+    // testKatakanaCoverage (unvoiced)
+    assert(f("カヽガヽキヽギヽクヽグヽケヽゲヽコヽゴヽサヽザヽシヽジヽスヽズヽセヽゼヽソヽゾヽタヽダヽチヽヂヽツヽヅヽテヽデヽトヽドヽハヽバヽヒヽビヽフヽブヽヘヽベヽホヽボヽ") ==
+      "カカガカキキギキククグクケケゲケココゴコササザサシシジシススズスセセゼセソソゾソタタダタチチヂチツツヅツテテデテトトドトハハバハヒヒビヒフフブフヘヘベヘホホボホ")
+  }
+
   test("mixed script: latin runs and digits tokenize like the reference") {
     val (terms, _) = Japanese.analyzeFlat(
       "Lucene 4リリース", stops = Set.empty)
