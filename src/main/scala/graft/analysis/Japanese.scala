@@ -127,23 +127,58 @@ object Japanese {
     out.result()
   }
 
+  /** A user dictionary (reference ja/dict/UserDictionary.java): entries
+    * (surface, custom segmentation). User entries outrank every lattice
+    * path in the reference (they carry a dominating low cost,
+    * UserDictionary.java WORD_COST=-100000), so the longest user surface
+    * matching at a position always wins and emits its segmentation. */
+  type UserDict = Seq[(String, Seq[String])]
+
+  /** Parse the reference's user-dict CSV lines
+    * ("surface,seg1 seg2 ...,readings,pos"; `#` comments). */
+  def parseUserDict(lines: Seq[String]): UserDict =
+    lines.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val cols = l.split(",")
+        (cols(0), cols(1).split(" ").toSeq)
+      }
+
   /** Tokenize mixed text: Japanese-script runs through the lexicon DP,
     * ASCII letter and digit runs one token each, other-script letters
     * per char, punctuation/whitespace discarded (the tokenizer's
-    * discardPunctuation=true default — no position holes). */
-  def tokenize(text: String): Vector[String] = {
+    * discardPunctuation=true default — no position holes). User-dict
+    * surfaces match first (longest wins) and emit their custom
+    * segmentation — TestJapaneseTokenizer.testUserDict1-3 semantics. */
+  def tokenize(text: String, userDict: UserDict = Nil): Vector[String] = {
+    val byLenDesc =
+      if (userDict.isEmpty) null
+      else userDict.sortBy(-_._1.length)
     val out = Vector.newBuilder[String]
     val n = text.length
+    // a user surface starting at p? (run loops break there so the user
+    // entry wins mid-run too, like a dominating-cost lattice edge)
+    def userAt(p: Int): (String, Seq[String]) =
+      if (byLenDesc == null) null
+      else byLenDesc.find { case (s, _) => text.startsWith(s, p) }.orNull
     var i = 0
     while (i < n) {
       val c = text(i)
-      if (isJa(c)) {
+      val user = userAt(i)
+      if (user != null) {
+        out ++= user._2
+        i += user._1.length
+      } else if (isJa(c)) {
         val run = new StringBuilder
-        while (i < n && isJa(text(i))) { run += text(i); i += 1 }
+        run += c; i += 1
+        while (i < n && isJa(text(i)) && userAt(i) == null) {
+          run += text(i); i += 1
+        }
         out ++= segmentJa(run.result())
       } else if (c.isLetter && c < 128) {
         val run = new StringBuilder
-        while (i < n && text(i).isLetter && text(i) < 128) {
+        run += c; i += 1
+        while (i < n && text(i).isLetter && text(i) < 128 &&
+          userAt(i) == null) {
           run += text(i); i += 1
         }
         out += run.result()
@@ -247,8 +282,9 @@ object Japanese {
   /** Full chain as flat (terms, positions): width fold -> stop (gaps) ->
     * katakana stem -> lowercase. */
   def analyzeFlat(text: String,
-                  stops: Set[String] = stopSet): (Array[String], Array[Int]) = {
-    val toks = tokenize(text)
+                  stops: Set[String] = stopSet,
+                  userDict: UserDict = Nil): (Array[String], Array[Int]) = {
+    val toks = tokenize(text, userDict)
     val terms = new Array[String](toks.length)
     val positions = new Array[Int](toks.length)
     var n = 0

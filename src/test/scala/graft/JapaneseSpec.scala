@@ -124,6 +124,35 @@ class JapaneseSpec extends AnyFunSuite {
       .map(_.path).collect().toSet == Set("a.txt"))
   }
 
+  test("user dictionary: TestJapaneseTokenizer.testUserDict1-3 vectors") {
+    // the reference test tree's own userdict.txt entries
+    val ud = Japanese.parseUserDict(Seq(
+      "# Custom segmentation for long entries",
+      "日本経済新聞,日本 経済 新聞,ニホン ケイザイ シンブン,カスタム名詞",
+      "関西国際空港,関西 国際 空港,カンサイ コクサイ クウコウ,テスト名詞",
+      "朝青龍,朝青龍,アサショウリュウ,カスタム人名",
+      "abcd,a b cd,foo1 foo2 foo3,bar",
+      "abcdefg,ab cd efg,foo1 foo2 foo4,bar"))
+    assert(ud.size == 5)
+    // testUserDict: custom segmentation of 関西国際空港
+    assert(Japanese.tokenize("関西国際空港に行った", ud) ==
+      Vector("関西", "国際", "空港", "に",
+        "行っ", "た"))
+    // testUserDict2: single-token user entry (w/o the dict it's 朝|青龍)
+    assert(Japanese.tokenize("朝青龍", ud) ==
+      Vector("朝青龍"))
+    assert(Japanese.tokenize("朝青龍") !=
+      Vector("朝青龍"))
+    // testUserDict3: ASCII surface splitting into multiple tokens
+    assert(Japanese.tokenize("abcd", ud) ==
+      Vector("a", "b", "cd"))
+    // longest surface wins; a user surface mid-run still matches
+    assert(Japanese.tokenize("abcdefg", ud) ==
+      Vector("ab", "cd", "efg"))
+    assert(Japanese.tokenize("xx朝青龍xx", ud) ==
+      Vector("xx", "朝青龍", "xx"))
+  }
+
   test("iteration marks: TestJapaneseIterationMarkCharFilter vectors") {
     val f = (s: String) => Japanese.iterationMarkNormalize(s)
     // kanji (testKanji)
