@@ -218,6 +218,27 @@ class JapaneseSpec extends AnyFunSuite {
       "カカガカキキギキククグクケケゲケココゴコササザサシシジシススズスセセゼセソソゾソタタダタチチヂチツツヅツテテデテトトドトハハバハヒヒビヒフフブフヘヘベヘホホボホ")
   }
 
+  test("large-doc reliability: bocchan corpus round-trips (testLargeDocReliability)") {
+    // the kuromoji test tree's own 305KB natural-Japanese corpus
+    val in = getClass.getResourceAsStream("/ja/bocchan.utf-8")
+    val doc = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val toks = Japanese.tokenize(doc)
+    assert(toks.nonEmpty && toks.forall(_.nonEmpty))
+    // segmentation is a partition of the non-discarded text: re-joining
+    // the tokens reproduces the input minus punctuation/whitespace
+    // (tokenize keeps exactly the letter/digit chars: Ja runs partition
+    // fully, ASCII runs keep all, other-script letters emit per char,
+    // punctuation/whitespace/surrogates are discarded)
+    val kept = doc.filter(Character.isLetterOrDigit)
+    assert(toks.mkString == kept)
+    // the lexicon DP finds real words, not char soup: multi-char tokens
+    // dominate a natural-Japanese corpus
+    val multi = toks.count(_.length > 1)
+    assert(multi.toDouble / toks.size > 0.5,
+      s"multi-char ratio ${multi.toDouble / toks.size}")
+  }
+
   test("mixed script: latin runs and digits tokenize like the reference") {
     val (terms, _) = Japanese.analyzeFlat(
       "Lucene 4リリース", stops = Set.empty)
