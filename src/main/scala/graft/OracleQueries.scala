@@ -3014,6 +3014,17 @@ object OracleQueries {
          |FROM documents WHERE lang = 'en' AND doc_id % 11 = 6
          |ORDER BY doc_id""".stripMargin,
 
+    // Segmented-Japanese statistics: each repetition of the sentence
+    // yields 5 post-stop terms (麻薬 密売 根こそぎ
+    // 絶やさ なけれ; の/は/ば/なら/ない stopped),
+    // identical across repetitions
+    "ja_token_stats" ->
+      s"""SELECT doc_id,
+         |       CAST(5 * (doc_id % 3 + 1) AS BIGINT) AS n_tokens,
+         |       CAST(5 AS BIGINT) AS n_distinct
+         |FROM documents WHERE lang = 'en' AND doc_id % 11 = 7
+         |ORDER BY doc_id""".stripMargin,
+
     // Hyphenation-grammar compounds: only læsehest decomposes (læse +
     // hest at its position); everything else passes through
     "ft_compound_hyph" ->

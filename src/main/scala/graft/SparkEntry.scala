@@ -2297,6 +2297,25 @@ object SparkEntry {
         }.toDF("doc_id", "n_tokens", "n_distinct").orderBy("doc_id")
     }),
 
+    /** Token statistics on SEGMENTED Japanese (mirror of zh_token_stats:
+      * the LLM-pipeline stat the CJK bigram fallback skewed): n_tokens /
+      * n_distinct over lexicon-DP tokens after the ja stop set, repeat
+      * count varying per doc. */
+    "ja_token_stats" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .where(col("lang") === "en" && col("doc_id") % 11 === 7)
+        .select("doc_id").as[Long]
+        .map { id =>
+          val k = (id % 3 + 1).toInt
+          val ja = Array.fill(k)(
+            "麻薬の密売は根こそぎ絶やさなければならない")
+            .mkString("。")
+          val toks = graft.analysis.Japanese.analyzeFlat(ja)._1
+          (id, toks.length.toLong, toks.distinct.length.toLong)
+        }.toDF("doc_id", "n_tokens", "n_distinct").orderBy("doc_id")
+    }),
+
     /** Grammar-based compound decomposition (compound/
       * HyphenationCompoundWordTokenFilter.java:36, da_UTF8.xml grammar):
       * the reference's own test sentence decomposes læsehest -> læse +

@@ -218,6 +218,76 @@ class JapaneseSpec extends AnyFunSuite {
       "カカガカキキギキククグクケケゲケココゴコササザサシシジシススズスセセゼセソソゾソタタダタチチヂチツツヅツテテデテトトドトハハバハヒヒビヒフフブフヘヘベヘホホボホ")
   }
 
+  test("FST enumeration is strictly lexicographic (arc order == sorted order)") {
+    // a DFS over a correct FST visits accepted strings in strict
+    // lexicographic order; any mis-read arc/target would break it
+    var prev: String = null
+    var n = 0
+    var ordered = true
+    graft.analysis.LuceneFst.load(
+      getClass.getResourceAsStream("/graft/kuromoji/tokeninfo_fst.dat"))
+      .foreachEntry { (s, _) =>
+        if (prev != null && s.compareTo(prev) <= 0) ordered = false
+        prev = s; n += 1
+      }
+    assert(ordered, "enumeration out of order")
+    assert(n == 325871)
+  }
+
+  test("segmentJa DP matches brute-force optimal cost (500 random kanji strings)") {
+    // independent re-derivation: enumerate ALL segmentations over the
+    // same candidate set (lexicon matches + the single grouped-unknown
+    // candidate) and check the DP's (tokens, unknowns) cost is minimal
+    // and its tie-break (longest token at each position) is respected
+    val rnd = new scala.util.Random(42)
+    // chars drawn from real lexicon words so matches actually occur
+    val pool = "麻薬の密売は根こそぎ絶やさなければならない魔女狩大将学生試験日本語経済新聞".toCharArray
+    def bruteCost(s: String): (Int, Int) = {
+      val memo = new java.util.HashMap[Int, (Int, Int)]
+      def best(i: Int): (Int, Int) =
+        if (i >= s.length) (0, 0)
+        else {
+          val c = memo.get(i)
+          if (c != null) c
+          else {
+            var b: (Int, Int) = null
+            // unknown candidate: grouped katakana run, else one char
+            val unkLen =
+              if (Character.UnicodeBlock.of(s(i)) ==
+                Character.UnicodeBlock.KATAKANA) {
+                var j = i + 1
+                while (j < s.length && Character.UnicodeBlock.of(s(j)) ==
+                  Character.UnicodeBlock.KATAKANA) j += 1
+                j - i
+              } else 1
+            val u = best(i + unkLen)
+            b = (u._1 + 1, u._2 + 1)
+            var l = 1
+            while (l <= s.length - i) {
+              if (Japanese.lexicon.contains(s.substring(i, i + l))) {
+                val t = best(i + l)
+                val cand = (t._1 + 1, t._2)
+                if (cand._1 < b._1 || (cand._1 == b._1 && cand._2 < b._2))
+                  b = cand
+              }
+              l += 1
+            }
+            memo.put(i, b); b
+          }
+        }
+      best(0)
+    }
+    for (_ <- 1 to 500) {
+      val s = Array.fill(2 + rnd.nextInt(9))(
+        pool(rnd.nextInt(pool.length))).mkString
+      val toks = Japanese.segmentJa(s)
+      assert(toks.mkString == s, s"not a partition of '$s'")
+      val unk = toks.count(t => !Japanese.lexicon.contains(t))
+      assert((toks.length, unk) == bruteCost(s),
+        s"'$s': DP ${(toks.length, unk)} vs brute ${bruteCost(s)}")
+    }
+  }
+
   test("large-doc reliability: bocchan corpus round-trips (testLargeDocReliability)") {
     // the kuromoji test tree's own 305KB natural-Japanese corpus
     val in = getClass.getResourceAsStream("/ja/bocchan.utf-8")
