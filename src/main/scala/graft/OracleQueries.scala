@@ -222,11 +222,17 @@ object OracleQueries {
          |          ON levenshtein(v.term, s.seed) <= 2
          |        WHERE 1.0 - CAST(levenshtein(v.term, s.seed) AS DOUBLE) /
          |            least(len(v.term), len(s.seed)) > 0.5),
+         |-- df averaged over ALL variants (reference totalVariantDocFreqs /
+         |-- numVariants, FuzzyLikeThisQuery.java:237-241, BEFORE the cap);
+         |-- only the top MAX_VARIANTS_PER_TERM=50 variants then score
          |dfu AS (SELECT seed, sum(df) // count(*) AS df_used FROM acc GROUP BY seed),
+         |capped AS (SELECT * FROM acc
+         |           QUALIFY row_number() OVER (PARTITION BY seed
+         |             ORDER BY sim DESC, term) <= 50),
          |scored AS (SELECT a.term,
          |             ((a.sim - 0.5) * 2) * ((a.sim - 0.5) * 2) *
          |             ln(1 + (cs.n - d.df_used + 0.5) / (d.df_used + 0.5)) AS sv
-         |           FROM acc a JOIN dfu d ON d.seed = a.seed, cs),
+         |           FROM capped a JOIN dfu d ON d.seed = a.seed, cs),
          |agg AS (SELECT t.doc_id, sum(sv) AS score
          |        FROM (SELECT DISTINCT doc_id, term FROM tokens) t
          |        JOIN scored ON scored.term = t.term GROUP BY t.doc_id)

@@ -3331,7 +3331,9 @@ object SparkEntry {
           val dfSeed = r.termStats(Seq(seed)).get(seed).map(_.df).getOrElse(0L)
           val dfUsed =
             if (dfSeed > 0) dfSeed else acc.map(_._1.df).sum / acc.length
-          acc.sortBy { case (t, b) => (-b, t.term) }.take(10)
+          // MAX_VARIANTS_PER_TERM = 50 (FuzzyLikeThisQuery.java:67);
+          // mirrored in the oracle's per-seed row_number cap
+          acc.sortBy { case (t, b) => (-b, t.term) }.take(50)
             .map { case (t, b) =>
               t.term -> b * b * graft.search.BM25.idf(dfUsed, r.collStats.maxDoc)
             }

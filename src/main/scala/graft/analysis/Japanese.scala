@@ -184,7 +184,10 @@ object Japanese {
         out += run.result()
       } else if (c.isDigit) {
         val run = new StringBuilder
-        while (i < n && text(i).isDigit) { run += text(i); i += 1 }
+        run += c; i += 1
+        while (i < n && text(i).isDigit && userAt(i) == null) {
+          run += text(i); i += 1
+        }
         out += run.result()
       } else if (Character.isLetter(c)) {
         out += String.valueOf(c); i += 1

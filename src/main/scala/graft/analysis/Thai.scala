@@ -24,6 +24,12 @@ object Thai {
   /** Raw segmentation: every boundary pair whose first code point is a
     * letter or digit (ThaiTokenizer.incrementWord). */
   def tokenize(text: String): Vector[String] = {
+    // fail like the reference (ThaiTokenizer.java:60-62 throws
+    // UnsupportedOperationException) rather than silently mis-segmenting
+    // with the default word iterator on a JRE without Thai dictionary
+    // break support
+    if (!available) throw new UnsupportedOperationException(
+      "This JRE does not have support for Thai segmentation")
     val out = Vector.newBuilder[String]
     val sent = BreakIterator.getSentenceInstance(Locale.ROOT)
     sent.setText(text)

@@ -112,9 +112,11 @@ final class JoinScorer(reader: SearchReader) {
           .map(_.term), b))
       case (o, fq @ FuzzyQ(t, e), b) =>
         (o, fq, ConstSet(reader.fuzzyTerms(t, e).map(_.term), b))
-      case (o, rq @ RangeQ(lo, hi), b) =>
+      case (o, rq @ RangeQ(lo, hi, incLo, incHi), b) =>
+        val loP = if (incLo) $"term" >= lo else $"term" > lo
+        val hiP = if (incHi) $"term" <= hi else $"term" < hi
         (o, rq, ConstSet(reader.expandTerms(
-          $"term" >= lo && $"term" < hi && fieldGuard(lo)).map(_.term), b))
+          loP && hiP && fieldGuard(lo)).map(_.term), b))
       case (o, MatchAllQ, b) => (o, MatchAllQ, MatchAll(b))
       case (_, other, _) =>
         throw new IllegalArgumentException(s"cannot rewrite $other")

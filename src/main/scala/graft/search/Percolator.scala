@@ -60,8 +60,10 @@ object Percolator {
         math.abs(k.length - t.length) <= maxEdits &&
           org.apache.commons.text.similarity.LevenshteinDistance
             .getDefaultInstance.apply(k, t) <= maxEdits)
-    case RangeQ(lo, hi) =>
-      ix.keysIterator.exists(t => t >= lo && t <= hi)
+    case RangeQ(lo, hi, incLo, incHi) =>
+      ix.keysIterator.exists(t =>
+        (if (incLo) t >= lo else t > lo) &&
+          (if (incHi) t <= hi else t < hi))
     case PhraseQ(ts, rel) =>
       val posLists = ts.map(ix.getOrElse(_, Vector.empty))
       posLists.head.exists(p0 =>

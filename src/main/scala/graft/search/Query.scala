@@ -32,10 +32,15 @@ final case class MultiPhraseQ(slots: Seq[Seq[String]],
 final case class PrefixQ(prefix: String) extends Query
 final case class WildcardQ(pattern: String) extends Query
 final case class FuzzyQ(term: String, maxEdits: Int = 2) extends Query
-/** Term range [lo, hi) over the term dictionary (reference
-  * search/TermRangeQuery.java; rewrites to a constant-score set like the
-  * other multi-term queries). */
-final case class RangeQ(lo: String, hi: String) extends Query
+/** Term range over the term dictionary (reference
+  * search/TermRangeQuery.java with its includeLower/includeUpper flags;
+  * rewrites to a constant-score set like the other multi-term queries).
+  * Defaults to [lo, hi) — the engine's historical bound shape; the XML
+  * builders pass both flags (reference RangeFilterBuilder.java:41-42
+  * defaults BOTH inclusive). */
+final case class RangeQ(lo: String, hi: String,
+                        incLo: Boolean = true,
+                        incHi: Boolean = false) extends Query
 /** Regexp over the term dictionary (reference search/RegexpQuery.java;
   * rewrites to a constant-score term set like the other multi-term
   * queries). Pattern is anchored (must match the whole term). */

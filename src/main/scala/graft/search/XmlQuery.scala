@@ -103,8 +103,12 @@ object XmlQuery {
         case "contents" | "" => ""
         case f => f + ":"
       }
+      // reference RangeFilterBuilder.java:41-42: includeLower /
+      // includeUpper default TRUE (both bounds inclusive)
       RangeQ(fieldPrefix + attr(e, "lowerTerm", ""),
-        fieldPrefix + attr(e, "upperTerm", "￿"))
+        fieldPrefix + attr(e, "upperTerm", "￿"),
+        incLo = attr(e, "includeLower", "true").toBoolean,
+        incHi = attr(e, "includeUpper", "true").toBoolean)
     case "ConstantScoreQuery" | "CachedFilter" =>
       // one filter child; constant-scored set == a Filter-only BoolQ plus
       // MatchAll scoring (ConstantScoreQueryBuilder.java wraps the filter)

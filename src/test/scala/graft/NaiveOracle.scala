@@ -109,8 +109,10 @@ object NaiveOracle {
       case RegexpQ(pat) =>
         val rx = ("^" + pat + "$").r
         constSet(allTerms.filter(t => rx.findFirstIn(t).isDefined), boost)
-      case RangeQ(lo, hi) =>
-        constSet(allTerms.filter(t => t >= lo && t < hi), boost)
+      case RangeQ(lo, hi, incLo, incHi) =>
+        constSet(allTerms.filter(t =>
+          (if (incLo) t >= lo else t > lo) &&
+            (if (incHi) t <= hi else t < hi)), boost)
       case PrefixQ(p) => constSet(allTerms.filter(_.startsWith(p)), boost)
       case WildcardQ(pat) =>
         val rx = ("^" + pat.flatMap {

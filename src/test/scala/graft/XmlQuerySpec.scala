@@ -57,7 +57,7 @@ class XmlQuerySpec extends AnyFunSuite {
         |</BooleanQuery>""".stripMargin
     assert(XmlQuery.parseQuery(xml) === BoolQ(Seq(
       (Must, MatchAllQ),
-      (Filter, RangeQ("date:19870409", "date:19870412")))))
+      (Filter, RangeQ("date:19870409", "date:19870412", incLo = true, incHi = true)))))
   }
 
   test("UserQuery lowers through the classic QueryParser") {
@@ -71,7 +71,7 @@ class XmlQuerySpec extends AnyFunSuite {
         |  <RangeQuery fieldName="date" lowerTerm="19870409" upperTerm="19870412"/>
         |</ConstantScoreQuery>""".stripMargin)
     assert(q === BoolQ(Seq(
-      (Filter, RangeQ("date:19870409", "date:19870412")), (Must, MatchAllQ))))
+      (Filter, RangeQ("date:19870409", "date:19870412", incLo = true, incHi = true)), (Must, MatchAllQ))))
   }
 
   test("FilteredQuery / RangeFilter / TermsFilter / BooleanFilter lower to Filter clauses") {
@@ -92,7 +92,7 @@ class XmlQuerySpec extends AnyFunSuite {
     assert(XmlQuery.parseQuery(xml) === BoolQ(Seq(
       (Must, TermQ("bank")),
       (Filter, BoolQ(Seq(
-        (Should, RangeQ("date:19870409", "date:19870412")),
+        (Should, RangeQ("date:19870409", "date:19870412", incLo = true, incHi = true)),
         (MustNot, BoolQ(Seq((Should, TermQ("emcore")))))))))))
   }
 
