@@ -18,6 +18,32 @@ final case class TermPos(term: String, position: Int)
   */
 object Analyzer {
 
+  /** Shared StopFilter-with-position-gaps tail of a flat analysis chain
+    * (FilteringTokenFilter.java:49-63 posInc contract): each token is
+    * keyed by `key` (the form the stop set is tested against), stopped
+    * tokens leave a position gap, and survivors emit `emit(key(token))`.
+    * Used by the segmenting analyzers (Japanese / Thai / SmartChinese)
+    * whose chains differ only in these two transforms. */
+  def stopGapFlat(toks: IndexedSeq[String], stops: Set[String],
+                  key: String => String,
+                  emit: String => String = identity)
+  : (Array[String], Array[Int]) = {
+    val terms = new Array[String](toks.length)
+    val positions = new Array[Int](toks.length)
+    var n = 0
+    var pos = -1
+    toks.foreach { t =>
+      pos += 1
+      val k = key(t)
+      if (!stops.contains(k)) {
+        terms(n) = emit(k); positions(n) = pos; n += 1
+      }
+    }
+    if (n == toks.length) (terms, positions)
+    else (java.util.Arrays.copyOf(terms, n),
+      java.util.Arrays.copyOf(positions, n))
+  }
+
   /** Codepoint-wise lowercase, as CharacterUtils.toLowerCase does.
     * Fast path: if no codepoint changes (the common case for source-code
     * and already-lowercase corpora), the input string is returned as-is —

@@ -286,23 +286,8 @@ object Japanese {
     * katakana stem -> lowercase. */
   def analyzeFlat(text: String,
                   stops: Set[String] = stopSet,
-                  userDict: UserDict = Nil): (Array[String], Array[Int]) = {
-    val toks = tokenize(text, userDict)
-    val terms = new Array[String](toks.length)
-    val positions = new Array[Int](toks.length)
-    var n = 0
-    var pos = -1
-    toks.foreach { t =>
-      pos += 1
-      val folded = MiscFilters.cjkWidth(t)
-      if (!stops.contains(folded)) {
-        terms(n) = Analyzer.lowerCase(katakanaStem(folded))
-        positions(n) = pos
-        n += 1
-      }
-    }
-    if (n == toks.length) (terms, positions)
-    else (java.util.Arrays.copyOf(terms, n),
-      java.util.Arrays.copyOf(positions, n))
-  }
+                  userDict: UserDict = Nil): (Array[String], Array[Int]) =
+    Analyzer.stopGapFlat(tokenize(text, userDict), stops,
+      key = MiscFilters.cjkWidth,
+      emit = f => Analyzer.lowerCase(katakanaStem(f)))
 }

@@ -166,24 +166,10 @@ object SmartChinese {
     * lowercase + Porter stem (ASCII-only effect) + stop set with
     * position gaps. */
   def analyzeFlat(text: String,
-                  stops: Set[String] = stopSet): (Array[String], Array[Int]) = {
-    val toks = tokenize(text)
-    val terms = new Array[String](toks.length)
-    val positions = new Array[Int](toks.length)
-    var n = 0
-    var pos = -1
-    toks.foreach { t =>
-      pos += 1
+                  stops: Set[String] = stopSet): (Array[String], Array[Int]) =
+    Analyzer.stopGapFlat(tokenize(text), stops, key = { t =>
       val lower = Analyzer.lowerCase(t)
-      val term =
-        if (lower.nonEmpty && lower(0) < 128) PorterStemmer.stem(lower)
-        else lower
-      if (!stops.contains(term)) {
-        terms(n) = term; positions(n) = pos; n += 1
-      }
-    }
-    if (n == toks.length) (terms, positions)
-    else (java.util.Arrays.copyOf(terms, n),
-      java.util.Arrays.copyOf(positions, n))
-  }
+      if (lower.nonEmpty && lower(0) < 128) PorterStemmer.stem(lower)
+      else lower
+    })
 }

@@ -56,21 +56,6 @@ object Thai {
   /** Full ThaiAnalyzer chain as flat (terms, positions): lowercase then
     * stop-filter with position gaps (StopFilter's posInc contract). */
   def analyzeFlat(text: String,
-                  stopSet: Set[String]): (Array[String], Array[Int]) = {
-    val toks = tokenize(text)
-    val terms = new Array[String](toks.length)
-    val positions = new Array[Int](toks.length)
-    var n = 0
-    var pos = -1
-    toks.foreach { t =>
-      pos += 1
-      val term = Analyzer.lowerCase(t)
-      if (!stopSet.contains(term)) {
-        terms(n) = term; positions(n) = pos; n += 1
-      }
-    }
-    if (n == toks.length) (terms, positions)
-    else (java.util.Arrays.copyOf(terms, n),
-      java.util.Arrays.copyOf(positions, n))
-  }
+                  stopSet: Set[String]): (Array[String], Array[Int]) =
+    Analyzer.stopGapFlat(tokenize(text), stopSet, key = Analyzer.lowerCase)
 }
