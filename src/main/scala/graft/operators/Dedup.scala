@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
@@ -95,20 +96,43 @@ object Dedup {
       explode(array_distinct(
         TextFns.shingles(TextFns.tokensAll(col(text)), k))).as("shingle"))
 
-  /** Exact Jaccard over shingle sets for every pair sharing >=1 shingle
-    * (the LSH-free baseline): (a, b, jaccard) with jaccard >= threshold,
-    * a < b. */
+  /** EXACT Jaccard >= threshold pairs via prefix filtering (the
+    * SSJoin/PPJoin candidate bound): under a global shingle order
+    * (ascending corpus df, rarest first), J(A,B) >= t implies
+    * |A∩B| >= ceil(t·max(|A|,|B|)), and two sets with |A∩B| >= α must
+    * share an element within their (n-α+1)-prefixes — so candidates are
+    * pairs sharing a PREFIX shingle only, never the full inverted-index
+    * self-join. Verification computes exact Jaccard on the collected
+    * shingle sets per candidate (per-pair array_intersect, no
+    * re-expansion). Same output as the naive shared-shingle join
+    * (t:NgramJaccardSpec pins the equivalence, incl. a corpus-hot
+    * shingle case); join width is bounded by
+    * prefix-bucket sizes — and prefixes hold each doc's RAREST shingles,
+    * so corpus-hot shingles stay out of the join. */
   def ngramJaccard(docs: DataFrame, k: Int, threshold: Double,
                    id: String = "doc_id", text: String = "text"): DataFrame = {
     val sh = docShingles(docs, k, id, text).cache()
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("x").join(sh.as("y"),
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val byId = Window.partitionBy(col("id"))
+    val ranked = sh.join(dfreq, "shingle")
+      .withColumn("n", count(lit(1)).over(byId))
+      .withColumn("rn", row_number().over(
+        byId.orderBy(col("df"), col("shingle"))))
+    val prefix = ranked
+      .where(col("rn") <= col("n") - ceil(col("n") * lit(threshold)) + 1)
+      .select(col("id"), col("shingle"))
+    val cand = prefix.as("x").join(prefix.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n", "na"), "a")
-      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n", "nb"), "b")
+      .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+    val sets = sh.groupBy(col("id"))
+      .agg(collect_set(col("shingle")).as("ss"), count(lit(1)).as("n"))
+    cand
+      .join(sets.select(col("id").as("a"), col("ss").as("sa"),
+        col("n").as("na")), "a")
+      .join(sets.select(col("id").as("b"), col("ss").as("sb"),
+        col("n").as("nb")), "b")
+      .withColumn("inter",
+        size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .select(col("a"), col("b"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
