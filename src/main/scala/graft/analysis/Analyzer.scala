@@ -345,8 +345,13 @@ object Analyzer {
     * Returns (terms, positions, fieldLength) where fieldLength counts
     * DISTINCT positions: injected tokens are overlaps and must not
     * inflate the BM25 norm (discountOverlaps, BM25Similarity.java:138).
-    * Output array order keeps every term's positions non-descending, the
-    * invariant the postings position-delta encoder needs. */
+    * NOTE: output array order does NOT guarantee per-term ascending
+    * positions (an RHS longer than its LHS can emit a tail token at a
+    * LATER position than a later original occurrence of the same term —
+    * e.g. rule a->[q,r,t] over [a,t] emits t@2 before t@1). The postings
+    * encoder is safe because IndexBuilder.invertDoc re-sorts by
+    * (term, position) before delta-encoding; any NEW caller that
+    * delta-encodes this output directly must do the same. */
   def applySynonymsFlat(terms: Array[String], positions: Array[Int],
                         rules: Seq[SynRule]): (Array[String], Array[Int], Int) = {
     if (rules.isEmpty || terms.isEmpty) {

@@ -116,12 +116,21 @@ object CheckIndex {
         .count()
     }
 
-    // every tombstone must reference a docId that exists in this
-    // sub-index's docmeta (a dangling tombstone means a corrupt deletes
-    // file or one written against the wrong index)
-    val delBad = reader.deletedDocs.map(del =>
+    // every tombstone must reference a docId that exists SOMEWHERE in the
+    // collection. Tombstones are collection-scoped: updateDocs writes a
+    // delta-resident doc's tombstone into the BASE dir's deletes/, so the
+    // anti-join must run against the union of docmeta across base + delta
+    // sub-indexes, not this sub-index alone (else a healthy updated index
+    // is flagged corrupt)
+    val delBad = reader.deletedDocs.map { del =>
+      val collectionDocs = IndexBuilder.subIndexDirs(reader.dir)
+        .filter(d => IndexBuilder.stageDone(d, "done"))
+        .map(d => spark.read.parquet(s"$d/segments").select($"docId"))
+        .reduceOption(_ union _)
+        .getOrElse(dm.select($"docId"))
       del.select($"docId").distinct()
-        .join(dm.select($"docId"), Seq("docId"), "left_anti").count())
+        .join(collectionDocs, Seq("docId"), "left_anti").count()
+    }
 
     val rows = Seq(
       CheckResult("block_invariants", blockBad),

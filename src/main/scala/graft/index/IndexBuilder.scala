@@ -415,20 +415,26 @@ object IndexBuilder {
     // layout and skew, never results — IndexMaintenanceSpec proves both
     // extremes identical). Sample seed is fixed, the sampled frame is the
     // committed segments parquet, so resumes see the same hot set.
-    val hotTerms: Set[String] = timed("hotterms") {
-      if (cfg.hotDfThreshold > collStats.maxDoc) Set.empty
-      else {
-        val f = math.min(1.0, 500.0 / cfg.hotDfThreshold)
-        val sampled = if (f >= 1.0) segments else segments.sample(f, 42L)
-        val minC = math.max(1L, math.ceil(cfg.hotDfThreshold * f).toLong)
-        sampled.select(explode($"postings.term").as("term"))
-          .groupBy($"term").agg(count(lit(1)).as("c"))
-          .where($"c" >= minC)
-          .select("term").as[String].collect().toSet
-      }
+    // LAZY: the sampled scan + driver collect runs only when a postings
+    // wave actually needs the hot set — an idempotent re-delivery of an
+    // already-completed build (every wave marker present) skips it
+    // entirely instead of re-scanning segments on every resume
+    lazy val hotTerms: Set[String] = timed("hotterms") {
+      val hs =
+        if (cfg.hotDfThreshold > collStats.maxDoc) Set.empty[String]
+        else {
+          val f = math.min(1.0, 500.0 / cfg.hotDfThreshold)
+          val sampled = if (f >= 1.0) segments else segments.sample(f, 42L)
+          val minC = math.max(1L, math.ceil(cfg.hotDfThreshold * f).toLong)
+          sampled.select(explode($"postings.term").as("term"))
+            .groupBy($"term").agg(count(lit(1)).as("c"))
+            .where($"c" >= minC)
+            .select("term").as[String].collect().toSet
+        }
+      if (!stageDone(dir, "hotterms"))
+        writeMarker(dir, "hotterms", Map("count" -> hs.size.toLong))
+      hs
     }
-    if (!stageDone(dir, "hotterms"))
-      writeMarker(dir, "hotterms", Map("count" -> hotTerms.size.toLong))
 
     // ---- stage 4: global merge -> compressed blocks, per wave ----
     // per-field norm caches: the WAND bound (maxPartial) must be computed
@@ -686,7 +692,11 @@ object IndexBuilder {
   def deleteByQuery(spark: SparkSession, dir: String, cfg: IndexConfig,
                     q: graft.search.BoolQ): Long = withWriteLock(dir) {
     import spark.implicits._
-    val r = new IndexReader(spark, dir, cfg.numBuckets, cacheData = false)
+    // whole-collection scope (Solr deleteByQuery): base PLUS every
+    // committed delta sub-index — a bare IndexReader(dir) would silently
+    // skip docs living in appended deltas
+    val r = MultiIndexReader.open(spark, dir, cfg.numBuckets,
+      cacheData = false)
     val matched = new graft.search.JoinScorer(r).scores(q)
       .map(_._1).toDF("docId")
     deleteDocsLocked(spark, dir, matched)
@@ -802,11 +812,18 @@ object IndexBuilder {
                  outLo: String, outHi: String, midDocId: Long,
                  cfg: IndexConfig): (String, String) = {
     import org.apache.spark.sql.functions.col
-    val segs = spark.read.parquet(s"$baseDir/segments")
+    // whole-collection scope like compact(): union base + delta
+    // sub-indexes so appended docs and their tombstones follow the split
+    // (a bare baseDir read would silently drop every delta doc from both
+    // children and could resurrect delta-tombstoned docs)
+    val allDirs = subIndexDirs(baseDir)
+    val segs = allDirs.map(d => spark.read.parquet(s"$d/segments"))
+      .reduce(_ union _)
+    val delDirs = allDirs.filter(d => Files.exists(Paths.get(d, "deletes")))
     val dels =
-      if (Files.exists(Paths.get(baseDir, "deletes")))
-        Some(spark.read.parquet(s"$baseDir/deletes"))
-      else None
+      if (delDirs.isEmpty) None
+      else Some(delDirs.map(d => spark.read.parquet(s"$d/deletes"))
+        .reduce(_ union _).distinct())
     Seq(outLo -> (col("docId") < midDocId),
         outHi -> (col("docId") >= midDocId)).foreach { case (out, pred) =>
       segs.where(pred).write.mode("overwrite")

@@ -43,7 +43,12 @@ final class WandScorer(reader: SearchReader) {
     // weights in clause order (clause order = position in `terms`)
     val wvs: Array[Float] = present.map(t =>
       BM25.weightValue(BM25.idf(stats(t).df, maxDoc))).toArray
-    val termIdx: Map[String, Int] = present.zipWithIndex.toMap
+    // term -> ALL clause indices bearing it: duplicate clauses each get
+    // their own cursor over the same blocks, exactly like JoinScorer's
+    // one-frame-per-clause semantics (a Map to a single index would
+    // silently drop duplicate clauses and break rank identity / msm)
+    val termIdx: Map[String, Seq[Int]] = present.zipWithIndex
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     // per-clause norm cache (a clause's field decides its avgdl)
     val caches: Array[Array[Float]] = present.map(t =>
       reader.normCacheFor(graft.index.IndexBuilder.fieldOfTerm(t))).toArray
@@ -84,7 +89,7 @@ final class WandScorer(reader: SearchReader) {
       val tIdx = tIdxB.value
       val byTerm = Array.fill(wv.length)(
         scala.collection.mutable.ArrayBuffer[BlockRow]())
-      it.foreach { case (_, b) => byTerm(tIdx(b.term)) += b }
+      it.foreach { case (_, b) => tIdx(b.term).foreach(byTerm(_) += b) }
       val loDoc = (chunk.toLong * ppc) << Ids.DocIdShift
       val hiDoc = ((chunk + 1).toLong * ppc) << Ids.DocIdShift
       val cursors = (0 until wv.length).flatMap { i =>
@@ -240,9 +245,12 @@ object WandScorer {
               var j2 = 0
               while (j2 < aligned) { sorted(j2).next(); j2 += 1 }
             } else if (aligned < msm || deleted(pivotDoc)) {
-              // not enough aligned clauses, or a tombstoned doc: deleted
-              // docs must be skipped BEFORE the heap so they never
-              // displace a live hit from the per-chunk top-k
+              // tombstoned doc: deleted docs must be skipped BEFORE the
+              // heap so they never displace a live hit from the per-chunk
+              // top-k. (aligned < msm is unreachable here — pivot
+              // selection requires i+1 >= msm and sorted(0).curDoc ==
+              // pivotDoc forces cursors 0..p aligned — kept as a
+              // defensive guard on the pivot invariant)
               var j2 = 0
               while (j2 < aligned) { sorted(j2).next(); j2 += 1 }
             } else {

@@ -237,6 +237,62 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       .foreach(c => assert(c.violations == 0L, s"compacted check ${c.check}"))
   }
 
+  test("collection scope: deleteByQuery reaches delta docs, CheckIndex " +
+    "accepts delta tombstones in base deletes, splitShard carries deltas") {
+    import org.apache.spark.sql.functions.{col, hash, lit, md5, pmod, regexp_replace}
+    val dir = SparkSuite.tmpDir("graft-coll")
+    build(dir)
+    // delta: rewrite the println docs to printfz under fresh docParts
+    val updInput = input.where(col("content").contains("println"))
+      .withColumn("content", regexp_replace(col("content"), "println", "printfz"))
+      .withColumn("commit", md5(col("content")))
+      .withColumn("docPart",
+        (lit(cfg.numDocParts) +
+          pmod(hash(col("repo"), col("path"), col("commit")),
+            lit(cfg.numDocParts))).cast("int"))
+    val nUpd = updInput.count()
+    val cfgU = cfg.copy(numDocParts = cfg.numDocParts * 2)
+    IndexBuilder.updateDocs(spark, dir, updInput, cfgU)
+
+    // CheckIndex on the BASE reader: updateDocs wrote tombstones for
+    // delta-resident old versions into base deletes/ — the dangling-
+    // tombstone check must resolve docIds across the whole collection
+    val baseR = new IndexReader(spark, dir, cfg.numBuckets, cacheData = false)
+    CheckIndex.run(baseR).collect().foreach(c =>
+      assert(c.violations == 0L, s"base-reader check ${c.check}"))
+
+    // deleteByQuery for a term that exists ONLY in the delta: the matched
+    // docs live in delta_0, a base-only reader would find nothing
+    val n = IndexBuilder.deleteByQuery(spark, dir, cfgU,
+      BoolQ(Seq((Occur.Must, TermQ("printfz")))))
+    assert(n == nUpd, s"deleteByQuery matched $n of $nUpd delta docs")
+    val rAfter = MultiIndexReader.open(spark, dir, cfg.numBuckets,
+      cacheData = false)
+    assert(new JoinScorer(rAfter)
+      .scores(BoolQ(Seq((Occur.Must, TermQ("printfz"))))).count() == 0)
+
+    // splitShard: children must carry the delta docs AND the delta
+    // tombstones (union == parent live view, nothing resurrected)
+    val loDir = SparkSuite.tmpDir("graft-coll-lo")
+    val hiDir = SparkSuite.tmpDir("graft-coll-hi")
+    val mid = 4L << 40 // docPart 4 boundary: split inside the base range
+    IndexBuilder.splitShard(spark, dir, loDir, hiDir, mid, cfgU)
+    val rChildren = new MultiIndexReader(Seq(
+      new IndexReader(spark, loDir, cfg.numBuckets, cacheData = false),
+      new IndexReader(spark, hiDir, cfg.numBuckets, cacheData = false)))
+    // all docs present across children (deltas included)...
+    assert(rChildren.docmeta.count() == rAfter.docmeta.count())
+    // ...and the deleted-in-delta docs stay deleted in the children
+    assert(new JoinScorer(rChildren)
+      .scores(BoolQ(Seq((Occur.Must, TermQ("printfz"))))).count() == 0)
+    // live results identical to the parent collection view
+    val q = BoolQ(Seq((Occur.Should, TermQ("import")),
+      (Occur.Should, TermQ("spark"))))
+    assert(new JoinScorer(rChildren).topK(q, 20).as[(Long, Float)]
+      .collect().toSeq ==
+      new JoinScorer(rAfter).topK(q, 20).as[(Long, Float)].collect().toSeq)
+  }
+
   test("optimistic concurrency: matching expectCommit applies, stale or " +
     "unknown keys are rejected as conflicts") {
     import org.apache.spark.sql.functions.{col, hash, lit, md5, pmod, regexp_replace}

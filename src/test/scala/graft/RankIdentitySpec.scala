@@ -259,6 +259,44 @@ class RankIdentitySpec extends AnyFunSuite {
     }
   }
 
+  test("fuzzy expansion respects field boundaries (no content<->path leakage)") {
+    // a path-field fuzzy query must expand ONLY into path: dictionary
+    // terms — levenshtein can cross the field prefix (content "pathlib"
+    // is 1 edit from "path:lib"), so the guard is explicit
+    val pathExp = reader.fuzzyTerms("path:src", 2)
+    assert(pathExp.nonEmpty)
+    assert(pathExp.forall(_.term.startsWith("path:")),
+      pathExp.filterNot(_.term.startsWith("path:")).map(_.term).take(5))
+    // content fuzzy never returns path:/rev: dictionary entries
+    val contentExp = reader.fuzzyTerms("import", 2)
+    assert(contentExp.nonEmpty)
+    assert(contentExp.forall(t =>
+      !t.term.startsWith("path:") && !t.term.startsWith("rev:")))
+  }
+
+  test("WAND path == oracle with DUPLICATE clauses (each occurrence scores)") {
+    // duplicate SHOULD clauses each contribute a clause frame (Lucene
+    // BooleanQuery keeps duplicates); a term->single-index map dropped
+    // the extra cursors and returned EMPTY for +foo +foo
+    val exp2 = oracle.topK(BoolQ(Seq(
+      (Occur.Should, TermQ("import")), (Occur.Should, TermQ("import")))), 10)
+    val got2 = wand.topK(Seq("import", "import"), 10)
+      .as[(Long, Float)].collect().toSeq
+    assert(got2 == exp2, s"\nOR dup\nexpected: $exp2\ngot: $got2")
+    val expA = oracle.topK(BoolQ(Seq(
+      (Occur.Must, TermQ("spark")), (Occur.Must, TermQ("spark")))), 10)
+    val gotA = wand.topK(Seq("spark", "spark"), 10, conjunctive = true)
+      .as[(Long, Float)].collect().toSeq
+    assert(gotA.nonEmpty, "conjunctive duplicate returned empty")
+    assert(gotA == expA, s"\nAND dup\nexpected: $expA\ngot: $gotA")
+    val expM = oracle.topK(BoolQ(Seq(
+      (Occur.Should, TermQ("merge")), (Occur.Should, TermQ("merge")),
+      (Occur.Should, TermQ("spark"))), minShouldMatch = 2), 10)
+    val gotM = wand.topK(Seq("merge", "merge", "spark"), 10,
+      minShouldMatch = 2).as[(Long, Float)].collect().toSeq
+    assert(gotM == expM, s"\nmsm dup\nexpected: $expM\ngot: $gotM")
+  }
+
   test("WAND path == oracle (AND)") {
     for (terms <- Seq(Seq("import", "println"), Seq("import", "return", "spark"))) {
       val exp = oracle.topK(BoolQ(terms.map(t => (Occur.Must, TermQ(t)))), 10)
