@@ -154,6 +154,48 @@ object OracleQueries {
          |WHERE len(term) BETWEEN 3 AND 7 AND levenshtein(term, 'mrege') <= 2
          |ORDER BY dist, df DESC, term LIMIT 5""".stripMargin,
 
+    // DirectSpellChecker: candidates by Damerau-Levenshtein <= 2 sharing
+    // the first letter, scored 1 - ed/min(len), accuracy >= 0.5; ed<=1
+    // pass first, ed<=2 unioned only when pass 1 under-fills 25
+    // (numSug*maxInspections); final score desc, freq desc, term asc.
+    // DuckDB's damerau_levenshtein is true DL while the engine's metric
+    // is OSA (LuceneLevenshteinDistance); the two differ only on pairs
+    // with an edit INSIDE a transposed pair (ca->abc), verified absent
+    // from this corpus band for both query terms.
+    "spellcheck_direct" -> {
+      def per(q: String): String = {
+        val lo = q.length - 2; val hi = q.length + 2
+        s"""SELECT qterm, term, round(score, 6) AS score, df AS freq FROM (
+           |  WITH cand AS (
+           |    SELECT term, df, damerau_levenshtein(term, '$q') AS ed
+           |    FROM dict
+           |    WHERE len(term) BETWEEN $lo AND $hi
+           |      AND term LIKE '${q.head}%' AND term <> '$q'
+           |      AND damerau_levenshtein(term, '$q') <= 2),
+           |  sc AS (SELECT term, df, ed,
+           |           1.0 - ed / CAST(least(len(term), ${q.length}) AS DOUBLE)
+           |             AS score
+           |         FROM cand
+           |         WHERE 1.0 - ed / CAST(least(len(term), ${q.length})
+           |           AS DOUBLE) >= 0.5),
+           |  p1 AS (SELECT term, df, score FROM sc WHERE ed <= 1
+           |         ORDER BY score DESC, term LIMIT 25),
+           |  p2 AS (SELECT term, df, score FROM sc
+           |         WHERE (SELECT count(*) FROM p1) < 25
+           |         ORDER BY score DESC, term LIMIT 25),
+           |  u AS (SELECT term, df, score FROM p1 UNION
+           |        SELECT term, df, score FROM p2)
+           |  SELECT '$q' AS qterm, term, score, df
+           |  FROM u ORDER BY score DESC, df DESC, term LIMIT 5)""".stripMargin
+      }
+      s"""WITH $tokensCte,
+         |dict AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |         FROM tokens GROUP BY term)
+         |${per("mrege")}
+         |UNION ALL
+         |${per("sorw")}""".stripMargin
+    },
+
     // Spell-check collation: best per-term correction, then the hit
     // count of the collated conjunction
     "spellcheck_collate" ->

@@ -605,6 +605,25 @@ object SparkEntry {
       Seq((corrected.mkString(" "), hits)).toDF("collation", "hits")
     }),
 
+    /** DirectSpellChecker (suggest/spell/DirectSpellChecker.java — what
+      * DirectSolrSpellChecker runs): ed<=1 enumeration first, ed<=2
+      * unioned only when the first pass under-fills numSug*maxInspections,
+      * each pass top-inspections by internal LuceneLevenshtein similarity,
+      * final order score desc / freq desc / term asc. Both misspellings
+      * are absent from the corpus so SUGGEST_WHEN_NOT_IN_INDEX fires;
+      * 'sorw' exercises the ed2-union path (its ed1 pass under-fills) and
+      * the exact accuracy=0.5 boundary (slow: 1 - 2/4). */
+    "spellcheck_direct" -> ((s, dir) => {
+      import s.implicits._
+      val r = reader(s, dir)
+      Seq("mrege", "sorw").flatMap { q =>
+        DirectSpell.suggestSimilar(r, q, 5)
+          .map(w => (q, w.string, w.score.toDouble, w.freq))
+      }.toDF("qterm", "term", "score", "freq")
+        .select(col("qterm"), col("term"),
+          round(col("score"), 6).as("score"), col("freq"))
+    }),
+
     /** Stemmed search on an EnglishAnalyzer-chain index: the postings for
       * stem "custom" carry every doc containing "customer" (the only
       * corpus surface form in the family; Porter: m("custom")=2>1 so -er

@@ -42,11 +42,23 @@ object StringDistances {
   /** LuceneLevenshteinDistance: transposition-aware, 1 - d/MIN(m,n),
     * codepoints. */
   def luceneLevenshtein(target: String, other: String): Float = {
+    val n = target.codePointCount(0, target.length)
+    val m = other.codePointCount(0, other.length)
+    if (n == 0 || m == 0) return if (n == m) 1f else 0f
+    1.0f - luceneLevenshteinEdits(target, other).toFloat / math.min(m, n)
+  }
+
+  /** Raw transposition-aware (OSA) codepoint edit distance — the edit
+    * count behind luceneLevenshtein, exposed for DirectSpellChecker's
+    * candidate banding (suggest/spell/DirectSpellChecker.java draws
+    * candidates by Damerau-Levenshtein automata; this is the same metric
+    * its INTERNAL_LEVENSHTEIN scoring reuses). */
+  def luceneLevenshteinEdits(target: String, other: String): Int = {
     val tp = target.codePoints.toArray
     val op = other.codePoints.toArray
     val n = tp.length
     val m = op.length
-    if (n == 0 || m == 0) return if (n == m) 1f else 0f
+    if (n == 0 || m == 0) return math.max(n, m)
     val d = Array.ofDim[Int](n + 1, m + 1)
     for (i <- 0 to n) d(i)(0) = i
     for (j <- 0 to m) d(0)(j) = j
@@ -64,7 +76,7 @@ object StringDistances {
       }
       j += 1
     }
-    1.0f - d(n)(m).toFloat / math.min(m, n)
+    d(n)(m)
   }
 
   /** JaroWinklerDistance with the reference's exact float arithmetic. */
