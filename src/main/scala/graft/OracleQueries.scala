@@ -2905,6 +2905,21 @@ object OracleQueries {
          |  UNION ALL SELECT doc_id, 45, '<b>Vector</b> epsilon.' FROM w
          |) ORDER BY doc_id, pos""".stripMargin,
 
+    // FastVectorHighlighter over the doc-prefixed fixed tail: the phrase
+    // tags as one span, fragments are match-centered + boundary-snapped,
+    // and the phrase+term fragment outranks the phrase-only one; the
+    // variable first word only shifts offsets, never the emitted text
+    "ft_highlight_fvh" ->
+      s"""WITH w AS (SELECT doc_id FROM documents
+         |           WHERE lang = 'en' AND doc_id % 11 = 5)
+         |SELECT doc_id, rank, fragment FROM (
+         |  SELECT doc_id, CAST(0 AS BIGINT) AS rank,
+         |    'another <b>zebraq lionq</b> shows up with <b>tigerq</b> close'
+         |      AS fragment FROM w
+         |  UNION ALL SELECT doc_id, 1,
+         |    'runs first. The <b>zebraq lionq</b> pair appears early' FROM w
+         |) ORDER BY doc_id, rank""".stripMargin,
+
     // UTR#30 folding of the reference's own test vectors
     "analysis_icufold" ->
       s"""WITH w AS (SELECT doc_id, split_part(text, ' ', 1) AS w1

@@ -2146,6 +2146,38 @@ object SparkEntry {
       * composite "AT&T w1's U.S.A. w2.example.org 1-2-3 w1_x" exercises
       * COMPANY, APOSTROPHE (+possessive strip), ACRONYM (+dot strip),
       * HOST, NUM, and the underscore split; token types included. */
+    /** FastVectorHighlighter (vectorhighlight/FastVectorHighlighter.java:33):
+      * phrase-aware fragment highlighting — the "zebraq lionq" phrase tags
+      * as ONE span (not per-term), fragments are match-centered
+      * (fragCharSize 40, margin 6), boundary-snapped, and score-ordered
+      * (the phrase+term fragment outranks the phrase-only one). The doc's
+      * own first word prefixes the content, shifting all offsets per doc;
+      * the emitted fragments are offset-invariant because windows stay
+      * inside the fixed tail — which is what the oracle pins. */
+    "ft_highlight_fvh" -> ((s, dir) => {
+      import s.implicits._
+      import graft.search.FastVectorHighlight
+      s.read.parquet(s"$dir/documents.parquet")
+        .where(col("lang") === "en" && col("doc_id") % 11 === 5)
+        .select("doc_id", "text").as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val w1 = text.split(' ')(0)
+          val content = s"$w1 opening filler sentence runs first. The " +
+            "zebraq lionq pair appears early here, then much later in " +
+            "the long tail another zebraq lionq shows up with tigerq " +
+            "close by near the end of it all."
+          val tokens = "\\S+".r.findAllMatchIn(content).zipWithIndex.map {
+            case (m, i) => FastVectorHighlight.Token(
+              m.matched.toLowerCase(java.util.Locale.ROOT), i, m.start, m.end)
+          }.toSeq
+          FastVectorHighlight.bestFragments(tokens, content,
+            Seq(FastVectorHighlight.FlatPhrase(Vector("zebraq", "lionq")),
+              FastVectorHighlight.FlatTerm("tigerq")),
+            fragCharSize = 40, maxNumFragments = 2)
+            .zipWithIndex.map { case (f, i) => (id, i.toLong, f) }
+        }.toDF("doc_id", "rank", "fragment").orderBy("doc_id", "rank")
+    }),
+
     /** Passage-model highlighting (postingshighlight/PostingsHighlighter
       * .java:97): sentence passages scored norm*sum(weight*tf); the
       * double-hit sentence and the single-hit sentence win over the
