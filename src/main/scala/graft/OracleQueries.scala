@@ -2242,6 +2242,65 @@ object OracleQueries {
     // Multinomial NB, add-one smoothing over (class token total + vocab),
     // resubstitution on the corpus; argmax at 6 decimals (cross-engine
     // double-sum associativity ~1e-12, class gaps >> 1e-6), ties -> lang.
+    // BooleanPerceptronClassifier: the full sequential training trajectory
+    // re-derived in SQL — a recursive CTE carries the weights MAP, one
+    // recursion step per training doc in doc_id order (weights init =
+    // totalTermFreq, threshold = sumDocFreq/2, misclassification adds
+    // modifier*inDocFreq to every doc term, snapshot-per-step = batchSize 1)
+    "classify_perceptron" ->
+      s"""WITH RECURSIVE $tokensCte,
+         |base AS (SELECT doc_id, lang FROM documents
+         |         WHERE lang IN ('en', 'de')),
+         |train AS (SELECT doc_id, (lang = 'en') AS cls,
+         |                 row_number() OVER (ORDER BY doc_id) - 1 AS step
+         |          FROM base WHERE doc_id % 7 = 3
+         |          ORDER BY doc_id LIMIT 40),
+         |ttok AS (SELECT t.step, k.term, count(*) AS f
+         |         FROM train t JOIN tokens k USING (doc_id) GROUP BY 1, 2),
+         |dmap AS (SELECT t.step, any_value(t.cls) AS cls,
+         |                coalesce(map_from_entries(array_agg(
+         |                  struct_pack(k := k.term, v := k.f) ORDER BY k.term)
+         |                  FILTER (k.term IS NOT NULL)), MAP([],[])) AS dm
+         |         FROM train t LEFT JOIN ttok k ON k.step = t.step
+         |         GROUP BY t.step),
+         |w0 AS (SELECT map_from_entries(array_agg(
+         |          struct_pack(k := term, v := tot) ORDER BY term)) AS m
+         |       FROM (SELECT term, sum(f) AS tot FROM ttok GROUP BY term)),
+         |thr AS (SELECT count(*) / 2.0 AS thr FROM ttok),
+         |st(i, m) AS (
+         |  SELECT 0, (SELECT m FROM w0)
+         |  UNION ALL
+         |  SELECT s.i + 1,
+         |    CASE WHEN s.md = 0 THEN s.m
+         |         ELSE map_from_entries(list_transform(map_entries(s.m),
+         |           e -> struct_pack(k := e.key, v := e.value +
+         |             s.md * coalesce(element_at(s.dm, e.key)[1], 0))))
+         |    END
+         |  FROM (
+         |    SELECT st.i, st.m, d.dm,
+         |      (CASE WHEN d.cls THEN 1 ELSE 0 END) -
+         |      (CASE WHEN list_sum(list_transform(map_entries(d.dm),
+         |         e -> e.value * coalesce(element_at(st.m, e.key)[1], 0)))
+         |         >= (SELECT thr FROM thr) THEN 1 ELSE 0 END) AS md
+         |    FROM st JOIN dmap d ON d.step = st.i
+         |  ) s
+         |),
+         |fin AS (SELECT m FROM st ORDER BY i DESC LIMIT 1),
+         |itok AS (SELECT b.doc_id, k.term, count(*) AS f
+         |         FROM base b JOIN tokens k USING (doc_id)
+         |         WHERE b.doc_id % 13 = 2 GROUP BY 1, 2),
+         |sc AS (SELECT doc_id, CAST(coalesce(sum(f * coalesce(
+         |           element_at((SELECT m FROM fin), term)[1], 0)), 0)
+         |         AS BIGINT) AS score
+         |       FROM itok GROUP BY doc_id)
+         |SELECT b.doc_id,
+         |       coalesce(s.score, 0) >= (SELECT thr FROM thr) AS assigned,
+         |       coalesce(s.score, 0) AS score
+         |FROM (SELECT doc_id FROM base WHERE doc_id % 13 = 2
+         |      ORDER BY doc_id LIMIT 40) b
+         |LEFT JOIN sc s USING (doc_id)
+         |ORDER BY b.doc_id""".stripMargin,
+
     "classify_nb" ->
       s"""WITH $tokensCte,
          |cls AS (SELECT lang AS c, count(*) AS nc FROM documents GROUP BY lang),

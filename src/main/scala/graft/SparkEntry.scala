@@ -3779,6 +3779,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    /** BooleanPerceptronClassifier (classification/
+      * BooleanPerceptronClassifier.java:59): weights init to totalTermFreq,
+      * automatic threshold sumDocFreq/2, sequential index-order training
+      * reading the last published snapshot per doc. Trained on the 40-doc
+      * en/de sample (driver-side — the reference's train is equally
+      * sequential/order-dependent), class = (lang == 'en'); inference
+      * distributes via the broadcast weights map. The oracle re-derives
+      * the whole trajectory with a recursive CTE carrying the weights MAP. */
+    "classify_perceptron" -> ((s, dir) => {
+      import s.implicits._
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("lang").isin("en", "de"))
+      val train = base.where(col("doc_id") % 7 === 3)
+        .orderBy("doc_id").limit(40)
+        .select(col("doc_id").cast("long"), col("text"), col("lang"))
+        .as[(Long, String, String)].collect() // bounded: LIMIT-40 sample
+        .toSeq.map { case (_, t, lang) =>
+          (Analyzer.analyze(t, graft.analysis.StopSets.forLang(lang))
+            .map(_.term), lang == "en")
+        }
+      val model = Classify.trainBooleanPerceptron(train)
+      Classify.booleanPerceptronClassify(
+        base.where(col("doc_id") % 13 === 2).orderBy("doc_id").limit(40),
+        model).orderBy("doc_id")
+    }),
+
     /** k-NN classification (lucene/classification/.../
       * KNearestNeighborClassifier.java): MLT-style BM25 query from the
       * target doc's top representative terms, class = majority vote of

@@ -87,4 +87,77 @@ object Classify {
     neighbors.join(docs.select(col(id), col(classCol)), id)
       .groupBy(col(classCol)).agg(count("*").as("votes"))
       .orderBy(col("votes").desc, col(classCol).asc)
+
+  /** Trained BooleanPerceptronClassifier state: per-term Long weights (the
+    * reference materializes them as an FST) + decision threshold. */
+  final case class PerceptronModel(weights: Map[String, Long],
+                                   threshold: Double)
+
+  /** BooleanPerceptronClassifier training (classification/
+    * BooleanPerceptronClassifier.java:120-193): weights initialize to each
+    * term's total term frequency over the training corpus; the automatic
+    * threshold is sumDocFreq/2 (:140-150); docs are visited in index
+    * order, classified against the last PUBLISHED weights snapshot (the
+    * FST, :98-113), and on a misclassification every term of the doc gets
+    * `weight = snapshot(term) + modifier * inDocFreq` where modifier =
+    * correct.compareTo(assigned) (:185-188, :217-229); the snapshot
+    * republishes when `batchCount % batchSize == 0` (:188).
+    *
+    * The reference walks a shared mutable model over the index
+    * sequentially — inherently a single-pass, order-dependent train — so
+    * this runs on the driver over the BOUNDED training sample the caller
+    * collected; classification of the corpus distributes via
+    * [[booleanPerceptronClassify]]'s broadcast of the (vocabulary-sized)
+    * weights map. */
+  def trainBooleanPerceptron(train: Seq[(Seq[String], Boolean)],
+                             threshold: Option[Double] = None,
+                             batchSize: Int = 1): PerceptronModel = {
+    val weights = scala.collection.mutable.HashMap.empty[String, Long]
+    train.foreach(_._1.foreach(t =>
+      weights.update(t, weights.getOrElse(t, 0L) + 1L)))
+    val sumDocFreq = train.iterator.map(_._1.distinct.size.toLong).sum
+    // reference: an explicit 0 threshold also falls back to the automatic
+    val thr = threshold.filter(_ != 0d).getOrElse(sumDocFreq / 2.0)
+    var fst: Map[String, Long] = weights.toMap
+    var batchCount = 0
+    train.foreach { case (tokens, correct) =>
+      val output = tokens.iterator.map(t => fst.getOrElse(t, 0L)).sum
+      val assigned = output >= thr
+      val modifier = java.lang.Boolean.compare(correct, assigned)
+      if (modifier != 0) {
+        tokens.groupBy(identity).foreach { case (t, occ) =>
+          weights.update(t, fst.getOrElse(t, 0L) + modifier.toLong * occ.size)
+        }
+        if (batchCount % batchSize == 0) fst = weights.toMap
+      }
+      batchCount += 1
+    }
+    PerceptronModel(fst, thr)
+  }
+
+  /** assignClass for one analyzed token stream (:93-114): sum the weights
+    * of the tokens present in the model; class = output >= threshold. */
+  def perceptronAssign(model: PerceptronModel,
+                       tokens: Seq[String]): (Boolean, Long) = {
+    val out = tokens.iterator.map(t => model.weights.getOrElse(t, 0L)).sum
+    (out >= model.threshold, out)
+  }
+
+  /** Distributed inference: broadcast the weights map, one map-side pass
+    * over the docs frame — no shuffle, no driver loop over the corpus. */
+  def booleanPerceptronClassify(docs: DataFrame, model: PerceptronModel,
+                                id: String = "doc_id",
+                                text: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bw = spark.sparkContext.broadcast(model.weights)
+    val thr = model.threshold
+    docs.select(col(id).cast("long"), col(text), col("lang"))
+      .as[(Long, String, String)]
+      .map { case (d, t, lang) =>
+        val out = Analyzer.analyze(t, StopSets.forLang(lang))
+          .iterator.map(tp => bw.value.getOrElse(tp.term, 0L)).sum
+        (d, out >= thr, out)
+      }.toDF(id, "assigned", "score")
+  }
 }
