@@ -3342,6 +3342,44 @@ object OracleQueries {
          |SELECT ta.doc_id AS id, CAST(count(*) AS BIGINT) AS n_tok,
          |       CAST(sum(m.micro) AS BIGINT) AS sum_micro
          |FROM tokall ta JOIN mic m ON m.term = ta.term
-         |GROUP BY 1 ORDER BY id""".stripMargin
+         |GROUP BY 1 ORDER BY id""".stripMargin,
+
+    // Solr atomic updates: independent re-derivation of the list surgery
+    // (add appends; remove drops the FIRST occurrence via an occurrence
+    // window; removeregex drops ALL values the pattern FULLY matches)
+    "update_atomic" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |         ['alpha', lang, source, lang, 'extra', 'extra2', lang]
+         |           AS tags,
+         |         lang AS rmv
+         |  FROM documents WHERE doc_id % 7 = 3),
+         |ex AS (
+         |  SELECT doc_id, unnest(tags) AS v,
+         |         generate_subscripts(tags, 1) AS i, rmv FROM aug),
+         |marked AS (
+         |  SELECT doc_id, v, i, rmv,
+         |         row_number() OVER (PARTITION BY doc_id, v ORDER BY i)
+         |           AS occ
+         |  FROM ex),
+         |kept AS (
+         |  SELECT doc_id, v, i FROM marked
+         |  WHERE NOT (v = rmv AND occ = 1)
+         |    AND NOT regexp_full_match(v, 'ex.*')),
+         |tagstr AS (
+         |  SELECT doc_id, string_agg(v, ',' ORDER BY i) AS tags
+         |  FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CASE WHEN d.doc_id % 7 = 3 THEN 'xx' ELSE d.lang END AS lang,
+         |  CAST(CASE WHEN d.doc_id % 7 = 3 THEN d.n_chars + 7
+         |            ELSE d.n_chars END AS BIGINT) AS n_chars,
+         |  COALESCE(t.tags,
+         |    'alpha,' || d.lang || ',' || d.source || ',' || d.lang) AS tags
+         |FROM documents d LEFT JOIN tagstr t USING (doc_id)
+         |UNION ALL
+         |SELECT CAST(9000000000 + k AS BIGINT) AS doc_id, 'new' AS lang,
+         |       CAST(5 AS BIGINT) AS n_chars, 'a' AS tags
+         |FROM range(1, 4) r(k)
+         |ORDER BY doc_id""".stripMargin
   )
 }

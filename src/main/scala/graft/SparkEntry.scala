@@ -2,14 +2,14 @@ package graft
 
 import scala.collection.immutable.ListMap
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.codec.SmallFloat
 import graft.index._
 import graft.analysis.Analyzer
-import graft.operators.{Ann, Classify, Dedup, Geo, Multimodal, Stats, TextAnalysis}
+import graft.operators.{Ann, AtomicUpdate, Classify, Dedup, Geo, Multimodal, Stats, TextAnalysis}
 import graft.search._
 
 /** Driver contract (see SURVEY.md §7 + the builder prompt): `queries` maps
@@ -4008,6 +4008,54 @@ object SparkEntry {
       asg.groupBy(col("cid").cast("long").as("cluster"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy("cluster")
+    }),
+
+    // ---------- atomic updates ----------
+
+    /** Solr field-level atomic updates (AtomicUpdateDocumentMerger): every
+      * doc_id % 7 == 3 gets set(lang='xx'), inc(n_chars,+7), then on a
+      * derived multivalued tags field [alpha, lang, source, lang]:
+      * add [extra, extra2, lang], remove [lang] (FIRST occurrence only),
+      * removeregex [ex.*] (full-match, ALL occurrences). Three ids absent
+      * from the corpus are upserted from empty docs (set/inc-missing/add/
+      * remove). The oracle re-derives the list surgery independently via
+      * unnest + first-occurrence window + regexp_full_match. */
+    "update_atomic" -> ((s, dir) => {
+      import s.implicits._
+      val docs0 = s.read.parquet(s"$dir/documents.parquet")
+      val base = docs0.select(col("doc_id").cast("string").as("id"),
+        map(
+          lit("lang"), array(col("lang")),
+          lit("n_chars"), array(col("n_chars").cast("string")),
+          lit("tags"), array(lit("alpha"), col("lang"), col("source"),
+            col("lang"))).as("fields"))
+      val tgt = docs0.where(col("doc_id") % 7 === 3)
+        .select(col("doc_id").cast("string").as("id"), col("lang"))
+      def op(seq: Long, f: String, o: String, vs: Column) =
+        tgt.select(col("id"), lit(seq).as("seq"), lit(f).as("field"),
+          lit(o).as("op"), vs.as("values"))
+      val updates = Seq(
+        op(1L, "lang", "set", array(lit("xx"))),
+        op(2L, "n_chars", "inc", array(lit("7"))),
+        op(3L, "tags", "add", array(lit("extra"), lit("extra2"), col("lang"))),
+        op(4L, "tags", "remove", array(col("lang"))),
+        op(5L, "tags", "removeregex", array(lit("ex.*")))
+      ).reduce(_ union _)
+      val upserts = (1L to 3L).flatMap { k =>
+        val id = (9000000000L + k).toString
+        Seq((id, 1L, "lang", "set", Seq("new")),
+            (id, 2L, "n_chars", "inc", Seq("5")),
+            (id, 3L, "tags", "add", Seq("a", "b")),
+            (id, 4L, "tags", "remove", Seq("b")))
+      }.toDF("id", "seq", "field", "op", "values")
+      AtomicUpdate.merge(base, updates.union(upserts),
+          numeric = Map("n_chars" -> "long"))
+        .select(col("id").cast("long").as("doc_id"),
+          element_at(col("fields"), "lang").getItem(0).as("lang"),
+          element_at(col("fields"), "n_chars").getItem(0).cast("long")
+            .as("n_chars"),
+          array_join(element_at(col("fields"), "tags"), ",").as("tags"))
+        .orderBy("doc_id")
     })
   )
 
