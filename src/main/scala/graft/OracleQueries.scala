@@ -2757,6 +2757,27 @@ object OracleQueries {
          |    CAST(0 AS BIGINT), w1 FROM caps WHERE len(runs) = 0)
          |ORDER BY doc_id, mode, ord""".stripMargin,
 
+    // MappingCharFilter: the engine's greedy charmap scan re-derived with
+    // chained non-rescanning replace() (pattern char sets are disjoint, so
+    // sequential == simultaneous); corrected offsets are the ORIGINAL word
+    // boundaries.
+    "analysis_mapping" ->
+      s"""WITH w AS (SELECT doc_id, split_part(text, ' ', 1) AS w1,
+         |                  split_part(text, ' ', 2) AS w2
+         |           FROM documents WHERE doc_id % 23 = 0),
+         |m AS (SELECT doc_id,
+         |  replace(replace(replace(w1,'aa','a'),'e','ee'),'ing','1') AS t1,
+         |  replace(replace(replace(w2,'aa','a'),'e','ee'),'ing','1') AS t2,
+         |  len(w1) AS l1, len(w2) AS l2 FROM w)
+         |SELECT doc_id, ord, term, cstart, cend FROM (
+         |  SELECT doc_id, CAST(0 AS BIGINT) AS ord, t1 AS term,
+         |         CAST(0 AS BIGINT) AS cstart, CAST(l1 AS BIGINT) AS cend
+         |  FROM m
+         |  UNION ALL
+         |  SELECT doc_id, CAST(1 AS BIGINT), t2, CAST(l1 + 1 AS BIGINT),
+         |         CAST(l1 + 1 + l2 AS BIGINT) FROM m)
+         |ORDER BY doc_id, ord""".stripMargin,
+
     // Keyword marker + stemmer override: expected surface->stem pairs for
     // the full English corpus vocabulary, enumerated independently from
     // English morphology (keyword {query}; overrides customer->client,

@@ -1865,6 +1865,46 @@ object SparkEntry {
         .orderBy("doc_id", "mode", "ord")
     }),
 
+    /** MappingCharFilter + NormalizeCharMap (reference
+      * charfilter/MappingCharFilter.java:80-176): greedy longest-match
+      * replacement before tokenization with offset correction back to the
+      * original text. Map {aa->a, e->ee, ing->1} is chosen so the DuckDB
+      * oracle can re-derive the output with chained non-rescanning
+      * replace() calls (the three patterns share no characters, so the
+      * sequential and simultaneous scans are provably identical); corrected
+      * token offsets must land on the ORIGINAL word boundaries. */
+    "analysis_mapping" -> ((s, dir) => {
+      import s.implicits._
+      val normMap = graft.analysis.CharMaps.NormMap(
+        "aa" -> "a", "e" -> "ee", "ing" -> "1")
+      s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") % 23 === 0)
+        .select("doc_id", "text").as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val sp1 = text.indexOf(' ')
+          val sp2 = text.indexOf(' ', sp1 + 1)
+          val w1 = text.substring(0, sp1)
+          val w2 = text.substring(sp1 + 1, if (sp2 < 0) text.length else sp2)
+          val (out, correct) =
+            graft.analysis.CharMaps.mappingCharFilter(s"$w1 $w2", normMap)
+          val toks = Vector.newBuilder[(String, Int, Int)]
+          var i = 0
+          while (i < out.length) {
+            while (i < out.length && out(i) == ' ') i += 1
+            if (i < out.length) {
+              val st = i
+              while (i < out.length && out(i) != ' ') i += 1
+              toks += ((out.substring(st, i), correct(st), correct(i)))
+            }
+          }
+          toks.result().zipWithIndex.map { case ((term, cs, ce), ord) =>
+            (id, ord.toLong, term, cs.toLong, ce.toLong)
+          }
+        }
+        .toDF("doc_id", "ord", "term", "cstart", "cend")
+        .orderBy("doc_id", "ord")
+    }),
+
     /** KeywordMarkerFilter + StemmerOverrideFilter (reference
       * analysis/common/.../miscellaneous/SetKeywordMarkerFilter.java:29,
       * StemmerOverrideFilter.java:41): the distinct English corpus
