@@ -162,6 +162,77 @@ object OracleQueries {
     // is OSA (LuceneLevenshteinDistance); the two differ only on pairs
     // with an edit INSIDE a transposed pair (ca->abc), verified absent
     // from this corpus band for both query terms.
+    // Classic n-gram SpellChecker: candidates = dictionary words sharing
+    // an n-gram with the query at BOTH words' own length bands (the
+    // gram-field join — a len<=4 word never matches a len>5 query); the
+    // 30-word corpus vocabulary stays far below the 10*numSug TFIDF
+    // candidate cutoff, so membership is exact here and the re-rank
+    // (1 - lev/max, accuracy 0.5, per-mode freq gates, comparator order)
+    // is re-derived fully.
+    "spellcheck_classic" -> {
+      def gramVals(w: String): String = {
+        val lo = if (w.length > 5) 3 else if (w.length == 5) 2 else 1
+        val hi = if (w.length > 5) 4 else if (w.length == 5) 3 else 2
+        (lo to hi).flatMap(ng =>
+          (0 to w.length - ng).map(i => (ng, w.substring(i, i + ng))))
+          .distinct.map { case (ng, g) => s"($ng,'$g')" }.mkString(", ")
+      }
+      def cand(q: String): String =
+        s"""SELECT DISTINCT d.term, d.df,
+           |  1.0 - levenshtein(d.term, '$q')
+           |      / CAST(greatest(len(d.term), ${q.length}) AS DOUBLE) AS score
+           |FROM dg d JOIN (VALUES ${gramVals(q)}) g(ng, gram)
+           |  ON g.ng = d.ng AND g.gram = d.gram
+           |WHERE d.term <> '$q'""".stripMargin
+      s"""WITH $tokensCte,
+         |dict AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |         FROM tokens GROUP BY term),
+         |sdict AS (SELECT term, df FROM dict WHERE len(term) >= 3),
+         |dg AS (
+         |  SELECT term, df, ng,
+         |         substr(term, CAST(p + 1 AS INT), CAST(ng AS INT)) AS gram
+         |  FROM sdict, (SELECT unnest([1, 2, 3, 4]) AS ng) n,
+         |       (SELECT unnest(range(64)) AS p) pp
+         |  WHERE ng >= CASE WHEN len(term) > 5 THEN 3
+         |                   WHEN len(term) = 5 THEN 2 ELSE 1 END
+         |    AND ng <= CASE WHEN len(term) > 5 THEN 4
+         |                   WHEN len(term) = 5 THEN 3 ELSE 2 END
+         |    AND p + ng <= len(term))
+         |SELECT qterm, mode, rank, term, score, freq FROM (
+         |  SELECT 'mrege' AS qterm, 'always' AS mode,
+         |         CAST(row_number() OVER (ORDER BY score DESC, term)
+         |              AS BIGINT) AS rank,
+         |         term, round(score, 6) AS score, CAST(0 AS BIGINT) AS freq
+         |  FROM (${cand("mrege")} AND 1.0 - levenshtein(d.term, 'mrege')
+         |          / CAST(greatest(len(d.term), 5) AS DOUBLE) >= 0.5
+         |        ORDER BY score DESC, term LIMIT 5)
+         |  UNION ALL
+         |  SELECT 'tabel', 'more_popular',
+         |         CAST(row_number() OVER (ORDER BY score DESC, df DESC, term)
+         |              AS BIGINT),
+         |         term, round(score, 6), df
+         |  FROM (${cand("tabel")} AND 1.0 - levenshtein(d.term, 'tabel')
+         |          / CAST(greatest(len(d.term), 5) AS DOUBLE) >= 0.5
+         |          AND d.df >= 1
+         |          AND d.df >= (SELECT coalesce(max(df), 0) FROM dict
+         |                       WHERE term = 'tabel')
+         |        ORDER BY score DESC, df DESC, term LIMIT 5)
+         |  UNION ALL
+         |  SELECT 'query', 'when_not_in_index', CAST(1 AS BIGINT),
+         |         'query', CAST(0.0 AS DOUBLE), df
+         |  FROM dict WHERE term = 'query'
+         |  UNION ALL
+         |  SELECT 'vlaue', 'freq_comparator',
+         |         CAST(row_number() OVER (ORDER BY df DESC, score DESC, term)
+         |              AS BIGINT),
+         |         term, round(score, 6), df
+         |  FROM (${cand("vlaue")} AND 1.0 - levenshtein(d.term, 'vlaue')
+         |          / CAST(greatest(len(d.term), 5) AS DOUBLE) >= 0.5
+         |          AND d.df >= 1
+         |        ORDER BY df DESC, score DESC, term LIMIT 5))
+         |ORDER BY qterm, mode, rank""".stripMargin
+    },
+
     "spellcheck_direct" -> {
       def per(q: String): String = {
         val lo = q.length - 2; val hi = q.length + 2

@@ -613,6 +613,35 @@ object SparkEntry {
       * are absent from the corpus so SUGGEST_WHEN_NOT_IN_INDEX fires;
       * 'sorw' exercises the ed2-union path (its ed1 pass under-fills) and
       * the exact accuracy=0.5 boundary (slow: 1 - 2/4). */
+    /** Classic n-gram SpellChecker (reference suggest/spell/
+      * SpellChecker.java:69-585 — Solr's IndexBasedSpellChecker engine):
+      * gram-overlap candidate draw over the term dictionary, Levenshtein
+      * (1 - lev/max) re-rank with the 0.5 accuracy floor, one branch per
+      * suggest mode plus the frequency-comparator variant. */
+    "spellcheck_classic" -> ((s, dir) => {
+      import s.implicits._
+      val r = reader(s, dir)
+      val dict = r.termStatsDf.map(t => (t.term, t.df))
+      import graft.search.NGramSpell
+      def branch(qterm: String, mode: String,
+                 out: Seq[graft.search.NGramSpell.SuggestWord]) =
+        out.zipWithIndex.map { case (w, i) =>
+          (qterm, mode, i.toLong + 1, w.string, w.score.toDouble, w.freq)
+        }
+      val rows =
+        branch("mrege", "always", NGramSpell.suggest(s, dict, "mrege", 5)) ++
+        branch("tabel", "more_popular", NGramSpell.suggest(s, dict, "tabel", 5,
+          NGramSpell.MorePopular, restrictToUserField = true)) ++
+        branch("query", "when_not_in_index", NGramSpell.suggest(s, dict, "query", 5,
+          NGramSpell.WhenNotInIndex, restrictToUserField = true)) ++
+        branch("vlaue", "freq_comparator", NGramSpell.suggest(s, dict, "vlaue", 5,
+          NGramSpell.WhenNotInIndex, restrictToUserField = true, byFrequency = true))
+      rows.toDF("qterm", "mode", "rank", "term", "score", "freq")
+        .select(col("qterm"), col("mode"), col("rank"), col("term"),
+          round(col("score"), 6).as("score"), col("freq"))
+        .orderBy("qterm", "mode", "rank")
+    }),
+
     "spellcheck_direct" -> ((s, dir) => {
       import s.implicits._
       val r = reader(s, dir)
