@@ -162,6 +162,68 @@ object OracleQueries {
     // is OSA (LuceneLevenshteinDistance); the two differ only on pairs
     // with an edit INSIDE a transposed pair (ca->abc), verified absent
     // from this corpus band for both query terms.
+    // QualityStats benchmark: the whole precision walk re-derived in SQL
+    // (running precision, extrapolated P@n, rank<=5 MRR, AvP /
+    // maxGoodPoints, good-queries-only average).
+    "quality_eval" -> {
+      val pts = Seq(1, 5, 10, 20)
+      val pRaw = pts.map(n =>
+        s"max(CASE WHEN rank = $n THEN p END) AS p_raw_$n").mkString(", ")
+      val pAt = pts.map(n =>
+        s"""CASE WHEN num_points >= $n THEN p_raw_$n
+           |      ELSE num_points * last_p / $n END AS p_at_$n""".stripMargin)
+        .mkString(", ")
+      val pAvg = pts.map(n => s"avg(p_at_$n) AS p_at_$n").mkString(", ")
+      val metricNames = Seq("num_points", "num_good_points",
+        "max_good_points", "recall", "mrr", "avp") ++ pts.map(n => s"p_at_$n")
+      val roundAll = metricNames.map(c => s"round($c, 6) AS $c").mkString(", ")
+      s"""WITH $tokensCte,
+         |tf AS (SELECT term AS query_id, doc_id, count(*) AS tf
+         |       FROM tokens WHERE term IN ('merge', 'stream', 'vector')
+         |       GROUP BY 1, 2),
+         |run AS (SELECT query_id, doc_id,
+         |          row_number() OVER (PARTITION BY query_id
+         |                             ORDER BY tf DESC, doc_id) AS rank
+         |        FROM tf QUALIFY rank <= 20),
+         |jd AS (SELECT query_id, doc_id FROM tf WHERE tf >= 2),
+         |mg AS (SELECT query_id, CAST(count(*) AS DOUBLE) AS max_good
+         |       FROM jd GROUP BY 1),
+         |marked AS (SELECT r.query_id, r.rank,
+         |             CASE WHEN j.doc_id IS NULL THEN 0.0 ELSE 1.0 END AS good
+         |           FROM run r LEFT JOIN jd j
+         |             ON j.query_id = r.query_id AND j.doc_id = r.doc_id),
+         |cum AS (SELECT query_id, rank, good,
+         |          sum(good) OVER (PARTITION BY query_id ORDER BY rank)
+         |            / rank AS p
+         |        FROM marked),
+         |per AS (SELECT query_id, CAST(max(rank) AS DOUBLE) AS num_points,
+         |          sum(good) AS num_good_points,
+         |          sum(CASE WHEN good = 1.0 THEN p ELSE 0 END) AS prel_sum,
+         |          min(CASE WHEN good = 1.0 AND rank <= 5 THEN rank END)
+         |            AS first5,
+         |          max_by(p, rank) AS last_p, $pRaw
+         |        FROM cum GROUP BY 1),
+         |fin AS (SELECT p.query_id, num_points,
+         |          num_good_points,
+         |          coalesce(m.max_good, 0) AS max_good_points,
+         |          CASE WHEN coalesce(m.max_good, 0) <= 0 THEN last_p
+         |                ELSE num_good_points / m.max_good END AS recall,
+         |          coalesce(1.0 / first5, 0) AS mrr,
+         |          CASE WHEN coalesce(m.max_good, 0) = 0 THEN 0
+         |                ELSE prel_sum / m.max_good END AS avp,
+         |          $pAt
+         |        FROM per p LEFT JOIN mg m ON m.query_id = p.query_id),
+         |allrows AS (
+         |  SELECT * FROM fin
+         |  UNION ALL
+         |  SELECT 'average', avg(num_points), avg(num_good_points),
+         |         avg(max_good_points), avg(recall), avg(mrr), avg(avp),
+         |         $pAvg
+         |  FROM fin WHERE max_good_points > 0)
+         |SELECT query_id, $roundAll FROM allrows
+         |ORDER BY query_id""".stripMargin
+    },
+
     // Classic n-gram SpellChecker: candidates = dictionary words sharing
     // an n-gram with the query at BOTH words' own length bands (the
     // gram-field join — a len<=4 word never matches a len>5 query); the

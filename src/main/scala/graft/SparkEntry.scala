@@ -642,6 +642,37 @@ object SparkEntry {
         .orderBy("qterm", "mode", "rank")
     }),
 
+    /** Relevance-judgment quality benchmark (reference benchmark/quality/
+      * QualityStats.java:28-233, TrecJudge): ranked run = per-term
+      * postings ordered (tf desc, doc_id asc) top-20; judgments = docs
+      * with tf >= 2. Emits per-query P@n / MRR / AvP / recall plus the
+      * reference's good-queries-only average row. */
+    "quality_eval" -> ((s, dir) => {
+      import s.implicits._
+      val r = reader(s, dir)
+      val terms = Seq("merge", "stream", "vector")
+      val postings = r.blocks(terms).flatMap { b =>
+        val (docs, tfs, _) = graft.codec.PostingsCodec.decodeDocs(
+          graft.codec.PostingBlock(b.term, b.firstDoc, b.lastDoc, b.count,
+            b.maxTf, b.sumTf, b.maxPartial, b.docBytes, b.nrmBytes, b.posBytes))
+        docs.indices.iterator.map(i => (b.term, docs(i), tfs(i)))
+      }.toDF("query_id", "docId", "tf")
+      val named = postings.join(idMap(r), "docId")
+        .select(col("query_id"), col("doc_id"), col("tf"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("tf").desc, col("doc_id").asc)
+      val run = named.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 20)
+        .select(col("query_id"), col("rank"), col("doc_id").as("doc_name"))
+      val judgments = named.where(col("tf") >= 2)
+        .select(col("query_id"), col("doc_id").as("doc_name"))
+      val out = graft.operators.QualityEval.evaluate(run, judgments)
+      val metricCols = out.columns.filter(_ != "query_id")
+      out.select(col("query_id") +:
+        metricCols.map(c => round(col(c), 6).as(c)): _*)
+        .orderBy("query_id")
+    }),
+
     "spellcheck_direct" -> ((s, dir) => {
       import s.implicits._
       val r = reader(s, dir)
