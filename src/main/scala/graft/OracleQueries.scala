@@ -2911,6 +2911,26 @@ object OracleQueries {
          |         CAST(l1 + 1 + l2 AS BIGINT) FROM m)
          |ORDER BY doc_id, ord""".stripMargin,
 
+    // ICU en tertiary collation over ASCII alnum terms == (case-folded
+    // text, then per-position case level with lowercase first) — the
+    // locale semantics re-derived with a translate() case mask.
+    "analysis_collation" -> {
+      val lower = "abcdefghijklmnopqrstuvwxyz"
+      val upper = lower.toUpperCase
+      val digits = "0123456789"
+      val mask = "0" * 26 + "1" * 26 + "0" * 10
+      s"""WITH w AS (SELECT DISTINCT split_part(text, ' ', 1) AS w1
+         |           FROM documents WHERE doc_id % 13 = 0),
+         |v AS (SELECT DISTINCT term FROM (
+         |  SELECT w1 AS term FROM w
+         |  UNION ALL SELECT upper(substr(w1, 1, 1)) || substr(w1, 2) FROM w
+         |  UNION ALL SELECT upper(w1) FROM w))
+         |SELECT CAST(row_number() OVER (ORDER BY lower(term),
+         |         translate(term, '$lower$upper$digits', '$mask'), term)
+         |       AS BIGINT) AS rank, term
+         |FROM v ORDER BY rank""".stripMargin
+    },
+
     // Keyword marker + stemmer override: expected surface->stem pairs for
     // the full English corpus vocabulary, enumerated independently from
     // English morphology (keyword {query}; overrides customer->client,

@@ -1965,6 +1965,29 @@ object SparkEntry {
         .orderBy("doc_id", "ord")
     }),
 
+    /** ICUCollationKeyAnalyzer / ICUCollationDocValuesField sort
+      * (reference analysis/icu/.../collation/ICUCollationKeyAnalyzer
+      * .java:40, TestICUCollationDocValuesField.testBasic): case-variant
+      * terms ordered by their binary ICU en collation keys — lowercase
+      * before uppercase at tertiary strength, unlike code-point order.
+      * Spark's BinaryType ordering IS the unsigned key comparison, so the
+      * sort distributes as a plain orderBy. */
+    "analysis_collation" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") % 13 === 0)
+        .select("text").as[String]
+        .map(t => t.substring(0, math.max(t.indexOf(' '), 1)))
+        .flatMap(w => Seq(w, w.capitalize, w.toUpperCase))
+        .distinct()
+        .map(t => (t, graft.analysis.Collation.enKeyOf(t)))
+        .toDF("term", "key")
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("key"), col("term"))).cast("long"))
+        .select("rank", "term")
+        .orderBy("rank")
+    }),
+
     /** KeywordMarkerFilter + StemmerOverrideFilter (reference
       * analysis/common/.../miscellaneous/SetKeywordMarkerFilter.java:29,
       * StemmerOverrideFilter.java:41): the distinct English corpus
