@@ -2911,6 +2911,17 @@ object OracleQueries {
          |         CAST(l1 + 1 + l2 AS BIGINT) FROM m)
          |ORDER BY doc_id, ord""".stripMargin,
 
+    // ExternalFileField: the external-line construction collapses to a
+    // direct per-doc formula (override wins on %6 keys, base on %3,
+    // defVal elsewhere; malformed/garbage/'=' keys are no-ops). All
+    // values are exact binary quarters, so no rounding is needed.
+    "func_external" ->
+      s"""SELECT doc_id, CAST(CASE
+         |  WHEN doc_id % 6 = 0 THEN (doc_id % 5) + 0.25
+         |  WHEN doc_id % 3 = 0 THEN (doc_id % 7) * 0.5
+         |  ELSE 0.25 END AS DOUBLE) AS ext
+         |FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""".stripMargin,
+
     // ICU en tertiary collation over ASCII alnum terms == (case-folded
     // text, then per-position case level with lowercase first) — the
     // locale semantics re-derived with a translate() case mask.

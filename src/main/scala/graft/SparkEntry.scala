@@ -1965,6 +1965,31 @@ object SparkEntry {
         .orderBy("doc_id", "ord")
     }),
 
+    /** ExternalFileField / FileFloatSource (reference solr/.../schema/
+      * ExternalFileField.java:47, search/function/FileFloatSource.java:
+      * 241-325): per-doc floats from synthesized "key=value" lines —
+      * base values, later override lines that win, malformed lines that
+      * are skipped without erasing, a key containing '=' matching no doc,
+      * and defVal=0.25 for docs absent from the file. */
+    "func_external" -> ((s, dir) => {
+      import s.implicits._
+      val ids = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id").as[Long]
+      val lines = ids.filter(_ % 3 == 0).flatMap { id =>
+        Seq((id, s"d$id=${(id % 7) * 0.5}")) ++
+          (if (id % 6 == 0) Seq((2000000000L + id, s"d$id=${(id % 5) + 0.25}")) else Nil) ++
+          (if (id % 9 == 0) Seq((4000000000L + id, s"d$id=oops")) else Nil) ++
+          (if (id == 0) Seq((5000000000L, "weird=key=9.5"), (5000000001L, "garbage")) else Nil)
+      }
+      val parsed = graft.functions.ExternalFile.parse(lines)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), concat(lit("d"), col("doc_id")).as("dockey"))
+      graft.functions.ExternalFile.joinValues(docs, "dockey", parsed, 0.25f)
+        .select(col("doc_id"), col("ext").cast("double").as("ext"))
+        .orderBy("doc_id")
+    }),
+
     /** ICUCollationKeyAnalyzer / ICUCollationDocValuesField sort
       * (reference analysis/icu/.../collation/ICUCollationKeyAnalyzer
       * .java:40, TestICUCollationDocValuesField.testBasic): case-variant
