@@ -51,6 +51,16 @@ object OracleQueries {
          |  WHERE term IN ('merge','window','stream') GROUP BY doc_id)
          |WHERE c >= 2 ORDER BY doc_id""".stripMargin,
 
+    // mm="3<-25%" over 4 optional clauses: 4 > 3 -> -25% -> 4 + trunc(
+    // 4*-25*(1/100f)) = 3 (SolrPluginUtils.calculateMinShouldMatch)
+    "ft_mm_spec" ->
+      s"""WITH $tokensCte
+         |SELECT doc_id FROM (
+         |  SELECT doc_id, count(DISTINCT term) AS c FROM tokens
+         |  WHERE term IN ('merge','window','stream','vector')
+         |  GROUP BY doc_id)
+         |WHERE c >= 3 ORDER BY doc_id""".stripMargin,
+
     // XML-parsed boolean: (spark OR stream) AND NOT dup AND an ordered
     // span-near(merge, sort) with slop 2 (window width - 2 <= 2)
     "ft_xmlquery" ->

@@ -450,6 +450,17 @@ object SparkEntry {
       (Occur.Should, TermQ("merge")), (Occur.Should, TermQ("window")),
       (Occur.Should, TermQ("stream"))), minShouldMatch = 2))),
 
+    /** Solr mm= spec language (SolrPluginUtils.calculateMinShouldMatch,
+      * solr/.../util/SolrPluginUtils.java:617-654): 4 optional clauses
+      * under "3<-25%" -> 4 > 3 -> all-but-25% -> msm 3. */
+    "ft_mm_spec" -> ((s, dir) => {
+      val terms = Seq("merge", "window", "stream", "vector")
+      val msm = graft.search.MinShouldMatch.forClauses(terms.length, "3<-25%")
+      matchedDocs(s, dir, BoolQ(
+        terms.map(t => (Occur.Should, TermQ(t): graft.search.Query)),
+        minShouldMatch = msm))
+    }),
+
     "ft_phrase" -> ((s, dir) => matchedDocs(s, dir, BoolQ(Seq(
       (Occur.Must, PhraseQ(Seq("stream", "table", "hash"), Seq(0, 1, 2))))))),
 
