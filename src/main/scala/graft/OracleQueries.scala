@@ -2921,6 +2921,26 @@ object OracleQueries {
          |         CAST(l1 + 1 + l2 AS BIGINT) FROM m)
          |ORDER BY doc_id, ord""".stripMargin,
 
+    // CompositeIdRouter: a `lang!doc_id` key places a doc by the top 16
+    // bits of murmur3(lang), so the shard is a pure function of lang.
+    // The (lang, shard) map and prune rows below were derived with an
+    // independent pure-python murmur3_x86_32 (hash(de)=0x20617ba6 -> top2
+    // bits 0 -> ring slot [0x0,0x3fffffff] = shard 2; en=0x758d54c3 -> 3;
+    // es=0x69761a3c -> 3; fr=0x9a0c6ea3 -> 0; zh=0x76ef90d1 -> 3;
+    // `en!` band lies inside shard 3; `fr/1!` top bit 1 -> shards 0,1).
+    "route_composite" ->
+      s"""WITH m(mlang, shard) AS (VALUES
+         |  ('de', 2), ('en', 3), ('es', 3), ('fr', 0), ('zh', 3))
+         |SELECT mode, doc_id, lang, shard FROM (
+         |  SELECT 'route' AS mode, d.doc_id, d.lang,
+         |         CAST(m.shard AS BIGINT) AS shard
+         |  FROM documents d JOIN m ON m.mlang = d.lang
+         |  UNION ALL
+         |  SELECT 'prune_en', CAST(-1 AS BIGINT), 'en', CAST(3 AS BIGINT)
+         |  UNION ALL SELECT 'prune_fr1', -1, 'fr', 0
+         |  UNION ALL SELECT 'prune_fr1', -1, 'fr', 1)
+         |ORDER BY mode, doc_id, shard""".stripMargin,
+
     // ExternalFileField: the external-line construction collapses to a
     // direct per-doc formula (override wins on %6 keys, base on %3,
     // defVal elsewhere; malformed/garbage/'=' keys are no-ops). All

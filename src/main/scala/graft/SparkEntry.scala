@@ -1976,6 +1976,32 @@ object SparkEntry {
         .orderBy("doc_id", "ord")
     }),
 
+    /** SolrCloud CompositeIdRouter (reference solr/solrj/.../cloud/
+      * CompositeIdRouter.java:36-326): docs routed by `lang!doc_id`
+      * composite keys onto a 4-shard ring — placement depends only on the
+      * route key's top 16 hash bits — plus route-key query pruning rows
+      * (`en!` hits one shard; `fr/1!` covers the ring's top-bit half).
+      * Oracle constants are derived from an INDEPENDENT murmur3
+      * implementation, not this code. */
+    "route_composite" -> ((s, dir) => {
+      import s.implicits._
+      val shards = graft.index.CompositeId.partitionRange(4)
+      val routed = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "lang").as[(Long, String)]
+        .map { case (id, lang) =>
+          ("route", id, lang,
+            graft.index.CompositeId.shardOf(s"$lang!$id", shards).toLong)
+        }
+      val prunes =
+        graft.index.CompositeId.searchShards(Some("en!"), shards)
+          .map(sh => ("prune_en", -1L, "en", sh.toLong)) ++
+        graft.index.CompositeId.searchShards(Some("fr/1!"), shards)
+          .map(sh => ("prune_fr1", -1L, "fr", sh.toLong))
+      routed.toDF("mode", "doc_id", "lang", "shard")
+        .unionByName(prunes.toDF("mode", "doc_id", "lang", "shard"))
+        .orderBy("mode", "doc_id", "shard")
+    }),
+
     /** ExternalFileField / FileFloatSource (reference solr/.../schema/
       * ExternalFileField.java:47, search/function/FileFloatSource.java:
       * 241-325): per-doc floats from synthesized "key=value" lines —
