@@ -2921,6 +2921,31 @@ object OracleQueries {
          |         CAST(l1 + 1 + l2 AS BIGINT) FROM m)
          |ORDER BY doc_id, ord""".stripMargin,
 
+    // CurrencyField: conversion re-derived with the same double
+    // arithmetic (direct 0.5 for EUR, inverse 2.0 for GBP, 1/81.29 with
+    // the +2 fraction-digit double-multiply for JPY), truncation via
+    // trunc() (DuckDB CAST rounds, Java (long) truncates).
+    "func_currency" ->
+      s"""WITH d AS (SELECT o_orderkey AS key,
+         |    CAST(floor(o_totalprice) AS BIGINT) * 100 AS amount,
+         |    CASE o_orderkey % 4 WHEN 0 THEN 'USD' WHEN 1 THEN 'EUR'
+         |         WHEN 2 THEN 'GBP' ELSE 'JPY' END AS currency
+         |  FROM orders),
+         |c AS (SELECT key, currency, CAST(trunc(CASE currency
+         |    WHEN 'USD' THEN CAST(amount AS DOUBLE) * 1.0
+         |    WHEN 'EUR' THEN CAST(amount AS DOUBLE) * 0.5
+         |    WHEN 'GBP' THEN CAST(amount AS DOUBLE) * 2.0
+         |    ELSE ((CAST(amount AS DOUBLE) * (1.0 / 81.29)) * 10.0) * 10.0
+         |    END) AS BIGINT) AS usd
+         |  FROM d)
+         |SELECT mode, key, currency, usd FROM (
+         |  SELECT 'conv' AS mode, key, currency, usd FROM c
+         |  WHERE key % 50 = 0
+         |  UNION ALL
+         |  SELECT 'range', key, currency, usd FROM c
+         |  WHERE key % 10 = 0 AND usd BETWEEN 10000000 AND 20000000)
+         |ORDER BY mode, key""".stripMargin,
+
     // CompositeIdRouter: a `lang!doc_id` key places a doc by the top 16
     // bits of murmur3(lang), so the shard is a pure function of lang.
     // The (lang, shard) map and prune rows below were derived with an

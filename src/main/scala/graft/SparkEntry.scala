@@ -1976,6 +1976,36 @@ object SparkEntry {
         .orderBy("doc_id", "ord")
     }),
 
+    /** CurrencyField (reference solr/.../schema/CurrencyField.java:
+      * 69-1010): orders priced in a per-key currency, converted at query
+      * time to USD through the reference test currency.xml rates (incl.
+      * the asymmetric EUR->USD 0.5 and the JPY fraction-digit delta) —
+      * conversion rows plus a USD range query, all as codegen'd Columns. */
+    "func_currency" -> ((s, dir) => {
+      import s.implicits._
+      val rates = graft.operators.Currency.Rates(Map(
+        ("USD", "JPY") -> 81.29, ("USD", "EUR") -> 2.5,
+        ("USD", "GBP") -> 0.5, ("EUR", "USD") -> 0.5))
+      val docs = s.read.parquet(s"$dir/orders.parquet").select(
+        col("o_orderkey").as("key"),
+        (floor(col("o_totalprice")).cast("long") * 100).as("amount"),
+        when(pmod(col("o_orderkey"), lit(4)) === 0, "USD")
+          .when(pmod(col("o_orderkey"), lit(4)) === 1, "EUR")
+          .when(pmod(col("o_orderkey"), lit(4)) === 2, "GBP")
+          .otherwise("JPY").as("currency"))
+      val conv = graft.operators.Currency.convertedColumn(
+        rates, col("amount"), col("currency"), "USD")
+      docs.where(col("key") % 50 === 0)
+        .select(lit("conv").as("mode"), col("key"), col("currency"),
+          conv.as("usd"))
+        .unionByName(docs.where(col("key") % 10 === 0)
+          .where(graft.operators.Currency.rangeFilter(rates, col("amount"),
+            col("currency"), "USD", Some(10000000L), Some(20000000L)))
+          .select(lit("range").as("mode"), col("key"), col("currency"),
+            conv.as("usd")))
+        .orderBy("mode", "key")
+    }),
+
     /** SolrCloud CompositeIdRouter (reference solr/solrj/.../cloud/
       * CompositeIdRouter.java:36-326): docs routed by `lang!doc_id`
       * composite keys onto a 4-shard ring — placement depends only on the
