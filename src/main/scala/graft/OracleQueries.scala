@@ -2921,6 +2921,26 @@ object OracleQueries {
          |         CAST(l1 + 1 + l2 AS BIGINT) FROM m)
          |ORDER BY doc_id, ord""".stripMargin,
 
+    // positionIncrementGap: with values [w1 w2][w3 w4], the multi-valued
+    // adjacency pairs are (w1,w2) and (w3,w4) only — phrase(w2,w3)
+    // matches iff one of those pairs happens to EQUAL (w2,w3); the
+    // single-value concat always carries the (w2,w3) pair, and the inner
+    // phrase (w1,w2) always matches.
+    "ft_multivalued_gap" ->
+      s"""WITH stop(slang, sterm) AS (VALUES $stopValues),
+         |w AS (SELECT doc_id, lang,
+         |        split_part(text, ' ', 1) AS w1, split_part(text, ' ', 2) AS w2,
+         |        split_part(text, ' ', 3) AS w3, split_part(text, ' ', 4) AS w4
+         |      FROM documents WHERE doc_id % 11 = 0),
+         |f AS (SELECT * FROM w WHERE w4 <> '' AND NOT EXISTS (
+         |        SELECT 1 FROM stop s WHERE s.slang = w.lang
+         |          AND s.sterm IN (w.w1, w.w2, w.w3, w.w4)))
+         |SELECT doc_id,
+         |  ((w1 = w2 AND w2 = w3) OR (w3 = w2 AND w4 = w3)) AS cross_multi,
+         |  TRUE AS cross_single,
+         |  TRUE AS inner_multi
+         |FROM f ORDER BY doc_id""".stripMargin,
+
     // CurrencyField: conversion re-derived with the same double
     // arithmetic (direct 0.5 for EUR, inverse 2.0 for GBP, 1/81.29 with
     // the +2 fraction-digit double-multiply for JPY), truncation via

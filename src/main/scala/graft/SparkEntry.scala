@@ -1976,6 +1976,39 @@ object SparkEntry {
         .orderBy("doc_id", "ord")
     }),
 
+    /** Multi-valued field positionIncrementGap (reference
+      * index/DefaultIndexingChain.java:577-583; Solr text fields'
+      * positionIncrementGap="100"): a doc split into two values — a
+      * phrase spanning the boundary cannot match the multi-valued field
+      * but does match the single-value concat; an inner phrase matches
+      * both. Docs whose first 4 words hit a stopword are skipped so the
+      * oracle's adjacency algebra holds exactly. */
+    "ft_multivalued_gap" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") % 11 === 0)
+        .select("doc_id", "lang", "text").as[(Long, String, String)]
+        .flatMap { case (id, lang, text) =>
+          val ws = text.split(" ").filter(_.nonEmpty).take(4)
+          val stops = graft.analysis.StopSets.forLang(lang)
+          if (ws.length < 4 || ws.exists(stops)) None
+          else {
+            val multi = graft.search.Percolator.docIndexMulti(
+              Seq(s"${ws(0)} ${ws(1)}", s"${ws(2)} ${ws(3)}"), lang)
+            val single = graft.search.Percolator.docIndex(
+              ws.mkString(" "), lang)
+            val cross = graft.search.PhraseQ(Seq(ws(1), ws(2)), Seq(0, 1))
+            val inner = graft.search.PhraseQ(Seq(ws(0), ws(1)), Seq(0, 1))
+            Some((id,
+              graft.search.Percolator.matches(multi, cross),
+              graft.search.Percolator.matches(single, cross),
+              graft.search.Percolator.matches(multi, inner)))
+          }
+        }
+        .toDF("doc_id", "cross_multi", "cross_single", "inner_multi")
+        .orderBy("doc_id")
+    }),
+
     /** CurrencyField (reference solr/.../schema/CurrencyField.java:
       * 69-1010): orders priced in a per-key currency, converted at query
       * time to USD through the reference test currency.xml rates (incl.

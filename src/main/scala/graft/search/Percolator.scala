@@ -36,6 +36,40 @@ object Percolator {
       .groupBy(_.term)
       .map { case (t, tp) => t -> tp.map(_.position).toVector }
 
+  /** Multi-valued field with positionIncrementGap (reference
+    * index/DefaultIndexingChain.java:577-583: `if (invertState.length>0)
+    * position += analyzer.getPositionIncrementGap(field)` before each
+    * subsequent value; Solr text fields default the gap to 100 via
+    * schema positionIncrementGap="100"). The gap makes phrase/span
+    * queries unable to match across value boundaries — copyField /
+    * multiValued semantics. */
+  def docIndexMulti(values: Seq[String], lang: String,
+                    positionIncrementGap: Int = 100): DocIndex = {
+    val stops = StopSets.forLang(lang)
+    var base = 0
+    var emitted = false
+    val acc = scala.collection.mutable.HashMap.empty[String, Vector[Int]]
+    values.foreach { v =>
+      // stop-filter with gaps: kept tokens keep their RAW positions, and
+      // the end counter includes TRAILING stopwords (TokenStream.end()'s
+      // posInc advances invertState.position past them, so the next
+      // value starts after raw-length + gap)
+      val all = Analyzer.analyze(v, Set.empty)
+      // the gap applies to EVERY instance once any tokens were indexed
+      // (invertState.length > 0) — an empty middle value still pays it
+      if (emitted) base += positionIncrementGap
+      if (all.nonEmpty) {
+        all.foreach { t =>
+          if (!stops(t.term))
+            acc(t.term) = acc.getOrElse(t.term, Vector.empty) :+ (base + t.position)
+        }
+        base += all.map(_.position).max + 1
+        emitted = true
+      }
+    }
+    acc.toMap
+  }
+
   private def globRegex(pat: String): String =
     "(?s)" + pat.flatMap {
       case '*' => ".*"
