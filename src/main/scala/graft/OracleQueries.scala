@@ -3640,6 +3640,43 @@ object OracleQueries {
          |SELECT CAST(9000000000 + k AS BIGINT) AS doc_id, 'new' AS lang,
          |       CAST(5 AS BIGINT) AS n_chars, 'a' AS tags
          |FROM range(1, 4) r(k)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    // Update-processor chain: each stage re-derived arithmetically.
+    // trim->removeBlank->uniq->concat over ['  lang ', '', 'src:SRC',
+    // lang, 'x'] collapses to 'lang, src:SRC, x'; the all-or-none parse
+    // is poisoned on every 10th doc ('x' appended) -> -1 sentinel; the
+    // URL classifier's five shape cases (landing '/', index.html,
+    // query'd page, bare host, dot-dot-normalized welcome.php) map to
+    // constant per-case classifications.
+    "update_chain" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, lang, source, n_chars,
+         |         'http://ex' || CAST(doc_id % 50 AS VARCHAR) || '.com'
+         |           AS base,
+         |         doc_id % 5 AS c
+         |  FROM documents)
+         |SELECT doc_id,
+         |  lang || ', src:' || source || ', x' AS tags,
+         |  CAST(CASE WHEN doc_id % 10 = 0 THEN -1 ELSE n_chars END
+         |       AS BIGINT) AS parsed_n,
+         |  md5('lang' || lang || 'source' || source) AS sig,
+         |  CAST(length(base || CASE c WHEN 0 THEN '/'
+         |    WHEN 1 THEN '/a/index.html'
+         |    WHEN 2 THEN '/a/b/page.htm?q=1'
+         |    WHEN 3 THEN ''
+         |    ELSE '/research/welcome.php' END) AS INT) AS url_length,
+         |  CAST(CASE c WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3
+         |              WHEN 3 THEN 0 ELSE 1 END AS INT) AS url_levels,
+         |  CAST(CASE c WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 4 THEN 1
+         |              ELSE 0 END AS INT) AS url_landing,
+         |  CAST(CASE c WHEN 0 THEN 1 WHEN 3 THEN 1 ELSE 0 END
+         |       AS INT) AS url_toplevel,
+         |  base || CASE c WHEN 0 THEN '/'
+         |    WHEN 1 THEN '/a/'
+         |    WHEN 2 THEN '/a/b/page.htm?q=1'
+         |    WHEN 3 THEN ''
+         |    ELSE '/research/' END AS url_canonical
+         |FROM u ORDER BY doc_id""".stripMargin
   )
 }

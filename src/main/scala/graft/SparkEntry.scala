@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 import graft.codec.SmallFloat
 import graft.index._
 import graft.analysis.Analyzer
-import graft.operators.{Ann, AtomicUpdate, Classify, Dedup, Geo, Multimodal, Stats, TextAnalysis}
+import graft.operators.{Ann, AtomicUpdate, Classify, Dedup, Geo, Multimodal, Stats, TextAnalysis, UpdateChain}
 import graft.search._
 
 /** Driver contract (see SURVEY.md §7 + the builder prompt): `queries` maps
@@ -4303,6 +4303,48 @@ object SparkEntry {
           element_at(col("fields"), "n_chars").getItem(0).cast("long")
             .as("n_chars"),
           array_join(element_at(col("fields"), "tags"), ",").as("tags"))
+        .orderBy("doc_id")
+    }),
+
+    /** Solr update-request-processor chain (UpdateRequestProcessorChain):
+      * a whole ingest chain — trim, remove-blank, uniq, concat field
+      * mutators; all-or-none numeric parse (poisoned every 10th doc);
+      * MD5 signature over the add()-stream; URLClassifyProcessor over a
+      * synthesized URL (5 shape cases incl. dot-dot normalization and
+      * landing/toplevel quirks). Everything except the URL classifier is
+      * pure codegen'd Columns — one projection, zero shuffles; the oracle
+      * re-derives each case arithmetically. */
+    "update_chain" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val raw = array(concat(lit("  "), col("lang"), lit(" ")), lit(""),
+        concat(lit("src:"), col("source")), col("lang"), lit("x"))
+      val tags = UpdateChain.firstVal(UpdateChain.concatVals(
+        UpdateChain.uniqVals(UpdateChain.removeBlank(
+          UpdateChain.trimVals(raw)))))
+      val nums = when(col("doc_id") % 10 === 0,
+          array(format_number(col("n_chars"), 0), lit("x")))
+        .otherwise(array(format_number(col("n_chars"), 0)))
+      val parsed =
+        coalesce(UpdateChain.firstVal(UpdateChain.parseLongs(nums)), lit(-1L))
+      val sfx = when(col("doc_id") % 5 === 0, lit("/"))
+        .when(col("doc_id") % 5 === 1, lit("/a/index.html"))
+        .when(col("doc_id") % 5 === 2, lit("/a/b/page.htm?q=1"))
+        .when(col("doc_id") % 5 === 3, lit(""))
+        .otherwise(lit("/research/../research/welcome.php"))
+      val url = concat(lit("http://ex"), (col("doc_id") % 50).cast("string"),
+        lit(".com"), sfx)
+      val classify = udf((u: String) => UpdateChain.classifyUrl(u).orNull)
+      docs.select(col("doc_id"), tags.as("tags"), parsed.as("parsed_n"),
+          UpdateChain.md5SignatureCol(Seq(lit("lang"), col("lang"),
+            lit("source"), col("source"))).as("sig"),
+          classify(url).as("u"))
+        .select(col("doc_id"), col("tags"), col("parsed_n"), col("sig"),
+          col("u.url_length").as("url_length"),
+          col("u.url_levels").as("url_levels"),
+          col("u.url_landingpage").as("url_landing"),
+          col("u.url_toplevel").as("url_toplevel"),
+          col("u.url_canonical").as("url_canonical"))
         .orderBy("doc_id")
     })
   )
