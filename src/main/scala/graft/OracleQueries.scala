@@ -3239,6 +3239,25 @@ object OracleQueries {
          |    'runs first. The <b>zebraq lionq</b> pair appears early' FROM w
          |) ORDER BY doc_id, rank""".stripMargin,
 
+    // Classic Highlighter: the corpus is clean space-separated lowercase
+    // words, so \b regex boundaries coincide with StandardTokenizer token
+    // boundaries; term markup highlights every 'vector' token, phrase
+    // markup only exact "data vector" adjacencies (slop-0 in-order spans),
+    // each span highlighting its two tokens separately
+    "ft_highlight_classic" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '\\bvector\\b')) AS BIGINT)
+         |    AS n_term,
+         |  regexp_replace(text, '\\b(vector)\\b', '<B>\\1</B>', 'g')
+         |    AS hl_term,
+         |  CAST(2 * len(regexp_extract_all(text, '\\bdata vector\\b'))
+         |    AS BIGINT) AS n_phrase,
+         |  regexp_replace(text, '\\bdata vector\\b',
+         |    '<B>data</B> <B>vector</B>', 'g') AS hl_phrase
+         |FROM documents
+         |WHERE len(regexp_extract_all(text, '\\bvector\\b')) > 0
+         |ORDER BY doc_id""".stripMargin,
+
     // UTR#30 folding of the reference's own test vectors
     "analysis_icufold" ->
       s"""WITH w AS (SELECT doc_id, split_part(text, ' ', 1) AS w1

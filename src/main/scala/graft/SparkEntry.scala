@@ -2426,6 +2426,37 @@ object SparkEntry {
         }.toDF("doc_id", "rank", "fragment").orderBy("doc_id", "rank")
     }),
 
+    /** Classic (re-analysis) Highlighter — Solr 5.2's DEFAULT highlight
+      * path (highlight/Highlighter.java:179, QueryTermScorer.java:36,
+      * QueryScorer.java:107, WeightedSpanTermExtractor.java:54): one
+      * column highlights every analyzed 'vector' token (position-
+      * INsensitive QueryTermScorer), the other highlights only tokens
+      * inside a matched "data vector" phrase span (position-sensitive
+      * QueryScorer); NullFragmenter keeps the whole text so the oracle
+      * can re-derive the markup. Per-row, zero-shuffle map — the scan
+      * parallelizes like any row transform at 100 TB. */
+    "ft_highlight_classic" -> ((s, dir) => {
+      import s.implicits._
+      import graft.search.ClassicHighlight._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val toks = graft.analysis.StandardTokenizer.tokenize(text).map(t =>
+            Tok(graft.analysis.Analyzer.lowerCase(t.term),
+              t.startOffset, t.endOffset, t.posInc))
+          val term = highlight(toks, text, extractFlat(HTerm("vector")), NullFrag)
+          if (term.numHighlights == 0) None
+          else {
+            val phrase = highlight(toks, text,
+              extract(HPhrase(Seq("data" -> 0, "vector" -> 1)), toks), NullFrag)
+            Some((id, term.numHighlights.toLong, term.frags.head.text,
+              phrase.numHighlights.toLong,
+              phrase.frags.headOption.map(_.text).getOrElse(text)))
+          }
+        }.toDF("doc_id", "n_term", "hl_term", "n_phrase", "hl_phrase")
+        .orderBy("doc_id")
+    }),
+
     /** Passage-model highlighting (postingshighlight/PostingsHighlighter
       * .java:97): sentence passages scored norm*sum(weight*tf); the
       * double-hit sentence and the single-hit sentence win over the
