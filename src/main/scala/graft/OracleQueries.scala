@@ -2723,6 +2723,19 @@ object OracleQueries {
          |  FROM documents WHERE lang = 'en' GROUP BY 2)
          |ORDER BY level, cnt DESC, label""".stripMargin,
 
+    // Association facets: per-category sum of per-doc association values
+    // (integer-valued doubles, so the distributed sum is order-exact)
+    "facet_assoc" ->
+      s"""WITH m AS (SELECT * FROM documents WHERE doc_id % 3 <> 1),
+         |a AS (
+         |  SELECT concat('lang/', lang) AS path,
+         |         CAST(n_chars AS DOUBLE) AS value FROM m
+         |  UNION ALL
+         |  SELECT concat('src/', source),
+         |         CAST(n_chars % 7 + 1 AS DOUBLE) FROM m)
+         |SELECT path, SUM(value) AS total FROM a
+         |GROUP BY path ORDER BY total DESC, path""".stripMargin,
+
     "facet_prefix" ->
       s"""SELECT p_type, CAST(count(*) AS BIGINT) AS cnt FROM part
          |WHERE p_type LIKE 'S%' GROUP BY 1

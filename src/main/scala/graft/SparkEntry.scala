@@ -3535,6 +3535,23 @@ object SparkEntry {
           .select(lit("en").as("level"), col("label"), col("cnt")))
     }),
 
+    /** Association facets (facet/taxonomy/TaxonomyFacetSumIntAssociations
+      * .java:23, TaxonomyFacetSumFloatAssociations.java): per-category SUM
+      * of per-doc association values over the matching docs, value-desc
+      * children. Each doc carries a packed (category, value) list — here
+      * an array<struct> column — and the facet is one explode + one keyed
+      * aggregation (map-side partials; shuffle width = category count). */
+    "facet_assoc" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") % 3 =!= 1)
+      val assoc = array(
+        struct(concat(lit("lang/"), col("lang")).as("path"),
+          col("n_chars").cast("double").as("value")),
+        struct(concat(lit("src/"), col("source")).as("path"),
+          (col("n_chars") % 7 + 1).cast("double").as("value")))
+      graft.operators.Facets.sumAssociations(docs, assoc)
+    }),
+
     /** The spell package's StringDistance family (suggest/.../spell/
       * {Levenstein,LuceneLevenshtein,JaroWinkler,NGram}Distance.java) over
       * corpus word pairs: raw edit / transposition-aware distances as

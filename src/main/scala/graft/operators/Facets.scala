@@ -74,6 +74,31 @@ object Facets {
   /** Taxonomy child counts one level below `prefix` along the hierarchy
     * `path` (a column per level), over docs matching `cond`. Returns
     * (label, cnt). */
+  /** Association facets (facet/taxonomy/TaxonomyFacetSumIntAssociations
+    * .java:23-80, TaxonomyFacetSumFloatAssociations.java): each matching
+    * doc carries (category, value) associations packed in a BinaryDocValues
+    * field; the facet value of a category is the SUM of its associations
+    * over the matching docs, children ordered value desc
+    * (IntTaxonomyFacets.getTopChildren).
+    *
+    * Here the packed byte[] becomes an array<struct<path,value>> column:
+    * one explode + one (path) hash aggregation — map-side partial sums,
+    * shuffle width = category count, independent of corpus size.
+    *
+    * Documented substitution: the reference accumulates float32 in doc-id
+    * order (its own test pins 0.2f x 50 = 9.999995, asserted only to
+    * 1e-5); a distributed sum has no stable order, so values aggregate in
+    * double — deterministic to the same 1e-5 the reference asserts.
+    *
+    * Tie order: value desc, then path asc (see ordinal note above). */
+  def sumAssociations(docs: DataFrame, assoc: Column,
+                      cond: Column = lit(true)): DataFrame =
+    docs.where(cond)
+      .select(explode(assoc).as("kv"))
+      .groupBy(col("kv.path").as("path"))
+      .agg(sum(col("kv.value")).as("total"))
+      .orderBy(col("total").desc, col("path"))
+
   def pathChildren(docs: DataFrame, path: Seq[Column], prefix: Seq[String],
                    cond: Column = lit(true)): DataFrame = {
     require(prefix.length < path.length, "prefix exhausts the hierarchy")

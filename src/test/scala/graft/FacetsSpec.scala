@@ -10,6 +10,8 @@ import graft.operators.Facets.DrillDown
   * hierarchical Publish Date) and TestTaxonomyFacetCounts.testBasic,
   * re-checked value-for-value (tie order here is label asc, documented
   * deviation from taxonomy-ordinal order). */
+final case class Assoc(path: String, value: Double)
+
 class FacetsSpec extends AnyFunSuite {
   private lazy val spark = SparkSuite.spark
   import spark.implicits._
@@ -89,5 +91,45 @@ class FacetsSpec extends AnyFunSuite {
     // children under [2012, 1]: days 1 and 7
     assert(Facets.pathChildren(docs, path, Seq("2012", "1"))
       .as[(String, Long)].collect().toList === List(("1", 1L), ("7", 1L)))
+  }
+
+  // TestTaxonomyFacetAssociations.java:55-140: 110 docs, every 11th empty
+  // (the empty-doc case used to hang the reference aggregators), the rest
+  // carry int/a=2 + float/a=0.5, and every even one also int/b=3 +
+  // float/b=0.2
+  private lazy val assocDocs = (0 until 110).map { i =>
+    val kvs =
+      if (i % 11 == 0) Seq.empty[(String, Double)]
+      else if (i % 2 == 0)
+        Seq("int/a" -> 2.0, "float/a" -> 0.5, "int/b" -> 3.0, "float/b" -> 0.2)
+      else Seq("int/a" -> 2.0, "float/a" -> 0.5)
+    (i.toLong, kvs.map { case (p, v) => Assoc(p, v) })
+  }.toDF("doc_id", "assoc")
+
+  test("association facets: int + float sums (TestTaxonomyFacetAssociations)") {
+    val out = Facets.sumAssociations(assocDocs, col("assoc"))
+      .as[(String, Double)].collect().toMap
+    // testIntSumAssociation: a (200), b (150)
+    assert(out("int/a") === 200.0)
+    assert(out("int/b") === 150.0)
+    // testFloatSumAssociation: a 50f, b 10f (reference asserts +-1e-5;
+    // its float32 doc-order accumulation prints 9.999995)
+    assert(math.abs(out("float/a") - 50.0) < 1e-5)
+    assert(math.abs(out("float/b") - 10.0) < 1e-5)
+    // top-children order: value desc
+    val ints = Facets.sumAssociations(assocDocs, col("assoc"),
+      size(col("assoc")) > 0)
+      .where(col("path").startsWith("int/"))
+      .as[(String, Double)].collect().toList
+    assert(ints === List(("int/a", 200.0), ("int/b", 150.0)))
+  }
+
+  test("association facets under drill-down (testIntSumAssociationDrillDown)") {
+    // drill into int/b: only docs carrying b; a (100), b (150) - b first
+    val hasB = exists(col("assoc"), kv => kv("path") === "int/b")
+    val out = Facets.sumAssociations(assocDocs, col("assoc"), hasB)
+      .where(col("path").startsWith("int/"))
+      .as[(String, Double)].collect().toList
+    assert(out === List(("int/b", 150.0), ("int/a", 100.0)))
   }
 }
