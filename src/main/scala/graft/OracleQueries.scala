@@ -2723,6 +2723,27 @@ object OracleQueries {
          |  FROM documents WHERE lang = 'en' GROUP BY 2)
          |ORDER BY level, cnt DESC, label""".stripMargin,
 
+    // langid update processor: stop-profile argmax, whitelist gate,
+    // fallback to the source field, text mapped to text_{lang}
+    "update_langid" ->
+      s"""WITH $tokAllCte,
+         |stop(slang, sterm) AS (VALUES $stopValues),
+         |hits AS (SELECT t.doc_id AS id, s.slang, count(*) AS hits
+         |         FROM tokall t JOIN stop s ON s.sterm = t.term GROUP BY 1, 2),
+         |best AS (SELECT id, slang FROM (
+         |  SELECT id, slang,
+         |    row_number() OVER (PARTITION BY id ORDER BY hits DESC, slang) AS rn
+         |  FROM hits) WHERE rn = 1),
+         |resolved AS (
+         |  SELECT d.doc_id, CASE
+         |    WHEN b.slang IS NULL THEN d.source
+         |    WHEN b.slang IN ('en','de','fr','zh') THEN b.slang
+         |    ELSE d.source END AS language
+         |  FROM documents d LEFT JOIN best b ON b.id = d.doc_id)
+         |SELECT doc_id, language,
+         |       concat('text_', language) AS mapped_fields
+         |FROM resolved ORDER BY doc_id""".stripMargin,
+
     // Association facets: per-category sum of per-doc association values
     // (integer-valued doubles, so the distributed sum is order-exact)
     "facet_assoc" ->

@@ -3535,6 +3535,32 @@ object SparkEntry {
           .select(lit("en").as("level"), col("label"), col("cnt")))
     }),
 
+    /** Solr langid update processor (solr/contrib/langid/.../
+      * LanguageIdentifierUpdateProcessor.java:190-276): index-time language
+      * detection with whitelist + fallback-field resolution and
+      * language-suffixed field mapping (text -> text_{lang}); the detector
+      * is the engine's stopword profile. Zero-shuffle per-row map. */
+    "update_langid" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.LangIdUpdate
+      val cfg = LangIdUpdate.Config(
+        inputFields = Seq("text"), langField = Some("language"),
+        fallbackFields = Seq("source"),
+        whitelist = Set("en", "de", "fr", "zh"),
+        mapEnable = true, enforceSchema = false)
+      s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text", "source").as[(Long, String, String)]
+        .map { case (id, text, src) =>
+          val out = LangIdUpdate.process(cfg,
+            Map("text" -> Seq(text), "source" -> Seq(src)),
+            LangIdUpdate.stopwordDetector)
+          val lang = out("language").head
+          val mapped = out.keys.filter(_.startsWith("text")).toSeq.sorted
+          (id, lang, mapped.mkString(","))
+        }.toDF("doc_id", "language", "mapped_fields")
+        .orderBy("doc_id")
+    }),
+
     /** Association facets (facet/taxonomy/TaxonomyFacetSumIntAssociations
       * .java:23, TaxonomyFacetSumFloatAssociations.java): per-category SUM
       * of per-doc association values over the matching docs, value-desc
