@@ -2723,6 +2723,28 @@ object OracleQueries {
          |  FROM documents WHERE lang = 'en' GROUP BY 2)
          |ORDER BY level, cnt DESC, label""".stripMargin,
 
+    // Search-results clustering: k-means (2 Lloyd rounds, lowest-4-id
+    // seeds) over the embeddings of the docs matching \bvector\b, labels =
+    // top-2 member terms per cluster
+    "cluster_results" ->
+      s"""WITH ${kmeansSubsetCtes(
+        "vec_id IN (SELECT doc_id FROM documents " +
+          "WHERE regexp_matches(text, '\\bvector\\b'))", 4, 64)},
+         |$tokAllCte,
+         |tc AS (SELECT a.cid, t.term, count(*) AS cnt
+         |       FROM asg a JOIN tokall t ON t.doc_id = a.id
+         |       GROUP BY a.cid, t.term),
+         |top2 AS (SELECT cid, term, rn FROM (
+         |  SELECT cid, term,
+         |    row_number() OVER (PARTITION BY cid ORDER BY cnt DESC, term) AS rn
+         |  FROM tc) WHERE rn <= 2),
+         |lbl AS (SELECT cid, string_agg(term, ',' ORDER BY rn) AS labels
+         |        FROM top2 GROUP BY cid)
+         |SELECT a.cid AS cluster, CAST(count(*) AS BIGINT) AS size, l.labels
+         |FROM asg a JOIN lbl l ON l.cid = a.cid
+         |GROUP BY a.cid, l.labels
+         |ORDER BY size DESC, cluster""".stripMargin,
+
     // langid update processor: stop-profile argmax, whitelist gate,
     // fallback to the source field, text mapped to text_{lang}
     "update_langid" ->

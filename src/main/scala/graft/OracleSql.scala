@@ -142,6 +142,32 @@ object OracleSql {
        |${asgCte("asg", "cents")}""".stripMargin
   }
 
+  /** ivfKmeansCtes over a FILTERED embedding subset (search-results
+    * clustering): `eFilter` is SQL limiting e's vec_ids; seeds = the k
+    * LOWEST ids in the subset (mirrors Ann.kmeansCentroids'
+    * orderBy(id).limit(k) on sparse result ids). */
+  def kmeansSubsetCtes(eFilter: String, k: Int, dim: Int): String = {
+    def asgCte(name: String, cents: String): String =
+      s"""$name AS (SELECT id, cid FROM (
+         |  SELECT e.vec_id AS id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${sqlCos("e.v", "c.cv")} DESC, c.cid) AS rn
+         |  FROM e, $cents c) WHERE rn = 1)""".stripMargin
+    def meanCte(prev: String, cm: String, cents: String): String =
+      s"""$cm AS (SELECT a.cid, t.i AS pos, avg(e2.v[t.i]) AS m
+         |  FROM $prev a JOIN e e2 ON e2.vec_id = a.id
+         |  CROSS JOIN UNNEST(generate_series(1, $dim)) AS t(i)
+         |  GROUP BY a.cid, t.i),
+         |$cents AS (SELECT cid, list(m ORDER BY pos) AS cv FROM $cm GROUP BY cid)""".stripMargin
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |      WHERE $eFilter),
+       |cent0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT $k),
+       |${asgCte("asg0", "cent0")},
+       |${meanCte("asg0", "cm0", "cent1")},
+       |${asgCte("asg1", "cent1")},
+       |${meanCte("asg1", "cm1", "cents")},
+       |${asgCte("asg", "cents")}""".stripMargin
+  }
+
   /** Deterministic LatLonType points over customer — mirrors
     * SparkEntry.geoCustomers op for op (long mod, one double divide). */
   val geoPtsCte: String =

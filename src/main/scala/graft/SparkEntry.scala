@@ -3535,6 +3535,20 @@ object SparkEntry {
           .select(lit("en").as("level"), col("label"), col("cnt")))
     }),
 
+    /** Search-results clustering (Solr ClusteringComponent,
+      * solr/contrib/clustering/.../ClusteringComponent.java:60): cluster
+      * the result page by embeddings (deterministic k-means, the carrot2
+      * ByKMeans shape — carrot2 itself is environmental) and label each
+      * cluster with its members' top analyzed terms. Bounded to the
+      * result page; never a corpus-wide job. */
+    "cluster_results" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("text").rlike("\\bvector\\b"))
+        .select("doc_id", "text")
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.operators.Clustering.clusterResults(docs, emb, k = 4, nLabels = 2)
+    }),
+
     /** Solr langid update processor (solr/contrib/langid/.../
       * LanguageIdentifierUpdateProcessor.java:190-276): index-time language
       * detection with whitelist + fallback-field resolution and
