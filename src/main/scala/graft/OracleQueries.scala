@@ -3533,6 +3533,23 @@ object OracleQueries {
          |  UNION ALL SELECT doc_id, 8, w1 FROM w
          |) ORDER BY doc_id, pos""".stripMargin,
 
+    // Morfologik lemma fan-out: Liście -> 4 lemmas (lowercase-fallback
+    // lookup), danych -> 4 lemmas, keyword-marked corpus word untouched
+    "analysis_morfologik" ->
+      s"""WITH w AS (SELECT doc_id, split_part(text, ' ', 1) AS w1
+         |           FROM documents WHERE lang = 'en' AND doc_id % 7 = 5)
+         |SELECT doc_id, pos, term FROM (
+         |  SELECT doc_id, CAST(0 AS BIGINT) AS pos, 'liście' AS term FROM w
+         |  UNION ALL SELECT doc_id, 0, 'liść' FROM w
+         |  UNION ALL SELECT doc_id, 0, 'list' FROM w
+         |  UNION ALL SELECT doc_id, 0, 'lista' FROM w
+         |  UNION ALL SELECT doc_id, 1, 'dany' FROM w
+         |  UNION ALL SELECT doc_id, 1, 'dana' FROM w
+         |  UNION ALL SELECT doc_id, 1, 'dane' FROM w
+         |  UNION ALL SELECT doc_id, 1, 'dać' FROM w
+         |  UNION ALL SELECT doc_id, 2, w1 FROM w
+         |) ORDER BY doc_id, pos, term""".stripMargin,
+
     "analysis_classic" ->
       s"""WITH w AS (SELECT doc_id, split_part(text, ' ', 1) AS w1,
          |                  split_part(text, ' ', 2) AS w2

@@ -2702,6 +2702,25 @@ object SparkEntry {
         }.toDF("doc_id", "pos", "term").orderBy("doc_id", "pos")
     }),
 
+    /** Morfologik dictionary lemmatization (morfologik/MorfologikFilter
+      * .java:96-151): "Liście" reaches the lemma set via the lowercased
+      * fallback lookup (4 lemmas at pos 0), "danych" hits directly (4
+      * lemmas at pos 1), and the corpus word — keyword-marked, the
+      * reference's own testKeywordAttrTokens path — passes through. */
+    "analysis_morfologik" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .where(col("lang") === "en" && col("doc_id") % 7 === 5)
+        .select("doc_id", "text").as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val w1 = text.split(' ')(0)
+          val (terms, positions) = graft.analysis.Morfologik.analyzeFlat(
+            s"Liście danych $w1", graft.analysis.Morfologik.testDict,
+            keywords = Set(w1))
+          terms.indices.map(i => (id, positions(i).toLong, terms(i)))
+        }.toDF("doc_id", "pos", "term").orderBy("doc_id", "pos", "term")
+    }),
+
     "analysis_classic" -> ((s, dir) => {
       import s.implicits._
       s.read.parquet(s"$dir/documents.parquet")
