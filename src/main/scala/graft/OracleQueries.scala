@@ -2895,6 +2895,28 @@ object OracleQueries {
          |  UNION ALL SELECT doc_id, 'skip1', '/' || source || '/' || sid FROM d)
          |ORDER BY doc_id, cfg, term""".stripMargin,
 
+    // ReversePathHierarchy suffixes of /lang/source/id (skip=1 keeps the
+    // trailing delimiter of the truncated prefix); upper2 = first two
+    // positions uppercased (LimitTokenPositionFilter + UpperCaseFilter)
+    "analysis_pathhier_rev" ->
+      s"""WITH d AS (SELECT doc_id, lang, source, CAST(doc_id AS VARCHAR) AS sid,
+         |                  split_part(text, ' ', 1) AS w1,
+         |                  split_part(text, ' ', 2) AS w2
+         |           FROM documents WHERE lang = 'en' AND doc_id % 11 = 7)
+         |SELECT doc_id, cfg, term FROM (
+         |  SELECT doc_id, 'rev' AS cfg,
+         |         '/' || lang || '/' || source || '/' || sid AS term FROM d
+         |  UNION ALL SELECT doc_id, 'rev', lang || '/' || source || '/' || sid FROM d
+         |  UNION ALL SELECT doc_id, 'rev', source || '/' || sid FROM d
+         |  UNION ALL SELECT doc_id, 'rev', sid FROM d
+         |  UNION ALL SELECT doc_id, 'revskip1',
+         |    '/' || lang || '/' || source || '/' FROM d
+         |  UNION ALL SELECT doc_id, 'revskip1', lang || '/' || source || '/' FROM d
+         |  UNION ALL SELECT doc_id, 'revskip1', source || '/' FROM d
+         |  UNION ALL SELECT doc_id, 'upper2', upper(w1) FROM d
+         |  UNION ALL SELECT doc_id, 'upper2', upper(w2) FROM d)
+         |ORDER BY doc_id, cfg, term""".stripMargin,
+
     // PatternTokenizer: split mode [lang, w1, w2] / group mode [w1, w2]
     // over composites built from the doc's first two words
     "analysis_pattern" ->

@@ -1837,6 +1837,32 @@ object SparkEntry {
         .orderBy("doc_id", "cfg", "term")
     }),
 
+    /** ReversePathHierarchyTokenizer (path/ReversePathHierarchyTokenizer
+      * .java:126-180): path SUFFIXES at one position; skip=1 drops the
+      * trailing component. Plus the round-4 misc filters on the same
+      * rows: LimitTokenPositionFilter caps the upper-cased token stream
+      * at position 2. */
+    "analysis_pathhier_rev" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .where(col("lang") === "en" && col("doc_id") % 11 === 7)
+        .select("doc_id", "lang", "source", "text").as[(Long, String, String, String)]
+        .flatMap { case (id, lang, src, text) =>
+          val path = s"/$lang/$src/$id"
+          val ws = text.split(' ')
+          val rev = graft.analysis.PathHierarchy.tokenizeReverse(path)
+            .map(t => (id, "rev", t.term))
+          val revSkip = graft.analysis.PathHierarchy.tokenizeReverse(path, skip = 1)
+            .map(t => (id, "revskip1", t.term))
+          val upper2 = graft.analysis.MiscFilters.limitTokenPosition(
+            graft.analysis.StandardTokenizer.tokenize(s"${ws(0)} ${ws(1)} ${ws(2)}"), 2)
+            .map(t => (id, "upper2", graft.analysis.MiscFilters.upperCase(t.term)))
+          rev ++ revSkip ++ upper2
+        }
+        .toDF("doc_id", "cfg", "term")
+        .orderBy("doc_id", "cfg", "term")
+    }),
+
     /** PatternTokenizer (reference analysis/common/.../pattern/
       * PatternTokenizer.java:48): mode 'split' (group=-1, String.split
       * semantics on "[:\\-]") over "lang:w1-w2", mode 'group' (group=1)

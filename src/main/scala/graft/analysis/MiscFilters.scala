@@ -135,6 +135,48 @@ object MiscFilters {
     toks.take(max).toVector
   }
 
+  /** LimitTokenPositionFilter (miscellaneous/LimitTokenPositionFilter
+    * .java:40-98): keep tokens whose POSITION (1-based, accumulated from
+    * posIncs) is <= maxTokenPosition — stacked posInc=0 tokens at the
+    * boundary position survive, the first increment past it stops the
+    * stream. */
+  def limitTokenPosition(toks: IndexedSeq[Token], maxTokenPosition: Int): Vector[Token] = {
+    require(maxTokenPosition >= 1, "maxTokenPosition must be greater than zero")
+    val out = Vector.newBuilder[Token]
+    var pos = 0
+    var i = 0
+    var stop = false
+    while (i < toks.length && !stop) {
+      pos += toks(i).posInc
+      if (pos <= maxTokenPosition) out += toks(i) else stop = true
+      i += 1
+    }
+    out.result()
+  }
+
+  /** UpperCaseFilter (core/UpperCaseFilter.java:38-52): full codepoint
+    * uppercase. The reference documents it as locale-hazardous (unlike
+    * lowercase, uppercasing can change length — e.g. ß -> SS via
+    * Character.toUpperCase staying 1:1 here exactly as
+    * CharacterUtils.toUpperCase does: per-codepoint, not String-level). */
+  def upperCase(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      sb.appendCodePoint(Character.toUpperCase(cp))
+      i += Character.charCount(cp)
+    }
+    sb.toString
+  }
+
+  /** PatternKeywordMarkerFilter (miscellaneous/PatternKeywordMarkerFilter
+    * .java:33-53): keywordAtt set when the pattern matches the WHOLE term
+    * (matcher.matches()), shielding it from the downstream stemmer. */
+  def stemWithPatternKeyword(term: String, pattern: java.util.regex.Pattern,
+                             stem: String => String): String =
+    if (pattern.matcher(term).matches()) term else stem(term)
+
   /** ApostropheFilter: keep only the part before the first ' / U+2019. */
   def apostrophe(term: String): String = {
     var i = 0

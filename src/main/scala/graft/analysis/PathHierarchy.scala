@@ -70,4 +70,45 @@ object PathHierarchy {
     }
     out.result()
   }
+
+  /** ReversePathHierarchyTokenizer: emits each path SUFFIX as a token —
+    * "/a/b/c" -> "/a/b/c", "a/b/c", "b/c", "c", all at one position, all
+    * ending at the same offset; `skip` drops that many trailing
+    * components first.
+    *
+    * Reference (exact algorithm: delimiter-boundary table, one shared
+    * endPosition = the boundary `skip` segments from the end):
+    * lucene/analysis/common/src/java/org/apache/lucene/analysis/path/ReversePathHierarchyTokenizer.java:126-180,
+    * vectors: TestReversePathHierarchyTokenizer.java:28-157
+    */
+  def tokenizeReverse(path: String, delimiter: Char = DefaultDelimiter,
+                      replacement: Char = DefaultDelimiter,
+                      skip: Int = 0): Vector[Token] = {
+    require(skip >= 0, "skip cannot be negative")
+    // boundary table: 0, the position after each delimiter, and the total
+    // length when the path doesn't end on a delimiter
+    val boundaries = scala.collection.mutable.ArrayBuffer(0)
+    val buf = new StringBuilder(path.length)
+    var i = 0
+    while (i < path.length) {
+      val c = path(i); i += 1
+      if (c == delimiter) { boundaries += i; buf.append(replacement) }
+      else buf.append(c)
+    }
+    if (boundaries.last < path.length) boundaries += path.length
+    val n = boundaries.length
+    val idx = n - 1 - skip
+    val out = Vector.newBuilder[Token]
+    if (idx >= 0) {
+      val endPosition = boundaries(idx)
+      var k = 0
+      while (k < n - skip - 1) {
+        val start = boundaries(k)
+        out += Token(buf.substring(start, endPosition), start, endPosition,
+          if (k == 0) 1 else 0, "word")
+        k += 1
+      }
+    }
+    out.result()
+  }
 }

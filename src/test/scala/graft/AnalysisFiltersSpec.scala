@@ -118,6 +118,36 @@ class AnalysisFiltersSpec extends AnyFunSuite {
     assert(win.map(_.endOffset) == Seq(2, 4, 6, 8))
   }
 
+  test("ReversePathHierarchyTokenizer vectors (TestReversePathHierarchyTokenizer)") {
+    def check(path: String, skip: Int, out: Seq[String],
+              so: Seq[Int], eo: Seq[Int], pi: Seq[Int]): Unit = {
+      val r = PathHierarchy.tokenizeReverse(path, skip = skip)
+      assert(terms(r) == out, s"path: $path skip: $skip")
+      assert(r.map(_.startOffset) == so, s"startOffsets of $path")
+      assert(r.map(_.endOffset) == eo, s"endOffsets of $path")
+      assert(incs(r) == pi, s"posIncs of $path")
+    }
+    check("/a/b/c", 0, Seq("/a/b/c", "a/b/c", "b/c", "c"),
+      Seq(0, 1, 3, 5), Seq(6, 6, 6, 6), Seq(1, 0, 0, 0))
+    check("/a/b/c/", 0, Seq("/a/b/c/", "a/b/c/", "b/c/", "c/"),
+      Seq(0, 1, 3, 5), Seq(7, 7, 7, 7), Seq(1, 0, 0, 0))
+    check("a/b/c", 0, Seq("a/b/c", "b/c", "c"),
+      Seq(0, 2, 4), Seq(5, 5, 5), Seq(1, 0, 0))
+    check("a/b/c/", 0, Seq("a/b/c/", "b/c/", "c/"),
+      Seq(0, 2, 4), Seq(6, 6, 6), Seq(1, 0, 0))
+    check("/", 0, Seq("/"), Seq(0), Seq(1), Seq(1))
+    check("//", 0, Seq("//", "/"), Seq(0, 1), Seq(2, 2), Seq(1, 0))
+    check("/a/b/c/", 1, Seq("/a/b/", "a/b/", "b/"),
+      Seq(0, 1, 3), Seq(5, 5, 5), Seq(1, 0, 0))
+    check("a/b/c", 1, Seq("a/b/", "b/"), Seq(0, 2), Seq(4, 4), Seq(1, 0))
+    check("a/b/c/", 1, Seq("a/b/", "b/"), Seq(0, 2), Seq(4, 4), Seq(1, 0))
+    check("/", 1, Seq(), Seq(), Seq(), Seq())
+    check("//", 1, Seq("/"), Seq(0), Seq(1), Seq(1))
+    // delimiter replacement applies inside the suffix terms too
+    assert(terms(PathHierarchy.tokenizeReverse("/a/b/c", '/', '\\')) ==
+      Seq("\\a\\b\\c", "a\\b\\c", "b\\c", "c"))
+  }
+
   test("PatternTokenizer split and group modes") {
     def check(pattern: String, group: Int, in: String, out: Seq[String]): Unit =
       assert(terms(PatternTokenizer.tokenize(in, pattern, group)) == out,

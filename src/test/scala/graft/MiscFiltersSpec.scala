@@ -265,6 +265,46 @@ class MiscFiltersSpec extends AnyFunSuite {
     assert(MiscFilters.elision("l'aigua", MiscFilters.CatalanArticles) == "aigua")
   }
 
+  test("LimitTokenPositionFilter: position cap, stacked tokens survive (TestLimitTokenPositionFilter)") {
+    def lp(toks: Vector[Token], max: Int) =
+      MiscFilters.limitTokenPosition(toks, max).map(_.term)
+    assert(lp(ws("1  2     3  4  5"), 2) == Seq("1", "2"))
+    assert(lp(ws("1 2 3 4 5"), 2) == Seq("1", "2"))
+    assert(lp(ws("1  "), 2) == Seq("1")) // below the limit
+    assert(lp(ws("1  2  "), 2) == Seq("1", "2")) // exactly at the limit
+    // testMaxPosition3WithSynonyms shape: posInc=0 tokens stacked at the
+    // boundary position are kept; the next increment stops the stream
+    val syn = Vector(Token("one", 0, 3, 1, "word"),
+      Token("first", 0, 3, 0, "SYNONYM"), Token("alpha", 0, 3, 0, "SYNONYM"),
+      Token("two", 4, 7, 1, "word"), Token("three", 8, 13, 1, "word"),
+      Token("four", 14, 18, 1, "word"))
+    assert(MiscFilters.limitTokenPosition(syn, 3).map(_.term) ==
+      Seq("one", "first", "alpha", "two", "three"))
+    assertThrows[IllegalArgumentException](MiscFilters.limitTokenPosition(syn, 0))
+  }
+
+  test("UpperCaseFilter: per-codepoint uppercase (TestUpperCaseFilter shape)") {
+    assert(MiscFilters.upperCase("the quick fox") == "THE QUICK FOX")
+    assert(MiscFilters.upperCase("déjà") == "DÉJÀ")
+    // per-codepoint (CharacterUtils.toUpperCase): ß maps 1:1 (to itself —
+    // its uppercase form "SS" needs a String-level map), not to SS
+    assert(MiscFilters.upperCase("straße") == "STRAßE")
+    // supplementary-plane codepoints round-trip
+    assert(MiscFilters.upperCase("𐐨") == "𐐀") // DESERET
+  }
+
+  test("PatternKeywordMarkerFilter: whole-term match shields the stemmer (TestKeywordMarkerFilter)") {
+    import java.util.regex.Pattern
+    def run(p: String): Seq[String] =
+      ws("The quIck browN LuceneFox Jumps").map(t =>
+        MiscFilters.stemWithPatternKeyword(t.term, Pattern.compile(p),
+          Analyzer.lowerCase))
+    assert(run("[a-zA-Z]+[fF]ox") ==
+      Seq("the", "quick", "brown", "LuceneFox", "jumps"))
+    assert(run("[a-zA-Z]+[f]ox") ==
+      Seq("the", "quick", "brown", "lucenefox", "jumps"))
+  }
+
   test("CodepointCountFilter counts codepoints, not chars") {
     // "𝄞𝄞" is 2 codepoints / 4 chars
     val in = Vector(Token("𝄞𝄞", 0, 4, 1, "word"),
