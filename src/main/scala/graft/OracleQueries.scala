@@ -494,6 +494,23 @@ object OracleQueries {
          |SELECT DISTINCT doc_id FROM tokens
          |WHERE term = 'batch' AND pos < 2 ORDER BY doc_id""".stripMargin,
 
+    // SpanPositionRangeQuery: single-term span [pos, pos+1) survives when
+    // start <= pos and pos+1 <= end, i.e. pos in [2, 6)
+    "ft_span_posrange" ->
+      s"""WITH $tokensCte
+         |SELECT DISTINCT doc_id FROM tokens
+         |WHERE term = 'batch' AND pos >= 2 AND pos < 6 ORDER BY doc_id""".stripMargin,
+
+    // FieldMaskingSpanQuery over the position-parallel rev: field — the
+    // masked leg's spans equal the content term's, so the ordered slop-0
+    // near is exactly the phrase batch->merge
+    "ft_span_fieldmask" ->
+      s"""WITH $tokensCte
+         |SELECT DISTINCT a.doc_id FROM tokens a JOIN tokens b
+         |  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |WHERE a.term = 'batch' AND b.term = 'merge'
+         |ORDER BY a.doc_id""".stripMargin,
+
     // CommonTermsQuery: df > n/2 terms demote to optional, rare terms
     // required; all matched terms still score
     "ft_common_terms" ->

@@ -504,6 +504,30 @@ object SparkEntry {
     "ft_span_first" -> ((s, dir) => matchedDocs(s, dir, BoolQ(Seq(
       (Occur.Must, SpanFirstQ("batch", 2)))))),
 
+    /** SpanPositionRangeQuery (the general [start, end) window; SpanFirst
+      * is start=0): docs whose 'batch' occurs at a position in [2, 6). */
+    "ft_span_posrange" -> ((s, dir) => matchedDocs(s, dir, BoolQ(Seq(
+      (Occur.Must, SpanPositionRangeQ("batch", 2, 6)))))),
+
+    /** FieldMaskingSpanQuery (spans/FieldMaskingSpanQuery.java:33-70): a
+      * span from one field composed inside a span-near on another —
+      * legal exactly when the fields are position-parallel, which the
+      * "rev:" field is by construction (it shares the content field's
+      * position arrays). Here the ordered phrase batch->merge reads its
+      * second leg through the masked reversed field: rev:egrem's spans
+      * ARE merge's spans, so the result equals the plain phrase. The
+      * engine's per-field term spaces make the mask a free composition
+      * (no field-equality check to defeat). */
+    "ft_span_fieldmask" -> ((s, dir) => {
+      val r = revReader(s, dir)
+      new JoinScorer(r).scores(BoolQ(Seq(
+        (Occur.Must, SpanNearMultiQ(
+          Seq(TermQ("batch"), TermQ("rev:" + "merge".reverse)),
+          slop = 0, inOrder = true)))))
+        .toDF("docId", "score")
+        .join(idMap(r), "docId").select("doc_id").orderBy("doc_id")
+    }),
+
     /** CommonTermsQuery (reference queries/CommonTermsQuery.java): terms
       * with df > maxDoc/2 demote to SHOULD, rare terms stay MUST — the
       * stopword-free way to keep high-frequency terms from dominating

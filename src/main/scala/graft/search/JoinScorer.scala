@@ -49,7 +49,8 @@ final class JoinScorer(reader: SearchReader) {
       case (_, SpanWithinQ(l, bg, _), _) => l +: bg
       case (_, SpanContainingQ(l, bg, _), _) => l +: bg
       case (_, TermAutomatonQ(_, _, trs, _), _) => trs.map(_._3)
-      case (_, SpanFirstQ(t, _), _) => Seq(t) }.flatten
+      case (_, SpanFirstQ(t, _), _) => Seq(t)
+      case (_, SpanPositionRangeQ(t, _, _), _) => Seq(t) }.flatten
     val stats = reader.termStats(termQs.distinct)
     flat.map {
       case (o, tq @ TermQ(t), b) =>
@@ -72,7 +73,9 @@ final class JoinScorer(reader: SearchReader) {
         (o, sq, ScoredSpanNot(inc, exc, pre, post, stats.get(inc),
           stats.contains(exc), b))
       case (o, sq @ SpanFirstQ(t, end), b) =>
-        (o, sq, ScoredSpanFirst(t, end, stats.get(t), b))
+        (o, sq, ScoredSpanRange(t, 0, end, stats.get(t), b))
+      case (o, sq @ SpanPositionRangeQ(t, st, end), b) =>
+        (o, sq, ScoredSpanRange(t, st, end, stats.get(t), b))
       case (o, sq @ SpanWithinQ(l, bg, slop), b) =>
         (o, sq, ScoredSpanContain(l, bg, slop, within = true,
           stats.get(l), bg.map(stats.get), b))
@@ -180,7 +183,7 @@ final class JoinScorer(reader: SearchReader) {
                                  incStats: Option[TermStats],
                                  excPresent: Boolean,
                                  boost: Float = 1f) extends RewrittenClause
-  final case class ScoredSpanFirst(term: String, end: Int,
+  final case class ScoredSpanRange(term: String, start: Int, end: Int,
                                    stats: Option[TermStats],
                                    boost: Float = 1f) extends RewrittenClause
   final case class ScoredSpanContain(little: String, big: Seq[String],
@@ -701,10 +704,11 @@ final class JoinScorer(reader: SearchReader) {
     }.filter(h => !java.lang.Float.isNaN(h.score))
   }
 
-  /** Span-first (SpanFirstQuery analog): occurrences at position < `end`
-    * survive; freq = surviving count, weight from the term's idf. The
-    * positions filter runs inside the postings decode — no extra pass. */
-  private def spanFirstHits(term: String, end: Int,
+  /** Span position range (SpanPositionRangeQuery; SpanFirstQuery is
+    * start=0): occurrences at position in [start, end) survive; freq =
+    * surviving count, weight from the term's idf. The positions filter
+    * runs inside the postings decode — no extra pass. */
+  private def spanRangeHits(term: String, start: Int, end: Int,
                             stats: Option[TermStats], clause: Int,
                             kind: Int, boost: Float): Dataset[ClauseHit] = {
     if (stats.isEmpty) return spark.emptyDataset[ClauseHit]
@@ -712,14 +716,17 @@ final class JoinScorer(reader: SearchReader) {
       BM25.idf(stats.get.df, reader.collStats.maxDoc), boost)
     val cacheB = spark.sparkContext.broadcast(
       reader.normCacheFor(IndexBuilder.fieldOfTerm(term)))
+    val startPos = start
     val endPos = end
     reader.blocks(Seq(term)).flatMap { b =>
       PostingsCodec.decode(graft.codec.PostingBlock(b.term, b.firstDoc,
         b.lastDoc, b.count, b.maxTf, b.sumTf, b.maxPartial, b.docBytes,
         b.nrmBytes, b.posBytes)).iterator.flatMap { p =>
-        // positions are ascending: count the prefix < endPos
+        // positions are ascending: skip past < startPos, count < endPos
+        var j = 0
+        while (j < p.positions.length && p.positions(j) < startPos) j += 1
         var sf = 0
-        while (sf < p.positions.length && p.positions(sf) < endPos) sf += 1
+        while (j + sf < p.positions.length && p.positions(j + sf) < endPos) sf += 1
         if (sf == 0) Iterator.empty
         else Iterator.single(ClauseHit(p.docId, clause, kind,
           BM25.score(wv, sf.toFloat, cacheB.value, p.norm)))
@@ -774,8 +781,8 @@ final class JoinScorer(reader: SearchReader) {
         case ScoredSpanOr(ts, st, b) => spanOrHits(ts, st, i, kind, b)
         case ScoredSpanNot(inc, exc, pre, post, st, ep, b) =>
           spanNotHits(inc, exc, pre, post, st, ep, i, kind, b)
-        case ScoredSpanFirst(t, end, st, b) =>
-          spanFirstHits(t, end, st, i, kind, b)
+        case ScoredSpanRange(t, st0, end, st, b) =>
+          spanRangeHits(t, st0, end, st, i, kind, b)
         case ScoredSpanContain(l, bg, slop, w, lst, bst, b) =>
           spanContainHits(l, bg, slop, w, lst, bst, i, kind, b)
         case ConstSet(ts, b) => constHits(ts, i, kind, b)

@@ -60,6 +60,11 @@ final case class BoostQ(q: Query, boost: Float) extends Query
   * SpanPositionRangeQuery with start 0): matches docs where `term` has an
   * occurrence at position < `end`; freq = count of such occurrences. */
 final case class SpanFirstQ(term: String, end: Int) extends Query
+/** Span position range (reference search/spans/SpanPositionRangeQuery
+  * .java:36-58 acceptPosition: span kept when spanStart >= `start` AND
+  * spanEnd <= `end`; a single-term span is [pos, pos+1), so positions in
+  * [start, end) survive). SpanFirstQ is the start=0 special case. */
+final case class SpanPositionRangeQ(term: String, start: Int, end: Int) extends Query
 /** Span-near (reference lucene/core/.../search/spans/SpanNearQuery.java):
   * terms within a window of width <= terms.length + slop; `inOrder = true`
   * additionally requires query order (NearSpansOrdered), false allows any
