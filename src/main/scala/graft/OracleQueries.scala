@@ -3808,6 +3808,70 @@ object OracleQueries {
          |    WHEN 2 THEN '/a/b/page.htm?q=1'
          |    WHEN 3 THEN ''
          |    ELSE '/research/' END AS url_canonical
-         |FROM u ORDER BY doc_id""".stripMargin
+         |FROM u ORDER BY doc_id""".stripMargin,
+
+    // ---------- multi-valued sort selectors ----------
+
+    // SortedNumericSelector MIN/MAX over each user's event values;
+    // SortedSetSelector MIDDLE_MIN/MIDDLE_MAX over the deduplicated
+    // sorted event-type set (lower middle at ord (n-1)/2, higher at n/2)
+    "sort_multival" ->
+      s"""WITH agg AS (
+         |  SELECT user_id,
+         |         round(min(value), 9) AS num_min,
+         |         round(max(value), 9) AS num_max,
+         |         list_sort(list(DISTINCT event_type)) AS types
+         |  FROM events GROUP BY user_id),
+         |sel AS (
+         |  SELECT user_id, num_min, num_max,
+         |         types[CAST((len(types)-1)//2 AS BIGINT) + 1] AS set_mid_min,
+         |         types[CAST(len(types)//2 AS BIGINT) + 1] AS set_mid_max
+         |  FROM agg)
+         |SELECT * FROM (
+         |  SELECT CAST(row_number() OVER (
+         |      ORDER BY set_mid_min ASC, num_max DESC, user_id) AS BIGINT)
+         |      AS rank,
+         |    user_id, set_mid_min, set_mid_max, num_min, num_max
+         |  FROM sel) t
+         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    // ---------- payload functions / payload-check spans ----------
+
+    // Min/MaxPayloadFunction over the same pos<20 payload channel
+    "ft_payload_minmax" ->
+      s"""WITH $tokensCte,
+         |pay AS (SELECT doc_id,
+         |          min(CASE WHEN pos < 20 THEN CAST(2.0 AS DOUBLE)
+         |              ELSE CAST(1.0 AS DOUBLE) END) AS pay_min,
+         |          max(CASE WHEN pos < 20 THEN CAST(2.0 AS DOUBLE)
+         |              ELSE CAST(1.0 AS DOUBLE) END) AS pay_max
+         |        FROM tokens WHERE term = 'spark' GROUP BY doc_id)
+         |SELECT * FROM (
+         |  SELECT CAST(row_number() OVER (
+         |      ORDER BY pay_max DESC, pay_min DESC, doc_id) AS BIGINT)
+         |      AS rank, doc_id, pay_min, pay_max
+         |  FROM pay) t
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    // SpanPayloadCheckQuery: 'batch' occurrences whose payload list
+    // equals [2.0] — i.e. position inside the 20-token lead window
+    "ft_span_paycheck" ->
+      s"""WITH $tokensCte
+         |SELECT DISTINCT doc_id FROM tokens
+         |WHERE term = 'batch' AND pos < 20 ORDER BY doc_id""".stripMargin,
+
+    // SpanNearPayloadCheckQuery: greedy ordered table->scan chain (scan =
+    // smallest position after the table occurrence), width - 2 <= slop(2),
+    // both matched positions inside the lead window
+    "ft_span_near_paycheck" ->
+      s"""WITH $tokensCte,
+         |pairs AS (
+         |  SELECT a.doc_id, a.pos AS ap, min(b.pos) AS bp
+         |  FROM tokens a JOIN tokens b ON a.doc_id = b.doc_id
+         |   AND b.term = 'scan' AND b.pos > a.pos
+         |  WHERE a.term = 'table' GROUP BY a.doc_id, a.pos)
+         |SELECT DISTINCT doc_id FROM pairs
+         |WHERE (bp - ap + 1) - 2 <= 2 AND ap < 20 AND bp < 20
+         |ORDER BY doc_id""".stripMargin
   )
 }

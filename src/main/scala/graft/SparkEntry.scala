@@ -4503,7 +4503,91 @@ object SparkEntry {
           col("u.url_toplevel").as("url_toplevel"),
           col("u.url_canonical").as("url_canonical"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // ---------- multi-valued sort selectors ----------
+
+    /** SortedNumericSortField / SortedSetSortField selectors (reference
+      * search/SortedNumericSelector.java:30-41 MIN/MAX over the doc's
+      * value LIST; search/SortedSetSelector.java:30-56 MIN/MAX/MIDDLE_MIN/
+      * MIDDLE_MAX over the doc's deduplicated SORTED SET of values — with
+      * an even count MIDDLE_MIN takes the lower middle ord (count-1)/2,
+      * MIDDLE_MAX the higher, count/2). Doc = user, numeric values = its
+      * event `value`s, set values = its event types. MIN/MAX compile to
+      * plain min/max aggregates — the selector IS the aggregate, no array
+      * ever materialized at any scale; the MIDDLE selectors materialize
+      * only the distinct set (bounded by the event-type vocabulary, not
+      * the event count). Sort (set MIDDLE_MIN asc, numeric MAX desc,
+      * user) top 20. */
+    "sort_multival" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      ev.groupBy(col("user_id")).agg(
+          round(min(col("value")), 9).as("num_min"),
+          round(max(col("value")), 9).as("num_max"),
+          sort_array(collect_set(col("event_type"))).as("types"))
+        .withColumn("set_mid_min",
+          expr("element_at(types, cast((size(types)-1)/2 as int) + 1)"))
+        .withColumn("set_mid_max",
+          expr("element_at(types, cast(size(types)/2 as int) + 1)"))
+        .withColumn("rank", row_number().over(Window.orderBy(
+          col("set_mid_min").asc, col("num_max").desc, col("user_id").asc))
+          .cast("long"))
+        .where(col("rank") <= 20)
+        .select("rank", "user_id", "set_mid_min", "set_mid_max",
+          "num_min", "num_max")
+        .orderBy("rank")
+    }),
+
+    // ---------- payload functions / payload-check spans ----------
+
+    /** Min/MaxPayloadFunction (reference queries/.../payloads/
+      * MinPayloadFunction.java:25-35, MaxPayloadFunction.java:26-38 —
+      * PayloadTermQuery score = min / max of the term occurrences'
+      * payloads instead of ft_payload's average) over the same
+      * position-derived payload channel (2.0 inside the 20-token lead
+      * window, 1.0 after). One postings decode produces both. */
+    "ft_payload_minmax" -> ((s, dir) => {
+      import s.implicits._
+      val r = reader(s, dir)
+      r.blocks(Seq("spark"))
+        .flatMap { b =>
+          graft.codec.PostingsCodec.decode(graft.codec.PostingBlock(
+            b.term, b.firstDoc, b.lastDoc, b.count, b.maxTf, b.sumTf,
+            b.maxPartial, b.docBytes, b.nrmBytes, b.posBytes)).iterator
+            .map { p =>
+              var mn = Float.MaxValue
+              var mx = Float.MinValue
+              var j = 0
+              while (j < p.positions.length) {
+                val pay = graft.search.JoinScorer.leadPayload(p.positions(j))
+                if (pay < mn) mn = pay
+                if (pay > mx) mx = pay
+                j += 1
+              }
+              (p.docId, mn.toDouble, mx.toDouble)
+            }
+        }.toDF("docId", "pay_min", "pay_max")
+        .join(idMap(r), "docId")
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("pay_max").desc, col("pay_min").desc,
+            col("doc_id").asc)).cast("long"))
+        .where(col("rank") <= 10)
+        .select("rank", "doc_id", "pay_min", "pay_max").orderBy("rank")
+    }),
+
+    /** SpanPayloadCheckQuery (spans/SpanPayloadCheckQuery.java:52-73):
+      * occurrences of 'batch' whose collected payloads equal [2.0] in
+      * order — i.e. the occurrence lies in the lead window. */
+    "ft_span_paycheck" -> ((s, dir) => matchedDocs(s, dir, BoolQ(Seq(
+      (Occur.Must, SpanPayloadCheckQ("batch", Seq(2f))))))),
+
+    /** SpanNearPayloadCheckQuery (spans/SpanNearPayloadCheckQuery
+      * .java:47-76): ordered table->scan near (slop 2) accepted only when
+      * BOTH matched occurrences carry payload 2.0 (match-any counting
+      * over the expected list, the near variant's rule). */
+    "ft_span_near_paycheck" -> ((s, dir) => matchedDocs(s, dir, BoolQ(Seq(
+      (Occur.Must, SpanNearPayloadCheckQ(Seq("table", "scan"), 2,
+        Seq(2f, 2f)))))))
   )
 
   def oracleSql: Map[String, String] = OracleQueries.all

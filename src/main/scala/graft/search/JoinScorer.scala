@@ -50,6 +50,8 @@ final class JoinScorer(reader: SearchReader) {
       case (_, SpanContainingQ(l, bg, _), _) => l +: bg
       case (_, TermAutomatonQ(_, _, trs, _), _) => trs.map(_._3)
       case (_, SpanFirstQ(t, _), _) => Seq(t)
+      case (_, SpanPayloadCheckQ(t, _), _) => Seq(t)
+      case (_, SpanNearPayloadCheckQ(ts, _, _), _) => ts
       case (_, SpanPositionRangeQ(t, _, _), _) => Seq(t) }.flatten
     val stats = reader.termStats(termQs.distinct)
     flat.map {
@@ -76,6 +78,12 @@ final class JoinScorer(reader: SearchReader) {
         (o, sq, ScoredSpanRange(t, 0, end, stats.get(t), b))
       case (o, sq @ SpanPositionRangeQ(t, st, end), b) =>
         (o, sq, ScoredSpanRange(t, st, end, stats.get(t), b))
+      case (o, sq @ SpanPayloadCheckQ(t, pays), b) =>
+        (o, sq, ScoredSpanPayCheck(Seq(t), 0, nearRule = false, pays,
+          Seq(stats.get(t)), b))
+      case (o, sq @ SpanNearPayloadCheckQ(ts, slop, pays), b) =>
+        (o, sq, ScoredSpanPayCheck(ts, slop, nearRule = true, pays,
+          ts.map(stats.get), b))
       case (o, sq @ SpanWithinQ(l, bg, slop), b) =>
         (o, sq, ScoredSpanContain(l, bg, slop, within = true,
           stats.get(l), bg.map(stats.get), b))
@@ -186,6 +194,11 @@ final class JoinScorer(reader: SearchReader) {
   final case class ScoredSpanRange(term: String, start: Int, end: Int,
                                    stats: Option[TermStats],
                                    boost: Float = 1f) extends RewrittenClause
+  final case class ScoredSpanPayCheck(terms: Seq[String], slop: Int,
+                                      nearRule: Boolean,
+                                      payloads: Seq[Float],
+                                      stats: Seq[Option[TermStats]],
+                                      boost: Float = 1f) extends RewrittenClause
   final case class ScoredSpanContain(little: String, big: Seq[String],
                                      slop: Int, within: Boolean,
                                      littleStats: Option[TermStats],
@@ -480,6 +493,59 @@ final class JoinScorer(reader: SearchReader) {
         val sf =
           if (inOrder) JoinScorer.orderedSpanFreq(byTerm, nTerms, slop)
           else JoinScorer.unorderedSpanFreq(byTerm, nTerms, slop)
+        if (sf == 0) ClauseHit(docId, clause, kind, Float.NaN)
+        else ClauseHit(docId, clause, kind,
+          BM25.score(wv, sf.toFloat, cacheB.value, norm))
+      }
+    }.filter(h => !java.lang.Float.isNaN(h.score))
+  }
+
+  /** Payload-check spans (SpanPayloadCheckQuery / SpanNearPayloadCheckQuery):
+    * ordered greedy span walk as in spanHits, but each match's leg
+    * positions are surfaced and its payloads (the position-derived channel
+    * shared with ft_payload: 2.0 inside the 20-token lead window, 1.0
+    * after) are compared against `expected` — in order for the single-span
+    * check (SpanPayloadCheckQuery.java:52-73), by match-any counting for
+    * the near variant (SpanNearPayloadCheckQuery.java:47-76). freq =
+    * accepted matches, scored with the summed-idf statistics. */
+  private def spanPayloadCheckHits(terms: Seq[String], slop: Int,
+                                   expected: Seq[Float], nearRule: Boolean,
+                                   stats: Seq[Option[TermStats]],
+                                   clause: Int, kind: Int,
+                                   boost: Float): Dataset[ClauseHit] = {
+    if (stats.exists(_.isEmpty) || terms.isEmpty)
+      return spark.emptyDataset[ClauseHit]
+    var idfSum = 0f
+    stats.flatten.foreach(ts => idfSum += BM25.idf(ts.df, reader.collStats.maxDoc))
+    val wv = BM25.weightValue(idfSum, boost)
+    val nTerms = terms.length
+    val exp = expected.toArray
+    val termIdx: Map[String, Seq[Int]] =
+      terms.zipWithIndex.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2) }
+    val cacheB = spark.sparkContext.broadcast(
+      reader.normCacheFor(IndexBuilder.fieldOfTerm(terms.head)))
+    val tIdxB = spark.sparkContext.broadcast(termIdx)
+    reader.blocks(terms.distinct).flatMap { b =>
+      val idxs = tIdxB.value(b.term)
+      PostingsCodec.decode(graft.codec.PostingBlock(b.term, b.firstDoc,
+        b.lastDoc, b.count, b.maxTf, b.sumTf, b.maxPartial, b.docBytes,
+        b.nrmBytes, b.posBytes)).iterator.flatMap(p =>
+        idxs.map(idx => (p.docId, idx, p.positions, p.norm)))
+    }.groupByKey(_._1).mapGroups { (docId, it) =>
+      val byTerm = new Array[Array[Int]](nTerms)
+      var norm: Byte = 0
+      it.foreach { case (_, i, pos, n) => byTerm(i) = pos; norm = n }
+      if (byTerm.exists(_ == null)) ClauseHit(docId, clause, kind, Float.NaN)
+      else {
+        var sf = 0
+        JoinScorer.orderedSpanMatches(byTerm, nTerms, slop).foreach { legs =>
+          val cand = legs.map(JoinScorer.leadPayload)
+          val ok =
+            if (cand.length != exp.length) false
+            else if (!nearRule) cand.indices.forall(i => cand(i) == exp(i))
+            else cand.count(c => exp.contains(c)) == exp.length
+          if (ok) sf += 1
+        }
         if (sf == 0) ClauseHit(docId, clause, kind, Float.NaN)
         else ClauseHit(docId, clause, kind,
           BM25.score(wv, sf.toFloat, cacheB.value, norm))
@@ -783,6 +849,8 @@ final class JoinScorer(reader: SearchReader) {
           spanNotHits(inc, exc, pre, post, st, ep, i, kind, b)
         case ScoredSpanRange(t, st0, end, st, b) =>
           spanRangeHits(t, st0, end, st, i, kind, b)
+        case ScoredSpanPayCheck(ts, slop, nearRule, pays, st, b) =>
+          spanPayloadCheckHits(ts, slop, pays, nearRule, st, i, kind, b)
         case ScoredSpanContain(l, bg, slop, w, lst, bst, b) =>
           spanContainHits(l, bg, slop, w, lst, bst, i, kind, b)
         case ConstSet(ts, b) => constHits(ts, i, kind, b)
@@ -988,6 +1056,35 @@ object JoinScorer {
     * smallest position after the previous; match when
     * spanWidth - nTerms <= slop (greedy minimizes the end, so membership
     * is exact). */
+  /** The fixed position-derived payload channel shared by ft_payload and
+    * the payload-check queries: 2.0 inside the 20-token lead window, 1.0
+    * after (TokenOffsetPayloadTokenFilter-style analysis product). */
+  def leadPayload(pos: Int): Float = if (pos < 20) 2f else 1f
+
+  /** Ordered greedy span walk (same chain as orderedSpanFreq) that yields
+    * each MATCHING span's per-leg positions — for accept-position checks
+    * that must see the matched occurrences, not just the count. */
+  def orderedSpanMatches(byTerm: Array[Array[Int]], nTerms: Int,
+                         slop: Int): Iterator[Array[Int]] = {
+    val starts = byTerm(0)
+    (0 until starts.length).iterator.flatMap { i =>
+      val legs = new Array[Int](nTerms)
+      legs(0) = starts(i)
+      var prev = starts(i)
+      var ok = true
+      var j = 1
+      while (ok && j < nTerms) {
+        val arr = byTerm(j)
+        val at = java.util.Arrays.binarySearch(arr, prev + 1)
+        val ins = if (at >= 0) at else -at - 1
+        if (ins >= arr.length) ok = false else { prev = arr(ins); legs(j) = prev }
+        j += 1
+      }
+      if (ok && (prev - legs(0) + 1) - nTerms <= slop) Iterator.single(legs)
+      else Iterator.empty
+    }
+  }
+
   def orderedSpanFreq(byTerm: Array[Array[Int]],
                                       nTerms: Int, slop: Int): Int = {
     var sf = 0

@@ -65,6 +65,23 @@ final case class SpanFirstQ(term: String, end: Int) extends Query
   * spanEnd <= `end`; a single-term span is [pos, pos+1), so positions in
   * [start, end) survive). SpanFirstQ is the start=0 special case. */
 final case class SpanPositionRangeQ(term: String, start: Int, end: Int) extends Query
+/** Payload-gated term span (reference search/spans/SpanPayloadCheckQuery
+  * .java:52-73 acceptPosition: collect the span's payloads and compare
+  * them against `payloads` IN ORDER — sizes must match and each candidate
+  * must equal its counterpart). The engine's payload channel is the
+  * position-derived one ft_payload reads (payload(pos) = 2.0 for
+  * pos < 20 else 1.0, a TokenOffsetPayloadTokenFilter-style product of
+  * the analysis chain), so payloads are Floats here. freq = accepted
+  * occurrences, scored with the term's statistics. */
+final case class SpanPayloadCheckQ(term: String,
+                                   payloads: Seq[Float]) extends Query
+/** Payload-gated span-near (reference search/spans/
+  * SpanNearPayloadCheckQuery.java:47-76 acceptPosition: count candidate
+  * payloads that equal ANY expected payload; accept when the count
+  * reaches payloads.size — the unordered variant of the check, applied
+  * to every ordered span-near match). */
+final case class SpanNearPayloadCheckQ(terms: Seq[String], slop: Int,
+                                       payloads: Seq[Float]) extends Query
 /** Span-near (reference lucene/core/.../search/spans/SpanNearQuery.java):
   * terms within a window of width <= terms.length + slop; `inOrder = true`
   * additionally requires query order (NearSpansOrdered), false allows any
