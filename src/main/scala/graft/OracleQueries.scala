@@ -3872,6 +3872,93 @@ object OracleQueries {
          |  WHERE a.term = 'table' GROUP BY a.doc_id, a.pos)
          |SELECT DISTINCT doc_id FROM pairs
          |WHERE (bp - ap + 1) - 2 <= 2 AND ap < 20 AND bp < 20
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    // ---------- legacy suggester lookups + dictionary sources ----------
+
+    // TSTLookup onlyMorePopular: top-10 by the injective df-major weight
+    // (weight = df * 2^20 + (2^20 - lexicographic rank within the df
+    // group)), i.e. order (df desc, term asc) among 's'-prefix terms
+    "suggest_tst" ->
+      s"""WITH $tokensCte,
+         |dict AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |         FROM tokens GROUP BY term),
+         |wd AS (SELECT term, df * 1048576 + (1048576 -
+         |         CAST(row_number() OVER (PARTITION BY df ORDER BY term)
+         |              AS BIGINT)) AS weight
+         |       FROM dict)
+         |SELECT CAST(row_number() OVER (ORDER BY weight DESC) AS BIGINT)
+         |         AS rank, term, weight
+         |FROM wd WHERE term LIKE 's%' ORDER BY rank LIMIT 10""".stripMargin,
+
+    // Jaspell plain mode: first 15 'co'-prefix terms lexicographically
+    "suggest_jaspell" ->
+      s"""WITH $tokensCte,
+         |dict AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |         FROM tokens GROUP BY term)
+         |SELECT CAST(row_number() OVER (ORDER BY term) AS BIGINT) AS rank,
+         |       term, df AS weight
+         |FROM dict WHERE term LIKE 'co%' ORDER BY rank LIMIT 15""".stripMargin,
+
+    // Jaspell onlyMorePopular quirk: rank only the first num*2 = 10
+    // lexicographic prefix matches by weight, take 5
+    "suggest_jaspell_pop" ->
+      s"""WITH $tokensCte,
+         |dict AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |         FROM tokens GROUP BY term),
+         |wd AS (SELECT term, df * 1048576 + (1048576 -
+         |         CAST(row_number() OVER (PARTITION BY df ORDER BY term)
+         |              AS BIGINT)) AS weight
+         |       FROM dict),
+         |cand AS (SELECT term, weight FROM wd WHERE term LIKE 's%'
+         |         ORDER BY term LIMIT 10)
+         |SELECT * FROM (
+         |  SELECT CAST(row_number() OVER (ORDER BY weight DESC) AS BIGINT)
+         |           AS rank, term, weight FROM cand) t
+         |WHERE rank <= 5 ORDER BY rank""".stripMargin,
+
+    // HighFrequencyDictionary: df >= (int)(0.10f * numDocs) (float
+    // truncation), weight = df; WFST completion order (weight desc, term)
+    "suggest_highfreq" ->
+      s"""WITH $tokensCte,
+         |dict AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |         FROM tokens GROUP BY term),
+         |n AS (SELECT count(*) AS nd FROM documents),
+         |hf AS (SELECT term AS surface, df AS weight FROM dict, n
+         |       WHERE df >= CAST(trunc(CAST(0.10 AS REAL) * CAST(nd AS REAL))
+         |                        AS BIGINT))
+         |SELECT surface, weight FROM hf WHERE surface LIKE 'c%'
+         |ORDER BY weight DESC, surface LIMIT 10""".stripMargin,
+
+    // DocumentDictionary -> analyzing suggester: per-surface dedup keeps
+    // the max weight; exact surface first, then weight desc
+    "suggest_document" ->
+      s"""WITH d AS (SELECT source AS surface,
+         |             CAST(max(n_chars) AS BIGINT) AS weight
+         |           FROM documents GROUP BY source)
+         |SELECT surface, weight FROM d WHERE surface LIKE 'src1%'
+         |ORDER BY (surface = 'src1') DESC, weight DESC, surface
+         |LIMIT 8""".stripMargin,
+
+    // FileDictionary parse re-derived from the same raw lines: <=3
+    // tab-split fields; long weight with a truncated-double fallback;
+    // bare term -> weight 1
+    "suggest_file" ->
+      s"""WITH lines(l) AS (VALUES
+         |  ('foo' || chr(9) || '34'),
+         |  ('bar' || chr(9) || '12.7' || chr(9) || 'BAR'),
+         |  ('turbo'),
+         |  ('spartan' || chr(9) || '5000000000'),
+         |  ('spark' || chr(9) || '9e2'),
+         |  ('spa' || chr(9) || '77' || chr(9) || 'SPA')),
+         |f AS (SELECT string_split(l, chr(9)) AS p FROM lines),
+         |parsed AS (SELECT p[1] AS surface,
+         |  CASE WHEN len(p) >= 2 THEN
+         |    coalesce(TRY_CAST(p[2] AS BIGINT),
+         |             CAST(trunc(CAST(p[2] AS DOUBLE)) AS BIGINT))
+         |  ELSE CAST(1 AS BIGINT) END AS weight
+         | FROM f)
+         |SELECT surface, weight FROM parsed WHERE surface LIKE 'sp%'
+         |ORDER BY weight DESC, surface LIMIT 10""".stripMargin
   )
 }

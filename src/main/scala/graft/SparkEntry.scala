@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 import graft.codec.SmallFloat
 import graft.index._
 import graft.analysis.Analyzer
-import graft.operators.{Ann, AtomicUpdate, Classify, Dedup, Geo, Multimodal, Stats, TextAnalysis, UpdateChain}
+import graft.operators.{Ann, AtomicUpdate, Classify, Dedup, Geo, Multimodal, Stats, SuggestLookups, TextAnalysis, UpdateChain}
 import graft.search._
 
 /** Driver contract (see SURVEY.md §7 + the builder prompt): `queries` maps
@@ -4587,7 +4587,106 @@ object SparkEntry {
       * over the expected list, the near variant's rule). */
     "ft_span_near_paycheck" -> ((s, dir) => matchedDocs(s, dir, BoolQ(Seq(
       (Occur.Must, SpanNearPayloadCheckQ(Seq("table", "scan"), 2,
-        Seq(2f, 2f)))))))
+        Seq(2f, 2f))))))),
+
+    // ---------- legacy suggester lookups + dictionary sources ----------
+
+    /** TSTLookup over the index term dictionary (suggest/tst/TSTLookup
+      * .java), onlyMorePopular=true: LookupPriorityQueue top-10 by weight
+      * among 's'-prefix terms. The dictionary parameterizes weights to be
+      * injective — df-major with a lexicographic minor — so the query is
+      * PQ-deterministic at any scale (equal-weight PQ survival depends on
+      * trie traversal order, covered by t:SuggestLookupsSpec instead).
+      * Distributed part: two scalar aggregates + one bounded prefix-range
+      * scan; driver replays the balancedTree insertion order of just that
+      * range (SuggestLookups.medianOrder). */
+    "suggest_tst" -> ((s, dir) => {
+      import s.implicits._
+      val r = reader(s, dir)
+      val c = 1L << 20
+      val dict = r.termStatsDf.toDF()
+        .where(!col("term").startsWith("path:") && !col("term").startsWith("rev:"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("df")).orderBy(col("term"))).cast("long"))
+        .select(col("term"), (col("df") * c + (lit(c) - col("rn"))).as("weight"))
+      SuggestLookups.tstLookup(dict, "s", 10, onlyMorePopular = true)
+        .zipWithIndex.map { case (x, i) => (i + 1L, x.key, x.weight) }
+        .toDF("rank", "term", "weight")
+    }),
+
+    /** JaspellLookup plain mode (suggest/jaspell/JaspellLookup.java:103-
+      * 140): matchPrefix = the first `num` prefix matches in LEXICOGRAPHIC
+      * order (in-order trie walk), weights reported as-is (df). */
+    "suggest_jaspell" -> ((s, dir) => {
+      import s.implicits._
+      val r = reader(s, dir)
+      val dict = r.termStatsDf.toDF()
+        .where(!col("term").startsWith("path:") && !col("term").startsWith("rev:"))
+        .select(col("term"), col("df").cast("long").as("weight"))
+      SuggestLookups.jaspellLookup(dict, "co", 15, onlyMorePopular = false)
+        .zipWithIndex.map { case (x, i) => (i + 1L, x.key, x.weight) }
+        .toDF("rank", "term", "weight")
+    }),
+
+    /** JaspellLookup onlyMorePopular quirk: candidates = the first num*2
+      * prefix matches in LEXICOGRAPHIC order, and only that head slice is
+      * weight-ranked — a globally heavier term later in the alphabet is
+      * invisible. Same injective weights as suggest_tst. */
+    "suggest_jaspell_pop" -> ((s, dir) => {
+      import s.implicits._
+      val r = reader(s, dir)
+      val c = 1L << 20
+      val dict = r.termStatsDf.toDF()
+        .where(!col("term").startsWith("path:") && !col("term").startsWith("rev:"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("df")).orderBy(col("term"))).cast("long"))
+        .select(col("term"), (col("df") * c + (lit(c) - col("rn"))).as("weight"))
+      SuggestLookups.jaspellLookup(dict, "s", 5, onlyMorePopular = true)
+        .zipWithIndex.map { case (x, i) => (i + 1L, x.key, x.weight) }
+        .toDF("rank", "term", "weight")
+    }),
+
+    /** HighFrequencyDictionary (spell/HighFrequencyDictionary.java:30-60:
+      * df >= (int)(thresh*numDocs), float truncation kept) feeding the
+      * WFST surface completion: 'c'-prefix high-frequency terms by df. */
+    "suggest_highfreq" -> ((s, dir) => {
+      val r = reader(s, dir)
+      val stats = r.termStatsDf.toDF()
+        .where(!col("term").startsWith("path:") && !col("term").startsWith("rev:"))
+        .select(col("term"), col("df"))
+      val dict = SuggestLookups
+        .highFrequency(stats, r.collStats.maxDoc, 0.10f)
+        .withColumnRenamed("term", "surface")
+      graft.operators.Suggest.wfst(dict, "c", 10, exactFirst = false)
+    }),
+
+    /** DocumentDictionary (suggest/DocumentDictionary.java:60-150): one
+      * entry per doc with a non-null suggest field (source), weight =
+      * n_chars — feeding the analyzing suggester, whose per-surface dedup
+      * keeps the max-weight entry (maxSurfaceFormsPerAnalyzedForm
+      * posture). exactFirst puts the exact 'src1' surface first. */
+    "suggest_document" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val dict = SuggestLookups
+        .documentDictionary(docs, "source", Some("n_chars"))
+        .withColumn("akey", col("surface"))
+      graft.operators.Suggest.analyzing(dict, "src1", 8, exactFirst = true)
+    }),
+
+    /** FileDictionary (suggest/FileDictionary.java:108-214) parse quirks
+      * end-to-end: <=3 tab-split fields, long weight with a (long)double
+      * fallback, bare terms weight 1, payload presence decided by the
+      * FIRST line alone (2 fields here, so later payloads drop) — parsed
+      * on the driver (a dictionary file is driver input) and completed
+      * via the WFST surface lookup. */
+    "suggest_file" -> ((s, dir) => {
+      import s.implicits._
+      val lines = Seq("foo\t34", "bar\t12.7\tBAR", "turbo",
+        "spartan\t5000000000", "spark\t9e2", "spa\t77\tSPA")
+      val dict = SuggestLookups.fileDictionary(lines)
+        .map { case (t, w, _) => (t, w) }.toDF("surface", "weight")
+      graft.operators.Suggest.wfst(dict, "sp", 10, exactFirst = false)
+    })
   )
 
   def oracleSql: Map[String, String] = OracleQueries.all
