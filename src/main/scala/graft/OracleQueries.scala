@@ -3959,6 +3959,67 @@ object OracleQueries {
          |  ELSE CAST(1 AS BIGINT) END AS weight
          | FROM f)
          |SELECT surface, weight FROM parsed WHERE surface LIKE 'sp%'
-         |ORDER BY weight DESC, surface LIMIT 10""".stripMargin
+         |ORDER BY weight DESC, surface LIMIT 10""".stripMargin,
+
+    // ---------- rescore-by-sort / block-join sort / MLT-by-text ----------
+
+    // SortRescorer: BM25 top-40 page re-sorted by (n_chars desc, doc_id)
+    "ft_rescore_sort" ->
+      s"""$bm25OrWith,
+         |agg AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id),
+         |page AS (SELECT doc_id FROM agg
+         |         ORDER BY round(score, 9) DESC, doc_id LIMIT 40)
+         |SELECT * FROM (
+         |  SELECT CAST(row_number() OVER (
+         |      ORDER BY d.n_chars DESC, p.doc_id) AS BIGINT) AS rank,
+         |    p.doc_id
+         |  FROM page p JOIN documents d ON d.doc_id = p.doc_id) t
+         |WHERE rank <= 15 ORDER BY rank""".stripMargin,
+
+    // BlockJoinComparatorSource: parents (orders) sorted by min child
+    // (lineitem) price
+    "block_join_sort" ->
+      s"""WITH ch AS (
+         |  SELECT o.o_orderkey, round(min(l.l_extendedprice), 4) AS child_min
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         |  GROUP BY o.o_orderkey)
+         |SELECT * FROM (
+         |  SELECT CAST(row_number() OVER (
+         |      ORDER BY child_min ASC, o_orderkey) AS BIGINT) AS rank,
+         |    o_orderkey, child_min
+         |  FROM ch) t
+         |WHERE rank <= 15 ORDER BY rank""".stripMargin,
+
+    // MLT over free text: tf from the literal text, df from the corpus,
+    // same (tf desc, df asc, term) pick rule with df >= 2, top-5 BM25
+    // disjunction
+    "ft_mlt_text" ->
+      s"""WITH $tokensCte,
+         |$dlCsCte,
+         |$normCte,
+         |qtext(w) AS (SELECT unnest(regexp_extract_all(
+         |  'spark vector window merge stream batch spark vector spark',
+         |  '[a-z0-9]+'))),
+         |d0 AS (SELECT w AS term, count(*) AS tf FROM qtext GROUP BY w),
+         |alldf AS (SELECT term, count(DISTINCT doc_id) AS df FROM tokens
+         |          GROUP BY term),
+         |q AS (SELECT d0.term AS qterm FROM d0 JOIN alldf USING (term)
+         |      WHERE alldf.df >= 2
+         |      ORDER BY d0.tf DESC, alldf.df ASC, d0.term LIMIT 5),
+         |$bm25ClauseCte,
+         |agg AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id)
+         |${rankSel(10)}""".stripMargin,
+
+    // PrecedenceQueryParser: (spark AND vector) OR window
+    "ft_precedence" ->
+      s"""WITH $tokensCte
+         |SELECT DISTINCT doc_id FROM (
+         |  SELECT a.doc_id
+         |  FROM (SELECT DISTINCT doc_id FROM tokens WHERE term = 'spark') a
+         |  JOIN (SELECT DISTINCT doc_id FROM tokens WHERE term = 'vector') b
+         |    ON a.doc_id = b.doc_id
+         |  UNION
+         |  SELECT doc_id FROM tokens WHERE term = 'window') u
+         |ORDER BY doc_id""".stripMargin
   )
 }

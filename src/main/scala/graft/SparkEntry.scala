@@ -4686,7 +4686,73 @@ object SparkEntry {
       val dict = SuggestLookups.fileDictionary(lines)
         .map { case (t, w, _) => (t, w) }.toDF("surface", "weight")
       graft.operators.Suggest.wfst(dict, "sp", 10, exactFirst = false)
-    })
+    }),
+
+    // ---------- rescore-by-sort / block-join sort / MLT-by-text ----------
+
+    /** SortRescorer (search/SortRescorer.java:40-90): re-sort the first
+      * pass's top page by a Sort — the collector walks the page in doc
+      * order through a TopFieldCollector, so ties resolve by doc order.
+      * First pass: BM25 top-40 disjunction; rescore sort:
+      * (n_chars desc, doc_id). The sort-field join touches only the
+      * 40-row page (broadcast side), never the corpus. */
+    "ft_rescore_sort" -> ((s, dir) => {
+      val r = reader(s, dir)
+      val first = new JoinScorer(r).topK(should("spark", "vector", "window"), 40)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("n_chars"))
+      first.join(idMap(r), "docId").join(docs, "doc_id")
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n_chars").desc, col("doc_id").asc)).cast("long"))
+        .where(col("rank") <= 15)
+        .select("rank", "doc_id").orderBy("rank")
+    }),
+
+    /** BlockJoinComparatorSource (misc/.../search/BlockJoinComparatorSource
+      * .java:48: sort PARENT docs by a sort over their CHILD documents —
+      * here parents = orders, children = lineitems, child sort =
+      * l_extendedprice asc, so a parent's key is its MIN child price).
+      * One keyed child agg + top-k; children never shuffle whole rows. */
+    "block_join_sort" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val l = s.read.parquet(s"$dir/lineitem.parquet")
+      o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(round(min(col("l_extendedprice")), 4).as("child_min"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("child_min").asc, col("o_orderkey").asc))
+          .cast("long"))
+        .where(col("rank") <= 15)
+        .select("rank", "o_orderkey", "child_min").orderBy("rank")
+    }),
+
+    /** MoreLikeThis over free text (MoreLikeThisHandler ContentStream body
+      * / solr CloudMLTQParser: solr/core/.../handler/MoreLikeThisHandler
+      * .java:117 — "like" text that is NOT an indexed document): analyze
+      * the supplied text, pick representative terms by the same
+      * (tf desc, df asc, term) rule with df >= 2, top-5 disjunction. */
+    "ft_mlt_text" -> ((s, dir) => {
+      val r = reader(s, dir)
+      val text = "spark vector window merge stream batch spark vector spark"
+      val toks = graft.analysis.Analyzer.analyze(text, Set.empty[String])
+      val tf = toks.groupBy(_.term).map { case (t, xs) => t -> xs.length }
+      val stats = r.termStats(tf.keys.toSeq)
+      val picked = tf.toSeq
+        .flatMap { case (t, f) => stats.get(t).map(st => (t, f, st.df)) }
+        .filter(_._3 >= 2L)
+        .sortBy { case (t, f, df) => (-f, df, t) }
+        .take(5).map(_._1)
+      rankedTopK(s, dir, BoolQ(picked.map(t =>
+        (Occur.Should: Occur, TermQ(t): Query))), 10)
+    }),
+
+    /** PrecedenceQueryParser (queryparser/flexible/precedence/
+      * PrecedenceQueryParser.java:43): AND binds tighter than OR, so
+      * "spark AND vector OR window" matches (spark ∧ vector) ∨ window —
+      * the classic parser's flat resolution (+spark +vector window) would
+      * drop every window-only doc. */
+    "ft_precedence" -> ((s, dir) => matchedDocs(s, dir,
+      graft.search.PrecedenceParser.parse("spark AND vector OR window")))
   )
 
   def oracleSql: Map[String, String] = OracleQueries.all
