@@ -4020,6 +4020,25 @@ object OracleQueries {
          |    ON a.doc_id = b.doc_id
          |  UNION
          |  SELECT doc_id FROM tokens WHERE term = 'window') u
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    // MultiPassIndexSplitter assignment: ordinal j over doc_id order;
+    // seq = floor(j / (n/3)) capped at part 2; rr = j % 3
+    "split_multipass" ->
+      s"""WITH ord AS (
+         |  SELECT doc_id,
+         |         CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT)
+         |           AS j,
+         |         (SELECT count(*) FROM documents) AS n
+         |  FROM documents),
+         |asg AS (
+         |  SELECT 'seq' AS mode, doc_id,
+         |         least(j // (n // 3), 2) AS part FROM ord
+         |  UNION ALL
+         |  SELECT 'rr' AS mode, doc_id, j % 3 AS part FROM ord)
+         |SELECT mode, CAST(part AS BIGINT) AS part,
+         |       CAST(count(*) AS BIGINT) AS cnt,
+         |       min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM asg GROUP BY mode, part ORDER BY mode, part""".stripMargin
   )
 }

@@ -4752,7 +4752,28 @@ object SparkEntry {
       * the classic parser's flat resolution (+spark +vector window) would
       * drop every window-only doc. */
     "ft_precedence" -> ((s, dir) => matchedDocs(s, dir,
-      graft.search.PrecedenceParser.parse("spark AND vector OR window")))
+      graft.search.PrecedenceParser.parse("spark AND vector OR window"))),
+
+    /** MultiPassIndexSplitter part assignment (misc/.../index/
+      * MultiPassIndexSplitter.java:70-100) over the corpus in BOTH modes:
+      * seq (ordinal ranges, last part absorbs the remainder) and
+      * round-robin (ordinal % parts), 3 parts. Output = per-(mode, part)
+      * count and id range. The physical N-pass child rebuild reuses the
+      * splitShard copy machinery (t:MultiPassSplitSpec drives it
+      * end-to-end; this row gates the assignment semantics). */
+    "split_multipass" -> ((s, dir) => {
+      val ids = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").as("docId"))
+      def agg(seq: Boolean, mode: String) =
+        IndexBuilder.multiPassAssign(ids, 3, seq)
+          .groupBy(col("part"))
+          .agg(count(lit(1)).as("cnt"), min("docId").as("min_id"),
+            max("docId").as("max_id"))
+          .withColumn("mode", lit(mode))
+      agg(seq = true, "seq").union(agg(seq = false, "rr"))
+        .select("mode", "part", "cnt", "min_id", "max_id")
+        .orderBy("mode", "part")
+    })
   )
 
   def oracleSql: Map[String, String] = OracleQueries.all

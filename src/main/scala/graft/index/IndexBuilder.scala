@@ -836,6 +836,76 @@ object IndexBuilder {
     (outLo, outHi)
   }
 
+  /** MultiPassIndexSplitter part assignment (reference misc/.../index/
+    * MultiPassIndexSplitter.java:70-100): the doc's ordinal j in docID
+    * order maps to a part — seq: part i covers ordinals
+    * [i*partLen, (i+1)*partLen) with the LAST part absorbing the
+    * remainder (partLen = maxDoc / numParts); round-robin (seq=false):
+    * part = j % numParts (the reference keeps doc j in part i when
+    * (j + numParts - i) % numParts == 0). Tombstoned docs keep their
+    * ordinal slot upstream of this call but survive in no part (the
+    * reference's FakeDeleteLeafIndexReader re-applies the original
+    * liveDocs on every undeleteAll).
+    *
+    * The global ordinal is computed scale-safe: sort the (docId) column
+    * and zipWithIndex per partition with partition offsets — a narrow
+    * single-column sort, never a one-task window. */
+  def multiPassAssign(docIds: org.apache.spark.sql.DataFrame, numParts: Int,
+                      seq: Boolean): org.apache.spark.sql.DataFrame = {
+    require(numParts >= 2, "Invalid number of outputs.")
+    val spark = docIds.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod, floor, least}
+    val ords = docIds.select(col("docId").cast("long")).distinct()
+      .orderBy("docId").as[Long].rdd
+      .zipWithIndex().toDF("docId", "j")
+    val maxDoc = ords.count()
+    require(maxDoc >= 2, "Not enough documents for splitting")
+    val partLen = maxDoc / numParts
+    val part =
+      if (seq) {
+        // ordinal / partLen, capped so the remainder stays in the last
+        // part; partLen 0 (fewer docs than parts) degenerates to the
+        // reference behavior of everything landing in the last part
+        if (partLen == 0L) lit((numParts - 1).toLong)
+        else least(floor(col("j") / lit(partLen)), lit(numParts - 1L))
+          .cast("long")
+      } else pmod(col("j"), lit(numParts.toLong))
+    ords.select(col("docId"), part.as("part"))
+  }
+
+  /** MultiPassIndexSplitter: materialize the N-way split as N child
+    * indexes (same per-doc filtered copy + child rebuild as splitShard,
+    * whole-collection scope incl. deltas; tombstones follow their docs
+    * via a semi-join). The source is read once per part, matching the
+    * reference's N-pass posture. */
+  def multiPassSplit(spark: SparkSession, baseDir: String,
+                     outDirs: Seq[String], seq: Boolean,
+                     cfg: IndexConfig): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    val allDirs = subIndexDirs(baseDir)
+    val segs = allDirs.map(d => spark.read.parquet(s"$d/segments"))
+      .reduce(_ union _)
+    val delDirs = allDirs.filter(d => Files.exists(Paths.get(d, "deletes")))
+    val dels =
+      if (delDirs.isEmpty) None
+      else Some(delDirs.map(d => spark.read.parquet(s"$d/deletes"))
+        .reduce(_ union _).distinct())
+    val asg = multiPassAssign(segs.select("docId"), outDirs.length, seq)
+      .cache()
+    outDirs.zipWithIndex.foreach { case (out, i) =>
+      val partDocs = asg.where(col("part") === i.toLong).select("docId")
+      segs.join(partDocs, "docId", "left_semi").write.mode("overwrite")
+        .option("compression", "zstd").parquet(s"$out/segments")
+      writeMarker(out, "segments", Map())
+      dels.foreach(_.join(partDocs, "docId", "left_semi")
+        .write.mode("overwrite").parquet(s"$out/deletes"))
+      build(spark, spark.emptyDataFrame, out, cfg)
+    }
+    asg.unpersist()
+    outDirs
+  }
+
   /** Sub-index directories of `baseDir` in append order. */
   def subIndexDirs(baseDir: String): Seq[String] = {
     val deltas = Option(new java.io.File(baseDir).listFiles()).toSeq.flatten
