@@ -4039,6 +4039,35 @@ object OracleQueries {
          |SELECT mode, CAST(part AS BIGINT) AS part,
          |       CAST(count(*) AS BIGINT) AS cnt,
          |       min(doc_id) AS min_id, max(doc_id) AS max_id
-         |FROM asg GROUP BY mode, part ORDER BY mode, part""".stripMargin
+         |FROM asg GROUP BY mode, part ORDER BY mode, part""".stripMargin,
+
+    // PerFieldSimilarityWrapper: BM25(content 'spark') + Classic(rev:
+    // twin — same tf/df/dl by the reversal bijection, single-clause
+    // Classic collapses to sqrt(tf)*idf^2*qn*cnorm = sqrt(tf)*idf*cnorm)
+    "ft_perfield_sim" ->
+      s"""WITH $tokensCte,
+         |$dlCsCte,
+         |$normCte,
+         |q(qterm) AS (VALUES ('spark')),
+         |$bm25ClauseCte,
+         |cl AS (SELECT tf.doc_id,
+         |         sqrt(tf.tf) * (1 + ln(cs.n / (dfq.df + 1.0))) * nrm.cnorm
+         |           AS s2
+         |       FROM tf, dfq, dl, nrm, cs
+         |       WHERE dfq.qterm = tf.qterm AND dl.doc_id = tf.doc_id
+         |         AND dl.dl BETWEEN nrm.lo AND nrm.hi),
+         |agg AS (SELECT sc.doc_id, sc.s + cl.s2 AS score
+         |        FROM sc JOIN cl ON sc.doc_id = cl.doc_id)
+         |SELECT CAST(row_number() OVER (
+         |    ORDER BY round(score, 5) DESC, doc_id) AS BIGINT) AS rank, doc_id
+         |FROM agg ORDER BY round(score, 5) DESC, doc_id LIMIT 15""".stripMargin,
+
+    // NGramPhraseQuery: the FULL consecutive 2-gram phrase for 'window'
+    // == substring containment in an analyzed token; the engine ran only
+    // the sparse wi@0,nd@2,ow@4 pattern — equality proves the rewrite
+    "ft_ngram_phrase" ->
+      s"""WITH $tokensCte
+         |SELECT DISTINCT doc_id FROM tokens
+         |WHERE instr(term, 'window') > 0 ORDER BY doc_id""".stripMargin
   )
 }

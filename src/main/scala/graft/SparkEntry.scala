@@ -4773,6 +4773,56 @@ object SparkEntry {
       agg(seq = true, "seq").union(agg(seq = false, "rr"))
         .select("mode", "part", "cnt", "min_id", "max_id")
         .orderBy("mode", "part")
+    }),
+
+    /** PerFieldSimilarityWrapper / MultiSimilarity (similarities/
+      * PerFieldSimilarityWrapper.java:30 — each field's weight comes from
+      * get(field); similarities/MultiSimilarity.java:55 — sub-scores
+      * sum): a two-field disjunction where the content leg scores BM25
+      * and the position-parallel rev: field leg scores Classic TF-IDF.
+      * Each field's similarity computes its own weights and reads its own
+      * field's norms; the per-doc scores sum. 'spark' and its
+      * reversed-field twin match the same docs, so the composition is an
+      * inner frame join on the 1:1 doc set. */
+    "ft_perfield_sim" -> ((s, dir) => {
+      val r = revReader(s, dir)
+      val bm = new JoinScorer(r).scores(should("spark")).toDF("docId", "s1")
+      val cl = new ClassicScorer(r).scores(Seq("rev:" + "spark".reverse))
+        .withColumnRenamed("score", "s2")
+      bm.join(cl, "docId")
+        .withColumn("score", col("s1") + col("s2"))
+        .join(idMap(r), "docId")
+        .withColumn("rank", row_number().over(
+          Window.orderBy(round(col("score"), 5).desc, col("doc_id").asc))
+          .cast("long"))
+        .where(col("rank") <= 15)
+        .select("rank", "doc_id").orderBy("rank")
+    }),
+
+    /** NGramPhraseQuery (core search/NGramPhraseQuery.java:37-60): the
+      * 2-gram phrase for "window" (wi,in,nd,do,ow consecutive) rewrites
+      * to the sparse wi@0, nd@2, ow@4 — the engine matches ONLY the
+      * optimized pattern against each analyzed token's gram stream
+      * (per-row flatMap, zero shuffle), while the oracle matches the
+      * FULL consecutive-gram phrase (= substring containment): equal
+      * results are exactly the optimization's exactness claim. */
+    "ft_ngram_phrase" -> ((s, dir) => {
+      import s.implicits._
+      val word = "window"
+      val grams = (0 to word.length - 2).map(i => word.substring(i, i + 2))
+      val (optT, optP) =
+        graft.search.NGramPhrase.rewrite(grams, grams.indices, 2)
+      require(optT == Seq("wi", "nd", "ow") && optP == Seq(0, 2, 4))
+      s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text", "lang").as[(Long, String, String)]
+        .flatMap { case (id, text, lang) =>
+          val stop = graft.analysis.StopSets.forLang(lang)
+          val hit = graft.analysis.Analyzer.analyze(text, stop)
+            .exists(t =>
+              graft.search.NGramPhrase.matchesWord(t.term, optT, optP, 2))
+          if (hit) Iterator.single(id) else Iterator.empty
+        }
+        .toDF("doc_id").orderBy("doc_id")
     })
   )
 

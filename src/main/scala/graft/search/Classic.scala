@@ -23,7 +23,12 @@ final class ClassicScorer(reader: SearchReader,
     (1.0 + math.log(maxDoc / (df + 1.0))).toFloat
 
   /** Disjunctive top-k under Classic TF-IDF. */
-  def topK(terms: Seq[String], k: Int): DataFrame = {
+  def topK(terms: Seq[String], k: Int): DataFrame =
+    scores(terms).orderBy($"score".desc, $"docId".asc).limit(k)
+
+  /** All matched (docId, score) rows — the frame PerFieldSimilarityWrapper
+    * composition sums with other fields' similarity frames. */
+  def scores(terms: Seq[String]): DataFrame = {
     val stats = reader.termStats(terms.distinct)
     val present = terms.filter(stats.contains)
     if (present.isEmpty)
@@ -68,6 +73,5 @@ final class ClassicScorer(reader: SearchReader,
       (docId, s * (overlap.toFloat / maxOverlap)) // coord
     }.toDF("docId", "score")
       .transform(reader.liveOnly) // LiveDocs contract, same as JoinScorer
-      .orderBy($"score".desc, $"docId".asc).limit(k)
   }
 }
