@@ -4068,6 +4068,33 @@ object OracleQueries {
     "ft_ngram_phrase" ->
       s"""WITH $tokensCte
          |SELECT DISTINCT doc_id FROM tokens
-         |WHERE instr(term, 'window') > 0 ORDER BY doc_id""".stripMargin
+         |WHERE instr(term, 'window') > 0 ORDER BY doc_id""".stripMargin,
+
+    // FSTCompletionLookup: bucket = (#entries with smaller weight)*10//N
+    // (equal-weight run inherits its run-start bucket); popular order =
+    // (bucket desc, term); exactMatchFirst promotes the exact surface
+    "suggest_fst" ->
+      s"""WITH $tokensCte,
+         |dict AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS w
+         |         FROM tokens GROUP BY term),
+         |wc AS (SELECT w, count(*) AS c FROM dict GROUP BY w),
+         |bk AS (SELECT w, CAST((coalesce(sum(c) OVER (ORDER BY w
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           * 10) // (SELECT count(*) FROM dict) AS BIGINT)
+         |         AS bucket FROM wc),
+         |m AS (SELECT term, bucket FROM dict JOIN bk ON bk.w = dict.w),
+         |pop AS (SELECT 'pop' AS mode,
+         |          CAST(row_number() OVER (ORDER BY bucket DESC, term)
+         |               AS BIGINT) AS rank, term, bucket
+         |        FROM m WHERE term LIKE 's%'),
+         |ex AS (SELECT 'exact' AS mode,
+         |         CAST(row_number() OVER (
+         |           ORDER BY (term = 'spark') DESC, bucket DESC, term)
+         |              AS BIGINT) AS rank, term, bucket
+         |       FROM m WHERE term LIKE 'spark%')
+         |SELECT mode, rank, term, bucket FROM (
+         |  SELECT * FROM pop WHERE rank <= 10
+         |  UNION ALL SELECT * FROM ex WHERE rank <= 5) t
+         |ORDER BY mode, rank""".stripMargin
   )
 }

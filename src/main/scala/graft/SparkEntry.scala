@@ -4823,6 +4823,28 @@ object SparkEntry {
           if (hit) Iterator.single(id) else Iterator.empty
         }
         .toDF("doc_id").orderBy("doc_id")
+    }),
+
+    /** FSTCompletionLookup (suggest/fst/FSTCompletionLookup.java:95-150,
+      * fst/FSTCompletion.java:150-230): df weights DISCRETIZED into 10
+      * buckets ((weight asc, key asc) line order, equal-weight runs
+      * inherit the run-start bucket); results carry the BUCKET, not the
+      * weight. Two modes in one output: 'pop' = 's'-prefix popular walk
+      * (bucket desc, term asc); 'exact' = 'spark'-prefix with
+      * exactMatchFirst promoting the exact surface to rank 1. */
+    "suggest_fst" -> ((s, dir) => {
+      import s.implicits._
+      val r = reader(s, dir)
+      val dict = r.termStatsDf.toDF()
+        .where(!col("term").startsWith("path:") && !col("term").startsWith("rev:"))
+        .select(col("term"), col("df").cast("long").as("weight"))
+      def run(mode: String, prefix: String, num: Int) =
+        SuggestLookups.fstCompletion(dict, prefix, num,
+            buckets = 10, exactFirst = true, popular = true)
+          .zipWithIndex.map { case (x, i) => (mode, i + 1L, x.key, x.weight) }
+      (run("pop", "s", 10) ++ run("exact", "spark", 5))
+        .toDF("mode", "rank", "term", "bucket")
+        .orderBy("mode", "rank")
     })
   )
 

@@ -269,6 +269,59 @@ object SuggestLookups {
     } else list.take(math.min(num, list.length))
   }
 
+  // ------------- FSTCompletionLookup replica -------------
+
+  /** FSTCompletionLookup / FSTCompletion (reference suggest/fst/
+    * FSTCompletionLookup.java:95-150 build, fst/FSTCompletion.java:150-230
+    * lookup): weights are DISCRETIZED into `buckets` buckets — entries
+    * sort by (weight asc, key asc); line L gets bucket L*buckets/N, and a
+    * run of EQUAL weights inherits the run-start's bucket. Lookup returns
+    * the BUCKET as the result value (the original weight is gone).
+    * Popular mode walks buckets highest-first, lexicographic within a
+    * bucket — i.e. (bucket desc, key asc) — and exactMatchFirst promotes
+    * the exact key to the front (fetching its bucket from anywhere in the
+    * structure if it wasn't in the top num). The alphabetical mode
+    * re-sorts all matches by key and does NOT apply the exact-first
+    * reorder (lookupSortedAlphabetically bypasses it).
+    *
+    * Distributed shape: bucket boundaries come from a per-DISTINCT-weight
+    * frame (one row per distinct weight — a cumulative count over that
+    * small frame, never over N); the prefix slice joins its buckets and
+    * only `num` rows reach the driver. */
+  def fstCompletion(dict: DataFrame, prefix: String, num: Int,
+                    buckets: Int = 10, exactFirst: Boolean = true,
+                    popular: Boolean = true): Seq[Result] = {
+    val spark = dict.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    val n = dict.count()
+    if (n == 0) return Nil
+    val wcnt = dict.groupBy(col("weight")).agg(count(lit(1)).as("c"))
+    val cum = W.orderBy(col("weight"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val bucketF = wcnt
+      .withColumn("runStart", coalesce(sum(col("c")).over(cum), lit(0L)))
+      .select(col("weight"),
+        expr(s"(runStart * $buckets) div ${n}L").cast("long").as("bucket"))
+    val matched = dict.where(col("term").startsWith(prefix))
+      .join(bucketF, "weight")
+    val ordered =
+      if (popular) matched.orderBy(col("bucket").desc, col("term").asc)
+      else matched.orderBy(col("term").asc)
+    var head = ordered.select(col("term"), col("bucket"))
+      .limit(num).as[(String, Long)].collect().toSeq
+    if (popular && exactFirst) {
+      val at = head.indexWhere(_._1 == prefix)
+      if (at >= 0) head = head(at) +: (head.take(at) ++ head.drop(at + 1))
+      else {
+        val exact = dict.where(col("term") === prefix).join(bucketF, "weight")
+          .select(col("term"), col("bucket")).as[(String, Long)].collect()
+        if (exact.nonEmpty) head = exact.head +: head.take(num - 1)
+      }
+    }
+    head.map { case (t, b) => Result(t, b) }
+  }
+
   // ------------- dictionary sources -------------
 
   /** HighFrequencyDictionary: terms of the field whose df >=

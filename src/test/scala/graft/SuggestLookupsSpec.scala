@@ -137,6 +137,44 @@ class SuggestLookupsSpec extends AnyFunSuite {
     assert(hf === Set(("beta", 10L), ("gamma", 11L)))
   }
 
+  test("fstCompletion: bucket discretization with equal-weight run inheritance") {
+    val spark = SparkSuite.spark
+    import spark.implicits._
+    // 10 entries, weights 1,1,1,1,2,2,3,4,5,6 -> runs start at lines
+    // 0,4,6,7,8,9 -> buckets (x*10/10): 0,4,6,7,8,9
+    val dict = Seq(("aa", 1L), ("ab", 1L), ("ac", 1L), ("ad", 1L),
+      ("ae", 2L), ("af", 2L), ("ag", 3L), ("ah", 4L), ("ai", 5L),
+      ("aj", 6L)).toDF("term", "weight")
+    val res = SuggestLookups.fstCompletion(dict, "a", 10,
+      buckets = 10, exactFirst = false, popular = true)
+    // popular: bucket desc, term asc; value IS the bucket
+    assert(res.map(r => (r.key, r.weight)) === Seq(
+      ("aj", 9L), ("ai", 8L), ("ah", 7L), ("ag", 6L),
+      ("ae", 4L), ("af", 4L),
+      ("aa", 0L), ("ab", 0L), ("ac", 0L), ("ad", 0L)))
+    // alphabetical mode re-sorts by key, buckets kept
+    val alpha = SuggestLookups.fstCompletion(dict, "a", 4,
+      buckets = 10, exactFirst = true, popular = false)
+    assert(alpha.map(_.key) === Seq("aa", "ab", "ac", "ad"))
+  }
+
+  test("fstCompletion: exactMatchFirst promotes the exact key") {
+    val spark = SparkSuite.spark
+    import spark.implicits._
+    val dict = Seq(("spar", 9L), ("spark", 1L), ("sparkle", 8L),
+      ("sparse", 7L), ("spartan", 6L), ("sparrow", 5L))
+      .toDF("term", "weight")
+    // 'spark' has the LOWEST weight; without exactFirst it ranks last
+    val plain = SuggestLookups.fstCompletion(dict, "spark", 2,
+      buckets = 10, exactFirst = false, popular = true)
+    assert(!plain.headOption.exists(_.key == "spark"))
+    // exactFirst fetches it from outside the top-2 and prepends
+    val ex = SuggestLookups.fstCompletion(dict, "spark", 2,
+      buckets = 10, exactFirst = true, popular = true)
+    assert(ex.head.key === "spark")
+    assert(ex.length === 2)
+  }
+
   test("documentDictionary skips null fields and payload-missing docs") {
     val spark = SparkSuite.spark
     import spark.implicits._
