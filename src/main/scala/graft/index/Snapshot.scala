@@ -139,6 +139,65 @@ object Snapshot {
     }
   }
 
+  /** Follower catch-up sync (ReplicationHandler / solr/core/.../handler/
+    * IndexFetcher.java:302-380 fetchLatestIndex, :731-775
+    * downloadIndexFiles, :776-835 compareFile, :836-850 isIndexStale):
+    * compare every master index file against the follower by (relative
+    * path, size, checksum) and copy ONLY missing files. A same-named
+    * file whose bytes differ marks the follower STALE — the reference
+    * then abandons incremental fetch and downloads the complete index
+    * into a fresh directory before swapping it in; here the follower's
+    * index stages are cleared and re-copied whole. Returns
+    * (copied, skipped, fullCopy). Driver-side file plumbing by design —
+    * replication moves FILES, not rows; the bytes never enter Spark. */
+  def sync(masterDir: String, followerDir: String): (Int, Int, Boolean) = {
+    def crc(p: Path): Long = {
+      val c = new java.util.zip.CRC32()
+      c.update(Files.readAllBytes(p))
+      c.getValue
+    }
+    def indexFiles(root: Path): Seq[Path] =
+      if (!Files.exists(root)) Nil
+      else Files.walk(root).iterator().asScala
+        .filter(p => Files.isRegularFile(p))
+        .filter { p =>
+          val rel = root.relativize(p).toString
+          !rel.startsWith("snapshots")
+        }.toSeq
+    val mRoot = Paths.get(masterDir)
+    val fRoot = Paths.get(followerDir)
+    val master = indexFiles(mRoot)
+    // pass 1: stale check (compareFile over same-named files)
+    val stale = master.exists { mp =>
+      val fp = fRoot.resolve(mRoot.relativize(mp))
+      Files.exists(fp) &&
+        (Files.size(fp) != Files.size(mp) || crc(fp) != crc(mp))
+    }
+    if (stale) {
+      // full copy: clear follower stages, copy the master tree whole
+      indexFiles(fRoot).foreach(Files.delete)
+      master.foreach { mp =>
+        val fp = fRoot.resolve(mRoot.relativize(mp))
+        Files.createDirectories(fp.getParent)
+        Files.copy(mp, fp, StandardCopyOption.REPLACE_EXISTING)
+      }
+      (master.size, 0, true)
+    } else {
+      var copied = 0
+      var skipped = 0
+      master.foreach { mp =>
+        val fp = fRoot.resolve(mRoot.relativize(mp))
+        if (Files.exists(fp)) skipped += 1
+        else {
+          Files.createDirectories(fp.getParent)
+          Files.copy(mp, fp)
+          copied += 1
+        }
+      }
+      (copied, skipped, false)
+    }
+  }
+
   /** List snapshot names pinned under `baseDir`. */
   def list(baseDir: String): Seq[String] = {
     val p = snapDir(baseDir)

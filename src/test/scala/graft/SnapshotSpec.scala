@@ -88,4 +88,44 @@ class SnapshotSpec extends AnyFunSuite {
     assert(topDocs(restored) == before)
     assert(Snapshot.release(dir, "bk") && Snapshot.list(dir).isEmpty)
   }
+
+  test("replication sync: incremental catch-up, no-op when current, full copy when stale") {
+    val master = SparkSuite.tmpDir("graft-repl-m")
+    val follower = SparkSuite.tmpDir("graft-repl-f")
+    val input = CorpusGen.generate(spark, 300).toDF()
+    IndexBuilder.build(spark, input, master, cfg)
+
+    // initial fetch: everything copies, follower serves the same results
+    val (c1, s1, full1) = Snapshot.sync(master, follower)
+    assert(c1 > 0 && s1 == 0 && !full1)
+    val mr = MultiIndexReader.open(spark, master, cfg.numBuckets, cacheData = false)
+    val fr = MultiIndexReader.open(spark, follower, cfg.numBuckets, cacheData = false)
+    assert(topDocs(fr) === topDocs(mr))
+
+    // already current: nothing copies
+    val (c2, s2, full2) = Snapshot.sync(master, follower)
+    assert(c2 == 0 && s2 == c1 && !full2)
+
+    // master gains a delta commit: only the delta's files transfer
+    val more = CorpusGen.generate(spark, 80).toDF()
+    IndexBuilder.append(spark, more, master, 1L, cfg)
+    val (c3, s3, full3) = Snapshot.sync(master, follower)
+    assert(c3 > 0 && s3 == c1 && !full3)
+    val fr2 = MultiIndexReader.open(spark, follower, cfg.numBuckets, cacheData = false)
+    val mr2 = MultiIndexReader.open(spark, master, cfg.numBuckets, cacheData = false)
+    assert(topDocs(fr2) === topDocs(mr2))
+
+    // a diverged follower file marks the index stale -> clean full copy
+    import scala.jdk.CollectionConverters._
+    val vf = java.nio.file.Files.walk(java.nio.file.Paths.get(follower))
+      .iterator().asScala
+      .find(p => java.nio.file.Files.isRegularFile(p) &&
+        p.toString.contains("collstats")).get
+    java.nio.file.Files.write(vf, "tampered".getBytes)
+    val (c4, _, full4) = Snapshot.sync(master, follower)
+    assert(full4 && c4 > 0)
+    val fr3 = MultiIndexReader.open(spark, follower, cfg.numBuckets, cacheData = false)
+    assert(topDocs(fr3) === topDocs(mr2))
+  }
+
 }
