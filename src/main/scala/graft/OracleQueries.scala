@@ -4095,6 +4095,44 @@ object OracleQueries {
          |SELECT mode, rank, term, bucket FROM (
          |  SELECT * FROM pop WHERE rank <= 10
          |  UNION ALL SELECT * FROM ex WHERE rank <= 5) t
-         |ORDER BY mode, rank""".stripMargin
+         |ORDER BY mode, rank""".stripMargin,
+
+    // ---------- training-pipeline: chunking + sequence packing ----------
+
+    // sliding-window chunking: 40-token windows, stride 32, remainder tail
+    "chunk_sliding" ->
+      s"""WITH d AS (
+         |  SELECT doc_id AS id,
+         |    CAST(len(regexp_extract_all(text, '$TokRe')) AS BIGINT) AS n
+         |  FROM documents WHERE doc_id % 17 = 0),
+         |k AS (SELECT id, n,
+         |        1 + CAST(ceil(greatest(n - 40, 0) / 32.0) AS BIGINT) AS k
+         |      FROM d),
+         |c AS (SELECT id, n, unnest(range(k)) AS chunk FROM k)
+         |SELECT id, CAST(chunk AS BIGINT) AS chunk,
+         |  CAST(chunk * 32 AS BIGINT) AS tok_start,
+         |  CAST(least(chunk * 32 + 40, n) AS BIGINT) AS tok_end,
+         |  CAST(least(chunk * 32 + 40, n) - chunk * 32 AS BIGINT) AS n_toks
+         |FROM c ORDER BY id, chunk""".stripMargin,
+
+    // GPT-style packing: per-source cumsum offsets, cut every 512 tokens
+    "pack_sequences" ->
+      s"""WITH d AS (
+         |  SELECT doc_id AS id, source AS grp,
+         |    CAST(len(regexp_extract_all(text, '$TokRe')) AS BIGINT) AS n
+         |  FROM documents),
+         |o AS (SELECT id, grp, n,
+         |        CAST(coalesce(sum(n) OVER (PARTITION BY grp ORDER BY id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |             AS BIGINT) AS tok_start
+         |      FROM d)
+         |SELECT id, grp, n, tok_start,
+         |  tok_start // 512 AS seq_first,
+         |  CASE WHEN n > 0 THEN (tok_start + n - 1) // 512
+         |       ELSE tok_start // 512 END AS seq_last,
+         |  CAST(CASE WHEN n > 0 AND
+         |         (tok_start + n - 1) // 512 <> tok_start // 512
+         |       THEN 1 ELSE 0 END AS INT) AS split
+         |FROM o ORDER BY grp, id""".stripMargin
   )
 }

@@ -4845,7 +4845,28 @@ object SparkEntry {
       (run("pop", "s", 10) ++ run("exact", "spark", 5))
         .toDF("mode", "rank", "term", "bucket")
         .orderBy("mode", "rank")
-    })
+    }),
+
+    // ---------- training-pipeline: chunking + sequence packing ----------
+
+    /** Sliding-window chunking (RAG / long-context preprocessing, beyond
+      * ref): windows of 40 analyzer tokens advancing by 32 (overlap 8),
+      * final window = remainder. Pure per-row explode, zero shuffle. */
+    "chunk_sliding" -> ((s, dir) =>
+      TextAnalysis.chunk(
+        s.read.parquet(s"$dir/documents.parquet")
+          .where(col("doc_id") % 17 === 0), 40, 8)
+        .orderBy("id", "chunk")),
+
+    /** GPT-style sequence packing (beyond ref): concatenate each
+      * source-shard's token stream in doc order and cut every 512
+      * tokens — no padding, docs may span a cut. Per-doc offsets via a
+      * per-shard cumsum window (independent windows, no global
+      * serialization). */
+    "pack_sequences" -> ((s, dir) =>
+      TextAnalysis.pack(
+        s.read.parquet(s"$dir/documents.parquet"), 512)
+        .orderBy("grp", "id"))
   )
 
   def oracleSql: Map[String, String] = OracleQueries.all

@@ -87,6 +87,57 @@ object TextAnalysis {
       size(TextFns.tokensAll(col(text))).cast("long").as("analyzer_tokens"),
       ceil(length(col(text)) / 4.0).cast("long").as("bpe_est"))
 
+  /** Sliding-window chunking (RAG / long-context preprocessing): split a
+    * doc's token stream into windows of `win` tokens advancing by
+    * `win - overlap`; the final window is the (possibly short) remainder
+    * and a doc shorter than `win` yields exactly one chunk. Pure per-row
+    * explode — zero shuffle at any corpus size. Emits
+    * (id, chunk, tok_start, tok_end, n_toks) in analyzer-token
+    * coordinates. */
+  def chunk(docs: DataFrame, win: Int, overlap: Int,
+            id: String = "doc_id", text: String = "text"): DataFrame = {
+    require(win > overlap && overlap >= 0, "need win > overlap >= 0")
+    val step = win - overlap
+    val n = size(TextFns.tokensAll(col(text))).cast("long")
+    // chunk count: 1 + ceil(max(0, n - win) / step)
+    val extra = greatest(n - win, lit(0L))
+    val chunks = lit(1L) +
+      ((extra + (step - 1)) / step).cast("long")
+    docs.select(col(id).as("id"), n.as("n"), chunks.as("k"))
+      .select(col("id"), col("n"),
+        explode(sequence(lit(0L), col("k") - 1L)).as("chunk"))
+      .select(col("id"), col("chunk"),
+        (col("chunk") * step).as("tok_start"),
+        least(col("chunk") * step + win, col("n")).as("tok_end"))
+      .withColumn("n_toks", col("tok_end") - col("tok_start"))
+  }
+
+  /** GPT-style sequence packing: concatenate the corpus token stream in
+    * (group, doc order) and cut it every `seqLen` tokens — no padding,
+    * docs may SPAN a cut. Packing is per `group` (the per-shard packing
+    * real pipelines run; a global order would serialize the cumsum).
+    * Emits per doc: its token offset within the group stream, the first
+    * and last sequence it lands in, and whether the doc is split across
+    * a boundary. The cumsum window partitions by group — each group's
+    * window is independent, so the shuffle is the groupBy's, nothing
+    * global. */
+  def pack(docs: DataFrame, seqLen: Int, group: String = "source",
+           id: String = "doc_id", text: String = "text"): DataFrame = {
+    val n = size(TextFns.tokensAll(col(text))).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs.select(col(id).as("id"), col(group).as("grp"), n.as("n"))
+      .withColumn("tok_start", coalesce(sum(col("n")).over(w), lit(0L)))
+      .select(col("id"), col("grp"), col("n"), col("tok_start"),
+        expr(s"tok_start div ${seqLen}L").as("seq_first"),
+        // last token of the doc is tok_start + n - 1; an empty doc
+        // stays in seq_first
+        when(col("n") > 0L, expr(s"(tok_start + n - 1) div ${seqLen}L"))
+          .otherwise(expr(s"tok_start div ${seqLen}L")).as("seq_last"))
+      .withColumn("split", (col("seq_first") =!= col("seq_last")).cast("int"))
+  }
+
   /** Canonical content fingerprint: md5 of the sorted distinct lowercase
     * token set (word-order / duplication insensitive — the classic
     * "fingerprint" clustering key). */
