@@ -4133,6 +4133,49 @@ object OracleQueries {
          |  CAST(CASE WHEN n > 0 AND
          |         (tok_start + n - 1) // 512 <> tok_start // 512
          |       THEN 1 ELSE 0 END AS INT) AS split
-         |FROM o ORDER BY grp, id""".stripMargin
+         |FROM o ORDER BY grp, id""".stripMargin,
+
+    // ---------- more ValueSourceParser functions ----------
+
+    // mod / xor(odd-true) / e()*pi() / field() + bare true
+    "func_scalar2" ->
+      s"""SELECT p_partkey,
+         |  CAST(p_size % 7 AS BIGINT) AS mod_fn,
+         |  CAST(CASE WHEN (p_size % 2) <> 0 THEN 0 ELSE 1 END AS BIGINT)
+         |    AS xor_fn,
+         |  round(2.718281828459045 * 3.141592653589793, 6) AS epi,
+         |  round(CAST(p_size AS DOUBLE) + CAST(1.0 AS DOUBLE), 6) AS fld
+         |FROM part ORDER BY p_partkey LIMIT 150""".stripMargin,
+
+    // ord / rord over the lang dictionary
+    "func_ord" ->
+      s"""WITH v AS (
+         |  SELECT lang,
+         |    CAST(dense_rank() OVER (ORDER BY lang) - 1 AS BIGINT) AS ord
+         |  FROM (SELECT DISTINCT lang FROM documents)),
+         |n AS (SELECT count(*) AS c FROM v)
+         |SELECT doc_id, v.ord, CAST(n.c - v.ord - 1 AS BIGINT) AS rord
+         |FROM documents d JOIN v USING (lang), n
+         |ORDER BY doc_id LIMIT 300""".stripMargin,
+
+    // docfreq/termfreq/tf/idf/norm/maxdoc/totaltermfreq for 'spark'
+    "func_indexstats" ->
+      s"""WITH $tokensCte,
+         |$dlCsCte,
+         |$normCte,
+         |tfq AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS termfreq
+         |        FROM tokens WHERE term = 'spark' GROUP BY doc_id),
+         |stq AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+         |          CAST(count(*) AS BIGINT) AS ttf
+         |        FROM tokens WHERE term = 'spark')
+         |SELECT t.doc_id, t.termfreq,
+         |  round(sqrt(t.termfreq), 6) AS tf_sim,
+         |  round(nrm.cnorm, 9) AS norm,
+         |  stq.df AS docfreq, stq.ttf AS ttf,
+         |  round(1 + ln((SELECT n FROM cs) / (stq.df + 1.0)), 6) AS idf,
+         |  CAST((SELECT n FROM cs) AS BIGINT) AS maxdoc
+         |FROM tfq t, dl, nrm, stq
+         |WHERE dl.doc_id = t.doc_id AND dl.dl BETWEEN nrm.lo AND nrm.hi
+         |ORDER BY t.doc_id""".stripMargin
   )
 }

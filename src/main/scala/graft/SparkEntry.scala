@@ -4866,7 +4866,78 @@ object SparkEntry {
     "pack_sequences" -> ((s, dir) =>
       TextAnalysis.pack(
         s.read.parquet(s"$dir/documents.parquet"), 512)
-        .orderBy("grp", "id"))
+        .orderBy("grp", "id")),
+
+    // ---------- more ValueSourceParser functions ----------
+
+    /** Extended scalar table (solr/.../search/ValueSourceParser.java
+      * parser registry): mod, xor (MultiBoolFunction chained ^ — true on
+      * an ODD count of trues), e()/pi() constants (also bare), and
+      * field('name') — all via FuncQuery.compile into codegen'd
+      * Columns. */
+    "func_scalar2" -> ((s, dir) => {
+      val p = s.read.parquet(s"$dir/part.parquet")
+      val f = Map("p_size" -> col("p_size"),
+        "p_retailprice" -> col("p_retailprice"))
+      p.select(col("p_partkey"),
+        graft.functions.FuncQuery.compile("mod(p_size, 7)", f)
+          .cast("long").as("mod_fn"),
+        graft.functions.FuncQuery.compile("xor(exists(p_size), mod(p_size, 2))", f)
+          .cast("long").as("xor_fn"),
+        round(graft.functions.FuncQuery.compile("product(e(), pi())", f), 6)
+          .as("epi"),
+        round(graft.functions.FuncQuery
+          .compile("sum(field('p_size'), if(true, 1, 2))", f), 6).as("fld"))
+        .orderBy("p_partkey").limit(150)
+    }),
+
+    /** ord()/rord() (solr/.../search/function/OrdFieldSource.java:100-110,
+      * ReverseOrdFieldSource.java:100-106): the 0-based ordinal of the
+      * doc's value in the field's SORTED unique-value dictionary;
+      * rord = valueCount - ord - 1. The ord map is a vocabulary-sized
+      * distinct frame, broadcast back. */
+    "func_ord" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val vals = docs.select(col("lang")).distinct()
+        .withColumn("ord",
+          (dense_rank().over(Window.orderBy("lang")) - 1).cast("long"))
+      val cnt = vals.count()
+      docs.join(broadcast(vals), "lang")
+        .select(col("doc_id"), col("ord"),
+          (lit(cnt) - col("ord") - 1).as("rord"))
+        .orderBy("doc_id").limit(300)
+    }),
+
+    /** Index-stat value sources (ValueSourceParser registry: docfreq /
+      * termfreq / tf / idf / norm / maxdoc / totaltermfreq): per-doc
+      * termfreq, Classic tf = sqrt(freq) and the decoded norm for
+      * 'spark', alongside the constant stats columns — one postings
+      * decode plus the memoized term/collection stats. */
+    "func_indexstats" -> ((s, dir) => {
+      import s.implicits._
+      val r = reader(s, dir)
+      val cs = r.collStats
+      val st = r.termStats(Seq("spark"))("spark")
+      val idf = 1.0 + math.log(cs.maxDoc / (st.df + 1.0))
+      r.blocks(Seq("spark"))
+        .flatMap { b =>
+          graft.codec.PostingsCodec.decode(graft.codec.PostingBlock(
+            b.term, b.firstDoc, b.lastDoc, b.count, b.maxTf, b.sumTf,
+            b.maxPartial, b.docBytes, b.nrmBytes, b.posBytes)).iterator
+            .map(p => (p.docId, p.tf,
+              SmallFloat.byte315ToFloat(p.norm).toDouble))
+        }.toDF("docId", "termfreq", "nrm")
+        .join(idMap(r), "docId")
+        .select(col("doc_id"),
+          col("termfreq").cast("long").as("termfreq"),
+          round(sqrt(col("termfreq")), 6).as("tf_sim"),
+          round(col("nrm"), 9).as("norm"))
+        .withColumn("docfreq", lit(st.df))
+        .withColumn("ttf", lit(st.ttf))
+        .withColumn("idf", round(lit(idf), 6))
+        .withColumn("maxdoc", lit(cs.maxDoc))
+        .orderBy("doc_id")
+    })
   )
 
   def oracleSql: Map[String, String] = OracleQueries.all

@@ -81,8 +81,16 @@ object FuncQuery {
         val name = ident()
         ws()
         if (peek == '(') { i += 1; val c = call(name); expect(')'); c }
-        else fields.getOrElse(name, throw new IllegalArgumentException(
-          s"unknown field '$name' in: $src")).cast("double")
+        else name match {
+          // bare boolean/math constants (BoolConstValueSource,
+          // DoubleConstValueSource — usable with or without parens)
+          case "true" => lit(1.0)
+          case "false" => lit(0.0)
+          case "e" => lit(math.E)
+          case "pi" => lit(math.Pi)
+          case _ => fields.getOrElse(name, throw new IllegalArgumentException(
+            s"unknown field '$name' in: $src")).cast("double")
+        }
       }
     }
 
@@ -100,9 +108,32 @@ object FuncQuery {
     private def bool(c: Column): Column = when(c, lit(1.0)).otherwise(lit(0.0))
 
     private def call(name: String): Column = {
+      if (name == "field") {
+        // FieldValueSource by quoted-or-bare name: resolve the raw string
+        ws()
+        val f =
+          if (peek == '\'' || peek == '"') {
+            val q = peek; i += 1
+            val start = i
+            while (i < src.length && src.charAt(i) != q) i += 1
+            val out = src.substring(start, i); i += 1; out
+          } else ident()
+        return fields.getOrElse(f, throw new IllegalArgumentException(
+          s"unknown field '$f' in: $src")).cast("double")
+      }
       val a = args()
       def n(k: Int): Unit = require(a.length == k, s"$name takes $k args")
       name match {
+        case "mod" => n(2); a(0) % a(1)
+        // XOrFunction (MultiBoolFunction chained ^): true when an ODD
+        // number of arguments are true
+        case "xor" => bool(a.map(truthy).reduce(_ =!= _))
+        case "e" => n(0); lit(math.E)
+        case "pi" => n(0); lit(math.Pi)
+        case "true" => n(0); lit(1.0)
+        case "false" => n(0); lit(0.0)
+        // LiteralValueSource: the literal string itself
+        case "literal" => n(1); a(0)
         case "sum" | "add" => a.reduce(_ + _)
         case "sub" => n(2); a(0) - a(1)
         case "product" | "mul" => a.reduce(_ * _)

@@ -69,4 +69,22 @@ class FuncQuerySpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { FuncQuery.compile("nope(x)", fields) }
     intercept[IllegalArgumentException] { FuncQuery.compile("sum(ghost,1)", fields) }
   }
+
+  test("mod, xor (odd-count true), constants, literal, field()") {
+    assert(evalAll("mod(x,7)") === List(3.0, 1.0, 6.0))
+    // xor chains ^ over truthiness: odd number of trues -> 1
+    assert(evalAll("xor(true, false)") === List(1.0, 1.0, 1.0))
+    assert(evalAll("xor(true, true)") === List(0.0, 0.0, 0.0))
+    assert(evalAll("xor(true, true, true)") === List(1.0, 1.0, 1.0))
+    assert(evalAll("xor(exists(x), mod(x, 20))") === List(0.0, 0.0, 0.0))
+    assert(evalAll("xor(exists(x), sub(x, 10))") === List(1.0, 0.0, 0.0))
+    // e/pi both as calls and bare identifiers
+    assert(evalAll("e()") === List(math.E, math.E, math.E))
+    assert(evalAll("sum(pi, 0)") === List(math.Pi, math.Pi, math.Pi))
+    assert(evalAll("if(true, 1, 2)") === List(1.0, 1.0, 1.0))
+    assert(evalAll("if(false, 1, 2)") === List(2.0, 2.0, 2.0))
+    assert(evalAll("sum(field('x'), field(x))") === List(20.0, 100.0, 180.0))
+    assert(evalAll("literal(3.5)") === List(3.5, 3.5, 3.5))
+  }
+
 }
