@@ -4176,6 +4176,41 @@ object OracleQueries {
          |  CAST((SELECT n FROM cs) AS BIGINT) AS maxdoc
          |FROM tfq t, dl, nrm, stq
          |WHERE dl.doc_id = t.doc_id AND dl.dl BETWEEN nrm.lo AND nrm.hi
-         |ORDER BY t.doc_id""".stripMargin
+         |ORDER BY t.doc_id""".stripMargin,
+
+    // ---------- group.func / group.query ----------
+
+    // group by a function value: mod(n_chars, 5); top-2 per group by
+    // (n_chars desc, doc_id) + group size
+    "group_func" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST(n_chars % 5 AS BIGINT) AS grpval
+         |  FROM documents),
+         |sz AS (SELECT grpval, CAST(count(*) AS BIGINT) AS grp_size
+         |       FROM g GROUP BY grpval),
+         |r AS (SELECT grpval, doc_id,
+         |        CAST(row_number() OVER (PARTITION BY grpval
+         |          ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+         |      FROM g)
+         |SELECT r.grpval, r.rank, r.doc_id, sz.grp_size
+         |FROM r JOIN sz ON sz.grpval = r.grpval
+         |WHERE r.rank <= 2 ORDER BY r.grpval, r.rank""".stripMargin,
+
+    // group.query: each query is one group; top-3 single-term BM25 each
+    "group_query" ->
+      s"""$bm25OrWith,
+         |g1 AS (SELECT 'spark' AS grp, doc_id,
+         |         CAST(row_number() OVER (
+         |           ORDER BY round(s, 9) DESC, doc_id) AS BIGINT) AS rank
+         |       FROM sc WHERE qterm = 'spark'),
+         |g2 AS (SELECT 'vector' AS grp, doc_id,
+         |         CAST(row_number() OVER (
+         |           ORDER BY round(s, 9) DESC, doc_id) AS BIGINT) AS rank
+         |       FROM sc WHERE qterm = 'vector')
+         |SELECT grp, rank, doc_id FROM (
+         |  SELECT * FROM g1 WHERE rank <= 3
+         |  UNION ALL SELECT * FROM g2 WHERE rank <= 3) t
+         |ORDER BY grp, rank""".stripMargin
   )
 }

@@ -4937,6 +4937,43 @@ object SparkEntry {
         .withColumn("idf", round(lit(idf), 6))
         .withColumn("maxdoc", lit(cs.maxDoc))
         .orderBy("doc_id")
+    }),
+
+    // ---------- group.func / group.query ----------
+
+    /** group.func (solr/.../search/Grouping.java CommandFunc: group by a
+      * FUNCTION value instead of a field): groups = mod(n_chars, 5)
+      * compiled by FuncQuery; top-2 docs per group by (n_chars desc,
+      * doc_id) plus the group size — one window + one keyed agg. */
+    "group_func" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val f = Map("n_chars" -> col("n_chars"))
+      val g = docs.withColumn("grpval",
+        graft.functions.FuncQuery.compile("mod(n_chars, 5)", f).cast("long"))
+      val sizes = g.groupBy("grpval").agg(count(lit(1)).as("grp_size"))
+      g.withColumn("rank", row_number().over(
+          Window.partitionBy(col("grpval"))
+            .orderBy(col("n_chars").desc, col("doc_id").asc)).cast("long"))
+        .where(col("rank") <= 2)
+        .join(sizes, "grpval")
+        .select("grpval", "rank", "doc_id", "grp_size")
+        .orderBy("grpval", "rank")
+    }),
+
+    /** group.query (Grouping.java CommandQuery: each group.query defines
+      * ONE group = its match set): groups 'spark' and 'vector', top-3
+      * scored docs each. */
+    "group_query" -> ((s, dir) => {
+      val r = reader(s, dir)
+      val js = new JoinScorer(r)
+      def grp(name: String, t: String) =
+        js.topK(should(t), 3).join(idMap(r), "docId")
+          .withColumn("grp", lit(name))
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+          .select("grp", "rank", "doc_id")
+      grp("spark", "spark").union(grp("vector", "vector"))
+        .orderBy("grp", "rank")
     })
   )
 
