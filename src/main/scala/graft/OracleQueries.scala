@@ -4211,6 +4211,32 @@ object OracleQueries {
          |SELECT grp, rank, doc_id FROM (
          |  SELECT * FROM g1 WHERE rank <= 3
          |  UNION ALL SELECT * FROM g2 WHERE rank <= 3) t
-         |ORDER BY grp, rank""".stripMargin
+         |ORDER BY grp, rank""".stripMargin,
+
+    // nested subfacets: lang buckets -> top-2 source sub-buckets + metrics
+    "facet_subfacet" ->
+      s"""WITH lc AS (SELECT lang, CAST(count(*) AS BIGINT) AS lang_cnt
+         |            FROM documents GROUP BY lang),
+         |sub AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS cnt,
+         |          CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |        FROM documents GROUP BY lang, source),
+         |r AS (SELECT lang, source, cnt, sum_chars,
+         |        CAST(row_number() OVER (PARTITION BY lang
+         |          ORDER BY cnt DESC, source) AS BIGINT) AS src_rank
+         |      FROM sub)
+         |SELECT r.lang, r.src_rank, r.source, r.cnt, r.sum_chars,
+         |       lc.lang_cnt
+         |FROM r JOIN lc ON lc.lang = r.lang
+         |WHERE r.src_rank <= 2 ORDER BY r.lang, r.src_rank""".stripMargin,
+
+    // stats.facet: per-lang n_chars stats (sample stddev)
+    "stats_facet" ->
+      s"""SELECT lang,
+         |  min(n_chars) AS mn, max(n_chars) AS mx,
+         |  CAST(sum(n_chars) AS BIGINT) AS sm,
+         |  CAST(count(*) AS BIGINT) AS cnt,
+         |  round(avg(CAST(n_chars AS DOUBLE)), 6) AS mean,
+         |  round(stddev_samp(CAST(n_chars AS DOUBLE)), 6) AS sd
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

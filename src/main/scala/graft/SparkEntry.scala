@@ -4974,7 +4974,40 @@ object SparkEntry {
           .select("grp", "rank", "doc_id")
       grp("spark", "spark").union(grp("vector", "vector"))
         .orderBy("grp", "rank")
-    })
+    }),
+
+    /** JSON Facet nested subfacets (solr/.../search/facet/FacetField
+      * .java — a facet request nested INSIDE each parent bucket): lang
+      * buckets, and within each the top-2 source sub-buckets by count
+      * (ties by source) with per-sub-bucket metrics. Two keyed aggs +
+      * one bounded window — the sub-facet never rescans the corpus. */
+    "facet_subfacet" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val langCnt = docs.groupBy("lang")
+        .agg(count(lit(1)).as("lang_cnt"))
+      val sub = docs.groupBy("lang", "source")
+        .agg(count(lit(1)).as("cnt"), sum("n_chars").as("sum_chars"))
+        .withColumn("src_rank", row_number().over(
+          Window.partitionBy(col("lang"))
+            .orderBy(col("cnt").desc, col("source").asc)).cast("long"))
+        .where(col("src_rank") <= 2)
+      sub.join(langCnt, "lang")
+        .select("lang", "src_rank", "source", "cnt", "sum_chars", "lang_cnt")
+        .orderBy("lang", "src_rank")
+    }),
+
+    /** stats.facet (StatsComponent per-facet-bucket statistics,
+      * solr/.../component/StatsComponent.java + StatsValuesFactory):
+      * min/max/sum/count/mean/stddev of n_chars per lang bucket —
+      * Solr's CORRECTED sample stddev (sumsq - sum^2/n over n-1). */
+    "stats_facet" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .groupBy("lang")
+        .agg(min("n_chars").as("mn"), max("n_chars").as("mx"),
+          sum("n_chars").as("sm"), count(lit(1)).as("cnt"),
+          round(avg("n_chars"), 6).as("mean"),
+          round(stddev_samp(col("n_chars").cast("double")), 6).as("sd"))
+        .orderBy("lang"))
   )
 
   def oracleSql: Map[String, String] = OracleQueries.all
