@@ -4229,6 +4229,56 @@ object OracleQueries {
          |FROM r JOIN lc ON lc.lang = r.lang
          |WHERE r.src_rank <= 2 ORDER BY r.lang, r.src_rank""".stripMargin,
 
+    // eDisMax pf2/pf3: terms + adjacent-pair phrases + the triple, all
+    // BM25-summed (phrase idf = sum of its terms' idfs, tf = chain count)
+    "ft_edismax_pf23" ->
+      s"""WITH $tokensCte,
+         |$dlCsCte,
+         |$normCte,
+         |q(qterm) AS (VALUES ('spark'),('vector'),('window')),
+         |$bm25ClauseCte,
+         |idf1 AS (SELECT qterm, ln(1 + (cs.n - df + 0.5) / (df + 0.5)) AS v
+         |         FROM dfq, cs),
+         |p2a AS (SELECT t1.doc_id, CAST(count(*) AS BIGINT) AS ptf
+         |        FROM tokens t1 JOIN tokens t2
+         |          ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+         |        WHERE t1.term = 'spark' AND t2.term = 'vector'
+         |        GROUP BY t1.doc_id),
+         |p2b AS (SELECT t1.doc_id, CAST(count(*) AS BIGINT) AS ptf
+         |        FROM tokens t1 JOIN tokens t2
+         |          ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+         |        WHERE t1.term = 'vector' AND t2.term = 'window'
+         |        GROUP BY t1.doc_id),
+         |p3 AS (SELECT t1.doc_id, CAST(count(*) AS BIGINT) AS ptf
+         |       FROM tokens t1
+         |       JOIN tokens t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+         |       JOIN tokens t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2
+         |       WHERE t1.term = 'spark' AND t2.term = 'vector'
+         |         AND t3.term = 'window'
+         |       GROUP BY t1.doc_id),
+         |phall AS (
+         |  SELECT doc_id, ptf,
+         |    (SELECT sum(v) FROM idf1 WHERE qterm IN ('spark','vector')) AS pidf
+         |  FROM p2a
+         |  UNION ALL
+         |  SELECT doc_id, ptf,
+         |    (SELECT sum(v) FROM idf1 WHERE qterm IN ('vector','window'))
+         |  FROM p2b
+         |  UNION ALL
+         |  SELECT doc_id, ptf, (SELECT sum(v) FROM idf1) FROM p3),
+         |phs AS (SELECT phall.doc_id,
+         |          phall.pidf * 2.2 * phall.ptf /
+         |          (phall.ptf + 1.2 * (0.25 + 0.75 * nrm.qdl /
+         |             (CAST(cs.sumdl AS DOUBLE) / cs.n))) AS s
+         |        FROM phall, dl, nrm, cs
+         |        WHERE dl.doc_id = phall.doc_id
+         |          AND dl.dl BETWEEN nrm.lo AND nrm.hi),
+         |agg AS (SELECT doc_id, sum(s) AS score FROM (
+         |          SELECT doc_id, s FROM sc
+         |          UNION ALL SELECT doc_id, s FROM phs)
+         |        GROUP BY doc_id)
+         |${rankSel(15)}""".stripMargin,
+
     // stats.facet: per-lang n_chars stats (sample stddev)
     "stats_facet" ->
       s"""SELECT lang,

@@ -4996,6 +4996,27 @@ object SparkEntry {
         .orderBy("lang", "src_rank")
     }),
 
+    /** eDisMax pf2/pf3 (solr/.../search/ExtendedDismaxQParser.java:
+      * addShingledPhraseQueries — beyond the full-phrase pf, pf2 adds a
+      * phrase clause per adjacent word PAIR and pf3 per TRIPLE): for
+      * "spark vector window", SHOULD terms + pf2 phrases (spark vector),
+      * (vector window) + the pf3 triple, all BM25-summed. */
+    "ft_edismax_pf23" -> ((s, dir) => {
+      val r = reader(s, dir)
+      val q = BoolQ(Seq(
+        (Occur.Should, TermQ("spark")),
+        (Occur.Should, TermQ("vector")),
+        (Occur.Should, TermQ("window")),
+        (Occur.Should, PhraseQ(Seq("spark", "vector"), Seq(0, 1))),
+        (Occur.Should, PhraseQ(Seq("vector", "window"), Seq(0, 1))),
+        (Occur.Should, PhraseQ(Seq("spark", "vector", "window"), Seq(0, 1, 2)))))
+      new JoinScorer(r).topK(q, 15)
+        .join(idMap(r), "docId")
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        .select("rank", "doc_id").orderBy("rank")
+    }),
+
     /** stats.facet (StatsComponent per-facet-bucket statistics,
       * solr/.../component/StatsComponent.java + StatsValuesFactory):
       * min/max/sum/count/mean/stddev of n_chars per lang bucket —
