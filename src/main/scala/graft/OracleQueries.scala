@@ -24,6 +24,37 @@ object OracleQueries {
 
   val bm25OrWith: String = bm25With("('spark'),('vector'),('window')")
 
+  /** Shared WITH-chain for the MinHash near-dup connected components:
+    * ends with comp(cluster, member). */
+  private lazy val clustersWith: String =
+    s"""WITH RECURSIVE $shinglesCte,
+         |perm(pi, pa, pb) AS (VALUES $minhashPermValues),
+         |hh AS (SELECT id, shingle,
+         |         ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS h
+         |       FROM sh),
+         |mh AS (SELECT id, pi, min((pa * h + pb) % 2147483647) AS mh
+         |       FROM hh, perm GROUP BY id, pi),
+         |bands AS (SELECT id, pi // 4 AS band,
+         |            string_agg(mh::VARCHAR, ',' ORDER BY pi) AS sig
+         |          FROM mh GROUP BY id, band),
+         |cand AS (SELECT DISTINCT x.id AS a, y.id AS b FROM bands x
+         |         JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.id < y.id),
+         |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+         |inter AS (SELECT c.a, c.b, count(*) AS i FROM cand c
+         |          JOIN sh p ON p.id = c.a
+         |          JOIN sh q ON q.id = c.b AND q.shingle = p.shingle
+         |          GROUP BY c.a, c.b),
+         |nd AS (SELECT i2.a, i2.b FROM inter i2
+         |       JOIN sizes sa ON sa.id = i2.a JOIN sizes sb ON sb.id = i2.b
+         |       WHERE CAST(i2.i AS DOUBLE) / (sa.n + sb.n - i2.i) >= 0.2),
+         |edges AS (SELECT a AS u, b AS v FROM nd UNION SELECT b, a FROM nd),
+         |reach(id2, lab) AS (
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT e.u, r.lab FROM edges e JOIN reach r ON r.id2 = e.v),
+       |comp AS (SELECT min(lab) AS cluster, id2 AS member FROM reach
+       |         GROUP BY id2)""".stripMargin
+
   lazy val all: Map[String, String] = ListMap(
 
     "ft_term_postings" ->
@@ -1696,33 +1727,21 @@ object OracleQueries {
     // Transitive closure of min-reachable id == the engine's iterated
     // min-label propagation fixed point.
     "dedup_clusters" ->
-      s"""WITH RECURSIVE $shinglesCte,
-         |perm(pi, pa, pb) AS (VALUES $minhashPermValues),
-         |hh AS (SELECT id, shingle,
-         |         ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS h
-         |       FROM sh),
-         |mh AS (SELECT id, pi, min((pa * h + pb) % 2147483647) AS mh
-         |       FROM hh, perm GROUP BY id, pi),
-         |bands AS (SELECT id, pi // 4 AS band,
-         |            string_agg(mh::VARCHAR, ',' ORDER BY pi) AS sig
-         |          FROM mh GROUP BY id, band),
-         |cand AS (SELECT DISTINCT x.id AS a, y.id AS b FROM bands x
-         |         JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.id < y.id),
-         |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
-         |inter AS (SELECT c.a, c.b, count(*) AS i FROM cand c
-         |          JOIN sh p ON p.id = c.a
-         |          JOIN sh q ON q.id = c.b AND q.shingle = p.shingle
-         |          GROUP BY c.a, c.b),
-         |nd AS (SELECT i2.a, i2.b FROM inter i2
-         |       JOIN sizes sa ON sa.id = i2.a JOIN sizes sb ON sb.id = i2.b
-         |       WHERE CAST(i2.i AS DOUBLE) / (sa.n + sb.n - i2.i) >= 0.2),
-         |edges AS (SELECT a AS u, b AS v FROM nd UNION SELECT b, a FROM nd),
-         |reach(id2, lab) AS (
-         |  SELECT u, u FROM edges
-         |  UNION
-         |  SELECT e.u, r.lab FROM edges e JOIN reach r ON r.id2 = e.v)
-         |SELECT min(lab) AS cluster, id2 AS member FROM reach
-         |GROUP BY id2 ORDER BY cluster, member""".stripMargin,
+      s"""$clustersWith
+         |SELECT cluster, member FROM comp
+         |ORDER BY cluster, member""".stripMargin,
+
+    // near-dup canonical selection: keep the best member per cluster
+    // (n_chars desc, member asc)
+    "dedup_keep_best" ->
+      s"""$clustersWith,
+         |best AS (SELECT c.cluster, c.member, d.n_chars,
+         |           row_number() OVER (PARTITION BY c.cluster
+         |             ORDER BY d.n_chars DESC, c.member) AS rn
+         |         FROM comp c JOIN documents d ON d.doc_id = c.member)
+         |SELECT cluster, member,
+         |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INT) AS keep
+         |FROM best ORDER BY cluster, member""".stripMargin,
 
     // ---------- benchmark decontamination (8-gram overlap) ----------
     "decontaminate" ->

@@ -4996,6 +4996,25 @@ object SparkEntry {
         .orderBy("lang", "src_rank")
     }),
 
+    /** Near-dup canonical selection (the "keep one per duplicate
+      * cluster" pipeline step, beyond ref): connected components over
+      * the verified MinHash near-dup pairs; each cluster keeps its best
+      * member by the deterministic rule (n_chars desc, member asc).
+      * One window over cluster-partitioned members — clusters are
+      * independent keyed groups at any scale. */
+    "dedup_keep_best" -> ((s, dir) => {
+      val cl = graft.operators.Dedup
+        .clusters(minhashPairs(s, dir).select("a", "b"))
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").as("member"), col("n_chars"))
+      cl.join(docs, "member")
+        .withColumn("keep", (row_number().over(
+          Window.partitionBy(col("cluster"))
+            .orderBy(col("n_chars").desc, col("member").asc)) === 1)
+          .cast("int"))
+        .select("cluster", "member", "keep").orderBy("cluster", "member")
+    }),
+
     /** eDisMax pf2/pf3 (solr/.../search/ExtendedDismaxQParser.java:
       * addShingledPhraseQueries — beyond the full-phrase pf, pf2 adds a
       * phrase clause per adjacent word PAIR and pf3 per TRIPLE): for
