@@ -1731,6 +1731,20 @@ object OracleQueries {
          |SELECT cluster, member FROM comp
          |ORDER BY cluster, member""".stripMargin,
 
+    // DisMax bq: main = max(spark, vector) per doc (must match), bq =
+    // merge score added when it matches
+    "ft_dismax_bq" ->
+      s"""${OracleSql.bm25With("('spark'),('vector'),('merge')")},
+         |main AS (SELECT doc_id, max(s) AS m FROM sc
+         |         WHERE qterm IN ('spark','vector') GROUP BY doc_id),
+         |bq AS (SELECT doc_id, s FROM sc WHERE qterm = 'merge'),
+         |agg AS (SELECT main.doc_id,
+         |          main.m + coalesce(bq.s, 0) AS score
+         |        FROM main LEFT JOIN bq ON bq.doc_id = main.doc_id)
+         |SELECT CAST(row_number() OVER (
+         |    ORDER BY round(score, 5) DESC, doc_id) AS BIGINT) AS rank, doc_id
+         |FROM agg ORDER BY round(score, 5) DESC, doc_id LIMIT 15""".stripMargin,
+
     // near-dup canonical selection: keep the best member per cluster
     // (n_chars desc, member asc)
     "dedup_keep_best" ->

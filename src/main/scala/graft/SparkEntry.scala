@@ -4996,6 +4996,31 @@ object SparkEntry {
         .orderBy("lang", "src_rank")
     }),
 
+    /** DisMax bq= additive boost query (solr/.../search/DisMaxQParser
+      * .java:137-167 addBoostQuery — the user query joins the top-level
+      * BooleanQuery as MUST, every bq as SHOULD, so a matching bq ADDS
+      * its score where the multiplicative {!boost} would scale it):
+      * main = dismax(spark, vector), bq = merge. */
+    "ft_dismax_bq" -> ((s, dir) => {
+      val r = reader(s, dir)
+      val js = new JoinScorer(r)
+      val sp = js.scores(should("spark")).toDF("docId", "s1")
+      val ve = js.scores(should("vector")).toDF("docId", "s2")
+      val bq = js.scores(should("merge")).toDF("docId", "sb")
+      sp.join(ve, Seq("docId"), "outer")
+        .select(col("docId"),
+          greatest(coalesce(col("s1"), lit(Float.MinValue)),
+            coalesce(col("s2"), lit(Float.MinValue))).as("main"))
+        .join(bq, Seq("docId"), "left")
+        .withColumn("score", col("main") + coalesce(col("sb"), lit(0f)))
+        .join(idMap(r), "docId")
+        .withColumn("rank", row_number().over(
+          Window.orderBy(round(col("score"), 5).desc, col("doc_id").asc))
+          .cast("long"))
+        .where(col("rank") <= 15)
+        .select("rank", "doc_id").orderBy("rank")
+    }),
+
     /** Near-dup canonical selection (the "keep one per duplicate
       * cluster" pipeline step, beyond ref): connected components over
       * the verified MinHash near-dup pairs; each cluster keeps its best
