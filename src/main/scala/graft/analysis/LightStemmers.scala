@@ -491,6 +491,26 @@ object LightStemmers {
 
   /** Norwegian (Bokmål) minimal (no/NorwegianMinimalStemmer.java):
     * genitive -s, -ene, -er/-en/-et, final a/e only. */
+  /** English minimal (s-)stemmer (reference en/EnglishMinimalStemmer
+    * .java:24-43, including the INTENTIONAL case-'e' fallthrough to the
+    * default strip): plural -s removal with -ies -> -y (unless a/e
+    * precedes the i) and us/ss/vowel-e keep guards. */
+  def englishMinimal(w: String): String = {
+    val len = w.length
+    if (len < 3 || w.charAt(len - 1) != 's') return w
+    w.charAt(len - 2) match {
+      case 'u' | 's' => w
+      case 'e' =>
+        if (len > 3 && w.charAt(len - 3) == 'i' &&
+          w.charAt(len - 4) != 'a' && w.charAt(len - 4) != 'e')
+          w.substring(0, len - 3) + "y"
+        else if (w.charAt(len - 3) == 'i' || w.charAt(len - 3) == 'a' ||
+          w.charAt(len - 3) == 'o' || w.charAt(len - 3) == 'e') w
+        else w.substring(0, len - 1) // the fallthrough
+      case _ => w.substring(0, len - 1)
+    }
+  }
+
   def norwegianMinimal(w0: String): String = {
     val s = w0.toCharArray
     var len = s.length

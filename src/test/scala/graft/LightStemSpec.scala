@@ -135,4 +135,24 @@ class LightStemSpec extends AnyFunSuite {
     assert(terms.toSeq == Seq("fen", "ordn"))
     assert(pos.toSeq == Seq(1, 4))
   }
+
+  test("English minimal s-stemmer: reference examples incl. the fallthrough") {
+    import graft.analysis.LightStemmers.englishMinimal
+    // TestEnglishMinimalStemFilter.testExamples
+    assert(englishMinimal("queries") === "query")
+    assert(englishMinimal("phrases") === "phrase")
+    assert(englishMinimal("corpus") === "corpus")
+    assert(englishMinimal("stress") === "stress")
+    assert(englishMinimal("kings") === "king")
+    assert(englishMinimal("panels") === "panel")
+    assert(englishMinimal("aerodynamics") === "aerodynamic")
+    assert(englishMinimal("congress") === "congress")
+    assert(englishMinimal("serious") === "serious")
+    // guards: -ies after a/e keeps; vowel+es keeps; short words keep
+    assert(englishMinimal("aes") === "aes")
+    assert(englishMinimal("ties") === "ty") // len-4 't' is not a/e
+    assert(englishMinimal("goes") === "goes")
+    assert(englishMinimal("as") === "as")
+  }
+
 }
