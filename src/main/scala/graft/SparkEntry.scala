@@ -4529,10 +4529,14 @@ object SparkEntry {
           expr("element_at(types, cast((size(types)-1)/2 as int) + 1)"))
         .withColumn("set_mid_max",
           expr("element_at(types, cast(size(types)/2 as int) + 1)"))
+        // TakeOrdered first — the rank window then runs on 20 rows, not
+        // on every user
+        .orderBy(col("set_mid_min").asc, col("num_max").desc,
+          col("user_id").asc)
+        .limit(20)
         .withColumn("rank", row_number().over(Window.orderBy(
           col("set_mid_min").asc, col("num_max").desc, col("user_id").asc))
           .cast("long"))
-        .where(col("rank") <= 20)
         .select("rank", "user_id", "set_mid_min", "set_mid_max",
           "num_min", "num_max")
         .orderBy("rank")
@@ -4568,10 +4572,12 @@ object SparkEntry {
             }
         }.toDF("docId", "pay_min", "pay_max")
         .join(idMap(r), "docId")
+        .orderBy(col("pay_max").desc, col("pay_min").desc,
+          col("doc_id").asc)
+        .limit(10) // TakeOrdered before the rank window
         .withColumn("rank", row_number().over(
           Window.orderBy(col("pay_max").desc, col("pay_min").desc,
             col("doc_id").asc)).cast("long"))
-        .where(col("rank") <= 10)
         .select("rank", "doc_id", "pay_min", "pay_max").orderBy("rank")
     }),
 
@@ -4719,10 +4725,12 @@ object SparkEntry {
       o.join(l, o("o_orderkey") === l("l_orderkey"))
         .groupBy(col("o_orderkey"))
         .agg(round(min(col("l_extendedprice")), 4).as("child_min"))
+        // TakeOrdered before ranking — never a global window over all
+        // parents
+        .orderBy(col("child_min").asc, col("o_orderkey").asc).limit(15)
         .withColumn("rank", row_number().over(
           Window.orderBy(col("child_min").asc, col("o_orderkey").asc))
           .cast("long"))
-        .where(col("rank") <= 15)
         .select("rank", "o_orderkey", "child_min").orderBy("rank")
     }),
 
@@ -4792,10 +4800,11 @@ object SparkEntry {
       bm.join(cl, "docId")
         .withColumn("score", col("s1") + col("s2"))
         .join(idMap(r), "docId")
+        .orderBy(round(col("score"), 5).desc, col("doc_id").asc)
+        .limit(15) // TakeOrdered before the rank window
         .withColumn("rank", row_number().over(
           Window.orderBy(round(col("score"), 5).desc, col("doc_id").asc))
           .cast("long"))
-        .where(col("rank") <= 15)
         .select("rank", "doc_id").orderBy("rank")
     }),
 
@@ -5014,10 +5023,11 @@ object SparkEntry {
         .join(bq, Seq("docId"), "left")
         .withColumn("score", col("main") + coalesce(col("sb"), lit(0f)))
         .join(idMap(r), "docId")
+        .orderBy(round(col("score"), 5).desc, col("doc_id").asc)
+        .limit(15) // TakeOrdered before the rank window
         .withColumn("rank", row_number().over(
           Window.orderBy(round(col("score"), 5).desc, col("doc_id").asc))
           .cast("long"))
-        .where(col("rank") <= 15)
         .select("rank", "doc_id").orderBy("rank")
     }),
 
