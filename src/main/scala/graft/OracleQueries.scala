@@ -1731,6 +1731,23 @@ object OracleQueries {
          |SELECT cluster, member FROM comp
          |ORDER BY cluster, member""".stripMargin,
 
+    // facet.contains (case-insensitive substring bucket filter)
+    "facet_contains" ->
+      s"""SELECT p_type, CAST(count(*) AS BIGINT) AS cnt
+         |FROM part GROUP BY p_type
+         |HAVING instr(lower(p_type), 'ar') > 0
+         |ORDER BY cnt DESC, p_type LIMIT 10""".stripMargin,
+
+    // terms.regex: dictionary walk keeping ^s.*k$ terms in index order
+    "terms_regex" ->
+      s"""WITH $tokensCte,
+         |dict AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+         |           CAST(count(*) AS BIGINT) AS ttf
+         |         FROM tokens GROUP BY term)
+         |SELECT term, df, ttf FROM dict
+         |WHERE regexp_matches(term, '^s.*k$$')
+         |ORDER BY term LIMIT 10""".stripMargin,
+
     // DisMax bq: main = max(spark, vector) per doc (must match), bq =
     // merge score added when it matches
     "ft_dismax_bq" ->

@@ -5005,6 +5005,29 @@ object SparkEntry {
         .orderBy("lang", "src_rank")
     }),
 
+    /** facet.contains + facet.contains.ignoreCase (SimpleFacets SOLR-1387
+      * substring bucket filter, new in 5.1): p_type buckets containing
+      * 'BRASS' case-insensitively, count desc then index order. Unlike
+      * facet.prefix the contains filter is NOT sargable — it filters
+      * bucket keys post-scan, exactly like the reference's term-walk
+      * check. */
+    "facet_contains" -> ((s, dir) =>
+      s.read.parquet(s"$dir/part.parquet")
+        .groupBy("p_type").agg(count(lit(1)).as("cnt"))
+        .where(lower(col("p_type")).contains("ar"))
+        .orderBy(col("cnt").desc, col("p_type")).limit(10)),
+
+    /** terms.regex + terms.limit (TermsComponent regex filtering mode —
+      * the dictionary walk keeps regex-matching terms in index order). */
+    "terms_regex" -> ((s, dir) => {
+      val r = reader(s, dir)
+      r.termStatsDf.toDF()
+        .where(col("term").rlike("^s.*k$") &&
+          !col("term").startsWith("path:") && !col("term").startsWith("rev:"))
+        .orderBy("term").limit(10)
+        .select(col("term"), col("df"), col("ttf"))
+    }),
+
     /** DisMax bq= additive boost query (solr/.../search/DisMaxQParser
       * .java:137-167 addBoostQuery — the user query joins the top-level
       * BooleanQuery as MUST, every bq as SHOULD, so a matching bq ADDS
