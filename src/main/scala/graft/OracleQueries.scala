@@ -1731,6 +1731,33 @@ object OracleQueries {
          |SELECT cluster, member FROM comp
          |ORDER BY cluster, member""".stripMargin,
 
+    // MLT boost=true: clause boost = (tf*idf)/best over the picked terms
+    "ft_mlt_boost" ->
+      s"""WITH $tokensCte,
+         |$dlCsCte,
+         |$normCte,
+         |d0 AS (SELECT term, count(*) AS tf FROM tokens WHERE doc_id = 0
+         |       GROUP BY term),
+         |alldf AS (SELECT term, count(DISTINCT doc_id) AS df FROM tokens
+         |          GROUP BY term),
+         |pick AS (SELECT d0.term AS qterm, d0.tf AS dtf, alldf.df
+         |         FROM d0 JOIN alldf USING (term)
+         |         WHERE alldf.df >= 2
+         |         ORDER BY d0.tf DESC, alldf.df ASC, d0.term LIMIT 5),
+         |bw AS (SELECT qterm,
+         |         dtf * (1 + ln((SELECT n FROM cs) / (df + 1.0))) AS mscore
+         |       FROM pick),
+         |q AS (SELECT qterm FROM pick),
+         |$bm25ClauseCte,
+         |agg AS (SELECT sc.doc_id,
+         |          sum(sc.s * bw.mscore / (SELECT max(mscore) FROM bw))
+         |            AS score
+         |        FROM sc JOIN bw ON bw.qterm = sc.qterm
+         |        WHERE sc.doc_id <> 0 GROUP BY sc.doc_id)
+         |SELECT CAST(row_number() OVER (
+         |    ORDER BY round(score, 5) DESC, doc_id) AS BIGINT) AS rank, doc_id
+         |FROM agg ORDER BY round(score, 5) DESC, doc_id LIMIT 10""".stripMargin,
+
     // facet.contains (case-insensitive substring bucket filter)
     "facet_contains" ->
       s"""SELECT p_type, CAST(count(*) AS BIGINT) AS cnt

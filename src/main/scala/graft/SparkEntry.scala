@@ -5005,6 +5005,43 @@ object SparkEntry {
         .orderBy("lang", "src_rank")
     }),
 
+    /** MoreLikeThis boost=true (queries/mlt/MoreLikeThis.java:609-630
+      * createQuery: each interesting term's clause is boosted by
+      * score/bestScore where score = tf * idf, bestScore = the top
+      * term's): same doc-0 pick rule as ft_mlt, but the disjunction
+      * carries the relative-weight boosts. */
+    "ft_mlt_boost" -> ((s, dir) => {
+      val r = reader(s, dir)
+      val d0 = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") === 0L).select("text", "lang").head()
+      val toks = graft.analysis.Analyzer.analyze(d0.getString(0),
+        graft.analysis.StopSets.forLang(d0.getString(1)))
+      val tf = toks.groupBy(_.term).map { case (t, xs) => t -> xs.length }
+      val stats = r.termStats(tf.keys.toSeq)
+      val picked = tf.toSeq
+        .flatMap { case (t, f) => stats.get(t).map(st => (t, f, st.df)) }
+        .filter(_._3 >= 2L)
+        .sortBy { case (t, f, df) => (-f, df, t) }
+        .take(5)
+      val maxDoc = r.collStats.maxDoc
+      val scores = picked.map { case (t, f, df) =>
+        (t, f * (1.0 + math.log(maxDoc / (df + 1.0))))
+      }
+      val best = scores.map(_._2).max
+      val q = BoolQ(scores.map { case (t, sc) =>
+        (Occur.Should: Occur,
+          BoostQ(TermQ(t), (sc / best).toFloat): Query)
+      })
+      val js = new JoinScorer(r)
+      js.topK(q, 11)
+        .join(idMap(r), "docId").where(col("doc_id") =!= 0L)
+        .orderBy(round(col("score"), 5).desc, col("doc_id").asc).limit(10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(round(col("score"), 5).desc, col("doc_id").asc))
+          .cast("long"))
+        .select("rank", "doc_id").orderBy("rank")
+    }),
+
     /** facet.contains + facet.contains.ignoreCase (SimpleFacets SOLR-1387
       * substring bucket filter, new in 5.1): p_type buckets containing
       * 'BRASS' case-insensitively, count desc then index order. Unlike

@@ -34,6 +34,28 @@ object StreamOps {
       .select(col("w.start").as("win_start"), col("event_type"),
         col("n"), col("sum_cents"))
 
+  /** Trending terms over a document STREAM (the streaming analog of
+    * HighFreqTerms / the "what's spiking this hour" pipeline op):
+    * analyze text per row (zero-shuffle explode), watermarked
+    * tumbling-window term counts. Top-k per window is a read-side query
+    * over the windowed result — the aggregation itself is append-safe
+    * under the watermark, so state is bounded by
+    * (windows in watermark) x vocabulary. */
+  def trendingTerms(docs: DataFrame, stop: Set[String] = Set.empty,
+                    watermark: String = "10 minutes",
+                    window_ : String = "1 hour"): DataFrame = {
+    val toks = docs.select(col("ts"),
+      explode(graft.functions.TextFns.tokensAll(col("text"))).as("term"))
+    val filtered =
+      if (stop.isEmpty) toks
+      else toks.where(!col("term").isin(stop.toSeq: _*))
+    filtered
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).as("w"), col("term"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("win_start"), col("term"), col("n"))
+  }
+
   final case class Event(user_id: Long, ts: Timestamp, value: Double)
   final case class Session(user_id: Long, n: Long, sum_cents: Long,
                            first_ts: Timestamp, last_ts: Timestamp)

@@ -104,4 +104,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Seq((1L, "view", 1.0), (2L, "purchase", 10.0),
       (3L, "error", 0.0)))
   }
+
+  test("trending terms: stream == batch replay; window top-k is as expected") {
+    implicit val sq = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:05:00")
+    def at(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val rows = Seq(
+      (at(0), "spark spark merge"),
+      (at(5), "spark window"),
+      (at(40), "merge merge merge window"),   // second 30-min window
+      (at(45), "spark")
+    )
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val events = mem.toDF().toDF("ts", "text")
+    val q = StreamOps.trendingTerms(events, window_ = "30 minutes")
+      .writeStream.format("memory").queryName("trending")
+      .outputMode("complete").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("trending")
+      .orderBy("win_start", "term")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSeq
+    val exp = StreamOps.trendingTerms(rows.toDF("ts", "text"),
+        window_ = "30 minutes")
+      .orderBy("win_start", "term")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSeq
+    assert(got == exp)
+    // window-1 top term is spark(3); window-2 top is merge(3)
+    val byWin = got.groupBy(_._1).toSeq.sortBy(_._1.getTime)
+    assert(byWin.head._2.maxBy(r => (r._3, r._2))._2 === "spark")
+    assert(byWin.last._2.maxBy(r => (r._3, r._2))._2 === "merge")
+  }
+
 }
