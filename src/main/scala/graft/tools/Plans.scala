@@ -30,7 +30,12 @@ object Plans {
         "ft_synonym_index", "ft_edismax_qf",
         // round-3 session-3: codegen'd regexp scan, flatMap analysis
         // chains (single scan + output-order exchange only)
-        "scrub_pii", "analysis_shingle", "analysis_kstem")
+        "scrub_pii", "analysis_shingle", "analysis_kstem",
+        // round-4 session-7: selector-as-aggregate, per-shard cumsum
+        // packing (no global window), zero-shuffle chunk explode,
+        // bounded-page rescore, keyed child-agg block sort
+        "sort_multival", "pack_sequences", "chunk_sliding",
+        "ft_rescore_sort", "block_join_sort", "facet_subfacet")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "8")
