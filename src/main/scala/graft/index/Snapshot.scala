@@ -152,8 +152,17 @@ object Snapshot {
     * replication moves FILES, not rows; the bytes never enter Spark. */
   def sync(masterDir: String, followerDir: String): (Int, Int, Boolean) = {
     def crc(p: Path): Long = {
+      // streamed: index part-files can be GBs — never whole-file in heap
       val c = new java.util.zip.CRC32()
-      c.update(Files.readAllBytes(p))
+      val in = Files.newInputStream(p)
+      try {
+        val buf = new Array[Byte](1 << 20)
+        var n = in.read(buf)
+        while (n >= 0) {
+          if (n > 0) c.update(buf, 0, n)
+          n = in.read(buf)
+        }
+      } finally in.close()
       c.getValue
     }
     def indexFiles(root: Path): Seq[Path] =
