@@ -977,4 +977,128 @@ object SnowballStemmers {
     }
     b.w
   }
+
+  // ------------------------------------------------------------------
+  // Scandinavian pair: Swedish + Norwegian (reference
+  // ext/SwedishStemmer.java, ext/NorwegianStemmer.java — the
+  // SnowballPorterFilterFactory alternates to the analyzers' default
+  // light stemmers). Shared shape: R1 = after the first non-vowel
+  // following a vowel, floored at 3 (hop-3 setmark x); every suffix
+  // match must lie entirely within R1 (find_among_b under
+  // setlimit tomark p1); p1 = limit when the marks can't be placed.
+  // ------------------------------------------------------------------
+
+  /** Longest table suffix of `s` whose match starts at or after `p1`;
+    * returns its code or -1. Tables list (suffix, code). */
+  private def longestR1(s: String, p1: Int,
+                        tbl: Array[(String, Int)]): (String, Int) = {
+    var best: (String, Int) = null
+    var i = 0
+    while (i < tbl.length) {
+      val suf = tbl(i)._1
+      if ((best == null || suf.length > best._1.length) &&
+        s.length - suf.length >= p1 && s.endsWith(suf))
+        best = tbl(i)
+      i += 1
+    }
+    best
+  }
+
+  /** R1 start: after the first non-vowel that follows a vowel, floored
+    * at minPrefix; = length when unmarkable (no stemming). */
+  private def scandinavianP1(w: String, isV: Char => Boolean,
+                             minPrefix: Int = 3): Int = {
+    val n = w.length
+    if (n < minPrefix) return n
+    var i = 0
+    while (i < n && !isV(w.charAt(i))) i += 1
+    if (i >= n) return n
+    while (i < n && isV(w.charAt(i))) i += 1
+    if (i >= n) return n
+    math.max(i + 1, minPrefix)
+  }
+
+  private val svMain: Array[(String, Int)] = Array(
+    "a" -> 1, "arna" -> 1, "erna" -> 1, "heterna" -> 1, "orna" -> 1,
+    "ad" -> 1, "e" -> 1, "ade" -> 1, "ande" -> 1, "arne" -> 1,
+    "are" -> 1, "aste" -> 1, "en" -> 1, "anden" -> 1, "aren" -> 1,
+    "heten" -> 1, "ern" -> 1, "ar" -> 1, "er" -> 1, "heter" -> 1,
+    "or" -> 1, "s" -> 2, "as" -> 1, "arnas" -> 1, "ernas" -> 1,
+    "ornas" -> 1, "es" -> 1, "ades" -> 1, "andes" -> 1, "ens" -> 1,
+    "arens" -> 1, "hetens" -> 1, "erns" -> 1, "at" -> 1, "andet" -> 1,
+    "het" -> 1, "ast" -> 1)
+  private val svPairs = Array("dd", "gd", "nn", "dt", "gt", "kt", "tt")
+  private val svOther: Array[(String, Int)] = Array(
+    "ig" -> 1, "lig" -> 1, "els" -> 1, "fullt" -> 3, "löst" -> 2)
+
+  /** Swedish Snowball (reference ext/SwedishStemmer.java:90-330; the
+    * published swedish.sbl): main-suffix delete ('s' gated on the
+    * s-ending set b c d f g h j k l m n o p r t v y — checked OUTSIDE
+    * the R1 limit, which find_among_b restores before the gate), then
+    * undouble dd/gd/nn/dt/gt/kt/tt inside R1, then
+    * ig/lig/els delete + löst->lös + fullt->full inside R1. */
+  def swedish(w: String): String = {
+    val isV = (c: Char) => "aeiouyäåö".indexOf(c) >= 0
+    val p1 = scandinavianP1(w, isV)
+    var s = w
+    val m0 = longestR1(s, p1, svMain)
+    if (m0 != null) m0._2 match {
+      case 1 => s = s.dropRight(m0._1.length)
+      case _ =>
+        val j = s.length - 2
+        if (j >= 0 && "bcdfghjklmnoprtvy".indexOf(s.charAt(j)) >= 0)
+          s = s.dropRight(1)
+    }
+    if (svPairs.exists(p => s.length - 2 >= p1 && s.endsWith(p)))
+      s = s.dropRight(1)
+    val m2 = longestR1(s, p1, svOther)
+    if (m2 != null) m2._2 match {
+      case 1 => s = s.dropRight(m2._1.length)
+      case 2 => s = s.dropRight(m2._1.length) + "lös"
+      case _ => s = s.dropRight(m2._1.length) + "full"
+    }
+    s
+  }
+
+  private val noMain: Array[(String, Int)] = Array(
+    "a" -> 1, "e" -> 1, "ede" -> 1, "ande" -> 1, "ende" -> 1,
+    "ane" -> 1, "ene" -> 1, "hetene" -> 1, "erte" -> 3, "en" -> 1,
+    "heten" -> 1, "ar" -> 1, "er" -> 1, "heter" -> 1, "s" -> 2,
+    "as" -> 1, "es" -> 1, "edes" -> 1, "endes" -> 1, "enes" -> 1,
+    "hetenes" -> 1, "ens" -> 1, "hetens" -> 1, "ers" -> 1, "ets" -> 1,
+    "et" -> 1, "het" -> 1, "ert" -> 3, "ast" -> 1)
+  private val noPairs = Array("dt", "vt")
+  private val noOther: Array[(String, Int)] = Array(
+    "leg" -> 1, "eleg" -> 1, "ig" -> 1, "eig" -> 1, "lig" -> 1,
+    "elig" -> 1, "els" -> 1, "lov" -> 1, "elov" -> 1, "slov" -> 1,
+    "hetslov" -> 1)
+
+  /** Norwegian Snowball (reference ext/NorwegianStemmer.java:80-330;
+    * norwegian.sbl, Bokmål): main-suffix delete with 's' gated on the
+    * s-ending set (b c d f g h j l m n o p r t v y z — no 'k') OR a 'k'
+    * preceded by a non-vowel; erte/ert -> er; dt/vt undouble inside R1;
+    * leg/eleg/ig/eig/lig/elig/els/lov/elov/slov/hetslov delete. */
+  def norwegian(w: String): String = {
+    val isV = (c: Char) => "aeiouyåæø".indexOf(c) >= 0
+    val p1 = scandinavianP1(w, isV)
+    var s = w
+    val m0 = longestR1(s, p1, noMain)
+    if (m0 != null) m0._2 match {
+      case 1 => s = s.dropRight(m0._1.length)
+      case 2 =>
+        val j = s.length - 2
+        if (j >= 0) {
+          val c = s.charAt(j)
+          if ("bcdfghjlmnoprtvyz".indexOf(c) >= 0) s = s.dropRight(1)
+          else if (c == 'k' && j >= 1 && !isV(s.charAt(j - 1)))
+            s = s.dropRight(1)
+        }
+      case _ => s = s.dropRight(m0._1.length) + "er"
+    }
+    if (noPairs.exists(p => s.length - 2 >= p1 && s.endsWith(p)))
+      s = s.dropRight(1)
+    val m2 = longestR1(s, p1, noOther)
+    if (m2 != null) s = s.dropRight(m2._1.length)
+    s
+  }
 }

@@ -55,4 +55,12 @@ class SnowballStemSpec extends AnyFunSuite {
   test("Lovins: full reference vocabulary (30k pairs)") {
     check("/stems/lovinssnow.txt", graft.analysis.LovinsStemmer.stem, 25000)
   }
+
+  test("Swedish snowball: full reference vocabulary (30k pairs)") {
+    check("/stems/svsnow.txt", SnowballStemmers.swedish, 28000)
+  }
+  test("Norwegian snowball: full reference vocabulary (20k pairs)") {
+    check("/stems/nosnow.txt", SnowballStemmers.norwegian, 19000)
+  }
+
 }
