@@ -1101,4 +1101,129 @@ object SnowballStemmers {
     if (m2 != null) s = s.dropRight(m2._1.length)
     s
   }
+
+  // ------------------------------------------------------------------
+  // Russian (reference ext/RussianStemmer.java; russian.sbl). All steps
+  // run inside setlimit tomark pV (RV); find_among_b takes the LONGEST
+  // match and a failed а/я gate fails the whole step with no
+  // shorter-suffix retry.
+  // ------------------------------------------------------------------
+
+  private val ruGerund: Array[(String, Int)] = Array(
+    "в" -> 1, "ив" -> 2, "ыв" -> 2, "вши" -> 1, "ивши" -> 2, "ывши" -> 2,
+    "вшись" -> 1, "ившись" -> 2, "ывшись" -> 2)
+  private val ruAdjective: Array[(String, Int)] = Array(
+    "ее" -> 1, "ие" -> 1, "ое" -> 1, "ые" -> 1, "ими" -> 1, "ыми" -> 1,
+    "ей" -> 1, "ий" -> 1, "ой" -> 1, "ый" -> 1, "ем" -> 1, "им" -> 1,
+    "ом" -> 1, "ым" -> 1, "его" -> 1, "ого" -> 1, "ему" -> 1, "ому" -> 1,
+    "их" -> 1, "ых" -> 1, "ею" -> 1, "ою" -> 1, "ую" -> 1, "юю" -> 1,
+    "ая" -> 1, "яя" -> 1)
+  private val ruParticiple: Array[(String, Int)] = Array(
+    "ем" -> 1, "нн" -> 1, "вш" -> 1, "ивш" -> 2, "ывш" -> 2, "щ" -> 1,
+    "ющ" -> 1, "ующ" -> 2)
+  private val ruVerb: Array[(String, Int)] = Array(
+    "ла" -> 1, "ила" -> 2, "ыла" -> 2, "на" -> 1, "ена" -> 2, "ете" -> 1,
+    "ите" -> 2, "йте" -> 1, "ейте" -> 2, "уйте" -> 2, "ли" -> 1,
+    "или" -> 2, "ыли" -> 2, "й" -> 1, "ей" -> 2, "уй" -> 2, "л" -> 1,
+    "ил" -> 2, "ыл" -> 2, "ем" -> 1, "им" -> 2, "ым" -> 2, "н" -> 1,
+    "ен" -> 2, "ло" -> 1, "ило" -> 2, "ыло" -> 2, "но" -> 1, "ено" -> 2,
+    "нно" -> 1, "ет" -> 1, "ует" -> 2, "ит" -> 2, "ыт" -> 2, "ют" -> 1,
+    "уют" -> 2, "ят" -> 2, "ны" -> 1, "ены" -> 2, "ть" -> 1, "ить" -> 2,
+    "ыть" -> 2, "ешь" -> 1, "ишь" -> 2, "ю" -> 2, "ую" -> 2)
+  private val ruNoun: Array[(String, Int)] = Array(
+    "а" -> 1, "ев" -> 1, "ов" -> 1, "е" -> 1, "ие" -> 1, "ье" -> 1,
+    "и" -> 1, "еи" -> 1, "ии" -> 1, "ами" -> 1, "ями" -> 1, "иями" -> 1,
+    "й" -> 1, "ей" -> 1, "ией" -> 1, "ий" -> 1, "ой" -> 1, "ам" -> 1,
+    "ем" -> 1, "ием" -> 1, "ом" -> 1, "ям" -> 1, "иям" -> 1, "о" -> 1,
+    "у" -> 1, "ах" -> 1, "ях" -> 1, "иях" -> 1, "ы" -> 1, "ь" -> 1,
+    "ю" -> 1, "ию" -> 1, "ью" -> 1, "я" -> 1, "ия" -> 1, "ья" -> 1)
+  private val ruDeriv: Array[(String, Int)] = Array("ост" -> 1, "ость" -> 1)
+  private val ruTidy: Array[(String, Int)] = Array(
+    "ейше" -> 1, "н" -> 2, "ейш" -> 1, "ь" -> 3)
+
+  /** Russian Snowball (reference ext/RussianStemmer.java:188-720):
+    * perfective gerund (а/я-gated group 1) OR (try reflexive; then
+    * adjectival-with-optional-participle OR verb OR noun), then a final
+    * -и, then ост/ость in R2, then the нн/ейш(е)/ь tidy-up — every
+    * suffix (and gate char) inside RV. */
+  def russian(w: String): String = {
+    val vs = "аеиоуыэюя"
+    def isV(c: Char) = vs.indexOf(c) >= 0
+    val n = w.length
+    var pV = n
+    var p2 = n
+    var i = 0
+    while (i < n && !isV(w.charAt(i))) i += 1
+    if (i < n) {
+      i += 1; pV = i
+      while (i < n && isV(w.charAt(i))) i += 1
+      if (i < n) {
+        i += 1 // p1 (unused)
+        while (i < n && !isV(w.charAt(i))) i += 1
+        if (i < n) {
+          i += 1
+          while (i < n && isV(w.charAt(i))) i += 1
+          if (i < n) { i += 1; p2 = i }
+        }
+      }
+    }
+    var s = w
+    // а/я gate: the char preceding the suffix, itself inside RV
+    def gated(suf: String): Boolean = {
+      val j = s.length - suf.length - 1
+      j >= pV && (s.charAt(j) == 'а' || s.charAt(j) == 'я')
+    }
+    // step 1
+    val g = longestR1(s, pV, ruGerund)
+    var done1 = false
+    if (g != null) {
+      if (g._2 == 2) { s = s.dropRight(g._1.length); done1 = true }
+      else if (gated(g._1)) { s = s.dropRight(g._1.length); done1 = true }
+    }
+    if (!done1) {
+      // try reflexive
+      val r = longestR1(s, pV, Array("сь" -> 1, "ся" -> 1))
+      if (r != null) s = s.dropRight(r._1.length)
+      // or(adjectival, verb, noun)
+      var matched = false
+      val a = longestR1(s, pV, ruAdjective)
+      if (a != null) {
+        s = s.dropRight(a._1.length)
+        matched = true
+        val p = longestR1(s, pV, ruParticiple)
+        if (p != null) {
+          if (p._2 == 2) s = s.dropRight(p._1.length)
+          else if (gated(p._1)) s = s.dropRight(p._1.length)
+        }
+      }
+      if (!matched) {
+        val v = longestR1(s, pV, ruVerb)
+        if (v != null) {
+          if (v._2 == 2) { s = s.dropRight(v._1.length); matched = true }
+          else if (gated(v._1)) { s = s.dropRight(v._1.length); matched = true }
+        }
+      }
+      if (!matched) {
+        val nn = longestR1(s, pV, ruNoun)
+        if (nn != null) s = s.dropRight(nn._1.length)
+      }
+    }
+    // step 2: final и
+    if (s.endsWith("и") && s.length - 1 >= pV) s = s.dropRight(1)
+    // step 3: derivational in R2
+    val d = longestR1(s, pV, ruDeriv)
+    if (d != null && s.length - d._1.length >= p2) s = s.dropRight(d._1.length)
+    // step 4: tidy up
+    val t = longestR1(s, pV, ruTidy)
+    if (t != null) t._2 match {
+      case 1 =>
+        s = s.dropRight(t._1.length)
+        if (s.endsWith("нн") && s.length - 2 >= pV) s = s.dropRight(1)
+      case 2 =>
+        if (s.length >= 2 && s.charAt(s.length - 2) == 'н' &&
+          s.length - 2 >= pV) s = s.dropRight(1)
+      case _ => s = s.dropRight(1)
+    }
+    s
+  }
 }

@@ -63,4 +63,9 @@ class SnowballStemSpec extends AnyFunSuite {
     check("/stems/nosnow.txt", SnowballStemmers.norwegian, 19000)
   }
 
+
+  test("Russian snowball: full reference vocabulary (49k pairs)") {
+    check("/stems/rusnow.txt", SnowballStemmers.russian, 45000)
+  }
+
 }
