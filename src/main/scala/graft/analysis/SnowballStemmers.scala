@@ -1226,4 +1226,183 @@ object SnowballStemmers {
     }
     s
   }
+
+  // ------------------------------------------------------------------
+  // English Porter2 (reference ext/EnglishStemmer.java; english.sbl —
+  // the SnowballPorterFilterFactory language=English alternative to the
+  // chain's Porter1). Porter1 lives in analysis/PorterStemmer.
+  // ------------------------------------------------------------------
+
+  private val enExc1: Map[String, String] = Map(
+    "skis" -> "ski", "skies" -> "sky", "dying" -> "die", "lying" -> "lie",
+    "tying" -> "tie", "idly" -> "idl", "gently" -> "gentl", "ugly" -> "ugli",
+    "early" -> "earli", "only" -> "onli", "singly" -> "singl",
+    "sky" -> "sky", "news" -> "news", "howe" -> "howe", "atlas" -> "atlas",
+    "cosmos" -> "cosmos", "bias" -> "bias", "andes" -> "andes")
+  private val enExc2 = Set("inning", "outing", "canning", "herring",
+    "earring", "proceed", "exceed", "succeed")
+  private val enStep2: Array[(String, String)] = Array(
+    "tional" -> "tion", "enci" -> "ence", "anci" -> "ance",
+    "abli" -> "able", "entli" -> "ent", "izer" -> "ize",
+    "ization" -> "ize", "ational" -> "ate", "ation" -> "ate",
+    "ator" -> "ate", "alism" -> "al", "aliti" -> "al", "alli" -> "al",
+    "fulness" -> "ful", "ousli" -> "ous", "ousness" -> "ous",
+    "iveness" -> "ive", "iviti" -> "ive", "biliti" -> "ble",
+    "bli" -> "ble", "fulli" -> "ful", "lessli" -> "less",
+    "ogi" -> "og", "li" -> "") // ogi/li carry extra gates (below)
+  private val enStep3: Array[(String, String)] = Array(
+    "ational" -> "ate", "tional" -> "tion", "alize" -> "al",
+    "icate" -> "ic", "iciti" -> "ic", "ical" -> "ic", "ful" -> "",
+    "ness" -> "", "ative" -> "") // ative carries the R2 gate (below)
+  private val enStep4 = Array("ement", "ance", "ence", "able", "ible",
+    "ment", "ant", "ent", "ism", "ate", "iti", "ous", "ive", "ize",
+    "ion", "al", "er", "ic")
+
+  /** English Porter2 (ext/EnglishStemmer.java:179-1250): prelude
+    * (leading-' strip, consonant-y marking), gener/commun/arsen R1
+    * override, apostrophe step, 1a with the ied/ies hop-2 rule and the
+    * exception2 stop list, 1b with at/bl/iz + undouble + short-word 'e',
+    * y->i, the R1 suffix maps, R2 deletions (ion gated on s/t), e/l
+    * tidy with the backward shortv test. Words under 3 chars unchanged. */
+  def english2(w0: String): String = {
+    enExc1.get(w0) match {
+      case Some(r) => return r
+      case None =>
+    }
+    if (w0.length < 3) return w0
+    val vg = "aeiouy"
+    // prelude: strip ONE leading ', then mark consonant y as Y
+    var w = if (w0.startsWith("'")) w0.substring(1) else w0
+    val sb = new StringBuilder(w)
+    if (sb.nonEmpty && sb.charAt(0) == 'y') sb.setCharAt(0, 'Y')
+    var k = 1
+    while (k < sb.length) {
+      if (sb.charAt(k) == 'y' && vg.indexOf(sb.charAt(k - 1)) >= 0)
+        sb.setCharAt(k, 'Y')
+      k += 1
+    }
+    w = sb.toString
+    def isV(c: Char) = vg.indexOf(c) >= 0
+    // mark_regions with the gener/commun/arsen override
+    val n0 = w.length
+    var p1 = n0
+    var p2 = n0
+    val pref = Seq("gener", "commun", "arsen").find(w.startsWith)
+    var i = 0
+    var haveP1 = false
+    pref match {
+      case Some(p) => i = p.length; p1 = i; haveP1 = true
+      case None =>
+        while (i < n0 && !isV(w.charAt(i))) i += 1
+        if (i < n0) {
+          i += 1
+          while (i < n0 && !(!isV(w.charAt(i)))) i += 1 // gopast non-v
+          if (i < n0) { i += 1; p1 = i; haveP1 = true }
+        }
+    }
+    if (haveP1) {
+      var j = p1
+      while (j < n0 && !isV(w.charAt(j))) j += 1
+      if (j < n0) {
+        j += 1
+        while (j < n0 && isV(w.charAt(j))) j += 1
+        if (j < n0) { j += 1; p2 = j }
+      }
+    }
+    var s = w
+    def inR1(sufLen: Int) = s.length - sufLen >= p1
+    def inR2(sufLen: Int) = s.length - sufLen >= p2
+    // backward shortv at position `end` (exclusive): non-vWXY v non-v,
+    // or (v non-v) at the very start
+    def shortv(end: Int): Boolean = {
+      def vW(c: Char) = isV(c) || c == 'w' || c == 'x' || c == 'Y'
+      (end >= 3 && !vW(s.charAt(end - 1)) && isV(s.charAt(end - 2)) &&
+        !isV(s.charAt(end - 3))) ||
+      (end == 2 && !isV(s.charAt(end - 1)) && isV(s.charAt(end - 2)))
+    }
+    // Step 1a: try apostrophe suffixes, then the s-family
+    for (ap <- Seq("'s'", "'s", "'").find(s.endsWith)) s = s.dropRight(ap.length)
+    if (s.endsWith("sses")) s = s.dropRight(2)
+    else if (s.endsWith("ied") || s.endsWith("ies")) {
+      s = if (s.length - 3 > 1) s.dropRight(2) else s.dropRight(1)
+    } else if (s.endsWith("us") || s.endsWith("ss")) { /* keep */ }
+    else if (s.endsWith("s")) {
+      // a vowel must exist before the char preceding the s
+      var j = s.length - 3
+      var found = false
+      while (j >= 0 && !found) { if (isV(s.charAt(j))) found = true; j -= 1 }
+      if (found) s = s.dropRight(1)
+    }
+    if (enExc2.contains(s)) return s.replace('Y', 'y')
+    // Step 1b
+    if (s.endsWith("eedly")) { if (inR1(5)) s = s.dropRight(5) + "ee" }
+    else if (s.endsWith("eed")) { if (inR1(3)) s = s.dropRight(3) + "ee" }
+    else {
+      val suf = Seq("ingly", "edly", "ing", "ed").find(s.endsWith)
+      for (sf <- suf) {
+        val stemEnd = s.length - sf.length
+        if ((0 until stemEnd).exists(x => isV(s.charAt(x)))) {
+          s = s.dropRight(sf.length)
+          if (s.endsWith("at") || s.endsWith("bl") || s.endsWith("iz"))
+            s = s + "e"
+          else if (Seq("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr",
+            "tt").exists(s.endsWith)) s = s.dropRight(1)
+          else if (s.length == p1 && shortv(s.length)) s = s + "e"
+        }
+      }
+    }
+    // Step 1c: y/Y -> i after a non-vowel that is not the first char
+    if (s.length >= 3 && (s.endsWith("y") || s.endsWith("Y")) &&
+      !isV(s.charAt(s.length - 2)))
+      s = s.dropRight(1) + "i"
+    // Step 2 (longest match, R1)
+    locally {
+      var best: (String, String) = null
+      for (e <- enStep2)
+        if (s.endsWith(e._1) && (best == null || e._1.length > best._1.length))
+          best = e
+      if (best != null && inR1(best._1.length)) best._1 match {
+        case "ogi" => // preceded by l -> og
+          if (s.length - 4 >= 0 && s.charAt(s.length - 4) == 'l')
+            s = s.dropRight(3) + "og"
+        case "li" => // valid_LI (c d e g h k m n r t) before it
+          if (s.length - 3 >= 0 &&
+            "cdeghkmnrt".indexOf(s.charAt(s.length - 3)) >= 0)
+            s = s.dropRight(2)
+        case _ => s = s.dropRight(best._1.length) + best._2
+      }
+    }
+    // Step 3 (longest match, R1; ative needs R2)
+    locally {
+      var best: (String, String) = null
+      for (e <- enStep3)
+        if (s.endsWith(e._1) && (best == null || e._1.length > best._1.length))
+          best = e
+      if (best != null && inR1(best._1.length)) best._1 match {
+        case "ative" => if (inR2(5)) s = s.dropRight(5)
+        case _ => s = s.dropRight(best._1.length) + best._2
+      }
+    }
+    // Step 4 (longest match, R2; ion gated on preceding s/t)
+    locally {
+      var best: String = null
+      for (e <- enStep4)
+        if (s.endsWith(e) && (best == null || e.length > best.length))
+          best = e
+      if (best != null && inR2(best.length)) {
+        if (best == "ion") {
+          val j = s.length - 4
+          if (j >= 0 && (s.charAt(j) == 's' || s.charAt(j) == 't'))
+            s = s.dropRight(3)
+        } else s = s.dropRight(best.length)
+      }
+    }
+    // Step 5
+    if (s.endsWith("e") &&
+      (inR2(1) || (inR1(1) && !shortv(s.length - 1)))) s = s.dropRight(1)
+    else if (s.endsWith("l") && inR2(1) && s.length >= 2 &&
+      s.charAt(s.length - 2) == 'l') s = s.dropRight(1)
+    // postlude
+    s.replace('Y', 'y')
+  }
 }

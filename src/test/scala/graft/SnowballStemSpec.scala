@@ -68,4 +68,9 @@ class SnowballStemSpec extends AnyFunSuite {
     check("/stems/rusnow.txt", SnowballStemmers.russian, 45000)
   }
 
+
+  test("English Porter2 snowball: full reference vocabulary (29k pairs)") {
+    check("/stems/ensnow.txt", SnowballStemmers.english2, 28000)
+  }
+
 }
