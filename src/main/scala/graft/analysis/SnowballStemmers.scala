@@ -1405,4 +1405,219 @@ object SnowballStemmers {
     // postlude
     s.replace('Y', 'y')
   }
+
+  // ------------------------------------------------------------------
+  // Spanish (reference ext/SpanishStemmer.java; spanish.sbl).
+  // ------------------------------------------------------------------
+
+  private val esV = "aeiouáéíóúü"
+
+  /** Romance RV (spanish.sbl mark_regions, shared shape): second letter
+    * consonant -> after the next vowel; first two vowels -> after the
+    * next consonant; consonant-vowel start -> after the third letter. */
+  private def romanceRV(w: String, vowels: String): Int = {
+    val n = w.length
+    def isV(i: Int) = vowels.indexOf(w.charAt(i)) >= 0
+    if (n < 3) return n
+    if (!isV(1)) {
+      var i = 2
+      while (i < n && !isV(i)) i += 1
+      if (i < n) i + 1 else n
+    } else if (isV(0)) {
+      var i = 2
+      while (i < n && isV(i)) i += 1
+      if (i < n) i + 1 else n
+    } else 3
+  }
+
+  /** Standard R1/R2 over an arbitrary vowel set. */
+  private def stdR1R2(w: String, vowels: String): (Int, Int) = {
+    val n = w.length
+    def isV(i: Int) = vowels.indexOf(w.charAt(i)) >= 0
+    def mark(from: Int): Int = {
+      var i = from
+      while (i < n && !isV(i)) i += 1
+      if (i >= n) return n
+      i += 1
+      while (i < n && isV(i)) i += 1
+      if (i >= n) return n
+      i + 1
+    }
+    // gopast v, gopast non-v
+    var i = 0
+    while (i < n && !isV(i)) i += 1
+    var p1 = n
+    if (i < n) {
+      i += 1
+      while (i < n && isV(i)) i += 1
+      if (i < n) p1 = i + 1
+    }
+    val p2 = if (p1 >= n) n else mark(p1)
+    (p1, p2)
+  }
+
+  private val esPronouns = Array("la", "sela", "le", "me", "se", "lo",
+    "selo", "las", "selas", "les", "los", "selos", "nos")
+  private val esPreStem: Array[(String, Int)] = Array(
+    "ando" -> 6, "iendo" -> 6, "yendo" -> 7, "ándo" -> 2, "iéndo" -> 1,
+    "ar" -> 6, "er" -> 6, "ir" -> 6, "ár" -> 3, "ér" -> 4, "ír" -> 5)
+  private val esStd: Array[(String, Int)] = Array(
+    "ica" -> 1, "ancia" -> 2, "encia" -> 5, "adora" -> 2, "osa" -> 1,
+    "ista" -> 1, "iva" -> 9, "anza" -> 1, "logía" -> 3, "idad" -> 8,
+    "able" -> 1, "ible" -> 1, "ante" -> 2, "mente" -> 7, "amente" -> 6,
+    "ación" -> 2, "ución" -> 4, "ico" -> 1, "ismo" -> 1, "oso" -> 1,
+    "amiento" -> 1, "imiento" -> 1, "ivo" -> 9, "ador" -> 2, "icas" -> 1,
+    "ancias" -> 2, "encias" -> 5, "adoras" -> 2, "osas" -> 1,
+    "istas" -> 1, "ivas" -> 9, "anzas" -> 1, "logías" -> 3,
+    "idades" -> 8, "ables" -> 1, "ibles" -> 1, "aciones" -> 2,
+    "uciones" -> 4, "adores" -> 2, "antes" -> 2, "icos" -> 1,
+    "ismos" -> 1, "osos" -> 1, "amientos" -> 1, "imientos" -> 1,
+    "ivos" -> 9)
+  private val esYVerb = Array("ya", "ye", "yan", "yen", "yeron", "yendo",
+    "yo", "yas", "yes", "yais", "yamos", "yó")
+  private val esVerb: Array[(String, Int)] = Array(
+    "aba" -> 2, "ada" -> 2, "ida" -> 2, "ara" -> 2, "iera" -> 2,
+    "ía" -> 2, "aría" -> 2, "ería" -> 2, "iría" -> 2, "ad" -> 2,
+    "ed" -> 2, "id" -> 2, "ase" -> 2, "iese" -> 2, "aste" -> 2,
+    "iste" -> 2, "an" -> 2, "aban" -> 2, "aran" -> 2, "ieran" -> 2,
+    "ían" -> 2, "arían" -> 2, "erían" -> 2, "irían" -> 2, "en" -> 1,
+    "asen" -> 2, "iesen" -> 2, "aron" -> 2, "ieron" -> 2, "arán" -> 2,
+    "erán" -> 2, "irán" -> 2, "ado" -> 2, "ido" -> 2, "ando" -> 2,
+    "iendo" -> 2, "ar" -> 2, "er" -> 2, "ir" -> 2, "as" -> 2,
+    "abas" -> 2, "adas" -> 2, "idas" -> 2, "aras" -> 2, "ieras" -> 2,
+    "ías" -> 2, "arías" -> 2, "erías" -> 2, "irías" -> 2, "es" -> 1,
+    "ases" -> 2, "ieses" -> 2, "abais" -> 2, "arais" -> 2,
+    "ierais" -> 2, "íais" -> 2, "aríais" -> 2, "eríais" -> 2,
+    "iríais" -> 2, "aseis" -> 2, "ieseis" -> 2, "asteis" -> 2,
+    "isteis" -> 2, "áis" -> 2, "éis" -> 1, "aréis" -> 2, "eréis" -> 2,
+    "iréis" -> 2, "ados" -> 2, "idos" -> 2, "amos" -> 2, "ábamos" -> 2,
+    "áramos" -> 2, "iéramos" -> 2, "íamos" -> 2, "aríamos" -> 2,
+    "eríamos" -> 2, "iríamos" -> 2, "emos" -> 1, "aremos" -> 2,
+    "eremos" -> 2, "iremos" -> 2, "ásemos" -> 2, "iésemos" -> 2,
+    "imos" -> 2, "arás" -> 2, "erás" -> 2, "irás" -> 2, "ís" -> 2,
+    "ará" -> 2, "erá" -> 2, "irá" -> 2, "aré" -> 2, "eré" -> 2,
+    "iré" -> 2, "ió" -> 2)
+  private val esResidual: Array[(String, Int)] = Array(
+    "a" -> 1, "e" -> 2, "o" -> 1, "os" -> 1, "á" -> 1, "é" -> 2,
+    "í" -> 1, "ó" -> 1)
+
+  /** Spanish Snowball (reference ext/SpanishStemmer.java:30-760;
+    * spanish.sbl): attached-pronoun strip (de-accenting the carrier
+    * ending), standard suffixes OR y-verb OR verb forms, residual
+    * vowels, final de-accent postlude. */
+  def spanish(w: String): String = {
+    val pV = romanceRV(w, esV)
+    val (p1, p2) = stdR1R2(w, esV)
+    var s = w
+    def endsInR(sufLen: Int, p: Int) = s.length - sufLen >= p
+    // step 0: attached pronoun
+    locally {
+      var pron: String = null
+      for (p <- esPronouns)
+        if (s.endsWith(p) && (pron == null || p.length > pron.length)) pron = p
+      if (pron != null) {
+        val base = s.dropRight(pron.length)
+        val pre = longestR1(base, pV, esPreStem)
+        if (pre != null) {
+          pre._2 match {
+            case 1 => s = base.dropRight(pre._1.length) + "iendo"
+            case 2 => s = base.dropRight(pre._1.length) + "ando"
+            case 3 => s = base.dropRight(pre._1.length) + "ar"
+            case 4 => s = base.dropRight(pre._1.length) + "er"
+            case 5 => s = base.dropRight(pre._1.length) + "ir"
+            case 6 => s = base
+            case _ => // yendo: requires a 'u' right before
+              if (base.length - pre._1.length - 1 >= 0 &&
+                base.charAt(base.length - pre._1.length - 1) == 'u') s = base
+          }
+        }
+      }
+    }
+    // step 1: standard suffix (or-chain with the verb steps)
+    var did1 = false
+    locally {
+      var best: (String, Int) = null
+      for (e <- esStd)
+        if (s.endsWith(e._1) && (best == null || e._1.length > best._1.length))
+          best = e
+      if (best != null) {
+        val L = best._1.length
+        def tryDrop(sufs: Seq[String]): Unit = {
+          var b: String = null
+          for (x <- sufs)
+            if (s.endsWith(x) && (b == null || x.length > b.length)) b = x
+          if (b != null && endsInR(b.length, p2)) s = s.dropRight(b.length)
+        }
+        best._2 match {
+          case 1 => if (endsInR(L, p2)) { s = s.dropRight(L); did1 = true }
+          case 2 => if (endsInR(L, p2)) {
+            s = s.dropRight(L); did1 = true
+            if (s.endsWith("ic") && endsInR(2, p2)) s = s.dropRight(2)
+          }
+          case 3 => if (endsInR(L, p2)) { s = s.dropRight(L) + "log"; did1 = true }
+          case 4 => if (endsInR(L, p2)) { s = s.dropRight(L) + "u"; did1 = true }
+          case 5 => if (endsInR(L, p2)) { s = s.dropRight(L) + "ente"; did1 = true }
+          case 6 => if (endsInR(L, p1)) {
+            s = s.dropRight(L); did1 = true
+            if (s.endsWith("iv") && endsInR(2, p2)) {
+              s = s.dropRight(2)
+              if (s.endsWith("at") && endsInR(2, p2)) s = s.dropRight(2)
+            } else tryDrop(Seq("os", "ic", "ad"))
+          }
+          case 7 => if (endsInR(L, p2)) {
+            s = s.dropRight(L); did1 = true
+            tryDrop(Seq("ante", "able", "ible"))
+          }
+          case 8 => if (endsInR(L, p2)) {
+            s = s.dropRight(L); did1 = true
+            tryDrop(Seq("abil", "ic", "iv"))
+          }
+          case _ => if (endsInR(L, p2)) {
+            s = s.dropRight(L); did1 = true
+            if (s.endsWith("at") && endsInR(2, p2)) s = s.dropRight(2)
+          }
+        }
+      }
+    }
+    // step 2a: y-verb (only if step 1 did nothing)
+    var did2a = false
+    if (!did1) {
+      val best = longestR1(s, pV, esYVerb.map(_ -> 1))
+      if (best != null) {
+        val j = s.length - best._1.length - 1
+        if (j >= 0 && s.charAt(j) == 'u') {
+          s = s.dropRight(best._1.length); did2a = true
+        }
+      }
+    }
+    // step 2b: verb forms
+    if (!did1 && !did2a) {
+      val best = longestR1(s, pV, esVerb)
+      if (best != null) {
+        s = s.dropRight(best._1.length)
+        if (best._2 == 1 && s.endsWith("gu")) s = s.dropRight(1)
+      }
+    }
+    // step 3: residual
+    locally {
+      val best = longestR1(s, pV, esResidual)
+      if (best != null) {
+        if (best._2 == 1) s = s.dropRight(best._1.length)
+        else {
+          s = s.dropRight(best._1.length)
+          if (s.endsWith("gu") && s.length - 1 >= pV) s = s.dropRight(1)
+        }
+      }
+    }
+    // postlude: strip acute accents
+    s.map {
+      case 'á' => 'a'
+      case 'é' => 'e'
+      case 'í' => 'i'
+      case 'ó' => 'o'
+      case 'ú' => 'u'
+      case c => c
+    }
+  }
+
 }

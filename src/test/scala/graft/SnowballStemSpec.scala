@@ -73,4 +73,9 @@ class SnowballStemSpec extends AnyFunSuite {
     check("/stems/ensnow.txt", SnowballStemmers.english2, 28000)
   }
 
+
+  test("Spanish snowball: full reference vocabulary (28k pairs)") {
+    check("/stems/essnow.txt", SnowballStemmers.spanish, 27000)
+  }
+
 }
