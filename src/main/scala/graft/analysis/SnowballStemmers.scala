@@ -1517,8 +1517,11 @@ object SnowballStemmers {
         if (s.endsWith(p) && (pron == null || p.length > pron.length)) pron = p
       if (pron != null) {
         val base = s.dropRight(pron.length)
-        val pre = longestR1(base, pV, esPreStem)
-        if (pre != null) {
+        var pre: (String, Int) = null
+        for (e <- esPreStem)
+          if (base.endsWith(e._1) && (pre == null || e._1.length > pre._1.length))
+            pre = e
+        if (pre != null && base.length - pre._1.length >= pV) {
           pre._2 match {
             case 1 => s = base.dropRight(pre._1.length) + "iendo"
             case 2 => s = base.dropRight(pre._1.length) + "ando"
@@ -1600,8 +1603,11 @@ object SnowballStemmers {
     }
     // step 3: residual
     locally {
-      val best = longestR1(s, pV, esResidual)
-      if (best != null) {
+      var best: (String, Int) = null
+      for (e <- esResidual)
+        if (s.endsWith(e._1) && (best == null || e._1.length > best._1.length))
+          best = e
+      if (best != null && s.length - best._1.length >= pV) {
         if (best._2 == 1) s = s.dropRight(best._1.length)
         else {
           s = s.dropRight(best._1.length)
@@ -1616,6 +1622,295 @@ object SnowballStemmers {
       case 'í' => 'i'
       case 'ó' => 'o'
       case 'ú' => 'u'
+      case c => c
+    }
+  }
+
+
+  // ------------------------------------------------------------------
+  // Portuguese (reference ext/PortugueseStemmer.java; portuguese.sbl).
+  // Complements the analyzer-default light stemmer and the RSLP Orengo
+  // port.
+  // ------------------------------------------------------------------
+
+  private val ptV = "aeiouáéíóúâêô"
+  private val ptStd: Array[(String, Int)] = Array(
+    "ica" -> 1, "ância" -> 1, "ência" -> 4, "ira" -> 9, "adora" -> 1,
+    "osa" -> 1, "ista" -> 1, "iva" -> 8, "eza" -> 1, "logía" -> 2,
+    "idade" -> 7, "ante" -> 1, "mente" -> 6, "amente" -> 5, "ável" -> 1,
+    "ível" -> 1, "ución" -> 3, "ico" -> 1, "ismo" -> 1, "oso" -> 1,
+    "amento" -> 1, "imento" -> 1, "ivo" -> 8, "aça~o" -> 1, "ador" -> 1,
+    "icas" -> 1, "ências" -> 4, "iras" -> 9, "adoras" -> 1, "osas" -> 1,
+    "istas" -> 1, "ivas" -> 8, "ezas" -> 1, "logías" -> 2,
+    "idades" -> 7, "uciones" -> 3, "adores" -> 1, "antes" -> 1,
+    "aço~es" -> 1, "icos" -> 1, "ismos" -> 1, "osos" -> 1,
+    "amentos" -> 1, "imentos" -> 1, "ivos" -> 8)
+  private val ptVerb: Array[(String, Int)] = Array(
+    "ada", "ida", "ia", "aria", "eria", "iria", "ara", "era", "ira",
+    "ava", "asse", "esse", "isse", "aste", "este", "iste", "ei",
+    "arei", "erei", "irei", "am", "iam", "ariam", "eriam", "iriam",
+    "aram", "eram", "iram", "avam", "em", "arem", "erem", "irem",
+    "assem", "essem", "issem", "ado", "ido", "ando", "endo", "indo",
+    "ara~o", "era~o", "ira~o", "ar", "er", "ir", "as", "adas", "idas",
+    "ias", "arias", "erias", "irias", "aras", "eras", "iras", "avas",
+    "es", "ardes", "erdes", "irdes", "ares", "eres", "ires", "asses",
+    "esses", "isses", "astes", "estes", "istes", "is", "ais", "eis",
+    "areis", "ereis", "ireis", "áreis", "éreis", "íreis", "ásseis",
+    "ésseis", "ísseis", "áveis", "íeis", "aríeis", "eríeis", "iríeis",
+    "ados", "idos", "amos", "áramos", "éramos", "íramos", "ávamos",
+    "íamos", "aríamos", "eríamos", "iríamos", "emos", "aremos",
+    "eremos", "iremos", "ássemos", "êssemos", "íssemos", "imos",
+    "armos", "ermos", "irmos", "ámos", "arás", "erás", "irás", "eu",
+    "iu", "ou", "ará", "erá", "irá").map(_ -> 1)
+  private val ptResidual = Array("a", "i", "o", "os", "á", "í", "ó")
+
+  /** Portuguese Snowball (reference ext/PortugueseStemmer.java:30-900):
+    * nasal-vowel prelude (ã/õ -> a~/o~), free-match standard suffixes
+    * with per-case R1/R2/RV gates (incl. eira->eir), RV-limited verb
+    * forms, the [i]c cleanup after any suffix removal, residual vowels
+    * and the e/é/ê + gu/ci residual form, nasal postlude. */
+  def portugueseSnowball(w0: String): String = {
+    val w = w0.replace("ã", "a~").replace("õ", "o~")
+    val pV = romanceRV(w, ptV)
+    val (p1, p2) = stdR1R2(w, ptV)
+    var s = w
+    var did = false
+    // standard_suffix: free longest, gates per case
+    locally {
+      var best: (String, Int) = null
+      for (e <- ptStd)
+        if (s.endsWith(e._1) && (best == null || e._1.length > best._1.length))
+          best = e
+      if (best != null) {
+        val L = best._1.length
+        def r2(k: Int) = s.length - k >= p2
+        def tryDrop(sufs: Seq[String]): Unit = {
+          var b: String = null
+          for (x <- sufs)
+            if (s.endsWith(x) && (b == null || x.length > b.length)) b = x
+          if (b != null && s.length - b.length >= p2) s = s.dropRight(b.length)
+        }
+        best._2 match {
+          case 1 => if (r2(L)) { s = s.dropRight(L); did = true }
+          case 2 => if (r2(L)) { s = s.dropRight(L) + "log"; did = true }
+          case 3 => if (r2(L)) { s = s.dropRight(L) + "u"; did = true }
+          case 4 => if (r2(L)) { s = s.dropRight(L) + "ente"; did = true }
+          case 5 => if (s.length - L >= p1) {
+            s = s.dropRight(L); did = true
+            if (s.endsWith("iv") && s.length - 2 >= p2) {
+              s = s.dropRight(2)
+              if (s.endsWith("at") && s.length - 2 >= p2) s = s.dropRight(2)
+            } else tryDrop(Seq("os", "ic", "ad"))
+          }
+          case 6 => if (r2(L)) {
+            s = s.dropRight(L); did = true
+            tryDrop(Seq("ante", "avel", "ível"))
+          }
+          case 7 => if (r2(L)) {
+            s = s.dropRight(L); did = true
+            tryDrop(Seq("abil", "ic", "iv"))
+          }
+          case 8 => if (r2(L)) {
+            s = s.dropRight(L); did = true
+            if (s.endsWith("at") && s.length - 2 >= p2) s = s.dropRight(2)
+          }
+          case _ => // ira(s) in RV preceded by e -> ir
+            if (s.length - L >= pV &&
+              s.length - L - 1 >= 0 && s.charAt(s.length - L - 1) == 'e') {
+              s = s.dropRight(L) + "ir"; did = true
+            }
+        }
+      }
+    }
+    // verb_suffix under the RV limit
+    if (!did) {
+      val best = longestR1(s, pV, ptVerb)
+      if (best != null) { s = s.dropRight(best._1.length); did = true }
+    }
+    if (did) {
+      // [i] preceded by c, i in RV
+      if (s.endsWith("i") && s.length - 1 >= pV && s.length >= 2 &&
+        s.charAt(s.length - 2) == 'c') s = s.dropRight(1)
+    } else {
+      // residual_suffix: free longest + RV gate
+      var best: String = null
+      for (x <- ptResidual)
+        if (s.endsWith(x) && (best == null || x.length > best.length)) best = x
+      if (best != null && s.length - best.length >= pV)
+        s = s.dropRight(best.length)
+    }
+    // residual_form
+    locally {
+      var best: (String, Int) = null
+      for (e <- Array("e" -> 1, "é" -> 1, "ê" -> 1, "ç" -> 2))
+        if (s.endsWith(e._1) && (best == null || e._1.length > best._1.length))
+          best = e
+      if (best != null) {
+        if (best._2 == 2) s = s.dropRight(1) + "c"
+        else if (s.length - 1 >= pV) {
+          s = s.dropRight(1)
+          if (s.endsWith("gu") && s.length - 1 >= pV) s = s.dropRight(1)
+          else if (s.endsWith("ci") && s.length - 1 >= pV) s = s.dropRight(1)
+        }
+      }
+    }
+    s.replace("a~", "ã").replace("o~", "õ")
+  }
+
+
+  // ------------------------------------------------------------------
+  // Italian (reference ext/ItalianStemmer.java; italian.sbl).
+  // ------------------------------------------------------------------
+
+  private val itV = "aeiouàèìòù"
+  private val itPronouns = Array("la", "cela", "gliela", "mela", "tela",
+    "vela", "le", "cele", "gliele", "mele", "tele", "vele", "ne", "cene",
+    "gliene", "mene", "sene", "tene", "vene", "ci", "li", "celi",
+    "glieli", "meli", "teli", "veli", "gli", "mi", "si", "ti", "vi",
+    "lo", "celo", "glielo", "melo", "telo", "velo")
+  private val itPreStem: Array[(String, Int)] = Array(
+    "ando" -> 1, "endo" -> 1, "ar" -> 2, "er" -> 2, "ir" -> 2)
+  private val itStd: Array[(String, Int)] = Array(
+    "ica" -> 1, "logia" -> 3, "osa" -> 1, "ista" -> 1, "iva" -> 9,
+    "anza" -> 1, "enza" -> 5, "ice" -> 1, "atrice" -> 1, "iche" -> 1,
+    "logie" -> 3, "abile" -> 1, "ibile" -> 1, "usione" -> 4,
+    "azione" -> 2, "uzione" -> 4, "atore" -> 2, "ose" -> 1, "ante" -> 1,
+    "mente" -> 1, "amente" -> 7, "iste" -> 1, "ive" -> 9, "anze" -> 1,
+    "enze" -> 5, "ici" -> 1, "atrici" -> 1, "ichi" -> 1, "abili" -> 1,
+    "ibili" -> 1, "ismi" -> 1, "usioni" -> 4, "azioni" -> 2,
+    "uzioni" -> 4, "atori" -> 2, "osi" -> 1, "anti" -> 1,
+    "amenti" -> 6, "imenti" -> 6, "isti" -> 1, "ivi" -> 9, "ico" -> 1,
+    "ismo" -> 1, "oso" -> 1, "amento" -> 6, "imento" -> 6, "ivo" -> 9,
+    "ità" -> 8, "istà" -> 1, "istè" -> 1, "istì" -> 1)
+  private val itVerb: Array[(String, Int)] = Array(
+    "isca", "enda", "ata", "ita", "uta", "ava", "eva", "iva", "erebbe",
+    "irebbe", "isce", "ende", "are", "ere", "ire", "asse", "ate",
+    "avate", "evate", "ivate", "ete", "erete", "irete", "ite",
+    "ereste", "ireste", "ute", "erai", "irai", "isci", "endi", "erei",
+    "irei", "assi", "ati", "iti", "eresti", "iresti", "uti", "avi",
+    "evi", "ivi", "isco", "ando", "endo", "Yamo", "iamo", "avamo",
+    "evamo", "ivamo", "eremo", "iremo", "assimo", "ammo", "emmo",
+    "eremmo", "iremmo", "immo", "ano", "iscano", "avano", "evano",
+    "ivano", "eranno", "iranno", "ono", "iscono", "arono", "erono",
+    "irono", "erebbero", "irebbero", "assero", "essero", "issero",
+    "ato", "ito", "uto", "avo", "evo", "ivo", "ar", "ir", "erà",
+    "irà", "erò", "irò").map(_ -> 1)
+
+  /** Italian Snowball (reference ext/ItalianStemmer.java:30-900):
+    * accent-normalizing prelude with qU and intervocalic U/I marking,
+    * attached pronoun (ando/endo keep, ar/er/ir -> e), free-match
+    * standard suffixes with per-case R1/R2/RV gates, RV-limited verb
+    * forms, final-vowel (+i) removal and the c/g-h cleanup, marker
+    * postlude. */
+  def italian(w0: String): String = {
+    // prelude
+    var w = w0.map {
+      case 'á' => 'à'
+      case 'é' => 'è'
+      case 'í' => 'ì'
+      case 'ó' => 'ò'
+      case 'ú' => 'ù'
+      case c => c
+    }
+    w = w.replace("qu", "qU")
+    val sb = new StringBuilder(w)
+    var k = 1
+    while (k < sb.length - 1) {
+      val c = sb.charAt(k)
+      if ((c == 'u' || c == 'i') &&
+        itV.indexOf(sb.charAt(k - 1)) >= 0 &&
+        itV.indexOf(sb.charAt(k + 1)) >= 0)
+        sb.setCharAt(k, if (c == 'u') 'U' else 'I')
+      k += 1
+    }
+    w = sb.toString
+    val pV = romanceRV(w, itV)
+    val (p1, p2) = stdR1R2(w, itV)
+    var s = w
+    // attached pronoun
+    locally {
+      var pron: String = null
+      for (p <- itPronouns)
+        if (s.endsWith(p) && (pron == null || p.length > pron.length)) pron = p
+      if (pron != null) {
+        val base = s.dropRight(pron.length)
+        var pre: (String, Int) = null
+        for (e <- itPreStem)
+          if (base.endsWith(e._1) && (pre == null || e._1.length > pre._1.length))
+            pre = e
+        if (pre != null && base.length - pre._1.length >= pV) {
+          if (pre._2 == 1) s = base
+          else s = base + "e"
+        }
+      }
+    }
+    var did = false
+    // standard_suffix: free longest + per-case gates
+    locally {
+      var best: (String, Int) = null
+      for (e <- itStd)
+        if (s.endsWith(e._1) && (best == null || e._1.length > best._1.length))
+          best = e
+      if (best != null) {
+        val L = best._1.length
+        def r2(kk: Int) = s.length - kk >= p2
+        best._2 match {
+          case 1 => if (r2(L)) { s = s.dropRight(L); did = true }
+          case 2 => if (r2(L)) {
+            s = s.dropRight(L); did = true
+            if (s.endsWith("ic") && r2(2)) s = s.dropRight(2)
+          }
+          case 3 => if (r2(L)) { s = s.dropRight(L) + "log"; did = true }
+          case 4 => if (r2(L)) { s = s.dropRight(L) + "u"; did = true }
+          case 5 => if (r2(L)) { s = s.dropRight(L) + "ente"; did = true }
+          case 6 => if (s.length - L >= pV) { s = s.dropRight(L); did = true }
+          case 7 => if (s.length - L >= p1) {
+            s = s.dropRight(L); did = true
+            var b: String = null
+            for (x <- Seq("abil", "ic", "os", "iv"))
+              if (s.endsWith(x) && (b == null || x.length > b.length)) b = x
+            if (b != null && r2(b.length)) {
+              s = s.dropRight(b.length)
+              if (b == "iv" && s.endsWith("at") && r2(2)) s = s.dropRight(2)
+            }
+          }
+          case 8 => if (r2(L)) {
+            s = s.dropRight(L); did = true
+            var b: String = null
+            for (x <- Seq("abil", "ic", "iv"))
+              if (s.endsWith(x) && (b == null || x.length > b.length)) b = x
+            if (b != null && r2(b.length)) s = s.dropRight(b.length)
+          }
+          case _ => if (r2(L)) {
+            s = s.dropRight(L); did = true
+            if (s.endsWith("at") && r2(2)) {
+              s = s.dropRight(2)
+              if (s.endsWith("ic") && r2(2)) s = s.dropRight(2)
+            }
+          }
+        }
+      }
+    }
+    // verb_suffix under the RV limit
+    if (!did) {
+      val best = longestR1(s, pV, itVerb)
+      if (best != null) s = s.dropRight(best._1.length)
+    }
+    // vowel_suffix
+    if (s.nonEmpty && "aeioàèìò".indexOf(s.last) >= 0 &&
+      s.length - 1 >= pV) {
+      s = s.dropRight(1)
+      if (s.endsWith("i") && s.length - 1 >= pV) s = s.dropRight(1)
+    }
+    // [h] after c/g: the RV test runs after CONSUMING the c/g, so the
+    // c/g itself must sit inside RV (ItalianStemmer.java r_vowel_suffix)
+    if (s.endsWith("h") && s.length >= 2 &&
+      (s.charAt(s.length - 2) == 'c' || s.charAt(s.length - 2) == 'g') &&
+      s.length - 2 >= pV) s = s.dropRight(1)
+    // postlude
+    s.map {
+      case 'I' => 'i'
+      case 'U' => 'u'
       case c => c
     }
   }

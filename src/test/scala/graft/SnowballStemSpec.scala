@@ -78,4 +78,14 @@ class SnowballStemSpec extends AnyFunSuite {
     check("/stems/essnow.txt", SnowballStemmers.spanish, 27000)
   }
 
+
+  test("Portuguese snowball: full reference vocabulary (32k pairs)") {
+    check("/stems/ptsnow.txt", SnowballStemmers.portugueseSnowball, 30000)
+  }
+
+
+  test("Italian snowball: full reference vocabulary (35k pairs)") {
+    check("/stems/itsnow.txt", SnowballStemmers.italian, 33000)
+  }
+
 }
