@@ -1915,4 +1915,220 @@ object SnowballStemmers {
     }
   }
 
+
+  // ------------------------------------------------------------------
+  // French (reference ext/FrenchStemmer.java; french.sbl).
+  // ------------------------------------------------------------------
+
+  private val frV = "aeiouyàâèéêëîïôùû"
+  private val frStd: Array[(String, Int)] = Array(
+    "iqUe" -> 1, "atrice" -> 2, "ance" -> 1, "ence" -> 5, "logie" -> 3,
+    "able" -> 1, "isme" -> 1, "euse" -> 11, "iste" -> 1, "ive" -> 8,
+    "if" -> 8, "usion" -> 4, "ation" -> 2, "ution" -> 4, "ateur" -> 2,
+    "iqUes" -> 1, "atrices" -> 2, "ances" -> 1, "ences" -> 5,
+    "logies" -> 3, "ables" -> 1, "ismes" -> 1, "euses" -> 11,
+    "istes" -> 1, "ives" -> 8, "ifs" -> 8, "usions" -> 4,
+    "ations" -> 2, "utions" -> 4, "ateurs" -> 2, "ments" -> 15,
+    "ements" -> 6, "issements" -> 12, "ités" -> 7, "ment" -> 15,
+    "ement" -> 6, "issement" -> 12, "amment" -> 13, "emment" -> 14,
+    "aux" -> 10, "eaux" -> 9, "eux" -> 1, "ité" -> 7)
+  private val frIVerb: Array[(String, Int)] = Array(
+    "ira", "ie", "isse", "issante", "i", "irai", "ir", "iras", "ies",
+    "îmes", "isses", "issantes", "îtes", "is", "irais", "issais",
+    "irions", "issions", "irons", "issons", "issants", "it", "irait",
+    "issait", "issant", "iraIent", "issaIent", "irent", "issent",
+    "iront", "ît", "iriez", "issiez", "irez", "issez").map(_ -> 1)
+  private val frVerb: Array[(String, Int)] = Array(
+    "a" -> 3, "era" -> 2, "asse" -> 3, "ante" -> 3, "ée" -> 2,
+    "ai" -> 3, "erai" -> 2, "er" -> 2, "as" -> 3, "eras" -> 2,
+    "âmes" -> 3, "asses" -> 3, "antes" -> 3, "âtes" -> 3, "ées" -> 2,
+    "ais" -> 3, "erais" -> 2, "ions" -> 1, "erions" -> 2,
+    "assions" -> 3, "erons" -> 2, "ants" -> 3, "és" -> 2, "ait" -> 3,
+    "erait" -> 2, "ant" -> 3, "aIent" -> 3, "eraIent" -> 2,
+    "èrent" -> 2, "assent" -> 3, "eront" -> 2, "ât" -> 3, "ez" -> 2,
+    "iez" -> 2, "eriez" -> 2, "assiez" -> 3, "erez" -> 2, "é" -> 2)
+  private val frResidual: Array[(String, Int)] = Array(
+    "e" -> 3, "Ière" -> 2, "ière" -> 2, "ion" -> 1, "Ier" -> 2,
+    "ier" -> 2, "ë" -> 4)
+
+  /** French Snowball (reference ext/FrenchStemmer.java:30-1330;
+    * french.sbl): intervocalic U/I + vowel-adjacent Y + qU prelude, the
+    * par/col/tap RV override, the dense standard-suffix table
+    * (ment-family gates, eaux/aux, amment/emment, issement), i-verb and
+    * verb conjugations under RV, residual s/ion/ier/e/ë, un_double
+    * (ell/eill/enn/onn/ett) and un_accent (é|è + final consonants ->
+    * e), marker postlude. */
+  def french(w0: String): String = {
+    // prelude: scan left-to-right like the reference's repeat-goto
+    val sb = new StringBuilder(w0)
+    def isVb(c: Char) = frV.indexOf(c) >= 0
+    var k = 0
+    while (k < sb.length) {
+      val c = sb.charAt(k)
+      if ((c == 'u' || c == 'i') && k > 0 && k + 1 < sb.length &&
+        isVb(sb.charAt(k - 1)) && isVb(sb.charAt(k + 1)))
+        sb.setCharAt(k, if (c == 'u') 'U' else 'I')
+      else if (c == 'y' && ((k > 0 && isVb(sb.charAt(k - 1))) ||
+        (k + 1 < sb.length && isVb(sb.charAt(k + 1)))))
+        sb.setCharAt(k, 'Y')
+      else if (c == 'u' && k > 0 && sb.charAt(k - 1) == 'q')
+        sb.setCharAt(k, 'U')
+      k += 1
+    }
+    val w = sb.toString
+    val n = w.length
+    def isV(i: Int) = frV.indexOf(w.charAt(i)) >= 0
+    // RV: two leading vowels -> 3; par/col/tap prefix -> 3; else after
+    // the first vowel past position 0
+    var pV = n
+    if (n >= 2 && isV(0) && isV(1)) pV = math.min(3, n)
+    else if (Seq("par", "col", "tap").exists(w.startsWith)) pV = 3
+    else {
+      var i = 1
+      while (i < n && !isV(i)) i += 1
+      if (i < n) pV = i + 1
+    }
+    if (pV > n) pV = n
+    val (p1, p2) = stdR1R2(w, frV)
+    var s = w
+    var did = false
+    def r2(kk: Int) = s.length - kk >= p2
+    def r1(kk: Int) = s.length - kk >= p1
+    def rv(kk: Int) = s.length - kk >= pV
+    // standard_suffix: free longest + per-case gates
+    locally {
+      var best: (String, Int) = null
+      for (e <- frStd)
+        if (s.endsWith(e._1) && (best == null || e._1.length > best._1.length))
+          best = e
+      if (best != null) {
+        val L = best._1.length
+        best._2 match {
+          case 1 => if (r2(L)) { s = s.dropRight(L); did = true }
+          case 2 => if (r2(L)) {
+            s = s.dropRight(L); did = true
+            if (s.endsWith("ic")) {
+              if (r2(2)) s = s.dropRight(2) else s = s.dropRight(2) + "iqU"
+            }
+          }
+          case 3 => if (r2(L)) { s = s.dropRight(L) + "log"; did = true }
+          case 4 => if (r2(L)) { s = s.dropRight(L) + "u"; did = true }
+          case 5 => if (r2(L)) { s = s.dropRight(L) + "ent"; did = true }
+          case 6 => if (rv(L)) {
+            s = s.dropRight(L); did = true
+            if (s.endsWith("iv") && r2(2)) {
+              s = s.dropRight(2)
+              if (s.endsWith("at") && r2(2)) s = s.dropRight(2)
+            } else if (s.endsWith("eus")) {
+              if (r2(3)) s = s.dropRight(3)
+              else if (r1(3)) s = s.dropRight(3) + "eux"
+            } else if (s.endsWith("abl") && r2(3)) s = s.dropRight(3)
+            else if (s.endsWith("iqU") && r2(3)) s = s.dropRight(3)
+            else if (s.endsWith("Ièr") && rv(3)) s = s.dropRight(3) + "i"
+            else if (s.endsWith("ièr") && rv(3)) s = s.dropRight(3) + "i"
+          }
+          case 7 => if (r2(L)) {
+            s = s.dropRight(L); did = true
+            if (s.endsWith("abil")) {
+              if (r2(4)) s = s.dropRight(4) else s = s.dropRight(4) + "abl"
+            } else if (s.endsWith("ic")) {
+              if (r2(2)) s = s.dropRight(2) else s = s.dropRight(2) + "iqU"
+            } else if (s.endsWith("iv") && r2(2)) s = s.dropRight(2)
+          }
+          case 8 => if (r2(L)) {
+            s = s.dropRight(L); did = true
+            if (s.endsWith("at") && r2(2)) {
+              s = s.dropRight(2)
+              if (s.endsWith("ic")) {
+                if (r2(2)) s = s.dropRight(2) else s = s.dropRight(2) + "iqU"
+              }
+            }
+          }
+          case 9 => { s = s.dropRight(L) + "eau"; did = true }
+          case 10 => if (r1(L)) { s = s.dropRight(L) + "al"; did = true }
+          case 11 =>
+            if (r2(L)) { s = s.dropRight(L); did = true }
+            else if (r1(L)) { s = s.dropRight(L) + "eux"; did = true }
+          case 12 => if (r1(L) && s.length - L - 1 >= 0 &&
+            frV.indexOf(s.charAt(s.length - L - 1)) < 0) {
+            s = s.dropRight(L); did = true
+          }
+          // amment/emment/ment(s) rewrite and then FAIL the routine
+          // (french.sbl `fail`): the verb suffixes still run on the
+          // rewritten stem
+          case 13 => if (rv(L)) s = s.dropRight(L) + "ant"
+          case 14 => if (rv(L)) s = s.dropRight(L) + "ent"
+          case _ => // ment(s): preceded by a vowel in RV
+            val j = s.length - L - 1
+            if (j >= 0 && frV.indexOf(s.charAt(j)) >= 0 && j >= pV)
+              s = s.dropRight(L)
+        }
+      }
+    }
+    // i_verb_suffix: RV-limited, preceding non-vowel also inside RV
+    if (!did) {
+      val best = longestR1(s, pV, frIVerb)
+      if (best != null) {
+        val j = s.length - best._1.length - 1
+        if (j >= pV && frV.indexOf(s.charAt(j)) < 0) {
+          s = s.dropRight(best._1.length); did = true
+        }
+      }
+    }
+    // verb_suffix: RV-limited
+    if (!did) {
+      val best = longestR1(s, pV, frVerb)
+      if (best != null) {
+        best._2 match {
+          case 1 => if (r2(best._1.length)) {
+            s = s.dropRight(best._1.length); did = true
+          }
+          case 2 => s = s.dropRight(best._1.length); did = true
+          case _ =>
+            s = s.dropRight(best._1.length); did = true
+            if (s.endsWith("e") && s.length - 1 >= pV) s = s.dropRight(1)
+        }
+      }
+    }
+    if (did) {
+      // try [Y] -> i or [ç] -> c at the end
+      if (s.endsWith("Y")) s = s.dropRight(1) + "i"
+      else if (s.endsWith("ç")) s = s.dropRight(1) + "c"
+    } else {
+      // residual_suffix
+      if (s.endsWith("s") && s.length >= 2 &&
+        "aiouès".indexOf(s.charAt(s.length - 2)) < 0) s = s.dropRight(1)
+      val best = longestR1(s, pV, frResidual)
+      if (best != null) best._2 match {
+        case 1 =>
+          val j = s.length - 4
+          if (r2(3) && j >= 0 &&
+            (s.charAt(j) == 's' || s.charAt(j) == 't'))
+            s = s.dropRight(3)
+        case 2 => s = s.dropRight(best._1.length) + "i"
+        case 3 => s = s.dropRight(1)
+        case _ => if (s.endsWith("guë")) s = s.dropRight(1)
+      }
+    }
+    // un_double: ends ell/eill/enn/onn/ett -> drop the last letter
+    if (Seq("ell", "eill", "enn", "onn", "ett").exists(s.endsWith))
+      s = s.dropRight(1)
+    // un_accent: é/è followed only by 1+ non-vowels at the end -> e
+    locally {
+      var i2 = s.length - 1
+      var cnt = 0
+      while (i2 >= 0 && frV.indexOf(s.charAt(i2)) < 0) { i2 -= 1; cnt += 1 }
+      if (cnt >= 1 && i2 >= 0 &&
+        (s.charAt(i2) == 'é' || s.charAt(i2) == 'è'))
+        s = s.substring(0, i2) + "e" + s.substring(i2 + 1)
+    }
+    // postlude
+    s.map {
+      case 'I' => 'i'
+      case 'U' => 'u'
+      case 'Y' => 'y'
+      case c => c
+    }
+  }
+
 }

@@ -88,4 +88,9 @@ class SnowballStemSpec extends AnyFunSuite {
     check("/stems/itsnow.txt", SnowballStemmers.italian, 33000)
   }
 
+
+  test("French snowball: full reference vocabulary (20k pairs)") {
+    check("/stems/frsnow.txt", SnowballStemmers.french, 19000)
+  }
+
 }
