@@ -2131,4 +2131,212 @@ object SnowballStemmers {
     }
   }
 
+
+  // ------------------------------------------------------------------
+  // Finnish (reference ext/FinnishStemmer.java; finnish.sbl).
+  // ------------------------------------------------------------------
+
+  private val fiV1 = "aeiouyäö"
+  private val fiV2 = "aeiouäö"
+  private val fiAEI = "aeiä"
+  private val fiParticleEnd = "aeinotuyäö"
+  private val fiLong = Array("aa", "ee", "ii", "oo", "uu", "ää", "öö")
+  private val fiParticle: Array[(String, Int)] = Array(
+    "pa" -> 1, "sti" -> 2, "kaan" -> 1, "han" -> 1, "kin" -> 1,
+    "hän" -> 1, "kään" -> 1, "ko" -> 1, "pä" -> 1, "kö" -> 1)
+  private val fiPoss: Array[(String, Int)] = Array(
+    "nsa" -> 3, "mme" -> 3, "nne" -> 3, "ni" -> 2, "si" -> 1,
+    "an" -> 4, "en" -> 6, "än" -> 5, "nsä" -> 3)
+  private val fiCase: Array[(String, Int)] = Array(
+    "a" -> 8, "lla" -> -1, "na" -> -1, "ssa" -> -1, "ta" -> -1,
+    "lta" -> -1, "sta" -> -1, "tta" -> 9, "lle" -> -1, "ine" -> -1,
+    "ksi" -> -1, "n" -> 7, "han" -> 1, "den" -> -2, "seen" -> -3,
+    "hen" -> 2, "tten" -> -2, "hin" -> 3, "siin" -> -2, "hon" -> 4,
+    "hän" -> 5, "hön" -> 6, "ä" -> 8, "llä" -> -1, "nä" -> -1,
+    "ssä" -> -1, "tä" -> -1, "ltä" -> -1, "stä" -> -1, "ttä" -> 9)
+  private val fiOther: Array[(String, Int)] = Array(
+    "eja" -> -1, "mma" -> 1, "imma" -> -1, "mpa" -> 1, "impa" -> -1,
+    "mmi" -> 1, "immi" -> -1, "mpi" -> 1, "impi" -> -1, "ejä" -> -1,
+    "mmä" -> 1, "immä" -> -1, "mpä" -> 1, "impä" -> -1)
+
+  /** Finnish Snowball (reference ext/FinnishStemmer.java:30-1100;
+    * finnish.sbl): particle, possessive (with the kse->ksi restore),
+    * case endings (h-harmony vowels, the n + LONG/ie extra vowel, the
+    * cons+vowel gate on a/ä), comparative other-endings ('po' guard),
+    * i/t plural keyed on the case-ending flag, and the tidy pass (LONG
+    * shorten, AEI after consonant, oj/uj/jo, final consonant
+    * undoubling). R1-limited matching throughout; den/tten (-2) carry
+    * no extra gate, seen/siin (-3) require the long-vowel VI test. */
+  def finnish(w: String): String = {
+    val n = w.length
+    def isV1(c: Char) = fiV1.indexOf(c) >= 0
+    // p1/p2 over V1
+    var i = 0
+    var p1 = n
+    var p2 = n
+    while (i < n && !isV1(w.charAt(i))) i += 1
+    if (i < n) {
+      i += 1
+      while (i < n && isV1(w.charAt(i))) i += 1
+      if (i < n) {
+        i += 1; p1 = i
+        while (i < n && !isV1(w.charAt(i))) i += 1
+        if (i < n) {
+          i += 1
+          while (i < n && isV1(w.charAt(i))) i += 1
+          if (i < n) { i += 1; p2 = i }
+        }
+      }
+    }
+    var s = w
+    def endsLong(p: Int): Boolean =
+      fiLong.exists(lv => s.endsWith(lv) && s.length - 2 >= p)
+    // particle_etc (R1-limited)
+    locally {
+      val best = longestR1(s, p1, fiParticle)
+      if (best != null) {
+        val j = s.length - best._1.length - 1
+        if (best._2 == 1) {
+          if (j >= 0 && fiParticleEnd.indexOf(s.charAt(j)) >= 0)
+            s = s.dropRight(best._1.length)
+        } else if (s.length - best._1.length >= p2)
+          s = s.dropRight(best._1.length)
+      }
+    }
+    // possessive (R1-limited)
+    locally {
+      val best = longestR1(s, p1, fiPoss)
+      if (best != null) {
+        val L = best._1.length
+        val j = s.length - L - 1
+        best._2 match {
+          case 1 => // si: not preceded by k
+            if (!(j >= 0 && s.charAt(j) == 'k')) s = s.dropRight(L)
+          case 2 =>
+            s = s.dropRight(L)
+            if (s.endsWith("kse")) s = s.dropRight(1) + "i"
+          case 3 => s = s.dropRight(L)
+          case 4 =>
+            if (Seq("ta", "ssa", "sta", "lla", "lta", "na").exists(x =>
+              s.length - L >= x.length &&
+                s.regionMatches(s.length - L - x.length, x, 0, x.length)))
+              s = s.dropRight(L)
+          case 5 =>
+            if (Seq("tä", "ssä", "stä", "llä", "ltä", "nä").exists(x =>
+              s.length - L >= x.length &&
+                s.regionMatches(s.length - L - x.length, x, 0, x.length)))
+              s = s.dropRight(L)
+          case _ =>
+            if (Seq("lle", "ine").exists(x =>
+              s.length - L >= x.length &&
+                s.regionMatches(s.length - L - x.length, x, 0, x.length)))
+              s = s.dropRight(L)
+        }
+      }
+    }
+    // case_ending (R1-limited); sets endingRemoved
+    var endingRemoved = false
+    locally {
+      val best = longestR1(s, p1, fiCase)
+      if (best != null) {
+        val L = best._1.length
+        val j = s.length - L - 1
+        def harmony(v: Char): Unit =
+          if (j >= 0 && s.charAt(j) == v) {
+            s = s.dropRight(L); endingRemoved = true
+          }
+        best._2 match {
+          case 1 => harmony('a')
+          case 2 => harmony('e')
+          case 3 => harmony('i')
+          case 4 => harmony('o')
+          case 5 => harmony('ä')
+          case 6 => harmony('ö')
+          case 7 => // n: delete, then LONG or "ie" drops one more char
+            s = s.dropRight(1); endingRemoved = true
+            if (fiLong.exists(s.endsWith) || s.endsWith("ie"))
+              s = s.dropRight(1)
+          case 8 => // a/ä preceded by (consonant, vowel)
+            if (j >= 1 && isV1(s.charAt(j)) &&
+              !isV1(s.charAt(j - 1))) {
+              s = s.dropRight(L); endingRemoved = true
+            }
+          case 9 => // tta/ttä preceded by e
+            if (j >= 0 && s.charAt(j) == 'e') {
+              s = s.dropRight(L); endingRemoved = true
+            }
+          case -2 => // den/tten/siin: VI gate ('i' after a V2 vowel),
+            // else find_among_b falls back to the parent entry "n"
+            if (j >= p1 && s.charAt(j) == 'i' && j - 1 >= p1 &&
+              fiV2.indexOf(s.charAt(j - 1)) >= 0) {
+              s = s.dropRight(L); endingRemoved = true
+            } else {
+              s = s.dropRight(1); endingRemoved = true // parent "n"
+              if (fiLong.exists(s.endsWith) || s.endsWith("ie"))
+                s = s.dropRight(1)
+            }
+          case -3 => // seen: LONG gate, else fall back to "n"
+            if (s.length - L - 2 >= p1 &&
+              fiLong.exists(lv => s.regionMatches(s.length - L - 2, lv, 0, 2))) {
+              s = s.dropRight(L); endingRemoved = true
+            } else {
+              s = s.dropRight(1); endingRemoved = true // parent "n"
+              if (fiLong.exists(s.endsWith) || s.endsWith("ie"))
+                s = s.dropRight(1)
+            }
+          case _ => s = s.dropRight(L); endingRemoved = true
+        }
+      }
+    }
+    // other_endings (R2-limited)
+    locally {
+      val best = longestR1(s, p2, fiOther)
+      if (best != null) {
+        val L = best._1.length
+        if (best._2 == 1) {
+          if (!(s.length - L >= 2 &&
+            s.regionMatches(s.length - L - 2, "po", 0, 2)))
+            s = s.dropRight(L)
+        } else s = s.dropRight(L)
+      }
+    }
+    // i_plural when a case ending was removed; else t_plural
+    if (endingRemoved) {
+      if ((s.endsWith("i") || s.endsWith("j")) && s.length - 1 >= p1)
+        s = s.dropRight(1)
+    } else {
+      if (s.endsWith("t") && s.length - 1 >= p1 &&
+        s.length >= 2 && isV1(s.charAt(s.length - 2)) &&
+        s.length - 2 >= p1) {
+        s = s.dropRight(1)
+        val best = longestR1(s, p2, Array("mma" -> 1, "imma" -> -1))
+        if (best != null) {
+          if (best._2 == 1) {
+            if (!(s.length - 3 >= 2 &&
+              s.regionMatches(s.length - 5, "po", 0, 2)))
+              s = s.dropRight(3)
+          } else s = s.dropRight(4)
+        }
+      }
+    }
+    // tidy (R1-limited parts)
+    if (endsLong(p1)) s = s.dropRight(1)
+    if (s.nonEmpty && fiAEI.indexOf(s.last) >= 0 && s.length - 1 >= p1 &&
+      s.length >= 2 && !isV1(s.charAt(s.length - 2)) &&
+      s.length - 2 >= p1) s = s.dropRight(1)
+    if (s.endsWith("oj") || s.endsWith("uj")) {
+      if (s.length - 1 >= p1 && s.length - 2 >= p1) s = s.dropRight(1)
+    }
+    if (s.endsWith("jo") && s.length - 1 >= p1 && s.length - 2 >= p1)
+      s = s.dropRight(1)
+    // final undouble: last consonant after trailing vowels, doubled
+    locally {
+      var k = s.length - 1
+      while (k >= 0 && isV1(s.charAt(k))) k -= 1
+      if (k >= 1 && s.charAt(k - 1) == s.charAt(k))
+        s = s.substring(0, k) + s.substring(k + 1)
+    }
+    s
+  }
+
 }

@@ -93,4 +93,9 @@ class SnowballStemSpec extends AnyFunSuite {
     check("/stems/frsnow.txt", SnowballStemmers.french, 19000)
   }
 
+
+  test("Finnish snowball: full reference vocabulary (50k pairs)") {
+    check("/stems/fisnow.txt", SnowballStemmers.finnish, 48000)
+  }
+
 }
