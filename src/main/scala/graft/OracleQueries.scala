@@ -4364,6 +4364,146 @@ object OracleQueries {
          |  CAST(count(*) AS BIGINT) AS cnt,
          |  round(avg(CAST(n_chars AS DOUBLE)), 6) AS mean,
          |  round(stddev_samp(CAST(n_chars AS DOUBLE)), 6) AS sd
-         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // AnalyticsComponent no-facet: population stddev (0 when n<=1),
+    // split median over sorted values, SELECTION percentile
+    // sorted[floor(p*n)], missing counted separately, plus the
+    // ExpressionFactory algebra (add/div/log/pow/concat/rev/const).
+    "analytics_stats" ->
+      s"""WITH src AS (
+         |  SELECT CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END AS v,
+         |         lang
+         |  FROM documents),
+         |l AS (SELECT list(v ORDER BY v) AS lv
+         |      FROM src WHERE v IS NOT NULL),
+         |a AS (SELECT
+         |  CAST(count(v) AS BIGINT) AS cnt,
+         |  CAST(count(*) - count(v) AS BIGINT) AS miss,
+         |  sum(CAST(v AS DOUBLE)) AS sm0,
+         |  sum(CAST(v AS DOUBLE) * v) AS sumsq0,
+         |  CAST(min(v) AS BIGINT) AS mn, CAST(max(v) AS BIGINT) AS mx,
+         |  CAST(count(DISTINCT v) AS BIGINT) AS uniq,
+         |  min(lang) AS lang_mn, max(lang) AS lang_mx,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS lang_uniq
+         |  FROM src)
+         |SELECT cnt, miss,
+         |  round(sm0, 6) AS sm, round(sumsq0, 6) AS sumsq,
+         |  round(sm0 / cnt, 6) AS mean,
+         |  round(CASE WHEN cnt <= 1 THEN 0.0 ELSE
+         |    sqrt(sumsq0 / cnt - (sm0 / cnt) * (sm0 / cnt)) END, 6) AS sd,
+         |  mn, mx, uniq,
+         |  round(0.5 * CAST(lv[CAST(floor(0.5 * (cnt - 1)) AS BIGINT) + 1]
+         |        AS DOUBLE)
+         |      + 0.5 * CAST(lv[CAST(floor(0.5 * (cnt - 1)) AS BIGINT)
+         |          + CASE WHEN (cnt - 1) % 2 = 1 THEN 1 ELSE 0 END + 1]
+         |        AS DOUBLE),
+         |    6) AS med,
+         |  CAST(lv[CAST(floor(0.2 * cnt) AS BIGINT) + 1] AS BIGINT) AS p20,
+         |  CAST(lv[CAST(floor(0.5 * cnt) AS BIGINT) + 1] AS BIGINT) AS p50,
+         |  CAST(lv[CAST(floor(0.8 * cnt) AS BIGINT) + 1] AS BIGINT) AS p80,
+         |  lang_mn, lang_mx, lang_uniq,
+         |  round(sm0 + 10, 6) AS e_add,
+         |  round(sm0 / cnt, 6) AS e_div,
+         |  round(ln(sm0 / cnt) / ln(2), 6) AS e_log,
+         |  round(pow(lang_uniq, 2), 6) AS e_pow,
+         |  'L:' || reverse(lang_mx) AS e_concat
+         |FROM a, l""".stripMargin,
+
+    // Analytics field facet: buckets sorted by ONE named stat (mean
+    // desc), ties by facet value asc (the reference's stable sort over
+    // TreeMap order), then offset 1 / limit 3.
+    "analytics_fieldfacet" ->
+      s"""WITH st AS (
+         |  SELECT source AS bucket,
+         |    CAST(count(n_chars) AS BIGINT) AS cnt,
+         |    sum(CAST(n_chars AS DOUBLE)) AS sm0,
+         |    sum(CAST(n_chars AS DOUBLE) * n_chars) AS sumsq0,
+         |    list(n_chars ORDER BY n_chars) AS lv
+         |  FROM documents GROUP BY source),
+         |r AS (SELECT *,
+         |  CAST(row_number() OVER (ORDER BY sm0 / cnt DESC, bucket ASC)
+         |    AS BIGINT) AS rank FROM st)
+         |SELECT rank, bucket, cnt,
+         |  round(sm0 / cnt, 6) AS mean,
+         |  round(CASE WHEN cnt <= 1 THEN 0.0 ELSE
+         |    sqrt(sumsq0 / cnt - (sm0 / cnt) * (sm0 / cnt)) END, 6) AS sd,
+         |  round(0.5 * CAST(lv[CAST(floor(0.5 * (cnt - 1)) AS BIGINT) + 1]
+         |        AS DOUBLE)
+         |      + 0.5 * CAST(lv[CAST(floor(0.5 * (cnt - 1)) AS BIGINT)
+         |          + CASE WHEN (cnt - 1) % 2 = 1 THEN 1 ELSE 0 END + 1]
+         |        AS DOUBLE),
+         |    6) AS med,
+         |  CAST(lv[CAST(floor(0.25 * cnt) AS BIGINT) + 1] AS BIGINT) AS p25
+         |FROM r WHERE rank BETWEEN 2 AND 4 ORDER BY rank""".stripMargin,
+
+    // Analytics range facet: the oracle re-derives the bucket layout
+    // from the same request params — gap list [10,20] cycling with the
+    // last gap repeating, soft end extension 80 -> 90, include=lower+edge
+    // (upper edge closed only where hi = extended end), others=all over
+    // the EXTENDED end (RangeEndpointCalculator.getRanges).
+    "analytics_rangefacet" ->
+      s"""WITH RECURSIVE buckets(idx, lo, hi) AS (
+         |  SELECT 0, CAST(0.0 AS DOUBLE), CAST(10.0 AS DOUBLE)
+         |  UNION ALL
+         |  SELECT idx + 1, hi, hi + CAST(20.0 AS DOUBLE) FROM buckets WHERE hi < 80.0),
+         |ext AS (SELECT max(hi) AS e FROM buckets),
+         |assign AS (
+         |  SELECT CAST(CAST(b.lo AS BIGINT) AS VARCHAR) AS bucket,
+         |         ev.value AS v
+         |  FROM buckets b, ext x, events ev
+         |  WHERE ev.value >= b.lo
+         |    AND (CASE WHEN b.hi = x.e THEN ev.value <= b.hi
+         |              ELSE ev.value < b.hi END)
+         |  UNION ALL
+         |  SELECT 'before', value FROM events, ext WHERE value < 0.0
+         |  UNION ALL
+         |  SELECT 'after', value FROM events, ext WHERE value > e
+         |  UNION ALL
+         |  SELECT 'between', value FROM events, ext
+         |  WHERE value >= 0.0 AND value <= e),
+         |st AS (SELECT bucket,
+         |  CAST(count(v) AS BIGINT) AS cnt,
+         |  sum(v) AS sm0, sum(v * v) AS sumsq0,
+         |  list(v ORDER BY v) AS lv
+         |  FROM assign GROUP BY bucket)
+         |SELECT bucket, cnt, round(sm0, 6) AS sm,
+         |  round(sm0 / cnt, 6) AS mean,
+         |  round(CASE WHEN cnt <= 1 THEN 0.0 ELSE
+         |    sqrt(sumsq0 / cnt - (sm0 / cnt) * (sm0 / cnt)) END, 6) AS sd,
+         |  round(0.5 * CAST(lv[CAST(floor(0.5 * (cnt - 1)) AS BIGINT) + 1]
+         |        AS DOUBLE)
+         |      + 0.5 * CAST(lv[CAST(floor(0.5 * (cnt - 1)) AS BIGINT)
+         |          + CASE WHEN (cnt - 1) % 2 = 1 THEN 1 ELSE 0 END + 1]
+         |        AS DOUBLE),
+         |    6) AS med
+         |FROM st ORDER BY bucket""".stripMargin,
+
+    // Analytics query facet: each named query is a bucket; rows can fund
+    // several buckets. Full stat set incl. median/selection-percentile.
+    "analytics_queryfacet" ->
+      s"""WITH assign AS (
+         |  SELECT 'click' AS bucket, value AS v FROM events
+         |  WHERE event_type = 'click'
+         |  UNION ALL
+         |  SELECT 'high', value FROM events WHERE value > 250.0),
+         |st AS (SELECT bucket,
+         |  CAST(count(v) AS BIGINT) AS cnt,
+         |  sum(v) AS sm0, sum(v * v) AS sumsq0,
+         |  list(v ORDER BY v) AS lv
+         |  FROM assign GROUP BY bucket)
+         |SELECT bucket, cnt,
+         |  round(sm0 / cnt, 6) AS mean,
+         |  round(CASE WHEN cnt <= 1 THEN 0.0 ELSE
+         |    sqrt(sumsq0 / cnt - (sm0 / cnt) * (sm0 / cnt)) END, 6) AS sd,
+         |  round(0.5 * CAST(lv[CAST(floor(0.5 * (cnt - 1)) AS BIGINT) + 1]
+         |        AS DOUBLE)
+         |      + 0.5 * CAST(lv[CAST(floor(0.5 * (cnt - 1)) AS BIGINT)
+         |          + CASE WHEN (cnt - 1) % 2 = 1 THEN 1 ELSE 0 END + 1]
+         |        AS DOUBLE),
+         |    6) AS med,
+         |  round(lv[CAST(floor(0.1 * cnt) AS BIGINT) + 1], 6) AS p10,
+         |  round(lv[CAST(floor(0.9 * cnt) AS BIGINT) + 1], 6) AS p90
+         |FROM st ORDER BY bucket""".stripMargin
   )
 }

@@ -5142,7 +5142,120 @@ object SparkEntry {
           sum("n_chars").as("sm"), count(lit(1)).as("cnt"),
           round(avg("n_chars"), 6).as("mean"),
           round(stddev_samp(col("n_chars").cast("double")), 6).as("sd"))
-        .orderBy("lang"))
+        .orderBy("lang")),
+
+    /** Solr AnalyticsComponent, no-facet request (solr/contrib/analytics
+      * AnalyticsComponent.java, NoFacetTest posture): the contrib's OWN
+      * stat math — population stddev 0-when-n<=1
+      * (NumericStatsCollector.java:52-55), split median
+      * (MedianCalculator.java:38-50), SELECTION percentile
+      * sorted[floor(p*n)] (PercentileCalculator.java:46) — over a sparse
+      * numeric source (nulls exercise missing-counting) and a string
+      * source, plus the ExpressionFactory algebra evaluated from parsed
+      * expression strings (add/div/log/pow/concat/rev/const). */
+    "analytics_stats" -> ((s, dir) => {
+      import graft.operators.Analytics
+      import graft.operators.Analytics._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Analytics.statsFrame(docs, Nil, Seq(
+        Source("nc7",
+          when(col("doc_id") % 7 === 0, lit(null)).otherwise(col("n_chars")),
+          medianWanted = true,
+          percentiles = Seq("20" -> 0.2, "50" -> 0.5, "80" -> 0.8)),
+        Source("lang", col("lang"), numeric = false)))
+        .select(
+          col("nc7__count").as("cnt"), col("nc7__missing").as("miss"),
+          round(col("nc7__sum"), 6).as("sm"),
+          round(col("nc7__sumofsquares"), 6).as("sumsq"),
+          round(col("nc7__mean"), 6).as("mean"),
+          round(col("nc7__stddev"), 6).as("sd"),
+          col("nc7__min").cast("long").as("mn"),
+          col("nc7__max").cast("long").as("mx"),
+          col("nc7__unique").as("uniq"),
+          round(col("nc7__median"), 6).as("med"),
+          col("nc7__percentile_20").cast("long").as("p20"),
+          col("nc7__percentile_50").cast("long").as("p50"),
+          col("nc7__percentile_80").cast("long").as("p80"),
+          col("lang__min").as("lang_mn"), col("lang__max").as("lang_mx"),
+          col("lang__unique").as("lang_uniq"),
+          round(compile(parse("add(sum(nc7),const_num(10))")), 6).as("e_add"),
+          round(compile(parse("div(sum(nc7),count(nc7))")), 6).as("e_div"),
+          round(compile(parse("log(mean(nc7),const_num(2))")), 6).as("e_log"),
+          round(compile(parse("pow(unique(lang),const_num(2))")), 6).as("e_pow"),
+          compile(parse("concat(const_str(L:),rev(max(lang)))")).as("e_concat"))
+    }),
+
+    /** Analytics field facet with sort-by-expression + offset/limit
+      * (FacetingAccumulator.java:330-355): buckets sort by ONE named
+      * statistic, ties keep facet-value order (the reference's stable
+      * sort over the TreeMap iteration), then offset 1 / limit 3 slice
+      * the bucket list. */
+    "analytics_fieldfacet" -> ((s, dir) => {
+      import graft.operators.Analytics
+      import graft.operators.Analytics._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Analytics.statsFrame(docs, Seq("bucket" -> col("source")), Seq(
+        Source("nc", col("n_chars"), medianWanted = true,
+          percentiles = Seq("25" -> 0.25))))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("nc__mean").desc, col("bucket").asc))
+          .cast("long"))
+        .where(col("rank").between(2, 4)) // offset 1, limit 3
+        .select(col("rank"), col("bucket"), col("nc__count").as("cnt"),
+          round(col("nc__mean"), 6).as("mean"),
+          round(col("nc__stddev"), 6).as("sd"),
+          round(col("nc__median"), 6).as("med"),
+          col("nc__percentile_25").cast("long").as("p25"))
+        .orderBy("rank")
+    }),
+
+    /** Analytics range facet (RangeEndpointCalculator.java:75-150): gap
+      * list [10, 20] cycles with the LAST gap repeating, soft end
+      * extends 80 -> 90 (no hardend), include=lower+edge closes only the
+      * extended-end upper edge, others=all adds before/after/between
+      * over the EXTENDED end. A boundary value lands in every bucket
+      * whose include flags admit it. */
+    "analytics_rangefacet" -> ((s, dir) => {
+      import graft.operators.Analytics
+      import graft.operators.Analytics._
+      val ranges = Analytics.rangeLayout(0, 80, Seq(10, 20),
+        hardEnd = false, include = Set("lower", "edge"),
+        others = Set("all"))
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("value"),
+          explode(Analytics.rangeBucket(col("value"), ranges)).as("bucket"))
+      Analytics.statsFrame(ev, Seq("bucket" -> col("bucket")), Seq(
+        Source("v", col("value"), medianWanted = true)))
+        .select(col("bucket"), col("v__count").as("cnt"),
+          round(col("v__sum"), 6).as("sm"),
+          round(col("v__mean"), 6).as("mean"),
+          round(col("v__stddev"), 6).as("sd"),
+          round(col("v__median"), 6).as("med"))
+        .orderBy("bucket")
+    }),
+
+    /** Analytics query facet (QueryFacetTest posture): each named query
+      * is one bucket; a row can fund several buckets. Full stat set
+      * incl. median/percentile per bucket. */
+    "analytics_queryfacet" -> ((s, dir) => {
+      import graft.operators.Analytics
+      import graft.operators.Analytics._
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("value"), explode(filter(array(
+          when(col("event_type") === "click", lit("click")),
+          when(col("value") > lit(250.0), lit("high"))), _.isNotNull))
+          .as("bucket"))
+      Analytics.statsFrame(ev, Seq("bucket" -> col("bucket")), Seq(
+        Source("v", col("value"), medianWanted = true,
+          percentiles = Seq("10" -> 0.1, "90" -> 0.9))))
+        .select(col("bucket"), col("v__count").as("cnt"),
+          round(col("v__mean"), 6).as("mean"),
+          round(col("v__stddev"), 6).as("sd"),
+          round(col("v__median"), 6).as("med"),
+          round(col("v__percentile_10"), 6).as("p10"),
+          round(col("v__percentile_90"), 6).as("p90"))
+        .orderBy("bucket")
+    })
   )
 
   def oracleSql: Map[String, String] = OracleQueries.all
