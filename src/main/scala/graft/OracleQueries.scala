@@ -4504,6 +4504,42 @@ object OracleQueries {
          |    6) AS med,
          |  round(lv[CAST(floor(0.1 * cnt) AS BIGINT) + 1], 6) AS p10,
          |  round(lv[CAST(floor(0.9 * cnt) AS BIGINT) + 1], 6) AS p90
-         |FROM st ORDER BY bucket""".stripMargin
+         |FROM st ORDER BY bucket""".stripMargin,
+
+    // DIH XPathEntityProcessor round-trip: the engine synthesizes one
+    // XML doc per order from orders+lineitem, flattens it back through
+    // the streaming XPath reader, and explodes the aligned multi-valued
+    // item fields; the oracle re-derives the same rows relationally.
+    "dih_xpath" ->
+      s"""SELECT o.o_orderkey AS id, o.o_orderstatus AS status,
+         |  l.l_partkey AS pid, CAST(l.l_linenumber AS BIGINT) AS ln,
+         |  CAST(l.l_quantity AS BIGINT) AS qty
+         |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         |WHERE o.o_orderkey % 11 = 0""".stripMargin,
+
+    // DIH line entity + transformer chain: line synthesis, accept/skip
+    // find-rules, regex groupNames, date parse (minute-truncated epoch),
+    // strict grouped-number parse, template label.
+    "dih_transformers" ->
+      s"""SELECT event_id AS id,
+         |  CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS epoch,
+         |  CAST(floor(value * 1000) AS BIGINT) AS amount_n,
+         |  event_id || '#' || event_type AS label
+         |FROM events WHERE event_type <> 'error'""".stripMargin,
+
+    // DIH nested entities: child rows append multi-valued fields to the
+    // parent in child iteration order (ordered by l_linenumber).
+    "dih_nested" ->
+      s"""SELECT o.o_orderkey AS id, o.o_orderstatus AS status,
+         |  COALESCE(l.parts, []) AS parts,
+         |  CAST(COALESCE(l.n, 0) AS BIGINT) AS n_items
+         |FROM orders o LEFT JOIN (
+         |  SELECT l_orderkey,
+         |    list(l_partkey ORDER BY l_linenumber, l_partkey) AS parts,
+         |    count(*) AS n
+         |  FROM lineitem GROUP BY l_orderkey) l
+         |ON l.l_orderkey = o.o_orderkey
+         |WHERE o.o_orderkey % 13 = 0
+         |ORDER BY id""".stripMargin
   )
 }

@@ -5255,6 +5255,102 @@ object SparkEntry {
           round(col("v__percentile_10"), 6).as("p10"),
           round(col("v__percentile_90"), 6).as("p90"))
         .orderBy("bucket")
+    }),
+
+    /** DataImportHandler XPathEntityProcessor (dataimporthandler
+      * XPathRecordReader.java, XPathEntityProcessor.java): flatten an
+      * XML document column into records by a forEach xpath with
+      * attribute and multi-valued element fields. The XML is
+      * synthesized from orders+lineitem engine-side so the oracle can
+      * re-derive the flattened rows relationally — round-trips the
+      * reader end to end (attributes, multi-valued alignment, nesting). */
+    "dih_xpath" -> ((s, dir) => {
+      import graft.sources.XmlRecords
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_orderkey") % 11 === 0)
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val items = li.join(ord.select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), struct(col("l_linenumber"),
+          concat(lit("<item pid=\""), col("l_partkey"), lit("\" ln=\""),
+            col("l_linenumber"), lit("\"><qty>"),
+            col("l_quantity").cast("long"), lit("</qty></item>")).as("s"))
+          .as("it"))
+        .groupBy("l_orderkey")
+        .agg(concat_ws("", transform(array_sort(collect_list(col("it"))),
+          x => x.getField("s"))).as("inner"))
+      val xml = ord.join(items, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("<order id=\""), col("o_orderkey"),
+          lit("\" status=\""), col("o_orderstatus"), lit("\">"),
+          col("inner"), lit("</order>")).as("xml"))
+      XmlRecords.fromXml(xml, "xml", "/order", Seq(
+        ("id", "/order/@id", false, false),
+        ("status", "/order/@status", false, false),
+        ("pid", "/order/item/@pid", true, false),
+        ("ln", "/order/item/@ln", true, false),
+        ("qty", "/order/item/qty", true, false)))
+        .select(col("id").cast("long").as("id"), col("status"),
+          explode(arrays_zip(col("pid"), col("ln"), col("qty"))).as("z"))
+        .select(col("id"), col("status"),
+          col("z.pid").cast("long").as("pid"),
+          col("z.ln").cast("long").as("ln"),
+          col("z.qty").cast("long").as("qty"))
+    }),
+
+    /** DIH LineEntityProcessor + transformer chain (LineEntityProcessor
+      * .java accept/skip find-rules; Regex/DateFormat/NumberFormat/
+      * Template transformers in entity order): parse a delimited line
+      * into typed fields — regex groupNames fan-out, SimpleDateFormat
+      * parse (UTC pin), grouped-number parse, `${e.var}` templating.
+      * One mapPartitions pass, zero shuffle. */
+    "dih_transformers" -> ((s, dir) => {
+      import graft.operators.DataImport
+      import graft.operators.DataImport.Field
+      import org.apache.spark.sql.types.{LongType, StringType, TimestampType}
+      val lines = s.read.parquet(s"$dir/events.parquet")
+        .select(concat(col("event_id"), lit("|"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm"), lit("|"),
+          format_number((col("value") * 1000).cast("long"), 0), lit("|"),
+          col("event_type")).as("rawLine"))
+        // LineEntityProcessor: acceptLineRegex then skipLineRegex (find)
+        .where(col("rawLine").rlike("^\\d+\\|") &&
+          !col("rawLine").rlike("error"))
+      DataImport.transform(lines,
+        Seq(
+          Field("rawLine", regex = Some(
+            "(\\d+)\\|([0-9: -]+)\\|([0-9,]+)\\|(\\w+)"),
+            groupNames = Some("id,when,amount,etype")),
+          Field("when_ts", srcColName = Some("when"),
+            dateTimeFormat = Some("yyyy-MM-dd HH:mm")),
+          Field("amount_n", srcColName = Some("amount"),
+            formatStyle = Some("integer")),
+          Field("label", template = Some("${e.id}#${e.etype}"))),
+        Seq("RegexTransformer", "DateFormatTransformer",
+          "NumberFormatTransformer", "TemplateTransformer"),
+        out = Seq(("id", LongType), ("when_ts", TimestampType),
+          ("amount_n", LongType), ("label", StringType)))
+        .select(col("id").cast("long").as("id"),
+          unix_timestamp(col("when_ts")).as("epoch"),
+          col("amount_n"), col("label"))
+    }),
+
+    /** DIH nested entities (SqlEntityProcessor where="oid=${order.id}" +
+      * CachedSqlEntityProcessor): each child row's fields append to the
+      * parent document as multi-valued columns in child iteration order
+      * (DocBuilder.buildDocument). The cached variant IS a hash join —
+      * here one keyed aggregation + join, never a per-parent re-scan. */
+    "dih_nested" -> ((s, dir) => {
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_orderkey") % 13 === 0)
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val child = li.groupBy(col("l_orderkey"))
+        .agg(transform(array_sort(collect_list(struct(col("l_linenumber"),
+          col("l_partkey")))), x => x.getField("l_partkey")).as("parts"))
+      ord.join(child, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
+          coalesce(col("parts"), array().cast("array<bigint>")).as("parts"),
+          coalesce(size(col("parts")), lit(0)).cast("long").as("n_items"))
+        .orderBy("id")
     })
   )
 
