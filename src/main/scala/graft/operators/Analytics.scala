@@ -243,8 +243,9 @@ object Analytics {
     val w = Window.partitionBy(bNames.map(col): _*).orderBy(v)
     val cum = hist.withColumn("__hi", sum("__c").over(w))
       .withColumn("__lo", col("__hi") - col("__c") + 1)
-    val n = base.where(v.isNotNull)
-      .groupBy(bNames.map(col): _*).agg(count(lit(1)).as("__n"))
+    // n re-derives from the histogram (sum of per-value counts) — no
+    // second scan of the base relation
+    val n = hist.groupBy(bNames.map(col): _*).agg(sum("__c").as("__n"))
     // wanted (tag, 1-based rank) rows, a pure function of the bucket's n
     val nn = col("__n")
     val med =

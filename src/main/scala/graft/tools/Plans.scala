@@ -35,7 +35,12 @@ object Plans {
         // packing (no global window), zero-shuffle chunk explode,
         // bounded-page rescore, keyed child-agg block sort
         "sort_multival", "pack_sequences", "chunk_sliding",
-        "ft_rescore_sort", "block_join_sort", "facet_subfacet")
+        "ft_rescore_sort", "block_join_sort", "facet_subfacet",
+        // round-4 session-8: histogram rank-selection (no per-bucket
+        // lists), array-literal range-bucket scan, streaming XML
+        // flatten in one mapPartitions, zero-shuffle transformer chain
+        "analytics_stats", "analytics_rangefacet", "dih_xpath",
+        "dih_transformers")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "8")
