@@ -4527,6 +4527,26 @@ object OracleQueries {
          |  event_id || '#' || event_type AS label
          |FROM events WHERE event_type <> 'error'""".stripMargin,
 
+    // Deterministic domain mixing: re-derive the per-class ppm from the
+    // same weights + counts with the same left-associated double math,
+    // then the same multiplicative-hash selection.
+    "mix_domains" ->
+      s"""WITH w(cls, wt) AS (VALUES
+         |  ('src1', 0.5), ('src2', 0.25), ('src3', 0.125),
+         |  ('src4', 0.125)),
+         |n AS (SELECT source AS cls, CAST(count(*) AS DOUBLE) AS n
+         |      FROM documents GROUP BY source),
+         |j AS (SELECT w.cls, w.wt, n.n FROM w JOIN n USING (cls)
+         |      WHERE w.wt > 0),
+         |t AS (SELECT min(n / wt) AS t FROM j),
+         |ppm AS (SELECT cls,
+         |  CAST(floor(1000000.0 * wt * t / n) AS BIGINT) AS ppm
+         |  FROM j, t)
+         |SELECT d.doc_id, d.source FROM documents d
+         |JOIN ppm ON ppm.cls = d.source
+         |WHERE ((d.doc_id % 1000000007) * 2654435761) % 1000000 < ppm.ppm
+         |ORDER BY d.doc_id""".stripMargin,
+
     // DIH nested entities: child rows append multi-valued fields to the
     // parent in child iteration order (ordered by l_linenumber).
     "dih_nested" ->

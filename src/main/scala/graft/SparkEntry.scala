@@ -5334,6 +5334,23 @@ object SparkEntry {
           col("amount_n"), col("label"))
     }),
 
+    /** Deterministic domain mixing (pretraining data recipe, beyond
+      * ref): per-class keep rates derived from target weights + observed
+      * counts so the output mixture matches the recipe exactly,
+      * downsampling only; selection by the overflow-free multiplicative
+      * hash (stable across runs and engines). Weights are exact binary
+      * fractions so the driver's ppm arithmetic reproduces bit-identically
+      * in the oracle. */
+    "mix_domains" -> ((s, dir) => {
+      import graft.operators.TextAnalysis
+      TextAnalysis.mixDomains(
+        s.read.parquet(s"$dir/documents.parquet"),
+        Map("src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.125,
+          "src4" -> 0.125),
+        classCol = "source")
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
+
     /** DIH nested entities (SqlEntityProcessor where="oid=${order.id}" +
       * CachedSqlEntityProcessor): each child row's fields append to the
       * parent document as multi-valued columns in child iteration order

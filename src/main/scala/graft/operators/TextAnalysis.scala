@@ -227,6 +227,39 @@ object TextAnalysis {
       ((col(id) % 1000000007L) * lit(2654435761L)) % 1000 < rateCol)
   }
 
+  /** Deterministic domain mixing (pretraining data-recipe step, beyond
+    * ref): choose per-class keep rates so the OUTPUT class mixture
+    * matches `weights`, downsampling only. The output total is
+    * maximized subject to keep-rate <= 1: with observed counts n_s and
+    * normalized weights w_s, T = min_s(n_s / w_s) rows can be emitted
+    * at the exact target mix; class s keeps ppm_s = floor(1e6 * w_s *
+    * T / n_s) parts per million of its rows, selected by the same
+    * overflow-free multiplicative hash as [[sampleStratified]], so the
+    * subset is stable across runs and engines. Two jobs: one
+    * class-count aggregate (class-cardinality bounded), one filtered
+    * scan — no shuffle of the corpus.
+    *
+    * FP note: ppm is computed left-associated (((1e6 * w) * T) / n) in
+    * ONE double expression on the driver; an oracle re-deriving it must
+    * use the same association to stay bit-identical. */
+  def mixDomains(docs: DataFrame, weights: Map[String, Double],
+                 classCol: String = "source",
+                 id: String = "doc_id"): DataFrame = {
+    val counts = docs.groupBy(classCol).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wSum = weights.values.sum
+    val present = weights.filter { case (c, w) => w > 0 && counts.contains(c) }
+    require(present.nonEmpty, "no weighted class present in the data")
+    val t = present.map { case (c, w) => counts(c) / (w / wSum) }.min
+    val ppm = present.map { case (c, w) =>
+      c -> math.floor(1000000.0 * (w / wSum) * t / counts(c)).toLong
+    }
+    val ppmCol = ppm.foldLeft(lit(0L)) { case (acc, (c, p)) =>
+      when(col(classCol) === c, lit(p)).otherwise(acc)
+    }
+    docs.where(((col(id) % 1000000007L) * lit(2654435761L)) % 1000000L < ppmCol)
+  }
+
   /** Blocklist scrub (the PII / badword redaction pass of a training
     * pipeline): replace regex matches with a redaction token and count
     * them. Email/phone/IP scrubbing is this same operator with the
