@@ -4527,6 +4527,45 @@ object OracleQueries {
          |  event_id || '#' || event_type AS label
          |FROM events WHERE event_type <> 'error'""".stripMargin,
 
+    // Real WAV codec round-trip: features recomputed from the PCM
+    // waveform's closed form (engine features come from DECODED bytes).
+    "multimodal_wav" ->
+      s"""WITH ev AS (SELECT event_id AS id FROM events
+         |           WHERE event_id % 29 = 0),
+         |s AS (SELECT id, unnest(generate_series(0, 799)) AS i FROM ev),
+         |x AS (SELECT id, i,
+         |  CAST(((id * 31 + i * 7) % 2003 - 1001) * 16 AS BIGINT) AS v
+         |  FROM s),
+         |f AS (SELECT id, i, i // 200 AS frame_no, v,
+         |  lag(v) OVER (PARTITION BY id ORDER BY i) AS pv FROM x)
+         |SELECT id, CAST(frame_no AS BIGINT) AS frame_no,
+         |  round(sqrt(sum((v / 32768.0) * (v / 32768.0)) / 200), 6) AS rms,
+         |  CAST(count(*) FILTER (WHERE i % 200 <> 0 AND v * pv < 0)
+         |    AS BIGINT) AS zc
+         |FROM f GROUP BY id, frame_no ORDER BY id, frame_no""".stripMargin,
+
+    // Real BMP codec round-trip: channel means + nearest-neighbor 3x3
+    // resize checksum from the pixel formulas (resize indices: sx = 3x,
+    // sy = floor(7y/3) -> y in {0,2,4}).
+    "multimodal_bmp" ->
+      s"""WITH d AS (SELECT doc_id AS id FROM documents
+         |           WHERE doc_id % 17 = 0),
+         |px AS (SELECT id, unnest(generate_series(0, 8)) AS x FROM d),
+         |pxy AS (SELECT id, x, unnest(generate_series(0, 6)) AS y
+         |        FROM px),
+         |c AS (SELECT id, x, y,
+         |  (id + 3 * x + 5 * y) % 256 AS r,
+         |  (id * 2 + x + 7 * y) % 256 AS g,
+         |  (x * y + id) % 256 AS b FROM pxy)
+         |SELECT id,
+         |  round(sum(r) / 63.0, 6) AS mean_r,
+         |  round(sum(g) / 63.0, 6) AS mean_g,
+         |  round(sum(b) / 63.0, 6) AS mean_b,
+         |  CAST(sum(CASE WHEN x IN (0, 3, 6) AND y IN (0, 2, 4)
+         |    THEN r * 65536 + g * 256 + b ELSE 0 END) AS BIGINT)
+         |    AS rz_checksum
+         |FROM c GROUP BY id ORDER BY id""".stripMargin,
+
     // Deterministic domain mixing: re-derive the per-class ppm from the
     // same weights + counts with the same left-associated double math,
     // then the same multiplicative-hash selection.

@@ -5334,6 +5334,69 @@ object SparkEntry {
           col("amount_n"), col("label"))
     }),
 
+    /** REAL audio decode path (upgrades the multimodal stub for
+      * uncompressed formats): synthesize a deterministic PCM16 waveform
+      * per row, encode it as a real RIFF/WAVE file, decode it back with
+      * the pure-JVM WAV reader, and extract per-frame RMS +
+      * zero-crossing features from the decoded samples. The oracle
+      * recomputes the features from the waveform's closed form — any
+      * codec bug (endianness, chunk walk, sample scaling) breaks the
+      * match. */
+    "multimodal_wav" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.RawMedia
+      s.read.parquet(s"$dir/events.parquet")
+        .where(col("event_id") % 29 === 0)
+        .select(col("event_id").as[Long])
+        .flatMap { id =>
+          val samples = Array.tabulate(800)(i =>
+            (((id * 31 + i * 7) % 2003 - 1001) * 16).toShort)
+          val bytes = RawMedia.encodeWavPcm16(samples, 16000, 1)
+          val wav = RawMedia.decodeWav(bytes)
+          RawMedia.audioFrameFeatures(wav, 200).zipWithIndex.map {
+            case ((rms, zc), k) =>
+              (id, k.toLong, BigDecimal(rms)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, zc)
+          }
+        }
+        .toDF("id", "frame_no", "rms", "zc").orderBy("id", "frame_no")
+    }),
+
+    /** REAL image decode path: synthesize deterministic 9x7 RGB pixels
+      * per row, encode as a real bottom-up padded 24bpp BMP, decode
+      * back, and emit channel means + a nearest-neighbor 3x3 resize
+      * checksum computed from the DECODED pixels. Exercises BGR order,
+      * bottom-up rows and stride padding end to end. */
+    "multimodal_bmp" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.RawMedia
+      import graft.operators.RawMedia.BmpImage
+      s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") % 17 === 0)
+        .select(col("doc_id").as[Long])
+        .map { id =>
+          val (w, h) = (9, 7)
+          val rgb = new Array[Byte](w * h * 3)
+          for (y <- 0 until h; x <- 0 until w) {
+            val o = (y * w + x) * 3
+            rgb(o) = ((id + 3 * x + 5 * y) % 256).toByte
+            rgb(o + 1) = ((id * 2 + x + 7 * y) % 256).toByte
+            rgb(o + 2) = ((x * y + id) % 256).toByte
+          }
+          val img = RawMedia.decodeBmp(
+            RawMedia.encodeBmp24(BmpImage(w, h, rgb)))
+          val (mr, mg, mb) = RawMedia.meanRgb(img)
+          val rz = RawMedia.resizeNearest(img, 3, 3)
+          val checksum = (for (y <- 0 until 3; x <- 0 until 3) yield
+            rz.r(x, y).toLong * 65536 + rz.g(x, y) * 256 + rz.b(x, y)).sum
+          def r6(v: Double) = BigDecimal(v)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (id, r6(mr), r6(mg), r6(mb), checksum)
+        }
+        .toDF("id", "mean_r", "mean_g", "mean_b", "rz_checksum")
+        .orderBy("id")
+    }),
+
     /** Deterministic domain mixing (pretraining data recipe, beyond
       * ref): per-class keep rates derived from target weights + observed
       * counts so the output mixture matches the recipe exactly,

@@ -8,11 +8,17 @@ import org.apache.spark.sql.functions._
   * runs batch-wise inside `mapPartitions` (the Scala analog of a pandas
   * `mapInPandas` batch UDF — same schema/batching/partitioning shape).
   *
-  * STUB: this container has no image/audio codecs, so [[decodeStub]] is a
-  * clearly-marked deterministic fake decoder — a pure function of the raw
-  * bytes — while everything Spark-side (schema, batch iteration,
-  * partition-preserving map, metadata struct) is real and tested. Swap
-  * `fakeDecode` for a real codec call to productionize.
+  * Decode status: UNCOMPRESSED formats decode for real — [[RawMedia]]
+  * implements WAV/PCM16 and BMP24 containers from scratch (pure JVM, no
+  * codec library) with genuine frame-RMS/zero-crossing and pixel
+  * mean/resize features, verified end-to-end by q:multimodal_wav /
+  * q:multimodal_bmp round-trip oracles. COMPRESSED formats (JPEG/MP3/
+  * H.264) remain the environmental stub below: this container ships no
+  * codec libraries, so [[fakeDecode]] is a clearly-marked deterministic
+  * fake — a pure function of the raw bytes — while everything
+  * Spark-side (schema, batch iteration, partition-preserving map,
+  * metadata struct) is real and tested. Swap `fakeDecode` for a codec
+  * call to productionize.
   */
 object Multimodal {
 
