@@ -4527,6 +4527,20 @@ object OracleQueries {
          |  event_id || '#' || event_type AS label
          |FROM events WHERE event_type <> 'error'""".stripMargin,
 
+    // Analytics date_math chains: /UNIT rounding + interval arithmetic
+    // incl. month-end clamping (2024-03-31 + 1 MONTH -> 04-30).
+    "analytics_datemath" ->
+      s"""SELECT event_type AS bucket,
+         |  CAST(epoch(date_trunc('day', min(ts))) AS BIGINT) AS day_floor,
+         |  CAST(epoch(date_trunc('hour', min(ts) + INTERVAL 2 MONTH))
+         |    AS BIGINT) AS plus2m_hour,
+         |  CAST(epoch(date_trunc('day', max(ts)) + INTERVAL 8 HOUR
+         |    - INTERVAL 30 MINUTE) AS BIGINT) AS biz_open,
+         |  CAST(epoch(date_trunc('day',
+         |    TIMESTAMP '2024-03-31 23:59:58' + INTERVAL 1 MONTH))
+         |    AS BIGINT) AS const_chain
+         |FROM events GROUP BY event_type ORDER BY bucket""".stripMargin,
+
     // Real WAV codec round-trip: features recomputed from the PCM
     // waveform's closed form (engine features come from DECODED bytes).
     "multimodal_wav" ->

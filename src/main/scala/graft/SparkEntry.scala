@@ -5257,6 +5257,33 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    /** Analytics date expressions (ExpressionFactory const_date /
+      * DateMathExpression: math strings apply successively via
+      * DateMathParser semantics — /UNIT rounding + signed interval
+      * arithmetic over the UTC calendar): date stats (min/max of a
+      * timestamp source) fed through date_math chains. Epoch-second
+      * outputs keep the compare engine-agnostic. */
+    "analytics_datemath" -> ((s, dir) => {
+      import graft.operators.Analytics
+      import graft.operators.Analytics._
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      Analytics.statsFrame(ev, Seq("bucket" -> col("event_type")), Seq(
+        Source("ts", col("ts"), numeric = false)))
+        .select(col("bucket"),
+          unix_timestamp(compile(parse("date_math(min(ts),const_str(/DAY))")))
+            .as("day_floor"),
+          unix_timestamp(compile(parse(
+            "date_math(min(ts),const_str(+2MONTHS),const_str(/HOUR))")))
+            .as("plus2m_hour"),
+          unix_timestamp(compile(parse(
+            "date_math(max(ts),const_str(/DAY+8HOURS-30MINUTES))")))
+            .as("biz_open"),
+          unix_timestamp(compile(parse(
+            "date_math(const_date(2024-03-31T23:59:58Z),const_str(+1MONTH/DAY))")))
+            .as("const_chain"))
+        .orderBy("bucket")
+    }),
+
     /** DataImportHandler XPathEntityProcessor (dataimporthandler
       * XPathRecordReader.java, XPathEntityProcessor.java): flatten an
       * XML document column into records by a forEach xpath with

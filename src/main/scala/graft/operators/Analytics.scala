@@ -62,6 +62,11 @@ object Analytics {
   final case class Pctl(label: String, p: Double, source: String) extends AExpr
   final case class ConstNum(v: Double) extends AExpr
   final case class ConstStr(v: String) extends AExpr
+  /** const_date(ISO-8601) — ConstantDateExpression (TrieDateField parse). */
+  final case class ConstDate(iso: String) extends AExpr
+  /** date_math(date, mathStr...) — DateMathExpression: the math strings
+    * apply successively to the date value (DateMathParser.parseMath). */
+  final case class DateMathE(as: Seq[AExpr]) extends AExpr
   final case class Neg(a: AExpr) extends AExpr
   final case class Abs(a: AExpr) extends AExpr
   final case class Rev(a: AExpr) extends AExpr
@@ -97,6 +102,7 @@ object Analytics {
       // const_str keeps operands VERBATIM (no trim — :88-90 re-slices)
       case "const_str" =>
         ConstStr(e.substring(paren + 1, e.lastIndexOf(')')))
+      case "const_date" => ConstDate(operands)
       case _ =>
         val args = getArguments(operands).map(parse)
         (top, args) match {
@@ -106,6 +112,7 @@ object Analytics {
           case ("add", as)        => Add(as)
           case ("mult", as)       => Mult(as)
           case ("concat", as)     => ConcatE(as)
+          case ("date_math", as) if as.size >= 2 => DateMathE(as)
           case ("div", Seq(a, b)) => Div(a, b)
           case ("pow", Seq(a, b)) => Pow(a, b)
           case ("log", Seq(a, b)) => LogE(a, b)
@@ -145,6 +152,7 @@ object Analytics {
     case Add(as) => as.flatMap(leaves)
     case Mult(as) => as.flatMap(leaves)
     case ConcatE(as) => as.flatMap(leaves)
+    case DateMathE(as) => as.flatMap(leaves)
     case Div(a, b) => leaves(a) ++ leaves(b)
     case Pow(a, b) => leaves(a) ++ leaves(b)
     case LogE(a, b) => leaves(a) ++ leaves(b)
@@ -159,6 +167,17 @@ object Analytics {
     case Pctl(lbl, _, src) => col(statCol(src, s"percentile_$lbl"))
     case ConstNum(v)       => lit(v)
     case ConstStr(v)       => lit(v)
+    case ConstDate(iso) =>
+      lit(java.sql.Timestamp.from(java.time.Instant.parse(iso)))
+    // date_math compiles the math strings (compile-time constants) into
+    // date_trunc / interval column ops — DateMathParser semantics over
+    // the session (UTC) calendar
+    case DateMathE(as) =>
+      as.tail.foldLeft(compile(as.head)) { (c, m) =>
+        applyDateMath(c, constString(m).getOrElse(throw
+          new IllegalArgumentException(
+            "date_math math operand must be a constant string")))
+      }
     case Neg(a)            => -compile(a).cast("double")
     case Abs(a)            => abs(compile(a).cast("double"))
     case Rev(a)            => reverse(compile(a).cast("string"))
@@ -169,6 +188,46 @@ object Analytics {
     case Pow(a, b) => pow(compile(a).cast("double"), compile(b).cast("double"))
     // log(a,b) = ln(a)/ln(b) — DualDelegateExpression.java:64-70
     case LogE(a, b) => log(compile(a).cast("double")) / log(compile(b).cast("double"))
+  }
+
+  /** Constant-fold a string-valued expression tree (const_str / rev /
+    * concat over constants); None when any leaf is non-constant. */
+  def constString(e: AExpr): Option[String] = e match {
+    case ConstStr(v) => Some(v)
+    case Rev(a)      => constString(a).map(_.reverse)
+    case ConcatE(as) =>
+      val parts = as.map(constString)
+      if (parts.forall(_.isDefined)) Some(parts.flatten.mkString) else None
+    case _ => None
+  }
+
+  private val DateOp = "(/([A-Z]+))|(([+-])(\\d+)([A-Z]+))".r
+  private val TruncName = Map(
+    "YEAR" -> "year", "YEARS" -> "year", "MONTH" -> "month",
+    "MONTHS" -> "month", "DAY" -> "day", "DAYS" -> "day", "DATE" -> "day",
+    "HOUR" -> "hour", "HOURS" -> "hour", "MINUTE" -> "minute",
+    "MINUTES" -> "minute", "SECOND" -> "second", "SECONDS" -> "second",
+    "MILLI" -> "millisecond", "MILLIS" -> "millisecond",
+    "MILLISECOND" -> "millisecond", "MILLISECONDS" -> "millisecond")
+  private val IntervalName = TruncName
+
+  /** One DateMathParser math string (`/DAY+8HOURS-1MINUTE` …) as column
+    * ops: `/UNIT` -> date_trunc, `±n UNIT` -> interval arithmetic. */
+  def applyDateMath(c0: Column, math: String): Column = {
+    var c = c0
+    var consumed = 0
+    for (m <- DateOp.findAllMatchIn(math)) {
+      require(m.start == consumed, s"garbled date math at '$math'")
+      consumed = m.end
+      if (m.group(1) != null)
+        c = date_trunc(TruncName(m.group(2)), c)
+      else {
+        val iv = s"INTERVAL ${m.group(5)} ${IntervalName(m.group(6)).toUpperCase}"
+        c = if (m.group(4) == "+") c + expr(iv) else c - expr(iv)
+      }
+    }
+    require(consumed == math.length, s"garbled date math tail '$math'")
+    c
   }
 
   /** Column name carrying stat `st` of source `src` in a statsFrame.

@@ -157,6 +157,27 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out("b").getDouble(1) === 16.0 || out("b").getDouble(1) === 16.0)
   }
 
+  test("date expressions: const_date, date_math chains, month clamping") {
+    assert(parse("const_date(2024-03-31T23:59:58Z)") ===
+      ConstDate("2024-03-31T23:59:58Z"))
+    assert(parse("date_math(min(ts),const_str(+2MONTHS),const_str(/DAY))") ===
+      DateMathE(Seq(Stat("min", "ts"), ConstStr("+2MONTHS"),
+        ConstStr("/DAY"))))
+    assert(constString(ConcatE(Seq(ConstStr("+2"), Rev(ConstStr("YAD"))))) ===
+      Some("+2DAY"))
+    import spark.implicits._
+    val df = Seq(Tuple1(1)).toDF("x")
+    def ep(e: String): Long = df.select(unix_timestamp(compile(parse(e)))
+      .cast("long")).collect().head.getLong(0)
+    def iso(s: String): Long = java.time.Instant.parse(s).getEpochSecond
+    assert(ep("date_math(const_date(2024-03-31T23:59:58Z),const_str(+1MONTH))")
+      === iso("2024-04-30T23:59:58Z")) // month-end clamp
+    assert(ep("date_math(const_date(2024-01-15T10:30:45Z),const_str(/DAY+8HOURS-30MINUTES))")
+      === iso("2024-01-15T07:30:00Z"))
+    assert(ep("date_math(const_date(2024-02-28T00:00:00Z),const_str(+1DAY))")
+      === iso("2024-02-29T00:00:00Z")) // leap year
+  }
+
   test("range layout: gap cycling, soft end extension, include/other flags") {
     // gaps 5,10 then 10 repeating over [0, 32): buckets 0-5, 5-15, 15-25,
     // 25-35 and WITHOUT hardend the end extends to 35
