@@ -201,33 +201,18 @@ object Analytics {
     case _ => None
   }
 
-  private val DateOp = "(/([A-Z]+))|(([+-])(\\d+)([A-Z]+))".r
-  private val TruncName = Map(
-    "YEAR" -> "year", "YEARS" -> "year", "MONTH" -> "month",
-    "MONTHS" -> "month", "DAY" -> "day", "DAYS" -> "day", "DATE" -> "day",
-    "HOUR" -> "hour", "HOURS" -> "hour", "MINUTE" -> "minute",
-    "MINUTES" -> "minute", "SECOND" -> "second", "SECONDS" -> "second",
-    "MILLI" -> "millisecond", "MILLIS" -> "millisecond",
-    "MILLISECOND" -> "millisecond", "MILLISECONDS" -> "millisecond")
-  private val IntervalName = TruncName
-
   /** One DateMathParser math string (`/DAY+8HOURS-1MINUTE` …) as column
-    * ops: `/UNIT` -> date_trunc, `±n UNIT` -> interval arithmetic. */
+    * ops: `/UNIT` -> date_trunc, `±n UNIT` -> interval arithmetic. The
+    * token grammar and unit table are graft.search.DateMath's — ONE
+    * parser serves NOW-expressions and this compiler. */
   def applyDateMath(c0: Column, math: String): Column = {
-    var c = c0
-    var consumed = 0
-    for (m <- DateOp.findAllMatchIn(math)) {
-      require(m.start == consumed, s"garbled date math at '$math'")
-      consumed = m.end
-      if (m.group(1) != null)
-        c = date_trunc(TruncName(m.group(2)), c)
-      else {
-        val iv = s"INTERVAL ${m.group(5)} ${IntervalName(m.group(6)).toUpperCase}"
-        c = if (m.group(4) == "+") c + expr(iv) else c - expr(iv)
-      }
+    import graft.search.DateMath
+    DateMath.parseOps(math).foldLeft(c0) {
+      case (c, DateMath.Floor(u)) => date_trunc(DateMath.sparkUnitName(u), c)
+      case (c, DateMath.Offset(s, n, u)) =>
+        val iv = expr(s"INTERVAL $n ${DateMath.sparkUnitName(u).toUpperCase}")
+        if (s > 0) c + iv else c - iv
     }
-    require(consumed == math.length, s"garbled date math tail '$math'")
-    c
   }
 
   /** Column name carrying stat `st` of source `src` in a statsFrame.

@@ -65,6 +65,34 @@ object DataImport {
 
   type DihRow = mutable.LinkedHashMap[String, Any]
 
+  /** Compiled-pattern cache (the reference's RegexTransformer.getPattern
+    * cache): the pattern population is bounded by the field specs (plus
+    * ${var}-resolved variants), so an unbounded per-JVM map is safe and
+    * removes a Pattern.compile per value. */
+  private val patternCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]
+  private def pattern(re: String): java.util.regex.Pattern = {
+    var p = patternCache.get(re)
+    if (p == null) {
+      p = java.util.regex.Pattern.compile(re)
+      patternCache.putIfAbsent(re, p)
+    }
+    p
+  }
+
+  /** SimpleDateFormat is not thread-safe: cache per thread, keyed by
+    * (pattern, locale, zone) — the reference's fmtCache is per
+    * transformer instance, same idea. */
+  private val sdfCache =
+    ThreadLocal.withInitial[mutable.Map[(String, Locale, String), SimpleDateFormat]](
+      () => mutable.Map[(String, Locale, String), SimpleDateFormat]())
+  private def sdf(fmt: String, locale: Locale, tz: String): SimpleDateFormat =
+    sdfCache.get().getOrElseUpdate((fmt, locale, tz), {
+      val f = new SimpleDateFormat(fmt, locale)
+      f.setTimeZone(TimeZone.getTimeZone(tz))
+      f
+    })
+
   // ---------- VariableResolver subset ---------------------------------
 
   private val VarPat = "\\$\\{([^}]*)\\}".r
@@ -146,13 +174,13 @@ object DataImport {
                          groupNames: String): Any =
     if (splitBy != null) value.split(splitBy).toList
     else if (replaceWith != null) {
-      val m = java.util.regex.Pattern.compile(reStr).matcher(value)
+      val m = pattern(reStr).matcher(value)
       if (m.find()) m.replaceAll(replaceWith) else value
     } else {
       val names =
         if (groupNames != null && groupNames.trim.nonEmpty)
           groupNames.split(",") else null
-      val m = java.util.regex.Pattern.compile(reStr).matcher(value)
+      val m = pattern(reStr).matcher(value)
       if (m.find() && m.groupCount() > 0) {
         if (m.groupCount() > 1) {
           if (names == null) (1 to m.groupCount()).map(m.group).toList
@@ -180,9 +208,7 @@ object DataImport {
         if (v == null) return null
         val s = v.toString.trim
         if (s.isEmpty) return null
-        val sdf = new SimpleDateFormat(fmt, locale)
-        sdf.setTimeZone(TimeZone.getTimeZone(tz))
-        new java.sql.Timestamp(sdf.parse(s).getTime)
+        new java.sql.Timestamp(sdf(fmt, locale, tz).parse(s).getTime)
       }
       try row.get(f.src).orNull match {
         case null =>
@@ -287,10 +313,8 @@ object DataImport {
   /** LineEntityProcessor predicate: accept (find) then skip (find). */
   def lineAccepted(line: String, acceptLineRegex: Option[String],
                    skipLineRegex: Option[String]): Boolean = {
-    val acc = acceptLineRegex.forall(r =>
-      java.util.regex.Pattern.compile(r).matcher(line).find())
-    val skip = skipLineRegex.exists(r =>
-      java.util.regex.Pattern.compile(r).matcher(line).find())
+    val acc = acceptLineRegex.forall(r => pattern(r).matcher(line).find())
+    val skip = skipLineRegex.exists(r => pattern(r).matcher(line).find())
     acc && !skip
   }
 

@@ -47,6 +47,16 @@ object XmlRecordReader {
 
   private val AttrPred = "(\\S*?)?(\\[@)(\\S*?)(='(.*?)')?(\\])".r.pattern
 
+  /** One preconfigured StAX factory per JVM (the reference's static
+    * factory — XPathRecordReader.java:638); per-document factory lookup
+    * would dominate small-document parse cost. */
+  private lazy val factory: XMLInputFactory = {
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    f
+  }
+
   private final class TreeNode(var name: String, val parent: TreeNode) {
     var segment: String = name // raw xpath segment (incl. predicates)
     var fieldName: String = _
@@ -88,12 +98,14 @@ object XmlRecordReader {
   }
 }
 
-final class XmlRecordReader(forEachXpath: String) extends Serializable {
+/** NOT Serializable by design: a reader holds a mutable spec tree.
+  * Construct one per partition (what [[XmlRecords.fromXml]] does) rather
+  * than closing over a driver-built instance. */
+final class XmlRecordReader(forEachXpath: String) {
   import XmlRecordReader._
 
   private val root = new TreeNode("/", null)
-  // field specs kept for re-building on executors after serialization
-  private var fieldSpecs: List[(String, String, Boolean, Boolean)] = Nil
+  private var optimised = false
 
   forEachXpath.split("\\|").map(_.trim).filter(_.nonEmpty).foreach { fe =>
     require(!fe.startsWith("//"), s"forEach cannot start with '//': $fe")
@@ -102,8 +114,8 @@ final class XmlRecordReader(forEachXpath: String) extends Serializable {
 
   def addField(name: String, xpath: String, multiValued: Boolean,
                flatten: Boolean = false): XmlRecordReader = {
-    fieldSpecs = (name, xpath, multiValued, flatten) :: fieldSpecs
     insert(xpath, name, multiValued, isRecord = false, flatten)
+    optimised = false
     this
   }
 
@@ -188,8 +200,10 @@ final class XmlRecordReader(forEachXpath: String) extends Serializable {
       i += 1
     }
     // keep the leading empty segment(s): insert() strips exactly ONE so
-    // '//x' (two empties) still presents one empty segment = wildcard
-    out.toList
+    // '//x' (two empties) still presents one empty segment = wildcard.
+    // TRAILING empties drop (the reference's limit-0 split): '/a/b/'
+    // reads as '/a/b'.
+    out.toList.reverse.dropWhile(_.isEmpty).reverse
   }
 
   /** Propagate wildcard-bearing ancestors down so matching can leap back
@@ -207,11 +221,9 @@ final class XmlRecordReader(forEachXpath: String) extends Serializable {
 
   def streamRecords(xml: String,
                     handler: (Map[String, AnyRef], String) => Unit): Unit = {
-    optimise(root, null)
-    val factory = XMLInputFactory.newInstance()
-    factory.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
-    factory.setProperty(XMLInputFactory.SUPPORT_DTD, false)
-    val parser = factory.createXMLStreamReader(new java.io.StringReader(xml))
+    if (!optimised) { optimise(root, null); optimised = true }
+    val parser = XmlRecordReader.factory
+      .createXMLStreamReader(new java.io.StringReader(xml))
     val st = new ParseState(handler)
     try parseNode(root, parser, st, recordStarted = false)
     catch { case e: javax.xml.stream.XMLStreamException =>
@@ -298,7 +310,10 @@ final class XmlRecordReader(forEachXpath: String) extends Serializable {
       if (dn.wildChildren != null) {
         wildMatched = matchNode(parser, dn.wildChildren)
         if (wildMatched == null)
-          dn.wildChildren.foreach(n => descendCache.getOrElseUpdate(n.name, n))
+          // plain put — later (root-ward) entries OVERWRITE, matching the
+          // reference's HashMap.put walk (XPathRecordReader.java:364): the
+          // root-most '//' spec wins a shared local name
+          dn.wildChildren.foreach(n => descendCache.update(n.name, n))
       }
       dn = if (wildMatched == null) dn.wildAncestor else dn
     }

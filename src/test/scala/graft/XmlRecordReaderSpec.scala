@@ -240,6 +240,12 @@ class XmlRecordReaderSpec extends AnyFunSuite {
       c1 === List("C.2.1", "C.2.2"))
   }
 
+  test("trailing slash in a field xpath reads as the same path") {
+    val xml = "<root><b><c>v</c></b></root>"
+    val rr = new XmlRecordReader("/root/b").addField("c", "/root/b/c/", true)
+    assert(strList(rr.getAllRecords(xml).head("c")) === List("v"))
+  }
+
   test("malformed XML raises") {
     val bad = "<root>\n    <node>\n        <id/>3</id>\n        <desc>test3</desc>\n    </node>\n</root>"
     val rr = new XmlRecordReader("/root/node")
