@@ -254,6 +254,19 @@ class XmlRecordReaderSpec extends AnyFunSuite {
     intercept[Exception] { rr.getAllRecords(bad) }
   }
 
+  test("root-most '//' spec wins a shared local name in skipped subtrees") {
+    // /root/a//x and //x both watch local name x; inside an UNKNOWN
+    // subtree under /root/a the reference's put-walk lets the root-most
+    // entry overwrite, so the text lands in f2, not f1
+    val xml = "<root><a><unknown><x>deep</x></unknown></a></root>"
+    val rr = new XmlRecordReader("/root/a")
+      .addField("f1", "/root/a//x", true)
+      .addField("f2", "//x", true)
+    val rec = rr.getAllRecords(xml).head
+    assert(!rec.contains("f1"))
+    assert(strList(rec("f2")) === List("deep"))
+  }
+
   test("multiple forEach roots emit records tagged by their path") {
     val xml = "<root>\n<a>\n   <b a=\"x0\" b=\"y0\" />\n        <b a=\"x1\" b=\"y1\" />\n        </a><x>\n   <b a=\"x4\" b=\"y4\" />\n        </x></root>"
     val rr = new XmlRecordReader("/root/a | /root/x")
