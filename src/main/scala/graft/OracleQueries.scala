@@ -4527,6 +4527,20 @@ object OracleQueries {
          |  event_id || '#' || event_type AS label
          |FROM events WHERE event_type <> 'error'""".stripMargin,
 
+    // Solr CSV loader pipeline: every emitted (field, pos, value) cell
+    // re-derived relationally (split pieces, map rule, trim, rowid rank).
+    "update_csv" ->
+      s"""WITH d AS (SELECT doc_id, lang, source, n_chars,
+         |  row_number() OVER (ORDER BY doc_id) AS rn
+         |  FROM documents WHERE doc_id % 23 = 0)
+         |SELECT doc_id, f.field, CAST(f.pos AS BIGINT) AS pos, f.value
+         |FROM d, LATERAL (VALUES
+         |  ('tags', 0, CASE WHEN lang = 'en' THEN 'english' ELSE lang END),
+         |  ('tags', 1, source),
+         |  ('nc', 0, CAST(n_chars AS VARCHAR)),
+         |  ('row', 0, CAST(rn AS VARCHAR))) AS f(field, pos, value)
+         |ORDER BY doc_id, field, pos""".stripMargin,
+
     // Analytics date_math chains: /UNIT rounding + interval arithmetic
     // incl. month-end clamping (2024-03-31 + 1 MONTH -> 04-30).
     "analytics_datemath" ->

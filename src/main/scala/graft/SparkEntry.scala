@@ -5257,6 +5257,42 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    /** Solr CSV update loader (/update/csv — handler/loader/
+      * CSVLoaderBase.java): the per-field adder pipeline (split with its
+      * own strategy -> trim -> map -> add-dropping-empties), header
+      * consumption and rowid numbering over a CSV synthesized from the
+      * documents table, exploded to (doc, field, pos, value) so the
+      * oracle re-derives every cell relationally. */
+    "update_csv" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.CsvLoader
+      import graft.sources.CsvLoader.Params
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") % 23 === 0)
+      docs.select(struct(col("doc_id"),
+          concat(col("doc_id"), lit("|"), col("lang"), lit(";"),
+            col("source"), lit("| "), col("n_chars"), lit(" ")).as("line"))
+          .as("s"))
+        .agg(concat_ws("\n", transform(array_sort(collect_list(col("s"))),
+          x => x.getField("line"))).as("body"))
+        .select(concat(lit("id|tags|nc\n"), col("body")).as("content"))
+        .as[String]
+        .flatMap { content =>
+          CsvLoader.loadDocs(content, Params(separator = '|',
+            fSplit = Map("tags" -> true), fSeparator = Map("tags" -> ';'),
+            fMap = Map("tags" -> Seq("en" -> "english")),
+            fTrim = Map("nc" -> true),
+            rowId = Some("row"))).flatMap { case (_, doc) =>
+            val id = doc("id").head.toLong
+            doc.toSeq.filter(_._1 != "id").flatMap { case (f, vs) =>
+              vs.zipWithIndex.map { case (v, i) => (id, f, i.toLong, v) }
+            }
+          }
+        }
+        .toDF("doc_id", "field", "pos", "value")
+        .orderBy("doc_id", "field", "pos")
+    }),
+
     /** Analytics date expressions (ExpressionFactory const_date /
       * DateMathExpression: math strings apply successively via
       * DateMathParser semantics — /UNIT rounding + signed interval
