@@ -4541,6 +4541,14 @@ object OracleQueries {
          |  ('row', 0, CAST(rn AS VARCHAR))) AS f(field, pos, value)
          |ORDER BY doc_id, field, pos""".stripMargin,
 
+    // CSV response writer: line reconstructed per printer rules (mv cell
+    // quoted for its embedded separator, trailing-space quoting, NA null).
+    "wt_csv" ->
+      s"""SELECT doc_id,
+         |  CAST(doc_id AS VARCHAR) || ',"' || lang || ',' || source
+         |    || '","' || source || ' ",NA' AS line
+         |FROM documents WHERE doc_id % 19 = 0 ORDER BY doc_id""".stripMargin,
+
     // Analytics date_math chains: /UNIT rounding + interval arithmetic
     // incl. month-end clamping (2024-03-31 + 1 MONTH -> 04-30).
     "analytics_datemath" ->

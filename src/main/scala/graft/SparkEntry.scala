@@ -5293,6 +5293,31 @@ object SparkEntry {
         .orderBy("doc_id", "field", "pos")
     }),
 
+    /** Solr CSV response writer (wt=csv — response/CSVResponseWriter
+      * .java + internal CSVPrinter): per-doc CSV lines with the
+      * printer's exact quote decisions (mv join through the escape
+      * strategy then quoted as ONE cell, trailing-space quoting,
+      * csv.null for missing fields). Oracle rebuilds each line. */
+    "wt_csv" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.CsvResponse
+      import graft.sources.CsvResponse.WParams
+      s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") % 19 === 0)
+        .select(col("doc_id").as[Long], col("lang").as[String],
+          col("source").as[String])
+        .map { case (id, lang, source) =>
+          val doc = Map("id" -> Seq(id.toString),
+            "tags" -> Seq(lang, source),
+            "pad" -> Seq(source + " "))
+          (id, CsvResponse.write(Seq(doc),
+            WParams(fields = Seq("id", "tags", "pad", "flag"),
+              nullValue = "NA", multiValued = Set("tags"),
+              header = false)).stripSuffix("\n"))
+        }
+        .toDF("doc_id", "line").orderBy("doc_id")
+    }),
+
     /** Analytics date expressions (ExpressionFactory const_date /
       * DateMathExpression: math strings apply successively via
       * DateMathParser semantics — /UNIT rounding + signed interval

@@ -177,3 +177,121 @@ object CsvLoader {
     }
   }
 }
+
+/** Solr CSV response writer (wt=csv — reference solr/core/.../response/
+  * CSVResponseWriter.java, internal/csv/CSVPrinter.java): documents out
+  * as CSV with the printer's exact quote/escape decisions.
+  *
+  * Reference quirks reproduced:
+  *  - Encapsulate decision (CSVPrinter.printAndEncapsulate): empty value
+  *    quotes ONLY when it is the first cell on the line; a value quotes
+  *    when its first char is <= '#', when a FIRST-on-line value starts
+  *    with any non-alphanumeric, when it contains CR/LF/delimiter/
+  *    encapsulator, or when its LAST char is <= ' '. Quoting doubles
+  *    embedded encapsulators.
+  *  - Escape mode (escape set without encapsulator): CR -> \r, LF -> \n,
+  *    delimiter and escape char backslash-escaped in place.
+  *  - Multi-valued fields print through a SECOND strategy (default:
+  *    main delimiter, NO encapsulator, '\\' escape; csv.mv.separator /
+  *    csv.mv.encapsulator / csv.mv.escape override — setting the mv
+  *    encapsulator without an mv escape disables the mv escape), and the
+  *    joined string is then printed as ONE cell by the main printer.
+  *  - Missing/empty fields print csv.null (default "").
+  */
+object CsvResponse {
+
+  final case class WParams(separator: Char = ',',
+                           encapsulator: Option[Char] = Some('"'),
+                           escape: Option[Char] = None,
+                           mvSeparator: Option[Char] = None,
+                           mvEncapsulator: Option[Char] = None,
+                           mvEscape: Option[Char] = None,
+                           nullValue: String = "",
+                           header: Boolean = true,
+                           newline: String = "\n",
+                           fields: Seq[String] = Nil,
+                           multiValued: Set[String] = Set.empty) {
+    // main strategy: escape set WITHOUT an explicit encapsulator param
+    // is modeled by passing encapsulator = None
+    def mvStrat: (Char, Option[Char], Option[Char]) = {
+      val sep = mvSeparator.getOrElse(separator)
+      (mvEncapsulator, mvEscape) match {
+        case (Some(e), None)    => (sep, Some(e), None)
+        case (Some(e), Some(x)) => (sep, Some(e), Some(x))
+        case (None, Some(x))    => (sep, None, Some(x))
+        case (None, None)       => (sep, None, Some('\\'))
+      }
+    }
+  }
+
+  /** CSVPrinter.print for one cell under (delim, encap, escape). */
+  private[sources] def printCell(sb: java.lang.StringBuilder, v: String,
+                                 first: Boolean, delim: Char,
+                                 encap: Option[Char],
+                                 escape: Option[Char]): Unit = {
+    if (!first) sb.append(delim)
+    encap match {
+      case Some(q) =>
+        var quote = false
+        if (v.isEmpty) quote = first
+        else {
+          val c0 = v.charAt(0)
+          if (first && !Character.isLetterOrDigit(c0)) quote = true
+          else if (c0 <= '#') quote = true
+          else if (v.exists(c => c == '\n' || c == '\r' || c == q || c == delim))
+            quote = true
+          else if (v.charAt(v.length - 1) <= ' ') quote = true
+        }
+        if (!quote) sb.append(v)
+        else {
+          sb.append(q)
+          v.foreach { c =>
+            if (c == q) sb.append(q).append(q) else sb.append(c)
+          }
+          sb.append(q)
+        }
+      case None => escape match {
+        case Some(x) =>
+          v.foreach {
+            case '\n' => sb.append(x).append('n')
+            case '\r' => sb.append(x).append('r')
+            case c if c == delim || c == x => sb.append(x).append(c)
+            case c => sb.append(c)
+          }
+        case None => sb.append(v)
+      }
+    }
+  }
+
+  /** Serialize documents (field -> values) to CSV text. */
+  def write(docs: Seq[Map[String, Seq[String]]], p: WParams): String = {
+    val sb = new java.lang.StringBuilder
+    val mainEncap =
+      if (p.escape.isDefined && p.encapsulator.isEmpty) None else p.encapsulator
+    val mainEscape = if (mainEncap.isEmpty) p.escape else None
+    def cell(v: String, first: Boolean): Unit =
+      printCell(sb, v, first, p.separator, mainEncap, mainEscape)
+    if (p.header) {
+      p.fields.zipWithIndex.foreach { case (f, i) => cell(f, i == 0) }
+      sb.append(p.newline)
+    }
+    val (mvSep, mvEnc, mvEsc) = p.mvStrat
+    for (doc <- docs) {
+      p.fields.zipWithIndex.foreach { case (f, i) =>
+        val vals = doc.getOrElse(f, Nil)
+        if (vals.isEmpty) cell(p.nullValue, i == 0)
+        else if (vals.size > 1 || p.multiValued.contains(f)) {
+          // encode through the mv printer, then the joined string is one
+          // main-printer cell
+          val mv = new java.lang.StringBuilder
+          vals.zipWithIndex.foreach { case (v, k) =>
+            printCell(mv, v, k == 0, mvSep, mvEnc, mvEsc)
+          }
+          cell(mv.toString, i == 0)
+        } else cell(vals.head, i == 0)
+      }
+      sb.append(p.newline)
+    }
+    sb.toString
+  }
+}

@@ -127,4 +127,56 @@ class CsvLoaderSpec extends AnyFunSuite {
     assert(docs(0)("t") === Seq("a,b"))
     assert(docs(1)("t") === Seq("\"x\"")) // quotes now literal
   }
+
+  // ---- response writer (CSVResponseWriter / CSVPrinter) ----
+
+  import graft.sources.CsvResponse
+  import graft.sources.CsvResponse.WParams
+
+  test("writer quote decisions: first-empty, special first char, trailing space, doubling") {
+    val docs = Seq(
+      Map("a" -> Seq(""), "b" -> Seq("plain"), "c" -> Seq("x ")),
+      Map("a" -> Seq("#lead"), "b" -> Seq("has,comma"), "c" -> Seq("say \"hi\"")))
+    val out = CsvResponse.write(docs, WParams(fields = Seq("a", "b", "c")))
+    val lines = out.split("\n")
+    assert(lines(0) === "a,b,c")
+    // empty FIRST cell quotes; empty elsewhere would not
+    assert(lines(1) === "\"\",plain,\"x \"")
+    // '#' <= '#' quotes; comma quotes; embedded quotes double
+    assert(lines(2) === "\"#lead\",\"has,comma\",\"say \"\"hi\"\"\"")
+  }
+
+  test("writer nulls, multi-valued mv-escape encoding, round-trip through the loader") {
+    val docs = Seq(
+      Map("id" -> Seq("1"), "tags" -> Seq("x", "y,z", "w")),
+      Map("id" -> Seq("2")))
+    val out = CsvResponse.write(docs, WParams(fields = Seq("id", "tags"),
+      nullValue = "NA", multiValued = Set("tags")))
+    val lines = out.split("\n")
+    // mv joins with the main separator, backslash-escaping embedded
+    // separators; the joined string then quotes as ONE main cell
+    assert(lines(1) === "1,\"x,y\\,z,w\"")
+    assert(lines(2) === "2,NA")
+    // round-trip: load with split=true + backslash escape recovers values
+    val back = CsvLoader.loadDocs(out, CsvLoader.Params(
+      fSplit = Map("tags" -> true), fEscape = Map("tags" -> '\\')))
+    assert(back(0)._2("tags") === Seq("x", "y,z", "w"))
+    assert(back(1)._2("id") === Seq("2"))
+  }
+
+  test("writer escape mode (escape without encapsulator) maps CR/LF and delimiter") {
+    val docs = Seq(Map("t" -> Seq("a,b\nc")))
+    val out = CsvResponse.write(docs, WParams(fields = Seq("t"),
+      encapsulator = None, escape = Some('\\'), header = false))
+    assert(out === "a\\,b\\nc\n")
+  }
+
+  test("writer custom mv separator and mv encapsulator") {
+    val docs = Seq(Map("t" -> Seq("a", "b|c")))
+    val out = CsvResponse.write(docs, WParams(fields = Seq("t"),
+      header = false, multiValued = Set("t"),
+      mvSeparator = Some('|'), mvEncapsulator = Some('\'')))
+    // mv cell: a|'b|c' — then main printer quotes nothing (no comma)
+    assert(out === "a|'b|c'\n")
+  }
 }
