@@ -4541,6 +4541,16 @@ object OracleQueries {
          |  ('row', 0, CAST(rn AS VARCHAR))) AS f(field, pos, value)
          |ORDER BY doc_id, field, pos""".stripMargin,
 
+    // JSON split-mode flatten round-trip: one record per items element
+    // with order-level commonFields; re-derived relationally.
+    "update_json" ->
+      s"""SELECT o.o_orderkey AS oid, o.o_orderstatus AS status,
+         |  l.l_partkey AS pid, CAST(l.l_linenumber AS BIGINT) AS ln,
+         |  CAST(l.l_quantity AS BIGINT) AS qty
+         |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         |WHERE o.o_orderkey % 7 = 0
+         |ORDER BY oid, ln, pid""".stripMargin,
+
     // CSV response writer: line reconstructed per printer rules (mv cell
     // quoted for its embedded separator, trailing-space quoting, NA null).
     "wt_csv" ->

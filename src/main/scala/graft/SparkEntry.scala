@@ -5293,6 +5293,52 @@ object SparkEntry {
         .orderBy("doc_id", "field", "pos")
     }),
 
+    /** Solr JSON update split mode (/update/json/docs with split= and
+      * f= — solrj JsonRecordReader.java + JsonLoader.handleSplitMode):
+      * nested JSON flattens into one record per split-path object, with
+      * sibling commonFields persisting across the records of their
+      * enclosing object and purging at its close. The JSON is
+      * synthesized from orders+lineitem as SEQUENTIAL ROOT VALUES (one
+      * object per order) so the oracle re-derives the flattened rows
+      * relationally. */
+    "update_json" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.JsonRecordReader
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_orderkey") % 7 === 0)
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val items = li.join(ord.select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), struct(col("l_linenumber"),
+          col("l_partkey"),
+          concat(lit("{\"pid\":"), col("l_partkey"), lit(",\"ln\":"),
+            col("l_linenumber"), lit(",\"qty\":"),
+            col("l_quantity").cast("long"), lit("}")).as("s")).as("it"))
+        .groupBy("l_orderkey")
+        .agg(concat_ws(",", transform(array_sort(collect_list(col("it"))),
+          x => x.getField("s"))).as("inner"))
+      ord.join(items, col("o_orderkey") === col("l_orderkey"))
+        .select(struct(col("o_orderkey"),
+          concat(lit("{\"oid\":"), col("o_orderkey"),
+            lit(",\"status\":\""), col("o_orderstatus"),
+            lit("\",\"items\":["), col("inner"), lit("]}")).as("j")).as("s"))
+        .agg(concat_ws("\n", transform(array_sort(collect_list(col("s"))),
+          x => x.getField("j"))).as("content"))
+        .as[String]
+        .flatMap { content =>
+          JsonRecordReader.getInst("/items", Seq("oid:/oid",
+            "status:/status", "pid:/items/pid", "ln:/items/ln",
+            "qty:/items/qty"))
+            .getAllRecords(content).map { m =>
+              (m("oid").asInstanceOf[Long], m("status").asInstanceOf[String],
+                m("pid").asInstanceOf[Long], m("ln").asInstanceOf[Long],
+                m("qty").asInstanceOf[Long])
+            }
+        }
+        .toDF("oid", "status", "pid", "ln", "qty")
+        .orderBy("oid", "ln", "pid")
+    }),
+
     /** Solr CSV response writer (wt=csv — response/CSVResponseWriter
       * .java + internal CSVPrinter): per-doc CSV lines with the
       * printer's exact quote decisions (mv join through the escape
