@@ -4551,6 +4551,21 @@ object OracleQueries {
          |WHERE o.o_orderkey % 7 = 0
          |ORDER BY oid, ln, pid""".stripMargin,
 
+    // JSON command-mode parse: every add/delete command row re-derived.
+    "update_json_cmds" ->
+      s"""WITH e AS (SELECT event_id, event_type, user_id,
+         |  CAST(floor(value * 100) AS BIGINT) AS vv
+         |  FROM events WHERE event_id % 31 = 0)
+         |SELECT 'delete' AS kind, event_id AS id,
+         |  CAST(NULL AS VARCHAR) AS etype, CAST(NULL AS VARCHAR) AS tags,
+         |  CAST(NULL AS DOUBLE) AS vboost, CAST(NULL AS BIGINT) AS vval
+         |FROM e WHERE event_type = 'error'
+         |UNION ALL
+         |SELECT 'add', event_id, event_type,
+         |  event_type || ',u' || user_id, 2.5, vv
+         |FROM e WHERE event_type <> 'error'
+         |ORDER BY kind, id""".stripMargin,
+
     // CSV response writer: line reconstructed per printer rules (mv cell
     // quoted for its embedded separator, trailing-space quoting, NA null).
     "wt_csv" ->

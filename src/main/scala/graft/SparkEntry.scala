@@ -5339,6 +5339,48 @@ object SparkEntry {
         .orderBy("oid", "ln", "pid")
     }),
 
+    /** Solr JSON update command mode (/update/json —
+      * JsonLoader.parseAdd/parseDoc/handleDeleteCommand): a synthesized
+      * update body with repeated add/delete command keys, extended
+      * {boost,value} field values and multi-valued arrays parses into
+      * typed commands; the oracle re-derives each command row
+      * relationally. */
+    "update_json_cmds" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.JsonUpdate
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .where(col("event_id") % 31 === 0)
+      ev.select(struct(col("event_id"),
+          when(col("event_type") === "error",
+            concat(lit("'delete':{'id':"), col("event_id"), lit("}")))
+            .otherwise(concat(lit("'add':{'doc':{'id':"), col("event_id"),
+              lit(",'type':'"), col("event_type"),
+              lit("','v':{'boost':2.5,'value':"),
+              floor(col("value") * 100).cast("long"),
+              lit("},'tags':['"), col("event_type"), lit("','u"),
+              col("user_id"), lit("']}}"))).as("j")).as("s"))
+        .agg(concat_ws(",", transform(array_sort(collect_list(col("s"))),
+          x => x.getField("j"))).as("body"))
+        .select(concat(lit("{"), col("body"), lit("}")).as("content"))
+        .as[String]
+        .flatMap { content =>
+          JsonUpdate.parse(content).map {
+            case JsonUpdate.Add(doc, _, _, _) =>
+              ("add", doc.valuesOf("id").head.asInstanceOf[Long],
+                doc.valuesOf("type").head.asInstanceOf[String],
+                doc.valuesOf("tags").map(_.toString).mkString(","),
+                Option(doc.boostOf("v")),
+                Option(doc.valuesOf("v").head.asInstanceOf[Long]))
+            case JsonUpdate.Delete(Some(id), _, _, _, _) =>
+              ("delete", id.toLong, null, null,
+                Option.empty[Double], Option.empty[Long])
+            case other => sys.error(s"unexpected $other")
+          }
+        }
+        .toDF("kind", "id", "etype", "tags", "vboost", "vval")
+        .orderBy("kind", "id")
+    }),
+
     /** Solr CSV response writer (wt=csv — response/CSVResponseWriter
       * .java + internal CSVPrinter): per-doc CSV lines with the
       * printer's exact quote decisions (mv join through the escape
