@@ -65,21 +65,34 @@ object CsvLoader {
   /** One parsed record with the physical line index where it started. */
   final case class Rec(line: Int, vals: Seq[String])
 
-  /** CSV tokenizer: separator / encapsulator (doubled = literal, quoted
-    * fields span lines) / escape char; empty lines skipped when
-    * `skipEmptyLines`. Tracks physical line numbers. */
+  /** CSVParser.readEscape: r/n/t/b/f decode, anything else literal. */
+  private def readEscape(next: Char): Char = next match {
+    case 'r' => '\r'; case 'n' => '\n'; case 't' => '\t'
+    case 'b' => '\b'; case 'f' => '\f'; case c => c
+  }
+
+  /** CSV tokenizer (reference internal/csv/CSVParser semantics):
+    * separator / encapsulator (doubled = literal, quoted fields span
+    * lines) / escape char with r-n-t-b-f decoding (readEscape, applied
+    * inside AND outside quotes); after a closing encapsulator only
+    * whitespace may precede the delimiter/EOL (else error), and EOF
+    * inside a quoted field errors; empty lines (LF, CRLF or lone CR)
+    * skipped when `skipEmptyLines`. Tracks physical line numbers. */
   def parseCsv(content: String, sep: Char, encap: Option[Char],
                escape: Option[Char],
                skipEmptyLines: Boolean = true): Seq[Rec] = {
     val out = Seq.newBuilder[Rec]
     var i = 0; var line = 0
     val n = content.length
+    def atEol(k: Int): Boolean =
+      content.charAt(k) == '\n' || content.charAt(k) == '\r'
+    def eolLen(k: Int): Int =
+      if (content.charAt(k) == '\r' && k + 1 < n &&
+        content.charAt(k + 1) == '\n') 2 else 1
     while (i < n) {
       // at start of a physical line
-      if (skipEmptyLines && (content.charAt(i) == '\n' ||
-        (content.charAt(i) == '\r' && i + 1 < n && content.charAt(i + 1) == '\n'))) {
-        if (content.charAt(i) == '\r') i += 1
-        i += 1; line += 1
+      if (skipEmptyLines && atEol(i)) {
+        i += eolLen(i); line += 1
       } else {
         val startLine = line
         val vals = Seq.newBuilder[String]
@@ -88,31 +101,50 @@ object CsvLoader {
         var recDone = false
         while (!recDone && i <= n) {
           if (i == n) {
+            require(!inQuote,
+              s"(startline $startLine) eof reached before encapsulated token finished")
             vals += cur.toString; recDone = true
           } else {
             val c = content.charAt(i)
             if (inQuote) {
-              if (encap.contains(c)) {
+              if (escape.contains(c) && i + 1 < n &&
+                !encap.contains(c)) {
+                cur.append(readEscape(content.charAt(i + 1))); i += 2
+              } else if (encap.contains(c)) {
                 if (i + 1 < n && content.charAt(i + 1) == c) {
                   cur.append(c); i += 2 // doubled encapsulator
-                } else { inQuote = false; i += 1 }
+                } else {
+                  inQuote = false; i += 1
+                  // only whitespace allowed until delimiter/EOL/EOF
+                  var closed = false
+                  while (!closed && i < n) {
+                    val d = content.charAt(i)
+                    if (d == sep) {
+                      vals += cur.toString; cur.setLength(0); i += 1
+                      closed = true
+                    } else if (atEol(i)) {
+                      i += eolLen(i); line += 1
+                      vals += cur.toString; recDone = true; closed = true
+                    } else if (d.isWhitespace) i += 1
+                    else throw new IllegalArgumentException(
+                      s"(line $line) invalid char between encapsulated token end delimiter")
+                  }
+                  if (!closed) { // EOF right after the quote
+                    vals += cur.toString; recDone = true
+                  }
+                }
               } else {
                 if (c == '\n') line += 1
                 cur.append(c); i += 1
               }
             } else if (escape.contains(c) && i + 1 < n) {
-              cur.append(content.charAt(i + 1)); i += 2
+              cur.append(readEscape(content.charAt(i + 1))); i += 2
             } else if (encap.contains(c) && cur.length() == 0) {
               inQuote = true; i += 1
             } else if (c == sep) {
               vals += cur.toString; cur.setLength(0); i += 1
-            } else if (c == '\n' || (c == '\r' && i + 1 < n &&
-              content.charAt(i + 1) == '\n')) {
-              if (c == '\r') i += 1
-              i += 1; line += 1
-              vals += cur.toString; recDone = true
-            } else if (c == '\r') {
-              i += 1; line += 1
+            } else if (atEol(i)) {
+              i += eolLen(i); line += 1
               vals += cur.toString; recDone = true
             } else {
               cur.append(c); i += 1
@@ -133,8 +165,13 @@ object CsvLoader {
     var content = content0
     var skipped = 0
     while (skipped < effSkip) {
-      val nl = content.indexOf('\n')
-      content = if (nl < 0) "" else content.substring(nl + 1)
+      // readLine semantics: LF, CRLF or lone CR all end a raw line
+      val idx = content.indexWhere(c => c == '\n' || c == '\r')
+      content =
+        if (idx < 0) ""
+        else if (content.charAt(idx) == '\r' && idx + 1 < content.length &&
+          content.charAt(idx + 1) == '\n') content.substring(idx + 2)
+        else content.substring(idx + 1)
       skipped += 1
     }
     var recs = parseCsv(content, p.separator, p.effEncap, p.escape)
@@ -145,6 +182,11 @@ object CsvLoader {
       val h = recs.head.vals; recs = recs.tail; h
     }
     recs.map { rec =>
+      // CSVLoaderBase.load:316-318 — a short or long line is an input
+      // error, never a partial document
+      require(rec.vals.length == fieldnames.length,
+        s"CSVLoader: line=${rec.line}, expected ${fieldnames.length} " +
+          s"values but got ${rec.vals.length}")
       val doc = mutable.LinkedHashMap[String, mutable.ArrayBuffer[String]]()
       def add(f: String, v: String): Unit =
         if (v.nonEmpty || p.keepEmptyOf(f))
@@ -236,7 +278,12 @@ object CsvResponse {
         if (v.isEmpty) quote = first
         else {
           val c0 = v.charAt(0)
-          if (first && !Character.isLetterOrDigit(c0)) quote = true
+          // the reference's ASCII-only alnum test (CSVPrinter
+          // printAndEncapsulate) — a non-ASCII first char on a new line
+          // quotes even though it is a Unicode letter
+          val nonAsciiAlnum = c0 < '0' || (c0 > '9' && c0 < 'A') ||
+            (c0 > 'Z' && c0 < 'a') || c0 > 'z'
+          if (first && nonAsciiAlnum) quote = true
           else if (c0 <= '#') quote = true
           else if (v.exists(c => c == '\n' || c == '\r' || c == q || c == delim))
             quote = true

@@ -125,13 +125,12 @@ final class JsonRecordReader private (splitPath: String) {
       while (t != null) {
         t match {
           case JsonToken.START_OBJECT =>
-            objectStart(root, p, st, mutable.Set(), recordStarted = false, null)
+            objectStart(root, p, st, recordStarted = false, null)
           case JsonToken.START_ARRAY =>
             var e = p.nextToken()
             while (e != JsonToken.END_ARRAY) {
               if (e == JsonToken.START_OBJECT)
-                objectStart(root, p, st, mutable.Set(),
-                  recordStarted = false, null)
+                objectStart(root, p, st, recordStarted = false, null)
               e = p.nextToken()
             }
           case _ =>
@@ -155,15 +154,14 @@ final class JsonRecordReader private (splitPath: String) {
       sb.append('.').append(leaf).toString
     }
     def walk(t: JsonToken, p: JParser, st: JState,
-             childrenFound: mutable.Set[JNode],
              recordStarted: Boolean): Unit = t match {
       case JsonToken.START_OBJECT =>
-        objectStart(node, p, st, childrenFound, recordStarted, this)
+        objectStart(node, p, st, recordStarted, this)
       case JsonToken.START_ARRAY =>
         var e = p.nextToken()
         while (e != JsonToken.END_ARRAY) {
           if (e == JsonToken.START_OBJECT)
-            objectStart(node, p, st, childrenFound, recordStarted, this)
+            objectStart(node, p, st, recordStarted, this)
           e = p.nextToken()
         }
       case _ =>
@@ -173,7 +171,6 @@ final class JsonRecordReader private (splitPath: String) {
   /** Parser positioned just after START_OBJECT of an object at `node`'s
     * level; returns after the matching END_OBJECT. */
   private def objectStart(node: JNode, p: JParser, st: JState,
-                          childrenFound: mutable.Set[JNode],
                           recordStarted: Boolean, wrapper: Frame): Unit = {
     val nowStarted = recordStarted || node.isRecord
     val frame: mutable.Set[String] =
@@ -200,15 +197,13 @@ final class JsonRecordReader private (splitPath: String) {
                 && n.recWildChild != null)
                 new Frame(n, wrapper, name)
               else null
-            val value = parseFieldValue(v, p, st, runnable, childrenFound,
-              nowStarted)
+            val value = parseFieldValue(v, p, st, runnable, nowStarted)
             if (value != null) {
               st.put(frame, nameInRecord, value)
             }
           } else {
             val v = p.nextToken()
-            new Frame(n, wrapper, name)
-              .walk(v, p, st, childrenFound, nowStarted)
+            new Frame(n, wrapper, name).walk(v, p, st, nowStarted)
           }
         } else {
           p.nextToken() match {
@@ -230,8 +225,48 @@ final class JsonRecordReader private (splitPath: String) {
   /** parseSingleFieldValue / parseArrayFieldValue. */
   private def parseFieldValue(t: JsonToken, p: JParser, st: JState,
                               runnable: Frame,
-                              childrenFound: mutable.Set[JNode],
                               recordStarted: Boolean): Any = t match {
+    case JsonToken.START_ARRAY =>
+      val lst = mutable.ArrayBuffer[Any]()
+      var e = p.nextToken()
+      while (e != JsonToken.END_ARRAY) {
+        val v = parseFieldValue(e, p, st, runnable, recordStarted)
+        if (v != null) lst += v
+        e = p.nextToken()
+      }
+      // keep the mutable buffer: a LATER value with the same name
+      // appends INTO the stored list (reference putValue on a List)
+      if (lst.isEmpty) null else lst
+    case JsonToken.START_OBJECT =>
+      if (runnable != null) {
+        runnable.walk(JsonToken.START_OBJECT, p, st, recordStarted)
+        null
+      } else { p.skipChildren(); null }
+    case other =>
+      JsonRecordReader.jsonScalar(other, p) match {
+        case JsonRecordReader.NotScalar =>
+          throw new RuntimeException(s"Error parsing JSON field value: $other")
+        case v => v
+      }
+  }
+}
+
+object JsonRecordReader {
+
+  /** One lenient (noggit-style) factory per JVM, shared with
+    * [[JsonUpdate]]. */
+  private[sources] val factory: JsonFactory = {
+    val f = new JsonFactory()
+    f.enable(JParser.Feature.ALLOW_SINGLE_QUOTES)
+    f.enable(JParser.Feature.ALLOW_UNQUOTED_FIELD_NAMES)
+    f
+  }
+
+  /** Scalar token coercion shared with [[JsonUpdate]]: LONG -> Long,
+    * floating -> Double, big integers -> String, booleans native, null
+    * -> null. Returns NotScalar for structural tokens. */
+  private[sources] object NotScalar
+  private[sources] def jsonScalar(t: JsonToken, p: JParser): Any = t match {
     case JsonToken.VALUE_STRING => p.getText
     case JsonToken.VALUE_NUMBER_INT =>
       p.getNumberType match {
@@ -243,36 +278,7 @@ final class JsonRecordReader private (splitPath: String) {
     case JsonToken.VALUE_TRUE  => java.lang.Boolean.TRUE
     case JsonToken.VALUE_FALSE => java.lang.Boolean.FALSE
     case JsonToken.VALUE_NULL  => null
-    case JsonToken.START_ARRAY =>
-      val lst = mutable.ArrayBuffer[Any]()
-      var e = p.nextToken()
-      while (e != JsonToken.END_ARRAY) {
-        val v = parseFieldValue(e, p, st, runnable, childrenFound,
-          recordStarted)
-        if (v != null) lst += v
-        e = p.nextToken()
-      }
-      // keep the mutable buffer: a LATER value with the same name
-      // appends INTO the stored list (reference putValue on a List)
-      if (lst.isEmpty) null else lst
-    case JsonToken.START_OBJECT =>
-      if (runnable != null) {
-        runnable.walk(JsonToken.START_OBJECT, p, st, childrenFound,
-          recordStarted)
-        null
-      } else { p.skipChildren(); null }
-    case other =>
-      throw new RuntimeException(s"Error parsing JSON field value: $other")
-  }
-}
-
-object JsonRecordReader {
-
-  private val factory: JsonFactory = {
-    val f = new JsonFactory()
-    f.enable(JParser.Feature.ALLOW_SINGLE_QUOTES)
-    f.enable(JParser.Feature.ALLOW_UNQUOTED_FIELD_NAMES)
-    f
+    case _ => NotScalar
   }
 
   /** Field mappings: `name:/path` or bare `/path` (field named by its

@@ -58,12 +58,8 @@ object JsonUpdate {
       entries.find(_.name == name).map(_.boost).getOrElse(1.0)
   }
 
-  private val factory: JsonFactory = {
-    val f = new JsonFactory()
-    f.enable(JParser.Feature.ALLOW_SINGLE_QUOTES)
-    f.enable(JParser.Feature.ALLOW_UNQUOTED_FIELD_NAMES)
-    f
-  }
+  // factory + scalar coercion shared with JsonRecordReader
+  private def factory: JsonFactory = JsonRecordReader.factory
 
   def parse(content: String, defaultOverwrite: Boolean = true,
             defaultCommitWithin: Long = -1): Seq[Cmd] = {
@@ -188,16 +184,6 @@ object JsonUpdate {
   }
 
   private def normalValue(t: JsonToken, p: JParser): Any = t match {
-    case JsonToken.VALUE_STRING => p.getText
-    case JsonToken.VALUE_NUMBER_INT =>
-      p.getNumberType match {
-        case JParser.NumberType.BIG_INTEGER => p.getText
-        case _ => java.lang.Long.valueOf(p.getLongValue)
-      }
-    case JsonToken.VALUE_NUMBER_FLOAT => java.lang.Double.valueOf(p.getDoubleValue)
-    case JsonToken.VALUE_TRUE  => java.lang.Boolean.TRUE
-    case JsonToken.VALUE_FALSE => java.lang.Boolean.FALSE
-    case JsonToken.VALUE_NULL  => null
     case JsonToken.START_ARRAY =>
       val lst = mutable.ArrayBuffer[Any]()
       var e = p.nextToken()
@@ -207,7 +193,15 @@ object JsonUpdate {
         e = p.nextToken()
       }
       lst.toList
-    case other => sys.error(s"Error parsing JSON field value: $other")
+    // a nested OBJECT as a field value is an ERROR in the 5.2 reference
+    // (JsonLoader.parseSingleFieldValue default case) — later Solr adds
+    // parseObjectFieldValue; we match the reference version
+    case other =>
+      JsonRecordReader.jsonScalar(other, p) match {
+        case JsonRecordReader.NotScalar =>
+          sys.error(s"Error parsing JSON field value: $other")
+        case v => v
+      }
   }
 
   /** delete: scalar | array | map (JsonLoader.handleDeleteCommand). */

@@ -179,4 +179,51 @@ class CsvLoaderSpec extends AnyFunSuite {
     // mv cell: a|'b|c' — then main printer quotes nothing (no comma)
     assert(out === "a|'b|c'\n")
   }
+
+  // ---- parity fixes from review: parser strictness + escape decode ----
+
+  test("escape decodes r/n/t like the reference readEscape, also inside quotes") {
+    val docs = docsOf("id,t\n1,a\\nb\n", Params(escape = Some('\\'),
+      encapsulator = None))
+    assert(docs(0)("t") === Seq("a\nb"))
+    // inside quotes with both escape and encapsulator configured
+    val q = docsOf("id,t\n1,\"a\\\"b\"\n", Params(escape = Some('\\')))
+    assert(q(0)("t") === Seq("a\"b"))
+    // writer escape-mode output round-trips through the loader
+    val out = CsvResponse.write(Seq(Map("t" -> Seq("x,y\nz"))),
+      WParams(fields = Seq("t"), encapsulator = None, escape = Some('\\'),
+        header = false))
+    val back = docsOf("t\n" + out, Params(escape = Some('\\'),
+      encapsulator = None))
+    assert(back(0)("t") === Seq("x,y\nz"))
+  }
+
+  test("whitespace allowed after a closing quote; garbage and EOF-in-quote error") {
+    assert(docsOf("id,t\n1,\"ab\" \n", Params())(0)("t") === Seq("ab"))
+    intercept[Exception] { docsOf("id,t\n1,\"ab\"cd\n", Params()) }
+    intercept[Exception] { docsOf("id,t\n1,\"unterminated", Params()) }
+  }
+
+  test("value-count mismatch is an input error, not a partial document") {
+    intercept[Exception] { docsOf("id,str\n100,a,EXTRA\n", Params()) }
+    intercept[Exception] { docsOf("id,str\n101\n", Params()) }
+  }
+
+  test("lone-CR line endings: empty lines skip, skipLines strips one raw line") {
+    val docs = CsvLoader.loadDocs("id\r\r100\r101\r", Params())
+    assert(docs.map(_._2("id").head) === Seq("100", "101"))
+    val sk = CsvLoader.loadDocs("junk\rid\r100\r",
+      Params(skipLines = 1))
+    assert(sk.map(_._2("id").head) === Seq("100"))
+  }
+
+  test("writer quotes a non-ASCII first char on a new line (ASCII-only alnum rule)") {
+    val out = CsvResponse.write(Seq(Map("t" -> Seq("émile"))),
+      WParams(fields = Seq("t"), header = false))
+    assert(out === "\"émile\"\n")
+    // not first on the line: no quote
+    val out2 = CsvResponse.write(Seq(Map("a" -> Seq("x"), "t" -> Seq("émile"))),
+      WParams(fields = Seq("a", "t"), header = false))
+    assert(out2 === "x,émile\n")
+  }
 }
