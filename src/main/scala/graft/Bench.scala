@@ -10,39 +10,54 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Per-entry error ledger: a failed fixture/query must surface as an
+    // error, never masquerade as a (fast) timing. Populated by the timed
+    // wrappers below, emitted in both JSON lines and on stderr.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // time every one-off index/fixture build explicitly so the query
     // entries measure pure query latency, not build + query
-    def timedBuild(body: => Any): Double = {
+    def timed(name: String)(body: => Any): Double = {
       val t0 = System.nanoTime()
-      try body catch { case _: Throwable => }
+      try body catch { case e: Throwable =>
+        errors(name) = e.toString.replace('\n', ' ').take(200)
+        System.err.println(s"[bench] $name FAILED: ${errors(name)}")
+      }
       (System.nanoTime() - t0) / 1e9
     }
     val builds = Seq(
-      "ft_index_build" -> timedBuild(SparkEntry.reader(spark, sfDir)),
-      "ft_nrt_build" -> timedBuild(SparkEntry.nrtReader(spark, sfDir)),
-      "ft_stemmed_build" -> timedBuild(SparkEntry.stemmedReader(spark, sfDir)),
-      "ft_lang_builds" -> timedBuild(SparkEntry.langReaders(spark, sfDir,
-        Seq("german", "french", "spanish", "portuguese", "russian",
-          "swedish", "finnish", "hungarian", "norwegian", "czech",
-          "dutch", "danish", "romanian", "turkish", "galician",
-          "portuguese_rslp", "catalan", "basque", "brazilian", "polish",
-          "irish", "german2"))),
-      "ft_syn_build" -> timedBuild(SparkEntry.synReader(spark, sfDir)),
-      "ft_compound_build" -> timedBuild(SparkEntry.compoundReader(spark, sfDir)),
-      "ft_rev_build" -> timedBuild(SparkEntry.revReader(spark, sfDir)),
-      "ft_delete_build" -> timedBuild(SparkEntry.deletedReaders(spark, sfDir)),
-      "ft_update_build" -> timedBuild(SparkEntry.updatedReaders(spark, sfDir)),
-      "ft_sorted_build" -> timedBuild(SparkEntry.sortedDocsDir(spark, sfDir)),
-      "ann_ivf_build" -> timedBuild {
+      "ft_index_build" -> timed("ft_index_build")(
+        SparkEntry.reader(spark, sfDir)),
+      "ft_nrt_build" -> timed("ft_nrt_build")(
+        SparkEntry.nrtReader(spark, sfDir)),
+      "ft_stemmed_build" -> timed("ft_stemmed_build")(
+        SparkEntry.stemmedReader(spark, sfDir)),
+      "ft_lang_builds" -> timed("ft_lang_builds")(
+        SparkEntry.langReaders(spark, sfDir,
+          Seq("german", "french", "spanish", "portuguese", "russian",
+            "swedish", "finnish", "hungarian", "norwegian", "czech",
+            "dutch", "danish", "romanian", "turkish", "galician",
+            "portuguese_rslp", "catalan", "basque", "brazilian", "polish",
+            "irish", "german2"))),
+      "ft_syn_build" -> timed("ft_syn_build")(
+        SparkEntry.synReader(spark, sfDir)),
+      "ft_compound_build" -> timed("ft_compound_build")(
+        SparkEntry.compoundReader(spark, sfDir)),
+      "ft_rev_build" -> timed("ft_rev_build")(
+        SparkEntry.revReader(spark, sfDir)),
+      "ft_delete_build" -> timed("ft_delete_build")(
+        SparkEntry.deletedReaders(spark, sfDir)),
+      "ft_update_build" -> timed("ft_update_build")(
+        SparkEntry.updatedReaders(spark, sfDir)),
+      "ft_sorted_build" -> timed("ft_sorted_build")(
+        SparkEntry.sortedDocsDir(spark, sfDir)),
+      "ann_ivf_build" -> timed("ann_ivf_build") {
         val (c, a) = SparkEntry.ivfIndex(spark, sfDir); c.count(); a.count()
       },
-      "dedup_minhash_build" ->
-        timedBuild(SparkEntry.minhashPairs(spark, sfDir).count()))
+      "dedup_minhash_build" -> timed("dedup_minhash_build")(
+        SparkEntry.minhashPairs(spark, sfDir).count()))
     val results = builds.toMap ++
       SparkEntry.queries.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        name -> timed(name)(fn(spark, sfDir).count())
       }
     // The driver stores only the last ~2000 chars of output and parses the
     // JSON line out of that tail; a 230-entry map does not fit, so rounds
@@ -52,22 +67,37 @@ object Bench {
     // well under the window even with sbt's trailing [success] line.
     def r3(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    def jsonLine(entries: Seq[(String, Double)], extra: String): String = {
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => " "
+        case c => c.toString
+      } + "\""
+    // errors array rides in BOTH lines; normally [] so the compact line
+    // stays small, and any non-empty content is the round's loudest signal.
+    def errJson(full: Boolean): String =
+      if (full)
+        errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+          .mkString("\"errors\":{", ",", "},")
+      else errors.keys.map(jstr).mkString("\"errors\":[", ",", "],")
+    def jsonLine(entries: Seq[(String, Double)], extra: String,
+        full: Boolean): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
-      s"""{"queries":$qs,$extra"n_queries":${results.size},"unit":"sec","sf":"$sfDir","metric":"total","value":${r3(total)}}"""
+      s"""{"queries":$qs,$extra${errJson(full)}"n_errors":${errors.size},"ok":${errors.isEmpty},"n_queries":${results.size},"unit":"sec","sf":"$sfDir","metric":"total","value":${r3(total)}}"""
     }
     lazy val total = if (results.nonEmpty) results.values.sum else 0.0
     val asc = results.toSeq.sortBy(_._2)
-    println("FULL " + jsonLine(asc, ""))
+    println("FULL " + jsonLine(asc, "", full = true))
     // compact: keep appending the slowest entries while the line fits in
     // ~1500 chars (leaves headroom for sbt's trailing success line)
     val desc = asc.reverse
     var keep = desc.length
-    while (keep > 1 && jsonLine(desc.take(keep), "\"truncated\":true,").length > 1500)
+    while (keep > 1 &&
+      jsonLine(desc.take(keep), "\"truncated\":true,", full = false).length > 1500)
       keep -= 1
     val extra = if (keep < desc.length) "\"truncated\":true," else ""
-    println(jsonLine(desc.take(keep), extra))
+    println(jsonLine(desc.take(keep), extra, full = false))
     spark.stop()
   }
 }

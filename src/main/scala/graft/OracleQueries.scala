@@ -4648,10 +4648,12 @@ object OracleQueries {
          |ORDER BY d.doc_id""".stripMargin,
 
     // DIH nested entities: child rows append multi-valued fields to the
-    // parent in child iteration order (ordered by l_linenumber).
+    // parent in child iteration order (ordered by l_linenumber). The child
+    // list is serialized to a CSV string: the driver's pandas comparator
+    // cannot sort/hash array-typed cells.
     "dih_nested" ->
       s"""SELECT o.o_orderkey AS id, o.o_orderstatus AS status,
-         |  COALESCE(l.parts, []) AS parts,
+         |  COALESCE(array_to_string(l.parts, ','), '') AS parts,
          |  CAST(COALESCE(l.n, 0) AS BIGINT) AS n_items
          |FROM orders o LEFT JOIN (
          |  SELECT l_orderkey,

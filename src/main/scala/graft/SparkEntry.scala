@@ -5604,7 +5604,10 @@ object SparkEntry {
           col("l_partkey")))), x => x.getField("l_partkey")).as("parts"))
       ord.join(child, col("o_orderkey") === col("l_orderkey"), "left")
         .select(col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
-          coalesce(col("parts"), array().cast("array<bigint>")).as("parts"),
+          // Serialized (not array-typed): the driver's pandas compare cannot
+          // hash ndarray cells, so both engine and oracle emit CSV strings.
+          array_join(coalesce(col("parts"), array().cast("array<bigint>"))
+            .cast("array<string>"), ",").as("parts"),
           coalesce(size(col("parts")), lit(0)).cast("long").as("n_items"))
         .orderBy("id")
     })

@@ -20,9 +20,23 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // Guard: the driver's pandas comparator cannot sort/hash
+        // array/map/struct cells — any complex-typed output column would
+        // silently turn this row red (r04's dih_nested). Fail loudly here.
+        import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+        val complex = df.schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] ||
+            f.dataType.isInstanceOf[StructType] =>
+            s"${f.name}: ${f.dataType.simpleString}"
+        }
+        require(complex.isEmpty,
+          s"$name emits non-atomic output columns (${complex.mkString(", ")})" +
+            " — serialize them (array_join) before returning")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

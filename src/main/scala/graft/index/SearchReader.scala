@@ -56,6 +56,30 @@ trait SearchReader {
       case Some(d) => df.join(d, Seq("docId"), "left_anti")
     }
 
+  /** Sorted tombstone docIds as a broadcast, built ONCE per reader and
+    * reused by every WAND query against it (per-query broadcast creation
+    * plus the collect behind it was a measurable driver-side cost at
+    * interactive latencies — the round-4 q_wand3 @32 inversion). Bounded:
+    * 8M longs = 64 MB, comparable to a Lucene live-docs bitset on a
+    * 500M-doc segment. Deletes only accumulate BETWEEN compactions, so a
+    * sane compaction cadence never approaches this; past it, this refuses
+    * loudly rather than shipping an unbounded array to every executor
+    * (the join scorer stays correct at any delete count). */
+  lazy val deletedSortedBroadcast
+      : org.apache.spark.broadcast.Broadcast[Array[Long]] =
+    spark.sparkContext.broadcast(deletedDocs match {
+      case None => Array.emptyLongArray
+      case Some(d) =>
+        val ids = d.select(org.apache.spark.sql.functions.col("docId"))
+          .distinct().collect().map(_.getLong(0)).sorted
+        if (ids.length > SearchReader.MaxBroadcastDeletes)
+          throw new IllegalStateException(
+            s"${ids.length} uncompacted tombstones exceed the WAND " +
+              s"broadcast bound (${SearchReader.MaxBroadcastDeletes}); " +
+              "run IndexBuilder.compact()")
+        ids
+    })
+
   /** Whether this index carries the reversed-token "rev:" field (built
     * with IndexConfig.reverseTokens) — one memoized dictionary probe;
     * leading-wildcard rewrites use it to pick the prefix-scan path. */
@@ -103,6 +127,10 @@ object SearchReader {
   /** Reference BooleanQuery.maxClauseCount default
     * (search/BooleanQuery.java:47-66). */
   final val MaxClauseCount = 1024
+
+  /** Upper bound on tombstones ridden as the cached WAND broadcast
+    * (see [[SearchReader.deletedSortedBroadcast]]). */
+  final val MaxBroadcastDeletes: Int = 8 * 1024 * 1024
 
   /** Raised when a multi-term rewrite matches more than `limit` dictionary
     * terms — the reference THROWS here rather than silently truncating

@@ -49,74 +49,70 @@ final class WandScorer(reader: SearchReader) {
     // silently drop duplicate clauses and break rank identity / msm)
     val termIdx: Map[String, Seq[Int]] = present.zipWithIndex
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    // per-clause norm cache (a clause's field decides its avgdl)
+    // per-clause norm cache (a clause's field decides its avgdl). These
+    // per-query arrays are a few KB total — they ride in the task closure
+    // directly; per-query sc.broadcast() calls were a measurable
+    // driver-side fixed cost at interactive latency (round-4 q_wand3 @32
+    // inversion). Tombstones stay a broadcast (can be MBs) but are built
+    // ONCE per reader and reused across queries.
     val caches: Array[Array[Float]] = present.map(t =>
       reader.normCacheFor(graft.index.IndexBuilder.fieldOfTerm(t))).toArray
-    val cacheB = reader.spark.sparkContext.broadcast(caches)
-    val wvsB = reader.spark.sparkContext.broadcast(wvs)
-    val tIdxB = reader.spark.sparkContext.broadcast(termIdx)
     val msm = if (conjunctive) present.length else math.max(minShouldMatch, 1)
     val kk = k
-    // tombstones ride as a broadcast sorted array; wand skips them before
-    // heap insertion. Driver-side collect is bounded by the compaction
-    // policy (deletes accumulate only between compactions; compact()
-    // purges them), the same way Lucene bounds live-docs bitsets per
-    // segment.
-    val delSortedB = reader.spark.sparkContext.broadcast(
-      reader.deletedDocs match {
-        case None => Array.emptyLongArray
-        case Some(d) =>
-          val ids = d.select(org.apache.spark.sql.functions.col("docId"))
-            .distinct().collect().map(_.getLong(0)).sorted
-          if (ids.length > WandScorer.MaxBroadcastDeletes)
-            throw new IllegalStateException(
-              s"${ids.length} uncompacted tombstones exceed the WAND " +
-                s"broadcast bound (${WandScorer.MaxBroadcastDeletes}); " +
-                "run IndexBuilder.compact() (the join scorer stays " +
-                "correct at any delete count)")
-          ids
-      })
+    val delSortedB = reader.deletedSortedBroadcast
 
     val ppc = WandScorer.partsPerChunk(reader.numDocPartsHint,
       sparkS.sparkContext.defaultParallelism)
-    val chunked = reader.blocks(present).flatMap { b =>
-      WandScorer.chunksOf(b.firstDoc, b.lastDoc, ppc).map(c => (c, b))
-    }
-
-    chunked.groupByKey(_._1).flatMapGroups { (chunk, it) =>
-      val cache = cacheB.value
-      val wv = wvsB.value
-      val tIdx = tIdxB.value
-      val byTerm = Array.fill(wv.length)(
-        scala.collection.mutable.ArrayBuffer[BlockRow]())
-      it.foreach { case (_, b) => tIdx(b.term).foreach(byTerm(_) += b) }
-      val loDoc = (chunk.toLong * ppc) << Ids.DocIdShift
-      val hiDoc = ((chunk + 1).toLong * ppc) << Ids.DocIdShift
-      val cursors = (0 until wv.length).flatMap { i =>
-        val blocks = byTerm(i).sortBy(_.firstDoc).toArray
-        if (blocks.isEmpty) None
-        else Some(new WandScorer.Cursor(i, wv(i), blocks, loDoc, hiDoc, cache(i)))
-      }.toArray
-      if (cursors.length < msm) Iterator.empty
-      else {
-        val del = delSortedB.value
-        val deleted: Long => Boolean =
-          if (del.isEmpty) _ => false
-          else id => java.util.Arrays.binarySearch(del, id) >= 0
-        WandScorer.wand(cursors, wv.length, msm, kk, deleted).iterator
+    val numChunks =
+      (math.max(1, reader.numDocPartsHint) + ppc - 1) / ppc
+    // Exactly ONE task per chunk: an explicit HashPartitioner over chunk
+    // ids 0..numChunks-1 is bijective, so the stage runs numChunks tight
+    // WAND loops — never the 200+ mostly-empty sort-based groupByKey
+    // partitions (or, with AQE coalescing, ONE serial task) the Dataset
+    // path produced. The shuffle payload is unchanged: O(#blocks of the
+    // query's terms + #terms x #chunks) block rows.
+    val scored = reader.blocks(present).rdd
+      .flatMap { b =>
+        WandScorer.chunksOf(b.firstDoc, b.lastDoc, ppc).map(c => (c, b))
       }
-    }.toDF("docId", "score")
+      .partitionBy(new org.apache.spark.HashPartitioner(numChunks))
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val byTerm = Array.fill(wvs.length)(
+            scala.collection.mutable.ArrayBuffer[BlockRow]())
+          var chunk = -1
+          it.foreach { case (c, b) =>
+            chunk = c; termIdx(b.term).foreach(byTerm(_) += b)
+          }
+          val loDoc = (chunk.toLong * ppc) << Ids.DocIdShift
+          val hiDoc = ((chunk + 1).toLong * ppc) << Ids.DocIdShift
+          val cursors = (0 until wvs.length).flatMap { i =>
+            val blocks = byTerm(i).sortBy(_.firstDoc).toArray
+            if (blocks.isEmpty) None
+            else Some(new WandScorer.Cursor(i, wvs(i), blocks, loDoc, hiDoc,
+              caches(i)))
+          }.toArray
+          if (cursors.length < msm) Iterator.empty
+          else {
+            val del = delSortedB.value
+            val deleted: Long => Boolean =
+              if (del.isEmpty) _ => false
+              else id => java.util.Arrays.binarySearch(del, id) >= 0
+            WandScorer.wand(cursors, wvs.length, msm, kk, deleted).iterator
+          }
+        }
+      }
+    sparkS.createDataset(scored).toDF("docId", "score")
       .orderBy($"score".desc, $"docId".asc).limit(k)
   }
 }
 
 object WandScorer {
-  /** Upper bound on tombstones ridden as a broadcast (8M longs = 64 MB —
-    * comparable to a Lucene live-docs bitset on a 500M-doc segment).
-    * Deletes only accumulate BETWEEN compactions, so a sane compaction
-    * cadence never approaches this; past it, WAND refuses loudly rather
-    * than sending an unbounded array to every executor. */
-  final val MaxBroadcastDeletes: Int = 8 * 1024 * 1024
+  /** Tombstone broadcast bound — see SearchReader.MaxBroadcastDeletes
+    * (the cached per-reader broadcast now lives there). */
+  final val MaxBroadcastDeletes: Int =
+    graft.index.SearchReader.MaxBroadcastDeletes
 
   /** Chunk grid: contiguous docPart ranges of this width. The chunk COUNT
     * is capped at ~2x parallelism so block fan-out never scales with

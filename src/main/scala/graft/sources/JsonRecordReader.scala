@@ -216,6 +216,15 @@ final class JsonRecordReader private (splitPath: String) {
       if (node.isRecord) st.emit(node.splitPath)
     } finally {
       if (node.isRecord || !recordStarted) {
+        // DELIBERATE DEVIATION from the reference
+        // (JsonRecordReader.java:417-421): Solr only removes the frame's
+        // values and NEVER pops the stack, so with nested split paths
+        // ('/a | /a/b') a non-record sibling object AFTER a closed inner
+        // record peeks the closed record's STALE frame — its fields then
+        // escape the outer record's purge and leak into the NEXT record.
+        // We pop, so sibling fields register against the live enclosing
+        // frame and are purged with it (JsonRecordReaderSpec pins this:
+        // "nested split paths do not leak sibling fields across records").
         val purge = st.frames.pop()
         purge.foreach(st.values.remove)
       }

@@ -188,8 +188,10 @@ object JsonUpdate {
       val lst = mutable.ArrayBuffer[Any]()
       var e = p.nextToken()
       while (e != JsonToken.END_ARRAY) {
-        val v = normalValue(e, p)
-        if (v != null) lst += v
+        // keep JSON nulls: JsonLoader.parseArrayFieldValue adds EVERY
+        // element, so ["a",null,"b"] is 3 values (one null) in command mode
+        // (the null-dropping coercion is only the split-mode reader's rule)
+        lst += normalValue(e, p)
         e = p.nextToken()
       }
       lst.toList
@@ -231,7 +233,10 @@ object JsonUpdate {
         while (e != JsonToken.END_OBJECT) {
           require(e == JsonToken.FIELD_NAME, s"key expected, got $e")
           p.currentName() match {
-            case "id" => p.nextToken(); id = Some(scalarString(p))
+            // a JSON null id is treated as absent (not Some(null)): it
+            // must not satisfy the id-or-query check below and would NPE
+            // any consumer of id.get downstream
+            case "id" => p.nextToken(); id = Option(scalarString(p))
             case "query" => p.nextToken(); query = Some(p.getText)
             case "commitWithin" => p.nextToken(); cw = p.getLongValue
             case "_version_" => p.nextToken(); version = Some(p.getLongValue)

@@ -166,6 +166,23 @@ class JsonRecordReaderSpec extends AnyFunSuite {
     assert(recs(2)("first") === "Bob")
   }
 
+  test("nested split paths do not leak sibling fields across records") {
+    // Deliberate deviation from the reference (JsonRecordReader.java:417):
+    // Solr never pops its frame stack, so `sib`'s fields would register
+    // against the CLOSED /a/b frame, escape /a's purge, and leak z into
+    // the second /a record. We pop, so the second record is clean.
+    val json =
+      """[{"a": {"x": 1, "b": {"y": 2}, "sib": {"z": 3}}},
+        | {"a": {"x": 10}}]""".stripMargin
+    val r = JsonRecordReader.getInst("/a|/a/b",
+      Seq("/a/x", "/a/b/y", "/a/sib/z"))
+    val recs = r.getAllRecords(json)
+    assert(recs.size === 3)
+    assert(recs(0) === Map("x" -> 1L, "y" -> 2L))
+    assert(recs(1) === Map("x" -> 1L, "z" -> 3L))
+    assert(recs(2) === Map("x" -> 10L)) // no leaked z
+  }
+
   test("typed scalars: long, double, big integer, boolean, null dropped") {
     val r = JsonRecordReader.getInst("/", Seq("/**"))
     val m = r.getAllRecords(

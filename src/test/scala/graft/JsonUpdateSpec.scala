@@ -117,6 +117,17 @@ class JsonUpdateSpec extends AnyFunSuite {
     assert(tadd === Map("add" -> List("x", "y")))
   }
 
+  test("command-mode arrays keep JSON nulls; null delete id is absent") {
+    // JsonLoader.parseArrayFieldValue adds EVERY element including nulls
+    val add = JsonUpdate.parse("""{'add':{'doc':{'f':['a',null,'b']}}}""")
+      .collect { case a: Add => a }.head
+    assert(add.doc.entries.find(_.name == "f").get.value ===
+      List("a", null, "b"))
+    // {'delete':{'id':null}} must not pass the id-or-query check as
+    // Delete(Some(null)) — a null id counts as missing
+    intercept[Exception] { JsonUpdate.parse("""{'delete':{'id':null}}""") }
+  }
+
   test("errors: unknown command, delete without id or query, double doc") {
     intercept[Exception] { JsonUpdate.parse("""{'frobnicate':{}}""") }
     intercept[Exception] { JsonUpdate.parse("""{'delete':{'commitWithin':5}}""") }
