@@ -8,7 +8,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.analysis.{Analyzer, StopSets}
-import graft.codec.{PostingsCodec, PrePosting, SmallFloat}
+import graft.codec.{PostingBlock, Posting, PostingsCodec, PrePosting, SmallFloat}
 import graft.search.BM25
 
 /** Batch inverted-index build: input table -> per-partition segments ->
@@ -69,6 +69,31 @@ object IndexBuilder {
 
   def fieldOfTerm(term: String): String =
     if (term.startsWith("path:")) "path" else "content"
+
+  /** Merge one reduce-side run of same-(key, salt) pre-blocks into a
+    * docId-ascending posting stream for the canonical re-encode. Map
+    * partitions are file-chunk bin-packs over docId-sorted segments
+    * files, so two partitions' spans are almost always disjoint: the fast
+    * path concatenates in firstDoc order. If bin-packing ever interleaves
+    * chunk ranges, the fallback decodes the run and merge-sorts by docId
+    * (each pre-block is individually ascending, so TimSort sees
+    * mostly-sorted input). Memory is bounded by one (key, salt) run —
+    * the same bound the round-4 reduce buffer had, but compressed. */
+  private[index] def mergeRuns(
+      run: scala.collection.Seq[BlockRowK]): Iterator[Posting] = {
+    val sorted = run.sortBy(_.firstDoc)
+    var disjoint = true
+    var i = 1
+    while (disjoint && i < sorted.length) {
+      if (sorted(i - 1).lastDoc >= sorted(i).firstDoc) disjoint = false
+      i += 1
+    }
+    def dec(b: BlockRowK): Array[Posting] =
+      PostingsCodec.decode(PostingBlock("", b.firstDoc, b.lastDoc, b.count,
+        b.maxTf, b.sumTf, b.maxPartial, b.docBytes, b.nrmBytes, b.posBytes))
+    if (disjoint) sorted.iterator.flatMap(b => dec(b).iterator)
+    else sorted.toArray.flatMap(dec).sortBy(_.docId).iterator
+  }
 
   /** Analyze one document into a SegmentDoc (terms grouped in-memory per
     * row — within-doc grouping needs no shuffle). `analyzer` selects the
@@ -477,12 +502,20 @@ object IndexBuilder {
         // prefix).
         val hotKeys: Set[Long] = hotTerms.map(TermKeys.of)
         val hotKeySeq = hotKeys.toSeq
-        val saltCol =
-          if (hotKeySeq.isEmpty) lit(0L)
-          else when($"key".isin(hotKeySeq: _*), shiftright($"docId", shift))
-            .otherwise(0L)
         val hotB = spark.sparkContext.broadcast(hotKeys)
-        val blocks = segments
+        // ---- map side: LOCAL (key, docId) sort + pre-block encode ----
+        // Rounds 1-4 shuffled one Tungsten row PER POSTING: ~48 B of row
+        // framing (null bits, fixed slots, var-length offsets) around a
+        // ~4 B payload — 1558 B/doc on the wire. Now each map partition
+        // sorts locally (sortWithinPartitions = spillable
+        // UnsafeExternalSorter, NO exchange) and VByte-encodes 128-posting
+        // PRE-BLOCKS, so the exchange carries the compressed postings
+        // payload itself: row count drops ~100x for frequent terms and the
+        // bytes are the codec's, not the row format's. maxPartial is NOT
+        // computed here (cache = null): the reduce side re-derives it
+        // during the canonical re-encode, so no float work is wasted on
+        // blocks that get re-blocked anyway.
+        val preBlocks = segments
           .where($"docPart" >= w * partsPerWave &&
             $"docPart" < (w + 1) * partsPerWave)
           .select($"docId", explode($"postings").as("p"), $"norm", $"pnorm")
@@ -491,22 +524,17 @@ object IndexBuilder {
             // each posting carries ITS field's norm byte
             when($"p.term".startsWith("path:"), $"pnorm").otherwise($"norm")
               .as("norm"))
-          .repartition(cfg.shufflePartitions, $"key", saltCol)
           .sortWithinPartitions($"key", $"docId")
           .as[(Long, Long, Array[Byte], Byte)]
           .mapPartitions { it0 =>
-            // Group consecutive same-(key, salt) runs, encode 128-posting
-            // blocks. A run must break at salt boundaries: salt chunks of a
-            // hot term land in different shuffle partitions, and block
-            // docId-spans must stay DISJOINT across partitions for the
-            // firstDoc-order concatenation (and the WAND cursor's skip
-            // logic) to be valid — the docBase-concat invariant of
-            // codecs/FieldsConsumer.java:90-100. salt is monotone in docId
-            // for one key, so sorting by (key, docId) already groups it;
-            // the encoder recomputes it (hot-set lookup once per run).
+            // Group consecutive same-(key, salt) runs. A run must break at
+            // salt boundaries: salt chunks of a hot term land in different
+            // shuffle partitions, and pre-block docId-spans must stay
+            // inside ONE salt chunk so the exchange (hashed on the salt of
+            // firstDoc) routes the whole block correctly. salt is monotone
+            // in docId for one key, so the (key, docId) sort already
+            // groups it; the encoder recomputes it per row.
             val hot = hotB.value
-            val cache = cacheB.value
-            val pathCache = pathCacheB.value
             new Iterator[BlockRowK] {
               private val buf = it0.buffered
               private var pending: Iterator[BlockRowK] = Iterator.empty
@@ -515,8 +543,6 @@ object IndexBuilder {
                   val key = buf.head._1
                   val isHot = hot.contains(key)
                   val salt = if (isHot) buf.head._2 >> shift else 0L
-                  val fieldCache =
-                    if (TermKeys.isPath(key)) pathCache else cache
                   val run =
                     new scala.collection.mutable.ArrayBuffer[PrePosting]()
                   while (buf.hasNext && buf.head._1 == key &&
@@ -526,12 +552,60 @@ object IndexBuilder {
                   }
                   postAcc.add(run.length)
                   pending = PostingsCodec
-                    .encodePre("", run.iterator, fieldCache)
+                    .encodePre("", run.iterator, null)
+                    .map(b => BlockRowK(key, b.firstDoc, b.lastDoc, b.count,
+                      b.maxTf, b.sumTf, b.maxPartial, b.docBytes, b.nrmBytes,
+                      b.posBytes))
+                }
+              }
+              def hasNext: Boolean = { refill(); pending.hasNext }
+              def next(): BlockRowK = { refill(); pending.next() }
+            }
+          }
+        // ---- ONE exchange, now carrying compressed pre-blocks ----
+        // Hot keys hash on the salt of firstDoc (valid: a pre-block never
+        // spans a salt boundary, see above). Reduce groups consecutive
+        // same-(key, salt) runs and re-encodes them into the CANONICAL
+        // 128-posting block stream — byte-identical to the round-4 output,
+        // so every reader/WAND/CheckIndex invariant is untouched. Map
+        // partitions are file-chunk bin-packs, so two partitions' doc
+        // ranges USUALLY don't interleave (segments files are docId-
+        // sorted): the merge concatenates when spans are disjoint in
+        // firstDoc order and falls back to a decode-merge-sort otherwise.
+        val preSaltCol =
+          if (hotKeySeq.isEmpty) lit(0L)
+          else when($"key".isin(hotKeySeq: _*), shiftright($"firstDoc", shift))
+            .otherwise(0L)
+        val blocks = preBlocks
+          .repartition(cfg.shufflePartitions, $"key", preSaltCol)
+          .sortWithinPartitions($"key", $"firstDoc")
+          .mapPartitions { it0 =>
+            val hot = hotB.value
+            val cache = cacheB.value
+            val pathCache = pathCacheB.value
+            new Iterator[BlockRowK] {
+              private val buf = it0.buffered
+              private var pending: Iterator[BlockRowK] = Iterator.empty
+              private def refill(): Unit = {
+                while (!pending.hasNext && buf.hasNext) {
+                  val key = buf.head.key
+                  val isHot = hot.contains(key)
+                  val salt = if (isHot) buf.head.firstDoc >> shift else 0L
+                  val fieldCache =
+                    if (TermKeys.isPath(key)) pathCache else cache
+                  val run =
+                    new scala.collection.mutable.ArrayBuffer[BlockRowK]()
+                  while (buf.hasNext && buf.head.key == key &&
+                      (!isHot || (buf.head.firstDoc >> shift) == salt)) {
+                    run += buf.next()
+                  }
+                  pending = PostingsCodec
+                    .encode("", IndexBuilder.mergeRuns(run), fieldCache)
                     .map { b =>
                       blockAcc.add(1)
                       BlockRowK(key, b.firstDoc, b.lastDoc, b.count,
-                        b.maxTf, b.sumTf, b.maxPartial, b.docBytes, b.nrmBytes,
-                        b.posBytes)
+                        b.maxTf, b.sumTf, b.maxPartial, b.docBytes,
+                        b.nrmBytes, b.posBytes)
                     }
                 }
               }

@@ -115,6 +115,9 @@ object ScalingBench {
       .config("spark.sql.shuffle.partitions", "256")
       .config("spark.local.dir", s"$shm/spark-local")
       .config("spark.ui.enabled", "false")
+      // shuffle/spill codec: overridable so the bench can A/B lz4 vs zstd
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
