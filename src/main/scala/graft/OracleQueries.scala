@@ -4087,6 +4087,16 @@ object OracleQueries {
          |agg AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id)
          |${rankSel(10)}""".stripMargin,
 
+    // Flexible StandardQueryParser: AND > OR precedence without parens,
+    // NOT scoped to its conjunction -> (spark AND vector) OR
+    // (window AND NOT python)
+    "ft_flexible" ->
+      s"""WITH $tokensCte
+         |SELECT DISTINCT d.doc_id FROM documents d
+         |WHERE (${boolDoc("spark")} AND ${boolDoc("vector")})
+         |   OR (${boolDoc("window")} AND NOT ${boolDoc("python")})
+         |ORDER BY doc_id""".stripMargin,
+
     // PrecedenceQueryParser: (spark AND vector) OR window
     "ft_precedence" ->
       s"""WITH $tokensCte

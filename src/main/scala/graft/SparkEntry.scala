@@ -4762,6 +4762,16 @@ object SparkEntry {
     "ft_precedence" -> ((s, dir) => matchedDocs(s, dir,
       graft.search.PrecedenceParser.parse("spark AND vector OR window"))),
 
+    /** Flexible StandardQueryParser (queryparser/flexible/standard/
+      * StandardQueryParser.java:70): the StandardSyntaxParser grammar
+      * gives AND precedence over OR WITHOUT parentheses and resolves
+      * modifiers per BooleanQuery2ModifierNodeProcessor, so this matches
+      * (spark ∧ vector) ∨ (window ∧ ¬python) — a different match set
+      * from the classic parser's flat `+spark +vector window -python`. */
+    "ft_flexible" -> ((s, dir) => matchedDocs(s, dir,
+      graft.search.StandardParser.parse(
+        "spark AND vector OR window AND NOT python"))),
+
     /** MultiPassIndexSplitter part assignment (misc/.../index/
       * MultiPassIndexSplitter.java:70-100) over the corpus in BOTH modes:
       * seq (ordinal ranges, last part absorbs the remainder) and

@@ -45,11 +45,16 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: one groupBy per (bucket keys) computes every
   * counter-style stat map-side-combined; median/percentile use a
-  * distributed rank selection — a (bucket, value) histogram (bounded by
-  * the value vocabulary, not the row count), a per-bucket cumulative
-  * window over DISTINCT values only, and an equi-join of the O(#buckets
-  * x #wanted-stats) rank targets against the [lo,hi] rank runs. No
-  * per-bucket list is ever materialized.
+  * distributed rank selection — a (bucket, value) histogram, cumulative
+  * counts to [lo,hi] rank runs, and an equi-join of the O(#buckets x
+  * #wanted-stats) rank targets against the run holding each rank. For
+  * NUMERIC sources the selection is two-phase so a continuous source
+  * (distinct ~ n) never funnels a whole bucket through one window task:
+  * a coarse per-(bucket, 16-bit monotone value-range) histogram locates
+  * the range holding each wanted rank (cumulative window over <= 65536
+  * rows per bucket), then the exact pass runs over only the located
+  * ranges, partitioned by (bucket, range). No per-bucket list is ever
+  * materialized.
   */
 object Analytics {
 
@@ -276,17 +281,37 @@ object Analytics {
     g
   }
 
+  /** Monotone 16-bit range id of a double: the IEEE-754 total-order bit
+    * trick (flip all bits for negatives, flip the sign bit for
+    * positives), top 16 bits. Data-independent, order-preserving and
+    * exponent-aware, so skewed/heavy-tailed continuous sources still
+    * split into many ranges (a linear [min,max] binning would collapse
+    * under one outlier). Runs only on DISTINCT-value histogram rows. */
+  private val rangeOf16 = udf { (d: Double) =>
+    val bits = java.lang.Double.doubleToLongBits(d)
+    val key = if (bits < 0) ~bits else bits ^ Long.MinValue
+    (key >>> 48).toInt
+  }
+
   /** Rank-selected order stats for one source: a (bucket, value)
-    * histogram, per-bucket cumulative counts over distinct values, and a
-    * join of the wanted ranks against each value's [lo, hi] rank run. */
+    * histogram, cumulative counts to [lo, hi] rank runs, and a join of
+    * the wanted ranks against the run holding each rank.
+    *
+    * Numeric sources use a TWO-PHASE selection so no window partition
+    * ever holds a whole bucket's distinct set (a continuous double
+    * source has ~n distinct values — a single per-bucket window would be
+    * the classic single-task scale-killer): phase 1 aggregates per
+    * (bucket, 16-bit monotone value range) counts — the per-bucket
+    * cumulative window runs over <= 65536 range rows — and locates the
+    * range holding each wanted rank; phase 2 re-runs the exact
+    * cumulative count over ONLY the located ranges' values, partitioned
+    * by (bucket, range). Non-numeric sources keep the single-phase path
+    * (their histogram is bounded by the string vocabulary). */
   private def rankSelect(base: DataFrame, bNames: Seq[String], vCol: String,
                          s: Source): DataFrame = {
     val v = col(vCol)
     val hist = base.where(v.isNotNull)
       .groupBy((bNames :+ vCol).map(col): _*).agg(count(lit(1)).as("__c"))
-    val w = Window.partitionBy(bNames.map(col): _*).orderBy(v)
-    val cum = hist.withColumn("__hi", sum("__c").over(w))
-      .withColumn("__lo", col("__hi") - col("__c") + 1)
     // n re-derives from the histogram (sum of per-value counts) — no
     // second scan of the base relation
     val n = hist.groupBy(bNames.map(col): _*).agg(sum("__c").as("__n"))
@@ -313,14 +338,53 @@ object Analytics {
         col("__tr.rank").as("__rank"): _*)
     // rename the histogram side's bucket columns so the self-lineage
     // join resolves unambiguously
-    val cumR = bNames.zipWithIndex.foldLeft(cum) { case (d, (b, i)) =>
-      d.withColumnRenamed(b, s"__b$i")
-    }
-    val joined = ranks.join(cumR,
-      bNames.zipWithIndex.map { case (b, i) => col(b) === col(s"__b$i") }
-        .reduce(_ && _) &&
-        col("__rank").between(col("__lo"), col("__hi")))
-      .select(bNames.map(col) :+ col("__tag") :+ v.as("__v"): _*)
+    def renamed(df: DataFrame): DataFrame =
+      bNames.zipWithIndex.foldLeft(df) { case (d, (b, i)) =>
+        d.withColumnRenamed(b, s"__b$i")
+      }
+    val bEq = bNames.zipWithIndex.map { case (b, i) => col(b) === col(s"__b$i") }
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val joined =
+      if (!s.numeric) {
+        // string vocabulary bounds the histogram: single-phase is safe
+        val w = Window.partitionBy(bNames.map(col): _*).orderBy(v)
+        val cum = hist.withColumn("__hi", sum("__c").over(w))
+          .withColumn("__lo", col("__hi") - col("__c") + 1)
+        ranks.join(renamed(cum),
+          bEq && col("__rank").between(col("__lo"), col("__hi")))
+          .select(bNames.map(col) :+ col("__tag") :+ v.as("__v"): _*)
+      } else {
+        // phase 1: coarse range histogram (<= 65536 rows per bucket in
+        // the cumulative window, whatever the source cardinality), then
+        // locate the range holding each wanted rank
+        val histR = hist.withColumn("__r", rangeOf16(v.cast("double")))
+        val rc = histR.groupBy((bNames :+ "__r").map(col): _*)
+          .agg(sum("__c").as("__rc"))
+        val wr = Window.partitionBy(bNames.map(col): _*).orderBy(col("__r"))
+        val rcum = rc.withColumn("__rhi", sum("__rc").over(wr))
+          .withColumn("__rlo", col("__rhi") - col("__rc") + 1)
+        val located = ranks.join(renamed(rcum),
+          bEq && col("__rank").between(col("__rlo"), col("__rhi")))
+          .select(bNames.map(col) :+ col("__tag") :+ col("__rank") :+
+            col("__r") :+ col("__rlo"): _*)
+        // phase 2: exact cumulative ranks over ONLY the located ranges'
+        // values; the located-range list is tiny (<= #buckets x #wanted
+        // stats rows), so it broadcasts into the narrowing join
+        val wanted = broadcast(
+          renamed(located.select(bNames.map(col) :+ col("__r") :+
+            col("__rlo"): _*)).withColumnRenamed("__r", "__wr").distinct())
+        val nar = histR.join(wanted, bEq && col("__r") === col("__wr"))
+        val w2 = Window.partitionBy((bNames :+ "__r").map(col): _*).orderBy(v)
+        val cum2 = nar
+          .withColumn("__hi", col("__rlo") - 1 + sum("__c").over(w2))
+          .withColumn("__lo", col("__hi") - col("__c") + 1)
+        val cum2R = renamed(cum2.select(bNames.map(col) :+
+          col("__r").as("__cr") :+ v :+ col("__lo") :+ col("__hi"): _*))
+        located.join(cum2R,
+          bEq && col("__r") === col("__cr") &&
+            col("__rank").between(col("__lo"), col("__hi")))
+          .select(bNames.map(col) :+ col("__tag") :+ v.as("__v"): _*)
+      }
     val tagAggs =
       (if (s.medianWanted)
         Seq((sum(when(col("__tag") === "m1", col("__v").cast("double")))

@@ -248,6 +248,12 @@ object QueryParser {
     out.result()
   }
 
+  /** The classic clause lowering, shared with the flexible
+    * StandardParser (whose leaf-token grammar is the same). */
+  private[search] def lowerClause(body0: String,
+                                  stop: Set[String]): Option[Query] =
+    parseClause(body0, stop)
+
   private def parseClause(body0: String, stop: Set[String],
                           synonyms: Map[String, Seq[String]] = Map.empty,
                           foldAscii: Boolean = false): Option[Query] = {

@@ -104,6 +104,37 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("high-cardinality continuous source: two-phase selection is exact") {
+    // ~20k DISTINCT doubles per bucket (heavy-tailed: exponentiated
+    // gaussians spanning many exponents) — the case where a single
+    // per-bucket cumulative window would hold the whole distinct set and
+    // where a linear [min,max] binning would collapse; the 16-bit
+    // IEEE-range phase-1 must still locate every rank exactly.
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 40000).map { i =>
+      val bucket = "b" + (i % 2)
+      val v = math.exp(rnd.nextGaussian() * 8) *
+        (if (rnd.nextBoolean()) 1 else -1)
+      (i.toLong, bucket, v)
+    }
+    import spark.implicits._
+    val df = rows.toDF("id", "bucket", "v").repartition(8)
+    val out = Analytics.statsFrame(df, Seq("bucket" -> col("bucket")),
+      Seq(Source("v", col("v"), numeric = true, medianWanted = true,
+        percentiles = Seq("01" -> 0.01, "50" -> 0.5, "999" -> 0.999))))
+      .collect().map(r => r.getAs[String]("bucket") -> r).toMap
+    for (b <- Seq("b0", "b1")) {
+      val xs = rows.filter(_._2 == b).map(_._3)
+      assert(xs.distinct.length > 19000) // genuinely continuous
+      val r = out(b)
+      assert(math.abs(r.getAs[Double](statCol("v", "median")) -
+        refMedian(xs)) < 1e-9, s"median $b")
+      for (p <- Seq("01" -> 0.01, "50" -> 0.5, "999" -> 0.999))
+        assert(r.getAs[Double](statCol("v", s"percentile_${p._1}")) ===
+          refPctl(xs, p._2).get, s"pct ${p._1} $b")
+    }
+  }
+
   test("median/percentile edge cases: empty, single, duplicate-heavy") {
     import spark.implicits._
     // single value: median = the value; stddev = 0 (count<=1)
