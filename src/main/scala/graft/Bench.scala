@@ -55,7 +55,16 @@ object Bench {
       },
       "dedup_minhash_build" -> timed("dedup_minhash_build")(
         SparkEntry.minhashPairs(spark, sfDir).count()))
-    val results = builds.toMap ++
+    // tiered vs full compaction: the fixture (base + 12 appends) is
+    // timed once; partial/full merge costs are reported as entries so
+    // the round report shows partial << full
+    val tiered: Map[String, Double] = {
+      timed("ft_tiered_fixture")(SparkEntry.tieredCompactTimes(spark, sfDir))
+      try SparkEntry.tieredCompactTimes(spark, sfDir) match {
+        case (p, f) => Map("ft_tiered_partial" -> p, "ft_tiered_full" -> f)
+      } catch { case _: Throwable => Map.empty } // error already in ledger
+    }
+    val results = builds.toMap ++ tiered ++
       SparkEntry.queries.map { case (name, fn) =>
         name -> timed(name)(fn(spark, sfDir).count())
       }

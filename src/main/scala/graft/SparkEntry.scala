@@ -306,6 +306,47 @@ object SparkEntry {
         IndexReader(spark, cdir, cfg))
     })
 
+  private val tierTimes =
+    new scala.collection.concurrent.TrieMap[String, (Double, Double)]
+
+  /** Tiered-compaction cost fixture (TieredMergePolicy posture, reference
+    * index/TieredMergePolicy.java:75-86): a quarter-corpus base + 12
+    * small NRT appends, then ONE partial compactTiered — merges only the
+    * overfull small tier, base untouched — timed against a FULL
+    * compact() rewrite of the same collection. Returns
+    * (partialSec, fullSec); the bench emits both as ft_tiered_partial /
+    * ft_tiered_full so the report shows partial-merge cost << full
+    * rewrite. */
+  def tieredCompactTimes(spark: SparkSession, sfDir: String): (Double, Double) =
+    tierTimes.getOrElseUpdate(sfDir, {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      // big cold base, tiny hot tier: partial cost must track the MERGED
+      // TIER's size while the full rewrite tracks the whole collection
+      val base = docs.where(col("doc_id") % 2 === 0)
+      val maxId = maxDocId(spark, sfDir)
+      val baseParts = (maxId / DocsPerPart + 1).toInt
+      val cfg = ftConfig(baseParts + 12)
+      val dir = java.nio.file.Files.createTempDirectory("graft-tier").toString
+      IndexBuilder.build(spark, docsAsInput(base), dir, cfg)
+      (0 until 12).foreach { k =>
+        val slice = docs.where(col("doc_id") % 2048 === k * 4 + 1)
+        val in = docsAsInput(slice)
+          .withColumn("docPart", lit(baseParts + k))
+        IndexBuilder.append(spark, in, dir,
+          IndexBuilder.nextDeltaId(dir), cfg)
+      }
+      def sec(body: => Any): Double = {
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      val tPartial = sec {
+        require(IndexBuilder.compactTiered(spark, dir, cfg).isDefined,
+          "tiered fixture must trigger a merge")
+      }
+      val cdir = java.nio.file.Files.createTempDirectory("graft-tierc").toString
+      val tFull = sec(IndexBuilder.compact(spark, dir, cdir, cfg))
+      (tPartial, tFull)
+    })
+
   private val revReaders = new scala.collection.concurrent.TrieMap[String, IndexReader]
 
   /** Same corpus with the reversed-token "rev:" field indexed — the

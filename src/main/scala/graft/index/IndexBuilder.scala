@@ -800,7 +800,8 @@ object IndexBuilder {
         Seq("repo", "path"), "left_semi")
       .select(col("docId"))
     deleteDocsLocked(spark, baseDir, old)
-    append(spark, input, baseDir, subIndexDirs(baseDir).size, cfg)
+    // max-id+1, not count: tiered compaction leaves numbering holes
+    append(spark, input, baseDir, nextDeltaId(baseDir), cfg)
   }
 
   /** Optimistic-concurrency update (Solr _version_ semantics,
@@ -982,11 +983,116 @@ object IndexBuilder {
 
   /** Sub-index directories of `baseDir` in append order. */
   def subIndexDirs(baseDir: String): Seq[String] = {
-    val deltas = Option(new java.io.File(baseDir).listFiles()).toSeq.flatten
+    val all = Option(new java.io.File(baseDir).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("delta_"))
       .sortBy(f => f.getName.stripPrefix("delta_").toLong)
+    // Tiered-compaction visibility pivot: a merged delta that has
+    // COMMITTED (its "done" marker exists) hides the source deltas it
+    // replaced (replaces.txt, one dir name per line). The done marker is
+    // the single atomic switch: before it the sources serve and the
+    // half-built merge is invisible; after it the merge serves and the
+    // sources are dead files awaiting cleanup — no crash point shows
+    // duplicate or missing docs. Hidden dirs still contribute their OWN
+    // replaces lists (a crash may leave a replaced-but-not-yet-deleted
+    // dir that itself replaced others).
+    val replaced: Set[String] = all.flatMap { f =>
+      val rj = f.toPath.resolve("replaces.txt")
+      if (Files.exists(rj) && stageDone(f.getAbsolutePath, "done"))
+        Files.readAllLines(rj).toArray(Array.empty[String]).toSeq
+          .map(_.trim).filter(_.nonEmpty)
+      else Nil
+    }.toSet
+    val deltas = all.filterNot(f => replaced.contains(f.getName))
       .map(_.getAbsolutePath)
     baseDir +: deltas
+  }
+
+  /** Next free delta id: max over ALL delta_* names on disk (including
+    * replaced-but-not-yet-cleaned ones) + 1 — a size-based id would
+    * collide after a tiered compaction leaves holes in the numbering. */
+  def nextDeltaId(baseDir: String): Long = {
+    val ids = Option(new java.io.File(baseDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("delta_"))
+      .map(_.getName.stripPrefix("delta_").toLong)
+    if (ids.isEmpty) 0L else ids.max + 1L
+  }
+
+  /** Tiered incremental compaction (reference
+    * index/TieredMergePolicy.java:75-86: segsPerTier / maxMergeAtOnce /
+    * floorSegmentBytes, sizes tiered on a log scale): merge ONLY when
+    * some tier holds more than `segsPerTier` delta sub-indexes, and then
+    * only that tier's smallest `maxMergeAtOnce` members — the base index
+    * and every other delta stay byte-untouched (cold). The merged result
+    * commits as a new delta whose replaces.txt + done marker atomically
+    * hide the sources (see [[subIndexDirs]]); tombstones covering merged
+    * docs are purged from the merged data exactly like [[compact]] (the
+    * tombstone FILES stay — they no-op once their docs are gone and a
+    * full compact clears them). Returns the merged dir, or None when no
+    * tier exceeds the threshold (the common steady-state call is free:
+    * one directory listing + one tiny collstats read per delta). */
+  def compactTiered(spark: SparkSession, baseDir: String, cfg: IndexConfig,
+                    segsPerTier: Int = 10, maxMergeAtOnce: Int = 10,
+                    floorDocs: Long = 4096L): Option[String] =
+    withWriteLock(baseDir) {
+      import spark.implicits._
+      val deltas = subIndexDirs(baseDir).drop(1) // base is always cold
+      val group: Option[Seq[String]] =
+        if (deltas.size <= segsPerTier) None
+        else {
+          // sizes come from the collstats lineage MARKER (a driver-side
+          // file read, the segments_N posture) — a Spark job per delta
+          // would make the steady-state no-op call cost 1 job per
+          // sub-index
+          val MaxDoc = """"maxDoc":\s*(\d+)""".r.unanchored
+          val sized = deltas.map { d =>
+            d -> (Files.readString(markerPath(d, "collstats")) match {
+              case MaxDoc(n) => n.toLong
+              case _ => spark.read.parquet(s"$d/collstats").as[CollStats]
+                .head().maxDoc
+            })
+          }
+          val byTier = sized.groupBy { case (_, n) =>
+            math.floor(math.log10(math.max(n, floorDocs).toDouble)).toInt
+          }
+          byTier.toSeq.sortBy(_._1).collectFirst {
+            case (_, members) if members.size > segsPerTier =>
+              members.sortBy { case (d, n) => (n, d) }
+                .take(maxMergeAtOnce).map(_._1)
+          }
+        }
+      group.map { srcs =>
+        val out = s"$baseDir/delta_${nextDeltaId(baseDir)}"
+        val segs = srcs.map(d => spark.read.parquet(s"$d/segments"))
+          .reduce(_ unionByName _)
+        // tombstones from EVERY sub-index apply (deleteDocs writes to the
+        // base dir, but a delta dir may carry its own)
+        val dels = subIndexDirs(baseDir)
+          .filter(d => Files.exists(Paths.get(d, "deletes")))
+          .map(d => spark.read.parquet(s"$d/deletes")
+            .select(org.apache.spark.sql.functions.col("docId")))
+        val live =
+          if (dels.isEmpty) segs
+          else segs.join(dels.reduce(_ union _), Seq("docId"), "left_anti")
+        live.write.mode("overwrite").option("compression", "zstd")
+          .parquet(s"$out/segments")
+        writeMarker(out, "segments", Map())
+        // replaces.txt BEFORE build(): build's final "done" marker is the
+        // atomic visibility switch for both the merge and the hiding
+        Files.writeString(Paths.get(out, "replaces.txt"),
+          srcs.map(d => Paths.get(d).getFileName.toString).mkString("\n"))
+        build(spark, spark.emptyDataFrame, out, cfg)
+        // sources are invisible now — cleanup is safe and best-effort
+        // (a crash here just leaves dead files for the next call)
+        srcs.foreach(d => deleteRecursively(Paths.get(d)))
+        out
+      }
+    }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p))
+      Option(p.toFile.listFiles()).toSeq.flatten
+        .foreach(f => deleteRecursively(f.toPath))
+    Files.deleteIfExists(p)
   }
 
 }

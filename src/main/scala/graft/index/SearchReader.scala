@@ -195,8 +195,43 @@ final class MultiIndexReader(val readers: Seq[IndexReader]) extends SearchReader
         .collect().toSeq, limit)
   }
 
-  def blocks(terms: Seq[String]): Dataset[BlockRow] =
-    readers.map(_.blocks(terms)).reduce(_ union _)
+  /** Per-(sub-index, field) WAND-bound correction. A block's stored
+    * maxPartial = max tf/(tf + cacheSub[norm]) was computed at BUILD time
+    * with the sub-index's own norm cache, but a multi-reader query scores
+    * with the GLOBAL cache — if the sub's avgdl exceeds the union's,
+    * cacheGlobal[n] < cacheSub[n] and the stored bound UNDERestimates the
+    * true partial: block-max pruning would drop rank-winning docs
+    * (caught by IndexMaintenanceSpec's tiered case). Since for tf,a,b > 0
+    * (tf+a)/(tf+b) <= max(1, a/b), scaling by
+    * f = max_n max(1, cacheSub[n]/cacheGlobal[n]) restores a sound bound:
+    * tf/(tf+cg[n]) <= [tf/(tf+cs[n])] * f. nextUp guards float rounding. */
+  private lazy val boundScale: Seq[(Float, Float)] = readers.map { r =>
+    def f(sub: Array[Float], glob: Array[Float]): Float = {
+      var m = 1.0
+      var i = 0
+      while (i < sub.length) {
+        val q = sub(i).toDouble / glob(i).toDouble
+        if (q > m) m = q
+        i += 1
+      }
+      if (m == 1.0) 1f else Math.nextUp(Math.nextUp(m).toFloat)
+    }
+    (f(r.normCache, normCache),
+      f(r.normCacheFor("path"), normCacheFor("path")))
+  }
+
+  def blocks(terms: Seq[String]): Dataset[BlockRow] = {
+    import org.apache.spark.sql.functions.{col, least, lit, when}
+    import spark.implicits._
+    readers.zip(boundScale).map { case (r, (fc, fp)) =>
+      val b = r.blocks(terms)
+      if (fc == 1f && fp == 1f) b
+      else b.withColumn("maxPartial", least(lit(1f),
+          col("maxPartial") *
+            when(col("term").startsWith("path:"), lit(fp)).otherwise(lit(fc))))
+        .as[BlockRow]
+    }.reduce(_ union _)
+  }
 
   def docmeta: Dataset[DocMeta] =
     readers.map(_.docmeta).reduce(_ union _)

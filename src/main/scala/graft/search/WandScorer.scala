@@ -88,7 +88,8 @@ final class WandScorer(reader: SearchReader) {
           val loDoc = (chunk.toLong * ppc) << Ids.DocIdShift
           val hiDoc = ((chunk + 1).toLong * ppc) << Ids.DocIdShift
           val cursors = (0 until wvs.length).flatMap { i =>
-            val blocks = byTerm(i).sortBy(_.firstDoc).toArray
+            val blocks = WandScorer.disjointBlocks(
+              byTerm(i).sortBy(_.firstDoc).toArray, caches(i))
             if (blocks.isEmpty) None
             else Some(new WandScorer.Cursor(i, wvs(i), blocks, loDoc, hiDoc,
               caches(i)))
@@ -127,6 +128,55 @@ object WandScorer {
     * bounded by the chunk-count cap. */
   def chunksOf(firstDoc: Long, lastDoc: Long, ppc: Int): Iterator[Int] =
     (Ids.docPart(firstDoc) / ppc to Ids.docPart(lastDoc) / ppc).iterator
+
+  /** The Cursor walks one term's blocks SEQUENTIALLY, which requires
+    * their docId spans to be disjoint. A MultiIndexReader after a TIERED
+    * compaction can violate that: the merged sub-index's 128-posting
+    * blocks pack across the docPart holes left by cold deltas, so a
+    * merged block's span can overlap a cold delta's block (the cursor
+    * would then walk past the cold block's docs without visiting them —
+    * caught by IndexMaintenanceSpec's tiered case). Here overlapping
+    * clusters are decoded, merge-sorted by docId, and re-encoded into
+    * proper disjoint blocks, chunk-locally and only for the clusters
+    * that actually overlap (the common all-disjoint case returns the
+    * input array untouched). Bounds are recomputed with the QUERY-side
+    * cache, so they dominate the scores this query computes. */
+  private[search] def disjointBlocks(sorted: Array[BlockRow],
+                                     cache: Array[Float]): Array[BlockRow] = {
+    if (sorted.length < 2) return sorted
+    var overlap = false
+    var i = 1
+    while (!overlap && i < sorted.length) {
+      if (sorted(i - 1).lastDoc >= sorted(i).firstDoc) overlap = true
+      i += 1
+    }
+    if (!overlap) return sorted
+    val out = scala.collection.mutable.ArrayBuffer[BlockRow]()
+    val cluster = scala.collection.mutable.ArrayBuffer[BlockRow]()
+    var clusterEnd = Long.MinValue
+    def flush(): Unit = {
+      if (cluster.length == 1) out += cluster.head
+      else if (cluster.nonEmpty) {
+        val b0 = cluster.head
+        val merged = cluster.toArray.flatMap(b =>
+          PostingsCodec.decode(PostingBlock(b.term, b.firstDoc, b.lastDoc,
+            b.count, b.maxTf, b.sumTf, b.maxPartial, b.docBytes, b.nrmBytes,
+            b.posBytes))).sortBy(_.docId)
+        out ++= PostingsCodec.encode(b0.term, merged.iterator, cache)
+          .map(b => BlockRow(b0.bucket, b.term, b.firstDoc, b.lastDoc,
+            b.count, b.maxTf, b.sumTf, b.maxPartial, b.docBytes, b.nrmBytes,
+            b.posBytes))
+      }
+      cluster.clear()
+    }
+    sorted.foreach { b =>
+      if (cluster.nonEmpty && b.firstDoc > clusterEnd) flush()
+      cluster += b
+      if (b.lastDoc > clusterEnd) clusterEnd = b.lastDoc
+    }
+    flush()
+    out.toArray
+  }
 
   /** One term's postings iterator over (chunk-restricted) blocks with
     * metadata-level skipping. */

@@ -293,6 +293,73 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       new JoinScorer(rAfter).topK(q, 20).as[(Long, Float)].collect().toSeq)
   }
 
+  test("tiered compaction: merges only the overfull tier, cold segments " +
+    "byte-identical, results unchanged (TieredMergePolicy analog)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = SparkSuite.tmpDir("graft-tier")
+    build(dir)
+    val cfgT = cfg.copy(numDocParts = cfg.numDocParts + 12)
+    // 12 small appends, one fresh docPart each (NRT micro-batches)
+    (0 until 12).foreach { k =>
+      val in = CorpusGen.generate(spark, 40, seed = 100L + k).toDF()
+        .withColumn("docPart", lit(cfg.numDocParts + k))
+      IndexBuilder.append(spark, in, dir, IndexBuilder.nextDeltaId(dir), cfgT)
+    }
+    assert(IndexBuilder.subIndexDirs(dir).size == 13)
+
+    def fileHashes(roots: Seq[Path]): Map[String, String] = {
+      def walk(p: Path): Seq[Path] =
+        if (Files.isDirectory(p))
+          Option(p.toFile.listFiles()).toSeq.flatten.map(_.toPath).flatMap(walk)
+        else Seq(p)
+      roots.flatMap(walk).map { f =>
+        f.toString -> IndexBuilder.sha256Hex(
+          java.util.Base64.getEncoder.encodeToString(Files.readAllBytes(f)))
+      }.toMap
+    }
+    // sizes tie -> lexicographic dir order: delta_8 and delta_9 stay cold
+    val coldRoots = Seq(Paths.get(dir, "segments"), Paths.get(dir, "postings"),
+      Paths.get(dir, "delta_8"), Paths.get(dir, "delta_9"))
+    val coldBefore = fileHashes(coldRoots)
+
+    val q = BoolQ(Seq((Occur.Should, TermQ("import")),
+      (Occur.Should, TermQ("spark"))))
+    val rBefore = MultiIndexReader.open(spark, dir, cfg.numBuckets,
+      cacheData = false)
+    val before = new JoinScorer(rBefore).topK(q, 20)
+      .as[(Long, Float)].collect().toSeq
+
+    val merged = IndexBuilder.compactTiered(spark, dir, cfgT)
+    assert(merged.isDefined, "12 same-tier deltas > segsPerTier=10 must merge")
+    // 12 deltas -> merge the 10 smallest -> base + 2 cold + 1 merged
+    val visible = IndexBuilder.subIndexDirs(dir)
+    assert(visible.size == 4, visible.mkString(","))
+    assert(visible.exists(_.endsWith("delta_8")) &&
+      visible.exists(_.endsWith("delta_9")))
+    // cold files untouched, byte for byte
+    assert(fileHashes(coldRoots) == coldBefore)
+    // merged sources physically gone
+    assert(!Files.exists(Paths.get(dir, "delta_0")))
+    // identical results (no deletes involved -> scores float-identical)
+    val rAfter = MultiIndexReader.open(spark, dir, cfg.numBuckets,
+      cacheData = false)
+    assert(new JoinScorer(rAfter).topK(q, 20)
+      .as[(Long, Float)].collect().toSeq == before)
+    // WAND agrees — this exercises BOTH multi-reader WAND soundness
+    // fixes: the per-sub maxPartial bound rescale (SearchReader
+    // .boundScale) and the overlapping-block merge (WandScorer
+    // .disjointBlocks) that tiered merges make necessary
+    assert(new WandScorer(rAfter).topK(Seq("import", "spark"), 20)
+      .as[(Long, Float)].collect().toSeq == before)
+    CheckIndex.run(new IndexReader(spark, merged.get, cfg.numBuckets,
+      cacheData = false)).collect()
+      .foreach(c => assert(c.violations == 0L, s"merged check ${c.check}"))
+    // steady state: nothing over threshold -> free no-op
+    assert(IndexBuilder.compactTiered(spark, dir, cfgT).isEmpty)
+    // id allocation skips the numbering hole left by the merge
+    assert(IndexBuilder.nextDeltaId(dir) == 13L)
+  }
+
   test("optimistic concurrency: matching expectCommit applies, stale or " +
     "unknown keys are rejected as conflicts") {
     import org.apache.spark.sql.functions.{col, hash, lit, md5, pmod, regexp_replace}
