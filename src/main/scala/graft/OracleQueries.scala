@@ -4657,6 +4657,38 @@ object OracleQueries {
          |WHERE ((d.doc_id % 1000000007) * 2654435761) % 1000000 < ppm.ppm
          |ORDER BY d.doc_id""".stripMargin,
 
+    // Solr schema.xml binding: title_t copies to title_txt (glob
+    // remainder subst) and, truncated to 30 chars, into the multiValued
+    // catch-all together with the *_s fields (column order)
+    "solr_schema" ->
+      s"""SELECT doc_id AS id,
+         |  substr(text, 1, 80) AS title_txt,
+         |  concat_ws('|', substr(text, 1, 30), lang, source) AS catchall
+         |FROM documents ORDER BY id""".stripMargin,
+
+    // DIH delta import: full import = latest event per user at or before
+    // last_index_time (max ts - 7 days); delta rows (newer) replace full
+    // rows by key; new keys append. Mirrors the engine's tombstone+delta
+    // merged view.
+    "dih_delta" ->
+      s"""WITH cut AS (SELECT max(ts) - INTERVAL 7 DAY AS c FROM events),
+         |f AS (SELECT user_id, event_id FROM (
+         |  SELECT user_id, event_id, row_number() OVER (
+         |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events, cut WHERE ts <= c) WHERE rn = 1),
+         |d AS (SELECT user_id, event_id FROM (
+         |  SELECT user_id, event_id, row_number() OVER (
+         |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events, cut WHERE ts > c) WHERE rn = 1)
+         |SELECT
+         |  lpad(CAST(COALESCE(d.user_id, f.user_id) AS VARCHAR), 9, '0')
+         |    AS user_key,
+         |  CAST(COALESCE(d.event_id, f.event_id) AS BIGINT) AS event_id,
+         |  CASE WHEN d.user_id IS NOT NULL THEN 'delta' ELSE 'full' END
+         |    AS src
+         |FROM f FULL OUTER JOIN d ON f.user_id = d.user_id
+         |ORDER BY user_key""".stripMargin,
+
     // DIH nested entities: child rows append multi-valued fields to the
     // parent in child iteration order (ordered by l_linenumber). The child
     // list is serialized to a CSV string: the driver's pandas comparator

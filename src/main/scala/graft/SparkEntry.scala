@@ -306,6 +306,11 @@ object SparkEntry {
         IndexReader(spark, cdir, cfg))
     })
 
+  /** Memoized dih_delta result frame (the query builds a real index +
+    * delta on first call; later calls reuse the session's plan). */
+  private val dihDeltaFrames =
+    new scala.collection.concurrent.TrieMap[String, DataFrame]
+
   private val tierTimes =
     new scala.collection.concurrent.TrieMap[String, (Double, Double)]
 
@@ -5646,6 +5651,110 @@ object SparkEntry {
       * parent document as multi-valued columns in child iteration order
       * (DocBuilder.buildDocument). The cached variant IS a hash join —
       * here one keyed aggregation + join, never a per-parent re-scan. */
+    /** Solr schema.xml dynamicField/copyField binding (reference
+      * schema/IndexSchema.java:999-1160): documents columns renamed to
+      * Solr field names resolve through dynamic patterns; the copyField
+      * rules materialize the catch-all — a glob copy with remainder
+      * substitution (*_t -> *_txt), an explicit copy with maxChars
+      * truncation, and dynamic-source copies into the multiValued
+      * catch-all, in getCopyFieldsList-then-column order. Arrays are
+      * serialized (comparator needs atomic columns). */
+    "solr_schema" -> ((s, dir) => {
+      import graft.sources.SolrSchema
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val in = docs.select(
+        col("doc_id").cast("string").as("id"),
+        substring(col("text"), 1, 80).as("title_t"),
+        col("lang").as("lang_s"),
+        col("source").as("source_s"))
+      val schema = SolrSchema.parse(
+        """<schema name="graft" version="1.5">
+          |  <types>
+          |    <fieldType name="string" class="solr.StrField"/>
+          |    <fieldType name="text_general" class="solr.TextField"/>
+          |  </types>
+          |  <fields>
+          |    <field name="id" type="string"/>
+          |    <field name="text" type="text_general" multiValued="true"
+          |           stored="false"/>
+          |    <dynamicField name="*_t" type="text_general"/>
+          |    <dynamicField name="*_txt" type="text_general"
+          |                  multiValued="true"/>
+          |    <dynamicField name="*_s" type="string"/>
+          |  </fields>
+          |  <copyField source="*_t" dest="*_txt"/>
+          |  <copyField source="title_t" dest="text" maxChars="30"/>
+          |  <copyField source="*_s" dest="text"/>
+          |</schema>""".stripMargin)
+      schema.bind(in)
+        .select(col("id").cast("long").as("id"),
+          array_join(col("title_txt"), "|").as("title_txt"),
+          array_join(col("text"), "|").as("catchall"))
+        .orderBy("id")
+    }),
+
+    /** DIH delta import (reference DocBuilder.java delta flow:
+      * deltaQuery finds keys whose last_modified > last_index_time,
+      * deltaImportQuery re-imports those rows through the transformer
+      * chain into the EXISTING index; new versions replace old by PK).
+      * Here: full import = latest event per user_id at or before
+      * last_index_time (max ts - 7 days), built as a real index; delta =
+      * later rows, routed through a TemplateTransformer and applied with
+      * updateDocs (tombstone-by-key + delta sub-index — the resumable
+      * build machinery). Output = the LIVE doc per key from the merged
+      * MultiIndexReader view, tagged with which import produced it. */
+    "dih_delta" -> ((s, dir) => dihDeltaFrames.getOrElseUpdate(dir, {
+      import graft.operators.DataImport
+      import graft.operators.DataImport.Field
+      import org.apache.spark.sql.types.{LongType, StringType}
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      // .get, not .getTimestamp: the column may read back as
+      // TimestampNTZ (LocalDateTime); lit() handles either
+      val cut = ev.agg((max(col("ts")) - expr("INTERVAL 7 DAYS")).as("c"))
+        .head().get(0)
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      def latest(df: DataFrame): DataFrame =
+        df.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1).drop("rn")
+      // the transformer chain (TemplateTransformer) builds the doc body
+      def throughChain(df: DataFrame): DataFrame =
+        DataImport.transform(
+          df.select(col("user_id"), col("event_id"), col("event_type"),
+            col("props")),
+          Seq(Field("content", template = Some("${e.event_type} ${e.props}"))),
+          Seq("TemplateTransformer"),
+          out = Seq(("user_id", LongType), ("event_id", LongType),
+            ("content", StringType)))
+      val maxUid = ev.agg(max(col("user_id"))).head().getLong(0)
+      val baseParts = (maxUid / DocsPerPart + 1).toInt
+      def asInput(df: DataFrame, off: Int): DataFrame =
+        throughChain(df).select(
+          (lit(off) + (col("user_id") / DocsPerPart)).cast("int")
+            .as("docPart"),
+          lit("events").as("repo"),
+          lpad(col("user_id").cast("string"), 9, "0").as("path"),
+          col("event_id").cast("string").as("commit"),
+          lit("en").as("lang"),
+          col("content"))
+      val cfg = ftConfig(2 * baseParts)
+      val ixDir = java.nio.file.Files.createTempDirectory("graft-dihd")
+        .toString
+      IndexBuilder.build(s, asInput(latest(ev.where(col("ts") <= lit(cut))),
+        0), ixDir, cfg)
+      IndexBuilder.updateDocs(s,
+        ixDir, asInput(latest(ev.where(col("ts") > lit(cut))), baseParts),
+        cfg)
+      val r = MultiIndexReader.open(s, ixDir, cfg.numBuckets,
+        cacheData = false)
+      r.liveOnly(r.docmeta.toDF())
+        .select(col("path").as("user_key"),
+          col("commit").cast("long").as("event_id"),
+          when(shiftright(col("docId"), 40) >= baseParts, "delta")
+            .otherwise("full").as("src"))
+        .orderBy("user_key")
+    })),
+
     "dih_nested" -> ((s, dir) => {
       val ord = s.read.parquet(s"$dir/orders.parquet")
         .where(col("o_orderkey") % 13 === 0)
