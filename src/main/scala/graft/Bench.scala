@@ -59,10 +59,12 @@ object Bench {
     // timed once; partial/full merge costs are reported as entries so
     // the round report shows partial << full
     val tiered: Map[String, Double] = {
-      timed("ft_tiered_fixture")(SparkEntry.tieredCompactTimes(spark, sfDir))
-      try SparkEntry.tieredCompactTimes(spark, sfDir) match {
-        case (p, f) => Map("ft_tiered_partial" -> p, "ft_tiered_full" -> f)
-      } catch { case _: Throwable => Map.empty } // error already in ledger
+      val fixtureSec =
+        timed("ft_tiered_fixture")(SparkEntry.tieredCompactTimes(spark, sfDir))
+      Map("ft_tiered_fixture" -> fixtureSec) ++
+        (try SparkEntry.tieredCompactTimes(spark, sfDir) match {
+          case (p, f) => Map("ft_tiered_partial" -> p, "ft_tiered_full" -> f)
+        } catch { case _: Throwable => Map.empty }) // error already in ledger
     }
     val results = builds.toMap ++ tiered ++
       SparkEntry.queries.map { case (name, fn) =>
