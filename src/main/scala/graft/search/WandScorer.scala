@@ -141,7 +141,7 @@ object WandScorer {
     * that actually overlap (the common all-disjoint case returns the
     * input array untouched). Bounds are recomputed with the QUERY-side
     * cache, so they dominate the scores this query computes. */
-  private[search] def disjointBlocks(sorted: Array[BlockRow],
+  private[graft] def disjointBlocks(sorted: Array[BlockRow],
                                      cache: Array[Float]): Array[BlockRow] = {
     if (sorted.length < 2) return sorted
     var overlap = false

@@ -152,6 +152,14 @@ class StandardParserSpec extends AnyFunSuite {
       Seq((S, TermQ("path:main.scala"))))
   }
 
+  test("leaf semantics agree with the classic parser (shared lowering)") {
+    for (q <- Seq("hello", "+hello", "-hello", "\"alpha beta\"",
+      "term*", "te?m", "term~1", "/re.*/", "path:Main", "term^2.5",
+      "\"alpha beta\"~3", "*:*"))
+      assert(StandardParser.parse(q).clauses == QueryParser.parse(q).clauses,
+        s"diverged on: $q")
+  }
+
   test("regexp and match-all leaves pass through") {
     assert(p("/spa[rk]+/").clauses == Seq((S, RegexpQ("spa[rk]+"))))
     assert(p("*:*").clauses == Seq((S, MatchAllQ)))

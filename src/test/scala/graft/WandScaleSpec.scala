@@ -14,6 +14,58 @@ class WandScaleSpec extends AnyFunSuite {
   import SparkSuite.spark
   import spark.implicits._
 
+  test("disjointBlocks: random overlapping clusters decode to the same " +
+    "ascending posting stream (tiered-merge overlap repair)") {
+    import graft.codec.{Posting, PostingsCodec}
+    import graft.index.BlockRow
+    val rnd = new scala.util.Random(7)
+    val cache = graft.search.BM25.cache(50f)
+    def mk(postings: Seq[Posting]): Seq[BlockRow] =
+      PostingsCodec.encode("t", postings.iterator, cache).map(b =>
+        BlockRow(0, b.term, b.firstDoc, b.lastDoc, b.count, b.maxTf,
+          b.sumTf, b.maxPartial, b.docBytes, b.nrmBytes, b.posBytes)).toSeq
+    for (_ <- 1 to 50) {
+      // 2-4 "sub-indexes" over interleaved docId ranges — exactly the
+      // shape a tiered merge produces
+      val nSub = 2 + rnd.nextInt(3)
+      val all = scala.collection.mutable.Set[Long]()
+      val subs = (0 until nSub).map { s =>
+        val docs = (0 until 30 + rnd.nextInt(200))
+          .map(_ => rnd.nextInt(100000).toLong * nSub + s)
+        docs.distinct.sorted.map { d =>
+          all += d
+          val poss = Array(1, 5).take(1 + rnd.nextInt(2))
+          Posting(d, poss.length, poss, (rnd.nextInt(256) - 128).toByte)
+        }
+      }
+      val rows = subs.flatMap(mk).sortBy(_.firstDoc).toArray
+      val fixed = WandScorer.disjointBlocks(rows, cache)
+      // spans now pairwise disjoint
+      fixed.sliding(2).foreach {
+        case Array(a, b) => assert(a.lastDoc < b.firstDoc)
+        case _ =>
+      }
+      // decoded stream = the exact original doc set, ascending
+      val dec = fixed.flatMap(b => PostingsCodec.decodeDocs(
+        graft.codec.PostingBlock(b.term, b.firstDoc, b.lastDoc, b.count,
+          b.maxTf, b.sumTf, b.maxPartial, b.docBytes, b.nrmBytes,
+          b.posBytes))._1)
+      assert(dec.toSeq == dec.toSeq.sorted)
+      assert(dec.toSet == all, "doc set must survive the repair")
+      // bounds stay sound: every block's maxPartial dominates the max
+      // partial of its own postings under the SAME cache
+      fixed.foreach { b =>
+        val ps = PostingsCodec.decode(graft.codec.PostingBlock(b.term,
+          b.firstDoc, b.lastDoc, b.count, b.maxTf, b.sumTf, b.maxPartial,
+          b.docBytes, b.nrmBytes, b.posBytes))
+        ps.foreach { p =>
+          val partial = p.tf.toFloat / (p.tf.toFloat + cache(p.norm & 0xFF))
+          assert(partial <= b.maxPartial)
+        }
+      }
+    }
+  }
+
   test("chunk grid is bounded by parallelism, not numDocParts") {
     // 2e5 docParts (the SCALE.md cluster figure), 32-way parallelism
     val ppc = WandScorer.partsPerChunk(200000, 32)
