@@ -126,7 +126,10 @@ object Japanese {
     * longest token at each position, then known over unknown. Unknown
     * candidates follow the grouping classes (katakana run = one token,
     * kanji/hiragana = one char). */
-  def segmentJa(s: String): Vector[String] = {
+  def segmentJa(s: String): Vector[String] =
+    segmentPath(s, usePenalty = true)
+
+  private def segmentPath(s: String, usePenalty: Boolean): Vector[String] = {
     val n = s.length
     if (n == 0) return Vector.empty
     // dp(i) = surrogate cost of best split of s[i..); len(i) = chosen
@@ -143,14 +146,15 @@ object Japanese {
           j - i
         } else 1
       var bestCost = TokenCost.toLong + UnknownExtra +
-        penalty(s, i, unkLen) + dpCost(i + unkLen)
+        (if (usePenalty) penalty(s, i, unkLen) else 0) + dpCost(i + unkLen)
       var bestLen = unkLen
       var bestIsUnk = true
       val maxL = math.min(maxWordLen, n - i)
       var l = 1
       while (l <= maxL) {
         if (lexicon.contains(s.substring(i, i + l))) {
-          val c = TokenCost.toLong + penalty(s, i, l) + dpCost(i + l)
+          val c = TokenCost.toLong +
+            (if (usePenalty) penalty(s, i, l) else 0) + dpCost(i + l)
           if (c < bestCost ||
             (c == bestCost && (l > bestLen || (l == bestLen && bestIsUnk)))) {
             bestCost = c; bestLen = l; bestIsUnk = false
@@ -164,6 +168,43 @@ object Japanese {
     val out = Vector.newBuilder[String]
     var p = 0
     while (p < n) { out += s.substring(p, p + len(p)); p += len(p) }
+    out.result()
+  }
+
+  /** SEARCH-mode compound output (outputCompounds,
+    * JapaneseTokenizer.java:231 + the altToken backtrace :1031-1100, and
+    * the published search-segmentation-tests.txt vectors): when the
+    * UNPENALIZED best path picks a too-long token that the penalty made
+    * the output path split, the compound is ALSO emitted, with posInc 0
+    * right after its first part — `関西 関西国際空港/0 国際 空港`.
+    * Returned as (term, posInc) pairs; the parts keep posInc 1. */
+  def segmentJaAnnotated(s: String): Vector[(String, Int)] = {
+    val parts = segmentPath(s, usePenalty = true)
+    if (parts.length < 2) return parts.map((_, 1))
+    val alt = segmentPath(s, usePenalty = false)
+    if (alt == parts) return parts.map((_, 1))
+    // unpenalized token start -> length; output-path boundaries
+    val altByStart: Map[Int, Int] = {
+      var off = 0
+      alt.map { t => val e = (off, t.length); off += t.length; e }.toMap
+    }
+    val bounds: Set[Int] = {
+      var off = 0
+      (parts.map { t => off += t.length; off }.toSet) + 0
+    }
+    val out = Vector.newBuilder[(String, Int)]
+    var off = 0
+    parts.foreach { t =>
+      out += ((t, 1))
+      altByStart.get(off) match {
+        case Some(l) if l > t.length && penalty(s, off, l) > 0 &&
+          bounds.contains(off + l) &&
+          lexicon.contains(s.substring(off, off + l)) =>
+          out += ((s.substring(off, off + l), 0))
+        case _ =>
+      }
+      off += t.length
+    }
     out.result()
   }
 
@@ -189,11 +230,24 @@ object Japanese {
     * discardPunctuation=true default — no position holes). User-dict
     * surfaces match first (longest wins) and emit their custom
     * segmentation — TestJapaneseTokenizer.testUserDict1-3 semantics. */
-  def tokenize(text: String, userDict: UserDict = Nil): Vector[String] = {
+  def tokenize(text: String, userDict: UserDict = Nil): Vector[String] =
+    walkText(text, userDict, run => segmentJa(run).map((_, 1))).map(_._1)
+
+  /** Token stream WITH the SEARCH-mode compound-also tokens as
+    * (term, posInc) pairs (compounds ride posInc 0 after their first
+    * part) — the stream the index analyzer consumes; [[tokenize]] stays
+    * the parts-only view. */
+  def tokenizeAnnotated(text: String,
+                        userDict: UserDict = Nil): Vector[(String, Int)] =
+    walkText(text, userDict, segmentJaAnnotated)
+
+  private def walkText(text: String, userDict: UserDict,
+                       jaRun: String => Vector[(String, Int)])
+      : Vector[(String, Int)] = {
     val byLenDesc =
       if (userDict.isEmpty) null
       else userDict.sortBy(-_._1.length)
-    val out = Vector.newBuilder[String]
+    val out = Vector.newBuilder[(String, Int)]
     val n = text.length
     // a user surface starting at p? (run loops break there so the user
     // entry wins mid-run too, like a dominating-cost lattice edge)
@@ -205,7 +259,7 @@ object Japanese {
       val c = text(i)
       val user = userAt(i)
       if (user != null) {
-        out ++= user._2
+        out ++= user._2.map((_, 1))
         i += user._1.length
       } else if (isJa(c)) {
         val run = new StringBuilder
@@ -213,7 +267,7 @@ object Japanese {
         while (i < n && isJa(text(i)) && userAt(i) == null) {
           run += text(i); i += 1
         }
-        out ++= segmentJa(run.result())
+        out ++= jaRun(run.result())
       } else if (c.isLetter && c < 128) {
         val run = new StringBuilder
         run += c; i += 1
@@ -221,16 +275,16 @@ object Japanese {
           userAt(i) == null) {
           run += text(i); i += 1
         }
-        out += run.result()
+        out += ((run.result(), 1))
       } else if (c.isDigit) {
         val run = new StringBuilder
         run += c; i += 1
         while (i < n && text(i).isDigit && userAt(i) == null) {
           run += text(i); i += 1
         }
-        out += run.result()
+        out += ((run.result(), 1))
       } else if (Character.isLetter(c)) {
-        out += String.valueOf(c); i += 1
+        out += ((String.valueOf(c), 1)); i += 1
       } else i += 1 // punctuation / whitespace: discarded, no position
     }
     out.result()
@@ -323,11 +377,29 @@ object Japanese {
     else term
 
   /** Full chain as flat (terms, positions): width fold -> stop (gaps) ->
-    * katakana stem -> lowercase. */
+    * katakana stem -> lowercase. Consumes the ANNOTATED stream, so
+    * SEARCH-mode compound tokens index at their first part's position
+    * (posInc 0) exactly like the reference analyzer's
+    * `関西 関西国際空港/0 国際 空港`. */
   def analyzeFlat(text: String,
                   stops: Set[String] = stopSet,
-                  userDict: UserDict = Nil): (Array[String], Array[Int]) =
-    Analyzer.stopGapFlat(tokenize(text, userDict), stops,
-      key = MiscFilters.cjkWidth,
-      emit = f => Analyzer.lowerCase(katakanaStem(f)))
+                  userDict: UserDict = Nil): (Array[String], Array[Int]) = {
+    val ann = tokenizeAnnotated(text, userDict)
+    val terms = new Array[String](ann.length)
+    val positions = new Array[Int](ann.length)
+    var n = 0
+    var pos = -1
+    ann.foreach { case (t, inc) =>
+      pos += inc
+      val k = MiscFilters.cjkWidth(t)
+      if (!stops.contains(k)) {
+        terms(n) = Analyzer.lowerCase(katakanaStem(k))
+        positions(n) = pos
+        n += 1
+      }
+    }
+    if (n == ann.length) (terms, positions)
+    else (java.util.Arrays.copyOf(terms, n),
+      java.util.Arrays.copyOf(positions, n))
+  }
 }

@@ -304,6 +304,20 @@ class JapaneseSpec extends AnyFunSuite {
     // 4-kanji compound splits too when its halves are lexicon words:
     // penalty 6000 > one extra surrogate token cost
     assert(Japanese.tokenize("東京大学") == Vector("東京", "大学"))
+    // outputCompounds (SEARCH mode, search-segmentation-tests.txt): the
+    // compound ALSO emits, posInc 0 after its first part —
+    // `関西 関西国際空港/0 国際 空港`
+    assert(Japanese.tokenizeAnnotated("関西国際空港") ==
+      Vector(("関西", 1), ("関西国際空港", 0), ("国際", 1), ("空港", 1)))
+    assert(Japanese.tokenizeAnnotated("東京大学") ==
+      Vector(("東京", 1), ("東京大学", 0), ("大学", 1)))
+    // and the analyzer chain indexes the compound at its first part's
+    // position
+    val (ts, ps) = Japanese.analyzeFlat("関西国際空港")
+    assert(ts.toSeq == Seq("関西", "関西国際空港", "国際", "空港"))
+    assert(ps.toSeq == Seq(0, 0, 1, 2))
+    // unambiguous (non-penalized) text emits NO compounds
+    assert(Japanese.tokenizeAnnotated("これは本ではない").forall(_._2 == 1))
     // DIVERGENCE CENSUS — everything still known to differ from the
     // cost-exact reference, each class pinned so a future cost-table
     // arrival can retire them one by one:
