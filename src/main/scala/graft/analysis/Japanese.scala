@@ -17,7 +17,10 @@ package graft.analysis
   * other token of length L > 7 pays (L-7)*1700) — instead of cost-exact
   * Viterbi. The penalties reproduce the reference's search-mode
   * compound-splitting (4+ kanji compounds split into their 2-kanji
-  * parts when the lexicon has them); what still differs is enumerated
+  * parts when the lexicon has them), and outputCompounds is implemented:
+  * the split-away compound ALSO emits with posInc 0 after its first
+  * part, exactly the published search-segmentation-tests.txt shape
+  * (`関西 関西国際空港/0 国際 空港`); what still differs is enumerated
   * in JapaneseSpec's divergence-census test: (a) cost ties the real
   * word costs would break (では kept as one word), (b) 3-kanji
   * compounds always kept (penalty 3000 < the surrogate token cost,
