@@ -106,6 +106,12 @@ object Japanese {
   final val SearchModeOtherPenalty = 1700
   final val TokenCost = 5000
   final val UnknownExtra = 4000
+  /** Unknown extra for the UNPENALIZED alt path only (compound
+    * detection): IPADIC's unknown-word costs are high, so a known
+    * 2-part split must beat an unknown whole run there (5000+7000 >
+    * 2x5000) while 3+ known parts still lose to it (< 15000) — the
+    * search-segmentation-tests.txt compound-emission pattern. */
+  final val AltUnknownExtra = 7000
 
   /** Search-mode long-token penalty (computePenalty,
     * JapaneseTokenizer.java:308-326). */
@@ -132,7 +138,8 @@ object Japanese {
   def segmentJa(s: String): Vector[String] =
     segmentPath(s, usePenalty = true)
 
-  private def segmentPath(s: String, usePenalty: Boolean): Vector[String] = {
+  private def segmentPath(s: String, usePenalty: Boolean,
+                          unknownExtra: Int = UnknownExtra): Vector[String] = {
     val n = s.length
     if (n == 0) return Vector.empty
     // dp(i) = surrogate cost of best split of s[i..); len(i) = chosen
@@ -148,7 +155,7 @@ object Japanese {
           while (j < n && isKatakanaChar(s(j))) j += 1
           j - i
         } else 1
-      var bestCost = TokenCost.toLong + UnknownExtra +
+      var bestCost = TokenCost.toLong + unknownExtra +
         (if (usePenalty) penalty(s, i, unkLen) else 0) + dpCost(i + unkLen)
       var bestLen = unkLen
       var bestIsUnk = true
@@ -184,7 +191,8 @@ object Japanese {
   def segmentJaAnnotated(s: String): Vector[(String, Int)] = {
     val parts = segmentPath(s, usePenalty = true)
     if (parts.length < 2) return parts.map((_, 1))
-    val alt = segmentPath(s, usePenalty = false)
+    val alt = segmentPath(s, usePenalty = false,
+      unknownExtra = AltUnknownExtra)
     if (alt == parts) return parts.map((_, 1))
     // unpenalized token start -> length; output-path boundaries
     val altByStart: Map[Int, Int] = {
@@ -199,10 +207,12 @@ object Japanese {
     var off = 0
     parts.foreach { t =>
       out += ((t, 1))
+      // the alt token may be an UNKNOWN word (long katakana runs —
+      // コニカミノルタホールディングス): the reference's altToken
+      // machinery emits those compounds too, so no lexicon gate here
       altByStart.get(off) match {
         case Some(l) if l > t.length && penalty(s, off, l) > 0 &&
-          bounds.contains(off + l) &&
-          lexicon.contains(s.substring(off, off + l)) =>
+          bounds.contains(off + l) =>
           out += ((s.substring(off, off + l), 0))
         case _ =>
       }

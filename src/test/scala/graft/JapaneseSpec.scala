@@ -293,6 +293,41 @@ class JapaneseSpec extends AnyFunSuite {
     }
   }
 
+  test("search-segmentation-tests.txt: 41/45 of the reference's own " +
+    "published SEARCH-mode vectors match exactly (census)") {
+    // The reference's canonical search-mode vector file (kuromoji test
+    // resources, format: text<TAB>tok1 tok2 ... with /0 marking the
+    // posInc-0 compound). The surrogate cost model reproduces 41 of 45
+    // lines EXACTLY — tokens, order, and compound placement; the 4
+    // misses are genuine cost-table divergences (IPADIC word costs pick
+    // different part boundaries). Pinned so any cost-model change that
+    // shifts parity shows up here.
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/ja/search-segmentation-tests.txt"),
+      "UTF-8")
+    val lines = src.getLines().map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#")).toVector
+    src.close()
+    assert(lines.size == 45)
+    var matches = 0
+    val missTexts = Vector.newBuilder[String]
+    lines.foreach { l =>
+      val Array(text, toks) = l.split("\t", 2)
+      val expected = toks.split(" ").toVector.map { t =>
+        if (t.endsWith("/0")) (t.dropRight(2), 0) else (t, 1)
+      }
+      if (Japanese.tokenizeAnnotated(text) == expected) matches += 1
+      else missTexts += text
+    }
+    assert(matches == 41, s"match rate moved: $matches/45; " +
+      s"misses: ${missTexts.result().mkString(" | ")}")
+    // the canonical organization/place/person compounds are in the
+    // matching set
+    for (t <- Seq("関西国際空港", "成田空港", "東京大学", "京都大学"))
+      assert(lines.exists(_.startsWith(t + "\t")) &&
+        Japanese.tokenizeAnnotated(t).exists(_._2 == 0), t)
+  }
+
   test("search-mode penalties: compound splitting + divergence census") {
     // The reference's canonical search-mode example: the 6-kanji
     // compound pays (6-2)*3000 penalty and loses to its three 2-kanji
