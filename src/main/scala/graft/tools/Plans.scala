@@ -40,7 +40,11 @@ object Plans {
         // lists), array-literal range-bucket scan, streaming XML
         // flatten in one mapPartitions, zero-shuffle transformer chain
         "analytics_stats", "analytics_rangefacet", "dih_xpath",
-        "dih_transformers")
+        "dih_transformers",
+        // round 5: precedence-parsed nested bool, schema binding,
+        // delta-import merged view (analytics_stats above now shows the
+        // two-phase narrowed rank selection)
+        "ft_flexible", "solr_schema", "dih_delta")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "8")

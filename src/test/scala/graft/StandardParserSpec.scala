@@ -160,6 +160,21 @@ class StandardParserSpec extends AnyFunSuite {
         s"diverged on: $q")
   }
 
+  test("fuzz: random inputs never crash uncontrolled") {
+    // anything the tokenizer can produce must either parse or raise a
+    // controlled IllegalArgumentException — no NPE/SO/match errors
+    val rnd = new scala.util.Random(11)
+    val alphabet = "ab ()+-!\"*?~^0.5ANDORT:[]{}/<>=|&"
+    var parsed = 0
+    for (_ <- 1 to 300) {
+      val q = Array.fill(1 + rnd.nextInt(24))(
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+      try { StandardParser.parse(q); parsed += 1 }
+      catch { case _: IllegalArgumentException => }
+    }
+    assert(parsed > 50, s"only $parsed/300 parsed — grammar too brittle")
+  }
+
   test("regexp and match-all leaves pass through") {
     assert(p("/spa[rk]+/").clauses == Seq((S, RegexpQ("spa[rk]+"))))
     assert(p("*:*").clauses == Seq((S, MatchAllQ)))
