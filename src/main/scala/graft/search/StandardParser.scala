@@ -236,16 +236,24 @@ object StandardParser {
         val hi = if (m(1) == "*") MaxTerm else Analyzer.lowerCase(m(1))
         return Some(boosted(RangeQ(lo, hi, incLo, incHi)))
       }
-      // relationals (OpenRangeQueryNodeProcessor)
+      // relationals (OpenRangeQueryNodeProcessor). Open bounds stay
+      // INSIDE the field's term space: the path field's keyed prefix
+      // bounds its open ends ("path:" / "path:"+MaxTerm — the scorer's
+      // fieldGuard passes everything for path-prefixed patterns, so an
+      // unbounded end would leak other term spaces into the expansion);
+      // content open ends rely on fieldGuard's path:/rev: exclusion.
       tok match {
         case Relational(f, op, v) if !tok.startsWith("\"") =>
           val t = fieldTerm(f, v)
+          val (openLo, openHi) =
+            if (f == "path") ("path:", "path:" + MaxTerm)
+            else ("", MaxTerm)
           return Some(boosted(op match {
             case "=" => TermQ(t)
-            case "<" => RangeQ("", t, incLo = true, incHi = false)
-            case "<=" => RangeQ("", t, incLo = true, incHi = true)
-            case ">" => RangeQ(t, MaxTerm, incLo = false, incHi = true)
-            case ">=" => RangeQ(t, MaxTerm, incLo = true, incHi = true)
+            case "<" => RangeQ(openLo, t, incLo = true, incHi = false)
+            case "<=" => RangeQ(openLo, t, incLo = true, incHi = true)
+            case ">" => RangeQ(t, openHi, incLo = false, incHi = true)
+            case ">=" => RangeQ(t, openHi, incLo = true, incHi = true)
           }))
         case _ =>
       }

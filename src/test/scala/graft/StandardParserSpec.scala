@@ -147,9 +147,16 @@ class StandardParserSpec extends AnyFunSuite {
     assert(gt.lo == "spark" && !gt.incLo && gt.incHi)
     val ge = p("content>=spark").clauses.head._2.asInstanceOf[RangeQ]
     assert(ge.lo == "spark" && ge.incLo)
-    // path keeps its keyed term space
+    // path keeps its keyed term space — including on OPEN ends, where
+    // the prefix bounds the range inside the path dictionary (the
+    // scorer's fieldGuard passes everything for path: patterns)
     assert(p("path=Main.scala").clauses ==
       Seq((S, TermQ("path:main.scala"))))
+    val pGt = p("path>main").clauses.head._2.asInstanceOf[RangeQ]
+    assert(pGt.lo == "path:main" && pGt.hi.startsWith("path:") &&
+      pGt.hi.length > "path:".length)
+    val pLt = p("path<main").clauses.head._2.asInstanceOf[RangeQ]
+    assert(pLt.lo == "path:" && pLt.hi == "path:main")
   }
 
   test("leaf semantics agree with the classic parser (shared lowering)") {
