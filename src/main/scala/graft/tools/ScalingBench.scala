@@ -38,7 +38,10 @@ object ScalingBench {
 
   def cfgFor(nDocs: Long): IndexConfig = IndexConfig(
     numDocParts = 256, numBuckets = 32, waves = 1,
-    hotDfThreshold = nDocs / 2, saltShift = 13, shufflePartitions = 256)
+    hotDfThreshold = nDocs / 2, saltShift = 13,
+    // data-sized default; env knob for partition-granularity probes
+    shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", "256").toInt)
 
   def main(args: Array[String]): Unit = args(0) match {
     case "level" => level(args(1).toInt, args(2).toLong, args(3))
