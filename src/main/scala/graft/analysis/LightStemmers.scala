@@ -1026,6 +1026,8 @@ object LightStemmers {
   val byName: Map[String, (String, String => String)] = Map(
     "german" -> (("de", german _)),
     "german_minimal" -> (("de", germanMinimal _)),
+    // the classic Caumanns stemmer (GermanStemFilter/Factory)
+    "german_caumanns" -> (("de", GermanCaumanns.stem _)),
     "spanish" -> (("es", spanish _)),
     "italian" -> (("it", italian _)),
     "french" -> (("fr", french _)),
