@@ -1624,6 +1624,14 @@ object OracleQueries {
          |       event_id, value
          |FROM events ORDER BY value DESC, event_id LIMIT 5""".stripMargin,
 
+    // UniqueStream: first tuple of each comparator-equal group over the
+    // sorted stream (per user, arrival pinned by ts then event_id)
+    "stream_unique" ->
+      s"""SELECT user_id, event_id, event_type FROM (
+         |  SELECT user_id, event_id, event_type, row_number() OVER (
+         |    PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
     "stream_merge" ->
       s"""SELECT event_id, event_type FROM events
          |WHERE event_type IN ('purchase','error')

@@ -3332,6 +3332,22 @@ object SparkEntry {
           Window.orderBy(col("value").desc, col("event_id"))).cast("long"))
         .select("rank", "event_id", "value")),
 
+    /** UniqueStream (solrj/io/UniqueStream.java:61-90): over a stream
+      * sorted by the comparator, emit the FIRST tuple of each
+      * comparator-equal group — here per user_id, with the stream's
+      * within-group arrival order pinned to (ts, event_id) so the
+      * "first" is deterministic. row_number per group = the streaming
+      * read() loop's keep-first, as one windowed scan. */
+    "stream_unique" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id")
+            .orderBy(col("ts"), col("event_id"))))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("event_id"),
+          col("event_type"))
+        .orderBy("user_id")),
+
     "stream_merge" -> ((s, dir) =>
       s.read.parquet(s"$dir/events.parquet")
         .where(col("event_type").isin("purchase", "error"))
