@@ -272,6 +272,27 @@ object SolrSchema {
     }
   }
 
+  /** Spark type of a schema field, from its fieldType's solr class
+    * (schema/TrieField.java + StrField/TextField/BoolField): what a
+    * migrator needs to materialize a typed DataFrame column for a Solr
+    * field. multiValued fields wrap in an array. */
+  def sparkType(types: Map[String, FieldType],
+                f: SchemaField): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    val elem: DataType =
+      types.get(f.typeName).map(_.clazz).getOrElse("") match {
+        case "solr.TrieIntField" | "solr.IntField" => IntegerType
+        case "solr.TrieLongField" | "solr.LongField" => LongType
+        case "solr.TrieFloatField" | "solr.FloatField" => FloatType
+        case "solr.TrieDoubleField" | "solr.DoubleField" => DoubleType
+        case "solr.TrieDateField" | "solr.DateField" => TimestampType
+        case "solr.BoolField" => BooleanType
+        case "solr.BinaryField" => BinaryType
+        case _ => StringType // StrField, TextField, unknown
+      }
+    if (f.multiValued) ArrayType(elem) else elem
+  }
+
   /** Parse schema.xml (both nested <types>/<fields> and flat layouts). */
   def parse(xml: String): Schema = {
     val f = javax.xml.stream.XMLInputFactory.newInstance()

@@ -100,6 +100,17 @@ class SolrSchemaSpec extends AnyFunSuite {
     bad("""<copyField source="nosuch" dest="text"/>""")
   }
 
+  test("sparkType maps fieldType classes to Spark types") {
+    import org.apache.spark.sql.types._
+    def tp(name: String) =
+      SolrSchema.sparkType(schema.types, schema.field(name))
+    assert(tp("id") == StringType)
+    assert(tp("foo_i") == IntegerType)
+    assert(tp("title") == StringType)
+    assert(tp("text") == ArrayType(StringType)) // multiValued
+    assert(tp("attr_x") == ArrayType(StringType))
+  }
+
   test("bind: copy destinations materialize over a DataFrame") {
     val spark = SparkSuite.spark
     import spark.implicits._
