@@ -327,7 +327,9 @@ object SparkEntry {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       // big cold base, tiny hot tier: partial cost must track the MERGED
       // TIER's size while the full rewrite tracks the whole collection
-      val base = docs
+      // (half corpus: the full-corpus variant doubles fixture cost for
+      // the same partial-vs-full contrast at bench scale)
+      val base = docs.where(col("doc_id") % 2 === 0)
       val maxId = maxDocId(spark, sfDir)
       val baseParts = (maxId / DocsPerPart + 1).toInt
       val cfg = ftConfig(baseParts + 12)
